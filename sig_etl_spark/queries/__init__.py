@@ -1,0 +1,58 @@
+"""Query registry — the engine's public query surface.
+
+Every operator from SURVEY.md §2 that this engine implements is registered
+here as a named query: a Spark DataFrame builder plus (when expressible) an
+equivalent ANSI-SQL oracle string for DuckDB. The driver's correctness gate
+runs both sides at sf0.01 and compares row-count + schema + value hash.
+
+Registration contract:
+- builder: Callable[(SparkSession, sf_dir: str)] -> DataFrame
+- oracle:  ANSI SQL over views region nation customer supplier part orders
+           lineitem events documents embeddings, or None for ops whose
+           semantics SQL cannot express (the driver then records a weaker
+           rows-only check).
+- Column names must match between the two sides; every computed column is
+  aliased identically in both.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class RegisteredQuery:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+QUERIES: dict[str, RegisteredQuery] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: add a (builder, oracle) pair to the registry."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = RegisteredQuery(name=name, builder=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    # Import for side effect: each module registers its queries.
+    from sig_etl_spark.queries import relational  # noqa: F401
+    from sig_etl_spark.queries import functions_demo  # noqa: F401
+    from sig_etl_spark.queries import llm_text  # noqa: F401
+    from sig_etl_spark.queries import llm_dedup  # noqa: F401
+    from sig_etl_spark.queries import llm_similarity  # noqa: F401
+    from sig_etl_spark.queries import linkage_demo  # noqa: F401
+    from sig_etl_spark.queries import events_demo  # noqa: F401
+
+
+_load_all()

@@ -1,0 +1,496 @@
+"""Relational-core parity queries (SURVEY.md §2: P/A/W/O/SET/J rows).
+
+Each query re-expresses a reference behavior over the driver's TPC-H-ish
+tables so DuckDB can oracle-check it. Reference citations are given per
+query (file:line into /root/reference).
+
+Determinism rules used throughout (so the order-insensitive value hash
+matches DuckDB bit-for-bit):
+- multi-row float reductions go through DECIMAL(38,10) (addition order then
+  cannot change the result), rounded and cast back to DOUBLE;
+- every window/keep-first has a total ordering (explicit tiebreak key);
+- row-level double arithmetic is left in IEEE double — both engines execute
+  the same op sequence on the same inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sig_etl_spark.queries import register
+from sig_etl_spark.tables import load_table
+
+DEC = "decimal(38,10)"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: "incumbent candidates" shape — J5 equi/left joins + J7 date-range
+# + J8 isin + W3 DISTINCT ON rewritten as a window.
+# Reference: queries/office-candidates_by_congstatus.sql:7-46 (joins at
+# 27-37, BETWEEN at 45-46, DISTINCT ON at 14); param isin lists built from
+# data in votervoice/match.py:111-126.
+# ---------------------------------------------------------------------------
+@register(
+    "flagship_latest_order",
+    oracle="""
+    SELECT c_custkey, c_name, nation_name, region_name,
+           o_orderkey, latest_orderdate, latest_totalprice
+    FROM (
+      SELECT c.c_custkey, c.c_name,
+             n.n_name AS nation_name, r.r_name AS region_name,
+             o.o_orderkey, o.o_orderdate AS latest_orderdate,
+             o.o_totalprice AS latest_totalprice,
+             row_number() OVER (PARTITION BY c.c_custkey
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey) AS rn
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        AND o.o_orderstatus IN ('O', 'F')
+        AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1998-12-31'
+    ) t
+    WHERE rn = 1
+    """,
+    doc="J5+J7+J8+W3: latest qualifying order per customer in selected segments",
+)
+def flagship_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    # Filters sit directly on the scans so Catalyst pushes them into the
+    # parquet reader (PushedFilters); nation/region are broadcast — at 100 TB
+    # the fact side streams, the dims ship once per executor.
+    qualifying = (
+        customer.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .join(
+            orders.filter(
+                F.col("o_orderstatus").isin("O", "F")
+                & F.col("o_orderdate").between(
+                    F.to_timestamp(F.lit("1995-01-01")),
+                    F.to_timestamp(F.lit("1998-12-31")),
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    # DISTINCT ON (c_custkey) has no Spark equivalent -> row_number window
+    # with an explicit total order (Postgres leaves ties unspecified; we pin
+    # o_orderkey as tiebreak — SURVEY §7 risk (4)).
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        qualifying.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+            "o_orderkey",
+            F.col("o_orderdate").alias("latest_orderdate"),
+            F.col("o_totalprice").alias("latest_totalprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1+A2: grouped conditional aggregation with derived percentage — the
+# reference's vote-counting kernel (good/bad/neutral counts, neutral = 0.5,
+# pct = good/(good+bad)*100 with div-0 guard).
+# Reference: national/_125/extract.py:41-68; national/_2658/extract.py:36-43;
+# states/_1760/extract.py:38-42.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_vote_counts",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS good_votes,
+           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS bad_votes,
+           SUM(CASE WHEN l_returnflag = 'A' THEN 0.5 ELSE 0.0 END) AS neutral_weight,
+           CASE WHEN SUM(CASE WHEN l_returnflag IN ('N','R') THEN 1 ELSE 0 END) = 0
+                THEN 0.0
+                ELSE ROUND(100.0 * SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                           / SUM(CASE WHEN l_returnflag IN ('N','R') THEN 1 ELSE 0 END), 4)
+           END AS good_pct
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc="A1+A2: conditional counts + guarded percentage derivation",
+)
+def agg_vote_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    good = F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+    bad = F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+    denom = F.sum(F.when(F.col("l_returnflag").isin("N", "R"), 1).otherwise(0))
+    return li.groupBy("l_linestatus").agg(
+        good.alias("good_votes"),
+        bad.alias("bad_votes"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "A", F.lit(0.5)).otherwise(F.lit(0.0))
+        ).alias("neutral_weight"),
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise(F.round(F.lit(100.0) * good / denom, 4))
+        .alias("good_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3-shaped pricing summary (TPC-H Q1 skeleton): sum/avg/count per group.
+# The reference's "possible score" sum-of-abs + index derivation
+# (billtrack50_app/extract.py:59-79) is the same shape: Σ, Σ·expr, ratio.
+# Float reductions go through DECIMAL so addition order can't flap the hash.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,10))
+                          * CAST(1 - l_discount AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(ABS(l_quantity) AS DECIMAL(38,10))), 2) AS DOUBLE) AS possible,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A1-A3: decimal-stable grouped sums incl. sum(abs()) 'possible score'",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    )
+    dq = F.col("l_quantity").cast(DEC)
+    dp = F.col("l_extendedprice").cast(DEC)
+    dd = (F.lit(1) - F.col("l_discount")).cast(DEC)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(dq), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum(dp), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(dp * dd), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(F.abs(F.col("l_quantity")).cast(DEC)), 2)
+        .cast("double")
+        .alias("possible"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1-P8: projection, rename, constant attach, column duplication, synthetic
+# id extraction, substring/regex/set-membership predicates.
+# Reference: votervoice/transform.py:77-86 (projection concat), :83-84 (dup
+# column); templates/template_extract.py:30 (constant attach);
+# billtrack50_app/extract.py:91-92 (id from URL tail);
+# national/_1034/transform.py:57 (contains), votervoice/transform.py:60
+# (regex predicate), votervoice/__main__.py:96-98 (isin).
+# ---------------------------------------------------------------------------
+@register(
+    "proj_filter_parts",
+    oracle="""
+    SELECT p_partkey AS part_id,
+           p_name AS part_name,
+           p_name AS our_part_name,
+           'catalog' AS record_source,
+           CAST(regexp_extract('https://parts.example/item/' || CAST(p_partkey AS VARCHAR),
+                               '([0-9]+)$', 1) AS BIGINT) AS sig_part_id,
+           p_retailprice
+    FROM part
+    WHERE (contains(p_name, 'red') OR regexp_matches(p_name, '^blue '))
+      AND p_type IN ('ECONOMY', 'STANDARD')
+      AND p_size BETWEEN 5 AND 40
+    """,
+    doc="P1-P8: projection/rename/constant/dup-column/url-id + 3 predicate kinds",
+)
+def proj_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    url = F.concat(F.lit("https://parts.example/item/"), F.col("p_partkey").cast("string"))
+    return (
+        part.filter(
+            (F.col("p_name").contains("red") | F.col("p_name").rlike("^blue "))
+            & F.col("p_type").isin("ECONOMY", "STANDARD")
+            & F.col("p_size").between(5, 40)
+        )
+        .select(
+            F.col("p_partkey").alias("part_id"),
+            F.col("p_name").alias("part_name"),
+            F.col("p_name").alias("our_part_name"),
+            F.lit("catalog").alias("record_source"),
+            F.regexp_extract(url, "([0-9]+)$", 1).cast("bigint").alias("sig_part_id"),
+            F.col("p_retailprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1+W2: best-match-per-group + near-tie duplicate flag — the exact window
+# shape of the fuzzy matcher's winner selection and duplicate_threshold.
+# Reference: votervoice/match.py:44-45 (required_threshold=75,
+# duplicate_threshold=3); national/_1034/match.py:68-69.
+# ---------------------------------------------------------------------------
+@register(
+    "w_best_match_per_order",
+    oracle="""
+    SELECT l_orderkey, l_linenumber AS best_line, l_extendedprice AS best_price,
+           near_ties, (near_ties > 1) AS needs_review
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rn,
+             SUM(CASE WHEN best_price_all - l_extendedprice <= 100.0
+                      THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY l_orderkey) AS near_ties
+      FROM (
+        SELECT *, MAX(l_extendedprice) OVER (PARTITION BY l_orderkey) AS best_price_all
+        FROM lineitem
+      ) b
+    ) t
+    WHERE rn = 1
+    """,
+    doc="W1+W2: best candidate per group + duplicate-within-delta review flag",
+)
+def w_best_match_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    by_order = Window.partitionBy("l_orderkey")
+    rank_w = by_order.orderBy(F.col("l_extendedprice").desc(), F.col("l_linenumber"))
+    best = F.max("l_extendedprice").over(by_order)
+    near = F.sum(
+        F.when(best - F.col("l_extendedprice") <= 100.0, 1).otherwise(0)
+    ).over(by_order)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.row_number().over(rank_w).alias("rn"),
+            near.alias("near_ties"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").alias("best_line"),
+            F.col("l_extendedprice").alias("best_price"),
+            "near_ties",
+            (F.col("near_ties") > 1).alias("needs_review"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4: fill-forward of a sparse attribute in document order — section headers
+# carried onto following rows.
+# Reference: states/_3166/extract.py:73-83,111-116.
+# ---------------------------------------------------------------------------
+@register(
+    "w_fill_forward_events",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type,
+           last_value(CASE WHEN event_type = 'signup' THEN props END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_header
+    FROM events
+    """,
+    doc="W4: last(ignorenulls) fill-forward of sparse header onto later rows",
+)
+def w_fill_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    header = F.when(F.col("event_type") == "signup", F.col("props"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(header, ignorenulls=True).over(w).alias("session_header"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SET1+SET2: bag union of per-partition slices + set difference (anti join).
+# Reference: templates/template_extract.py:41-44 (extracted += ...);
+# national/_3308/extract.py:164-169 (states.difference(selected)).
+# ---------------------------------------------------------------------------
+@register(
+    "set_union_anti",
+    oracle="""
+    WITH unioned AS (
+      SELECT c_custkey, c_name, 'building' AS slice FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT c_custkey, c_name, 'automobile' AS slice FROM customer
+      WHERE c_mktsegment = 'AUTOMOBILE'
+    )
+    SELECT u.c_custkey, u.c_name, u.slice
+    FROM unioned u
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = u.c_custkey AND o.o_orderstatus = 'P'
+    )
+    """,
+    doc="SET1+SET2: unionByName fold + left_anti set difference",
+)
+def set_union_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name", F.lit("building").alias("slice")
+    )
+    automobile = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        "c_custkey", "c_name", F.lit("automobile").alias("slice")
+    )
+    pending = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return building.unionByName(automobile).join(
+        pending, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6+W3: keep-first dedupe by key with a deterministic order — the
+# reference's skip-already-seen accumulation.
+# Reference: national/_3308/extract.py:86-89; SQL DISTINCT ON at
+# queries/election_candidates_by_electionyear.sql:8.
+# ---------------------------------------------------------------------------
+@register(
+    "dedupe_first_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate,
+           o_totalprice AS first_totalprice
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) t
+    WHERE rn = 1
+    """,
+    doc="A6+W3: keep-first per key (deterministic dropDuplicates)",
+)
+def dedupe_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_orderdate"),
+            F.col("o_totalprice").alias("first_totalprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1+SET3: master–detail left join with right-biased merge (dict-union
+# semantics: detail values win where present, card values otherwise).
+# Reference: billtrack50_app/extract.py:105-133 (left-join merge at 122-129,
+# dict-union at 127-129); national/_2439/extract.py:62-89.
+# ---------------------------------------------------------------------------
+@register(
+    "j_master_detail_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, p.p_brand,
+           COALESCE(d.n_lines, 0) AS n_lines,
+           CAST(COALESCE(d.total_qty, 0) AS DOUBLE) AS total_qty
+    FROM part p
+    LEFT JOIN (
+      SELECT l_partkey,
+             COUNT(*) AS n_lines,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 2) AS DOUBLE) AS total_qty
+      FROM lineitem
+      GROUP BY l_partkey
+    ) d ON d.l_partkey = p.p_partkey
+    """,
+    doc="J1+SET3: master-detail left join, coalesce merge (unmatched keep card)",
+)
+def j_master_detail_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    detail = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.col("l_quantity").cast(DEC)), 2)
+        .cast("double")
+        .alias("total_qty"),
+    )
+    return (
+        part.join(detail, F.col("l_partkey") == F.col("p_partkey"), "left")
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.coalesce(F.col("total_qty"), F.lit(0.0)).cast("double").alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4+A5: distinct-set collection + min/max — the matcher derives its SQL
+# parameter sets (offices, states, year window) from the data this way.
+# Reference: votervoice/match.py:111-122; national/_1034/match.py:91-92.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_param_derivation",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|') AS statuses,
+           MIN(o_orderdate) AS term_start,
+           MAX(o_orderdate) AS term_end,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="A4+A5: collect_set -> sorted param list + min/max window derivation",
+)
+def agg_param_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), "|").alias("statuses"),
+        F.min("o_orderdate").alias("term_start"),
+        F.max("o_orderdate").alias("term_end"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O2+O3+W5: latest-group selection — order by the group key descending and
+# keep the newest (the reference picks the most recent session when no year
+# is given).
+# Reference: votervoice/__main__.py:154-159; queries/office_list.sql:3.
+# ---------------------------------------------------------------------------
+@register(
+    "w_latest_session",
+    oracle="""
+    SELECT o_orderpriority AS session, n_orders, max_price
+    FROM (
+      SELECT o_orderpriority,
+             COUNT(*) AS n_orders,
+             MAX(o_totalprice) AS max_price
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority DESC
+      LIMIT 1
+    ) t
+    """,
+    doc="W5+O2+O3: latest group by sort-desc + limit 1",
+)
+def w_latest_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy(F.col("o_orderpriority").desc())
+        .limit(1)
+        .select(F.col("o_orderpriority").alias("session"), "n_orders", "max_price")
+    )

@@ -1,0 +1,75 @@
+"""Benchmark harness — the driver runs this per-round at sf0.1.
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a ``noop`` write — full execution on
+the executors, zero driver-side collect — so the timing reflects the plan
+Spark would run at scale, not ``toPandas`` serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sig_etl_spark.queries import QUERIES  # noqa: E402
+from sig_etl_spark.session import get_spark  # noqa: E402
+
+
+def run_query(df) -> None:
+    # noop sink: materializes every row on the executors, discards output.
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Parse "sf0.1" -> 0.1 from the directory name if possible.
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = base
+
+    spark = get_spark("sig_etl_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = sys.argv[1:] or list(QUERIES)
+
+    # Warm up the JVM + parquet footers once so per-query numbers measure
+    # the query, not first-touch costs.
+    run_query(QUERIES[names[0]].builder(spark, sf_dir).limit(1))
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        run_query(QUERIES[name].builder(spark, sf_dir))
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

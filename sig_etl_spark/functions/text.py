@@ -1,0 +1,87 @@
+"""Text utilities (SURVEY.md F3/F4/F5/F10/F11/F12/F13).
+
+All pure column expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# F3: "(R-TX-07)" style tags -> party/state/district.
+# Reference: /root/reference/votervoice/transform.py:58-68 (named-group regex).
+_PSD_PAT = r"\(([A-Za-z]+)-([A-Z]{2})(?:-([0-9A-Za-z]+))?\)"
+
+
+def parse_party_state_district(c: Column) -> dict[str, Column]:
+    return {
+        "party": F.regexp_extract(c, _PSD_PAT, 1),
+        "state_id": F.regexp_extract(c, _PSD_PAT, 2),
+        "district": strip_leading_zeros(F.regexp_extract(c, _PSD_PAT, 3)),
+    }
+
+
+def strip_leading_zeros(c: Column) -> Column:
+    """F4: '007' -> '7', '000' -> '' (the reference's lstrip('0')).
+
+    Reference: /root/reference/votervoice/transform.py:63-66.
+    """
+    return F.regexp_replace(c, r"^0+", "")
+
+
+def normalize_via_map(c: Column, mapping: Mapping[str, str]) -> Column:
+    """F5: canonicalize values through a small dictionary; unmapped pass
+    through unchanged.
+
+    Reference: /root/reference/votervoice/transform.py:7-10,88 and
+    /root/reference/national/_1034/transform.py:9-52,244.
+
+    Implemented as a literal MAP lookup + coalesce — Catalyst constant-folds
+    the map; no join, no UDF. For dictionaries too big to inline, use a
+    broadcast join instead (see linkage module).
+    """
+    if not mapping:
+        return c
+    pairs: list[Column] = []
+    for k, v in mapping.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    return F.coalesce(F.element_at(F.create_map(*pairs), c), c)
+
+
+def url_tail_id(c: Column) -> Column:
+    """F11: surrogate id = last path segment of a URL.
+
+    Reference: /root/reference/billtrack50_app/extract.py:91-92.
+    """
+    return F.regexp_extract(c, r"/([^/?#]+)/?(?:[?#].*)?$", 1)
+
+
+def key_value_map(c: Column, pair_sep: str = ";", kv_sep: str = ":") -> Column:
+    """F12: "Economy: 85; Taxes: 70" -> map{'Economy':'85','Taxes':'70'}.
+
+    Reference: /root/reference/national/_1985/extract.py:30-41.
+    """
+    pairs = F.filter(F.split(c, pair_sep), lambda p: F.trim(p) != "")
+    entries = F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.trim(F.split(p, kv_sep).getItem(0)).alias("key"),
+            F.trim(F.split(p, kv_sep).getItem(1)).alias("value"),
+        ),
+    )
+    return F.map_from_entries(entries)
+
+
+# F13: unicode fold. The reference calls unidecode()
+# (/root/reference/national/_1034/transform.py:110); for the Latin-1
+# accent range a translate() covers it JVM-side with no UDF. (A pandas UDF
+# fallback for full unidecode lives in the linkage module.)
+_ACCENTS_SRC = "áàâäãåāéèêëēíìîïīóòôöõøōúùûüūçñýÿÁÀÂÄÃÅĀÉÈÊËĒÍÌÎÏĪÓÒÔÖÕØŌÚÙÛÜŪÇÑÝ"
+_ACCENTS_DST = "aaaaaaaeeeeeiiiiiooooooouuuuucnyyAAAAAAAEEEEEIIIIIOOOOOOOUUUUUCNY"
+
+
+def fold_ascii(c: Column) -> Column:
+    return F.translate(c, _ACCENTS_SRC, _ACCENTS_DST)

@@ -1,1 +1,112 @@
-"""Placeholder — queries added in a later milestone this round."""
+"""Oracle-checked text-analysis queries over the documents table.
+
+Spark side: sig_etl_spark.llm.text_analysis (pure column expressions).
+Oracle side: the same math in DuckDB list/regex functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sig_etl_spark.llm import text_analysis as T
+from sig_etl_spark.queries import register
+from sig_etl_spark.tables import load_table
+
+_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+
+_STATS_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, lang, text, {_TOKS} AS toks,
+         length(regexp_replace(text, '\s', '', 'g')) AS nonspace
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, text, nonspace,
+         len(toks) AS ws_tokens,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens,
+         len(list_filter(toks, t -> list_contains(['the','a','an','of','and','to','in','is','it','for'], t))) AS stop_hits,
+         len(list_distinct(toks)) AS distinct_toks,
+         len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS h_en,
+         len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS h_de,
+         len(list_filter(toks, t -> list_contains(['el','la','que','y','en','los'], t))) AS h_es,
+         len(list_filter(toks, t -> list_contains(['le','la','et','les','des','une'], t))) AS h_fr
+  FROM base
+)
+SELECT doc_id, lang, ws_tokens, bpe_tokens,
+       CASE WHEN nonspace = 0 THEN 0.0
+            ELSE length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / nonspace
+       END AS punct_ratio,
+       CASE WHEN ws_tokens = 0 THEN 0.0 ELSE stop_hits / ws_tokens END AS stop_ratio,
+       CASE WHEN ws_tokens = 0 THEN 0.0 ELSE nonspace / ws_tokens END AS mean_tok_len,
+       CASE WHEN ws_tokens = 0 THEN 0.0 ELSE distinct_toks / ws_tokens END AS diversity,
+       0.4 * least(length(text) / 500.0, 1.0)
+         + 0.3 * (CASE WHEN ws_tokens = 0 THEN 0.0 ELSE distinct_toks / ws_tokens END)
+         + 0.3 * (CASE WHEN ws_tokens = 0 THEN 0.0 ELSE stop_hits / ws_tokens END)
+         AS quality,
+       CASE WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+            WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+            WHEN h_es > 0 AND h_es >= h_en AND h_es >= h_de AND h_es >= h_fr THEN 'es'
+            WHEN h_fr > 0 AND h_fr >= h_en AND h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+            ELSE 'und'
+       END AS lang_guess
+FROM m
+"""
+
+
+@register(
+    "llm_text_stats",
+    oracle=_STATS_ORACLE,
+    doc="token counts (ws + BPE-ish), punct/stopword ratios, quality score, lang-ID heuristic",
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        T.ws_token_count(text).alias("ws_tokens"),
+        T.bpe_ish_token_count(text).alias("bpe_tokens"),
+        T.punct_ratio(text).alias("punct_ratio"),
+        T.stopword_ratio(text).alias("stop_ratio"),
+        T.mean_token_len(text).alias("mean_tok_len"),
+        T.distinct_token_ratio(text).alias("diversity"),
+        T.quality_score(text, scale=None).alias("quality"),
+        T.lang_guess(text).alias("lang_guess"),
+    )
+
+
+_FP_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks, len(toks) - 2 AS n
+  FROM base
+)
+SELECT doc_id,
+       md5(array_to_string(toks, ' ')) AS exact_key,
+       CASE WHEN n >= 1
+            THEN list_aggregate(
+                   list_transform(generate_series(1, n),
+                                  i -> md5(array_to_string(toks[i:i+2], ' '))),
+                   'min')
+            ELSE md5(array_to_string(toks, ' '))
+       END AS fingerprint
+FROM s
+"""
+
+
+@register(
+    "llm_fingerprint",
+    oracle=_FP_ORACLE,
+    doc="exact-dedup md5 key + winnowing-style min-shingle-hash fingerprint",
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.exact_hash(text).alias("exact_key"),
+        T.fingerprint(text, k=3).alias("fingerprint"),
+    )

@@ -1,0 +1,345 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine.
+
+Scale design (the part that matters at 100 TB):
+
+- NO pairwise cross product anywhere. Candidate pairs always come from an
+  equi-join on a *blocking key* — a shingle posting list, an LSH band
+  bucket, a SimHash chunk, or a caller-provided block column — so the
+  shuffle is keyed and AQE can split skewed keys.
+- Posting lists for ultra-common shingles explode candidate counts
+  (the "the the the" problem). ``max_doc_freq`` prunes them: a shingle
+  shared by more than N docs contributes no candidates (standard
+  stopword-shingle cut; loses nothing because such pairs are also joined
+  by their rarer shingles).
+- Exact verification (true Jaccard / cosine) runs only on candidates.
+
+The fuzzy-linkage flagship (linkage.py) is the same shape with fuzzy
+scorers; dedup is record linkage with x = y (SURVEY.md §7 Phase 6).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sig_etl_spark.llm.text_analysis import exact_hash, shingles
+
+# Mersenne prime 2^31-1: universal-hash modulus for MinHash permutations.
+_MERSENNE = 2147483647
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by md5 of normalized text: one survivor per group.
+
+    Returns (exact_key, canonical_id, n_copies). Survivor = lowest id
+    (deterministic). One hash-shuffle; at 100 TB this is the cheapest
+    possible dedup — a single groupBy on a uniform key.
+    """
+    return (
+        df.select(F.col(id_col).alias("doc_id"), exact_hash(F.col(text_col)).alias("exact_key"))
+        .groupBy("exact_key")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_postings(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) inverted index — distinct shingles per doc."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: int | None = 100,
+) -> DataFrame:
+    """Near-dup pairs by k-gram Jaccard via inverted-index join.
+
+    jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|), computed exactly from
+    co-occurrence counts — no cross product: candidates only exist where
+    at least one shingle is shared.
+    """
+    sh = shingle_postings(df, id_col, text_col, k)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = (
+            sh.join(freq, "shingle")
+            .filter(F.col("df_") <= max_doc_freq)
+            .drop("df_")
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    co = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        co.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("jaccard", F.col("co") / (F.col("n_a") + F.col("n_b") - F.col("co")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "co", "n_a", "n_b", "jaccard")
+    )
+
+
+def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>[num_hashes]) MinHash signatures.
+
+    Each permutation is (a*x + b) mod p over xxhash64(shingle) folded into
+    [0, p). All JVM-side expressions: transform + array_min per permutation,
+    constant-folded coefficients, no Python in the row path.
+    """
+    base = F.array_distinct(shingles(F.col(text_col), k))
+    hashes = F.transform(base, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+    def _perm(a: int, b: int):
+        # closure factory: transform() inspects the lambda arity, so the
+        # coefficients can't ride along as default args
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(hashes, _perm(a, b)))
+            for a, b in _minhash_coeffs(num_hashes, seed)
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified by estimated Jaccard.
+
+    Pipeline: signature -> band buckets (explode) -> equi-join on
+    (band, bucket_hash) -> distinct candidate pairs -> verify by signature
+    agreement (unbiased Jaccard estimate) >= threshold.
+
+    The band join is the scale path: candidate generation is a hash
+    shuffle on bucket keys, never O(n^2).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, seed)
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(F.slice(F.col("sig"), i * rows + 1, rows)).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        cands.withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, simhash BIGINT, chunk0..chunk3) 64-bit SimHash per doc.
+
+    Majority vote per bit over xxhash64(token): bit_j = 1 iff more than
+    half the tokens have bit_j set. Pure column expressions: 64 filtered
+    size() aggregations over the token-hash array (one codegen stage).
+    The four 16-bit chunks are the classic Hamming-neighbor blocking keys:
+    two docs within Hamming distance 3 share at least one chunk.
+    """
+    from sig_etl_spark.llm.text_analysis import tokens
+
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+
+    def _bit_test(j: int):
+        return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
+
+    bits = [
+        (F.size(F.filter(hashes, _bit_test(j))) * 2 > n).cast("long")
+        for j in range(64)
+    ]
+    # Assemble the 64-bit value without overflow: sum of bit_j * 2^j over
+    # the low 63 bits, sign bit folded in via negative offset.
+    val = None
+    for j in range(63):
+        term = bits[j] * F.lit(1 << j)
+        val = term if val is None else val + term
+    val = val + F.when(bits[63] == 1, F.lit(-(1 << 63))).otherwise(F.lit(0))
+    out = df.select(F.col(id_col).alias("doc_id"), val.alias("simhash"))
+    for c in range(4):
+        out = out.withColumn(
+            f"chunk{c}",
+            F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)),
+        )
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: chunk-bucket join then exact Hamming.
+
+    Candidates share >=1 of 4 16-bit chunks (complete for distance <= 3);
+    verification = popcount(xor) via bit_count.
+    """
+    sh = simhash(df, id_col, text_col)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("c"), F.col(f"chunk{c}").alias("v"))
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(b, ["c", "v"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+_DEC = "decimal(38,18)"
+
+
+def _decimal_dot(a, b):
+    """Order-independent exact dot product: per-element double multiply,
+    DECIMAL(38,18) accumulation (addition order cannot change the result,
+    so the value is reproducible across engines and partitionings)."""
+    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC))
+    # re-cast after each addition: decimal(38,18)+decimal(38,18) widens and
+    # aggregate() requires the merge type to equal the zero type
+    return F.aggregate(prods, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC))
+
+
+def embedding_norms(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _decimal_dot(F.col(vec_col), F.col(vec_col)).alias("norm2"),
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Cosine near-dup pairs within blocks (label / LSH bucket / shard).
+
+    The block column bounds the pair explosion exactly like state blocking
+    bounds the reference's fuzzy match (votervoice/match.py:67). For
+    unblocked data, feed an LSH bucket (random-hyperplane signs) as the
+    block key.
+    """
+    e = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("vec"),
+        _decimal_dot(F.col(vec_col), F.col(vec_col)).alias("norm2"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = _decimal_dot(F.col("a.vec"), F.col("b.vec"))
+    # Round decimals to scale 12 before the double cast: unscaled values
+    # then fit in 2^53, so decimal->double is a single correctly-rounded
+    # division in every engine (raw scale-18 casts differ by 1 ulp between
+    # Java BigDecimal and DuckDB's int128 path).
+    cos = F.round(dot, 12).cast("double") / F.sqrt(
+        F.round(F.col("a.norm2"), 12).cast("double")
+        * F.round(F.col("b.norm2"), 12).cast("double")
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("block"),
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,1 +1,176 @@
-"""Placeholder — queries added in a later milestone this round."""
+"""Dedup queries over documents/embeddings.
+
+Exact, n-gram-Jaccard, and embedding-cosine dedup are fully
+SQL-expressible and oracle-checked. MinHash+LSH and SimHash depend on
+xxhash64 (no DuckDB equivalent), so they register rows-only and their
+semantics are locked by property tests (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sig_etl_spark.llm import dedup as D
+from sig_etl_spark.queries import register
+from sig_etl_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Exact dedup over a corpus with planted duplicates (documents unioned with
+# itself under shifted ids — every text appears exactly twice).
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+),
+keyed AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''), ' ')) AS exact_key
+  FROM corpus
+)
+SELECT exact_key, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM keyed GROUP BY exact_key
+"""
+
+
+@register(
+    "llm_exact_dedup",
+    oracle=_EXACT_ORACLE,
+    doc="exact dedup: md5(normalized text) groupBy, lowest-id survivor",
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return D.exact_dedup(corpus, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs via inverted-index join (no cross product).
+# ---------------------------------------------------------------------------
+
+_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+
+_JACCARD_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(toks) - 2 >= 1
+                THEN list_transform(generate_series(1, len(toks) - 2),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')]
+           END)) AS shingle
+  FROM base
+),
+freq AS (SELECT shingle, COUNT(*) AS df_ FROM sh0 GROUP BY shingle),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN freq USING (shingle) WHERE df_ <= 100),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS co
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, co, sa.n AS n_a, sb.n AS n_b,
+       co / (sa.n + sb.n - co) AS jaccard
+FROM co JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE co / (sa.n + sb.n - co) >= 0.5
+"""
+
+
+@register(
+    "llm_ngram_jaccard",
+    oracle=_JACCARD_ORACLE,
+    doc="3-gram Jaccard near-dup pairs; posting-list join, hot-shingle pruning",
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5, max_doc_freq=100
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash+LSH and SimHash: rows-only (xxhash64 has no DuckDB equivalent);
+# semantics locked by property tests.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_minhash_lsh",
+    oracle=None,
+    doc="MinHash(64)+LSH(16 bands) near-dup candidates, signature-verified",
+)
+def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.5
+    )
+
+
+@register(
+    "llm_simhash_pairs",
+    oracle=None,
+    doc="SimHash near-dup pairs: 16-bit chunk blocking + Hamming<=3 verify",
+)
+def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup, label-blocked, exact decimal dot products so
+# the cosine doubles are bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_COSINE_ORACLE = r"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+elems AS (
+  SELECT vec_id, unnest(embedding) AS x FROM e
+),
+norms AS (
+  SELECT vec_id,
+         SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS norm2
+  FROM elems GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+prods AS (
+  SELECT block, id_a, id_b, unnest(ea) AS xa, unnest(eb) AS xb FROM pairs
+),
+dots AS (
+  SELECT block, id_a, id_b,
+         SUM(CAST(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) AS DECIMAL(38,18))) AS dot
+  FROM prods GROUP BY 1, 2, 3
+)
+SELECT block, id_a, id_b,
+       CAST(ROUND(dot, 12) AS DOUBLE)
+         / sqrt(CAST(ROUND(na.norm2, 12) AS DOUBLE) * CAST(ROUND(nb.norm2, 12) AS DOUBLE)) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE CAST(ROUND(dot, 12) AS DOUBLE)
+        / sqrt(CAST(ROUND(na.norm2, 12) AS DOUBLE) * CAST(ROUND(nb.norm2, 12) AS DOUBLE)) >= 0.3
+"""
+
+
+@register(
+    "llm_embedding_near_dup",
+    oracle=_COSINE_ORACLE,
+    doc="cosine>=0.3 near-dup pairs within label blocks, exact decimal dots",
+)
+def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", "label", threshold=0.3
+    )

@@ -1,0 +1,79 @@
+"""Property tests for dedup operators (SURVEY §5.4 model: planted dups,
+blocking invariants, threshold monotonicity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sig_etl_spark.llm import dedup as D
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup of 1
+    (4, "completely different content about spark query engines and shuffles here"),
+    (5, "another unrelated document discussing window functions and aggregation"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(spark):
+    out = D.exact_dedup(_docs(spark), "doc_id", "text").collect()
+    by_n = {r.n_copies: r for r in out}
+    assert by_n[2].canonical_id == 1  # lowest id survives
+    assert sum(r.n_copies for r in out) == 5
+    assert len(out) == 4  # 1&2 collapse
+
+
+def test_minhash_lsh_finds_planted_pair(spark):
+    pairs = D.minhash_lsh_pairs(
+        _docs(spark), "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    assert found[(1, 2)] == 1.0  # identical docs: every minhash agrees
+    assert (1, 3) in found or (2, 3) in found  # near dup caught
+    assert all({a, b} & {4, 5} == set() or est > 0.5 for (a, b), est in found.items())
+    # unrelated docs never pair up
+    assert (4, 5) not in found
+
+
+def test_minhash_threshold_monotonic(spark):
+    lo = D.minhash_lsh_pairs(_docs(spark), "doc_id", "text", threshold=0.3).collect()
+    hi = D.minhash_lsh_pairs(_docs(spark), "doc_id", "text", threshold=0.9).collect()
+    lo_pairs = {(r.id_a, r.id_b) for r in lo}
+    hi_pairs = {(r.id_a, r.id_b) for r in hi}
+    assert hi_pairs <= lo_pairs
+
+
+def test_simhash_identical_and_near(spark):
+    sh = {r.doc_id: r.simhash for r in D.simhash(_docs(spark), "doc_id", "text").collect()}
+    assert sh[1] == sh[2]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             D.simhash_near_pairs(_docs(spark), "doc_id", "text", max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (4, 5) not in pairs
+
+
+def test_ngram_jaccard_exact_dup_scores_one(spark):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             D.ngram_jaccard_pairs(_docs(spark), "doc_id", "text", threshold=0.4).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (4, 5) not in pairs
+
+
+def test_embedding_blocking_invariant(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], "x"),
+        (2, [0.9, 0.1, 0.0], "x"),
+        (3, [1.0, 0.0, 0.0], "y"),  # identical to 1 but different block
+        (4, [0.0, 1.0, 0.0], "x"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    pairs = D.embedding_near_dup_pairs(df, "vec_id", "embedding", "label", 0.9).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in ids
+    assert (1, 3) not in ids  # blocking: no cross-block comparisons
+    assert all(r.cosine >= 0.9 for r in pairs)

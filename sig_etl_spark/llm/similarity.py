@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns.
+
+Two paths, same contract (query_id, corpus_id, cosine, rank):
+
+- ``brute_force_topk``: score every (query, corpus) pair. The query set is
+  broadcast — the corpus streams through one scan, no shuffle of the big
+  side; only the scored rows shuffle into the per-query top-k window. This
+  is the exact baseline and the right plan whenever |queries| is small.
+
+- ``lsh_topk``: random-hyperplane LSH. Corpus and queries get per-band
+  sign-pattern buckets; candidates come from an equi-join on
+  (band, bucket) — at 100 TB this is the difference between scoring
+  |Q|·|C| pairs and scoring only same-bucket pairs. Recall is tunable via
+  (bands, planes_per_band): more bands -> higher recall, more candidates.
+
+Dot products use exact DECIMAL accumulation (order-independent ->
+reproducible across engines and partitionings); see dedup._decimal_dot.
+Planes are generated from a fixed seed so runs — and the DuckDB oracle,
+which inlines the same plane literals — are deterministic.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sig_etl_spark.llm.dedup import _decimal_dot
+
+
+def hyperplanes(dim: int, n: int, seed: int = 7) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+def _cosine(a_vec, b_vec, a_norm2, b_norm2):
+    # scale-12 round before the double cast: keeps decimal->double a single
+    # correctly-rounded division in every engine (see dedup.py).
+    dot = _decimal_dot(a_vec, b_vec)
+    return F.round(dot, 12).cast("double") / F.sqrt(
+        F.round(a_norm2, 12).cast("double") * F.round(b_norm2, 12).cast("double")
+    )
+
+
+def _with_norm2(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias(f"{out_id}_vec"),
+        _decimal_dot(F.col(vec_col), F.col(vec_col)).alias(f"{out_id}_norm2"),
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine. Queries are broadcast."""
+    q = _with_norm2(queries, id_col, vec_col, "query_id")
+    c = _with_norm2(corpus, id_col, vec_col, "corpus_id")
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "corpus_id",
+        _cosine(
+            F.col("query_id_vec"),
+            F.col("corpus_id_vec"),
+            F.col("query_id_norm2"),
+            F.col("corpus_id_norm2"),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def bucket_signature(vec, planes: list[list[float]]):
+    """Sign-pattern bucket string for one band of hyperplanes (exact
+    decimal dots -> the sign is engine-independent)."""
+    bits = []
+    for plane in planes:
+        lit = F.array(*[F.lit(v) for v in plane])
+        bits.append(
+            F.when(_decimal_dot(vec, lit) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        )
+    return F.concat(*bits)
+
+
+def _with_buckets(
+    df: DataFrame, vec_out: str, bands: list[list[list[float]]]
+) -> DataFrame:
+    entries = [
+        F.struct(
+            F.lit(i).alias("band"),
+            bucket_signature(F.col(vec_out), planes).alias("bucket"),
+        )
+        for i, planes in enumerate(bands)
+    ]
+    return df.withColumn("bb", F.explode(F.array(*entries))).select(
+        *df.columns, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    dim: int = 64,
+    bands: int = 2,
+    planes_per_band: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: candidates share a hyperplane-sign bucket in at
+    least one band; only candidates are scored."""
+    all_planes = hyperplanes(dim, bands * planes_per_band, seed)
+    band_planes = [
+        all_planes[i * planes_per_band : (i + 1) * planes_per_band]
+        for i in range(bands)
+    ]
+    q = _with_buckets(_with_norm2(queries, id_col, vec_col, "query_id"), "query_id_vec", band_planes)
+    c = _with_buckets(_with_norm2(corpus, id_col, vec_col, "corpus_id"), "corpus_id_vec", band_planes)
+    cands = (
+        c.join(F.broadcast(q), ["band", "bucket"])
+        .dropDuplicates(["query_id", "corpus_id"])
+        .select(
+            "query_id",
+            "corpus_id",
+            _cosine(
+                F.col("query_id_vec"),
+                F.col("corpus_id_vec"),
+                F.col("query_id_norm2"),
+                F.col("corpus_id_norm2"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

@@ -1,1 +1,141 @@
-"""Placeholder — queries added in a later milestone this round."""
+"""Similarity-search queries: brute-force cosine top-k (exact baseline)
+and random-hyperplane LSH top-k (the scale path). Both oracle-checked —
+the LSH oracle inlines the same deterministic plane literals, so both
+engines build identical buckets and identical candidates.
+
+Queries = vec_id < 10, corpus = the rest; k = 5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sig_etl_spark.llm import similarity as S
+from sig_etl_spark.queries import register
+from sig_etl_spark.tables import load_table
+
+_K = 5
+_DIM = 64
+_BANDS = 2
+_PLANES_PER_BAND = 4
+_SEED = 7
+
+_DEC_PROD = "CAST(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE) AS DECIMAL(38,18))"
+
+
+def _norm_cte(src: str, id_col: str) -> str:
+    prod = _DEC_PROD.format(a="x", b="x")
+    return (
+        f"SELECT {id_col}, SUM({prod}) AS norm2 "
+        f"FROM (SELECT {id_col}, unnest(embedding) AS x FROM {src}) GROUP BY {id_col}"
+    )
+
+
+def _bucket_expr(planes: list[list[float]]) -> str:
+    """Sign-pattern bucket over inlined plane literals (matches
+    similarity.bucket_signature exactly)."""
+    bits = []
+    for plane in planes:
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        prod = _DEC_PROD.format(a="embedding[i]", b=f"({lit})[i]")
+        dot = f"list_sum(list_transform(generate_series(1, {_DIM}), i -> {prod}))"
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+_COSINE = (
+    "CAST(ROUND(dot, 12) AS DOUBLE) / "
+    "sqrt(CAST(ROUND(qn.norm2, 12) AS DOUBLE) * CAST(ROUND(cn.norm2, 12) AS DOUBLE))"
+)
+
+_SCORE_TAIL = f"""
+dots AS (
+  SELECT query_id, corpus_id, SUM({_DEC_PROD.format(a="xa", b="xb")}) AS dot
+  FROM (SELECT query_id, corpus_id, unnest(eq) AS xa, unnest(ec) AS xb FROM pairs)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.corpus_id, {_COSINE} AS cosine
+  FROM dots d JOIN qn ON qn.query_id = d.query_id JOIN cn ON cn.corpus_id = d.corpus_id
+)
+SELECT query_id, corpus_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, corpus_id) AS rank
+      FROM scored) t
+WHERE rank <= {_K}
+"""
+
+_BRUTE_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id, embedding FROM embeddings WHERE vec_id >= 10),
+qn AS ({_norm_cte("q", "query_id")}),
+cn AS ({_norm_cte("c", "corpus_id")}),
+pairs AS (
+  SELECT query_id, corpus_id, q.embedding AS eq, c.embedding AS ec FROM q CROSS JOIN c
+),
+{_SCORE_TAIL}
+"""
+
+
+@register(
+    "llm_knn_bruteforce",
+    oracle=_BRUTE_ORACLE,
+    doc="exact cosine top-5 per query (broadcast queries, decimal dots)",
+)
+def llm_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.brute_force_topk(queries, corpus, "vec_id", "embedding", k=_K)
+
+
+def _lsh_oracle() -> str:
+    planes = S.hyperplanes(_DIM, _BANDS * _PLANES_PER_BAND, _SEED)
+    band_exprs = [
+        _bucket_expr(planes[i * _PLANES_PER_BAND : (i + 1) * _PLANES_PER_BAND])
+        for i in range(_BANDS)
+    ]
+    buckets = lambda src, id_col: " UNION ALL ".join(  # noqa: E731
+        f"SELECT {id_col}, embedding, {i} AS band, {expr} AS bucket FROM {src}"
+        for i, expr in enumerate(band_exprs)
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id, embedding FROM embeddings WHERE vec_id >= 10),
+qn AS ({_norm_cte("q", "query_id")}),
+cn AS ({_norm_cte("c", "corpus_id")}),
+qb AS ({buckets("q", "query_id")}),
+cb AS ({buckets("c", "corpus_id")}),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.corpus_id
+  FROM qb JOIN cb ON qb.band = cb.band AND qb.bucket = cb.bucket
+),
+pairs AS (
+  SELECT cand.query_id, cand.corpus_id, q.embedding AS eq, c.embedding AS ec
+  FROM cand JOIN q ON q.query_id = cand.query_id JOIN c ON c.corpus_id = cand.corpus_id
+),
+{_SCORE_TAIL}
+"""
+
+
+@register(
+    "llm_knn_lsh",
+    oracle=_lsh_oracle(),
+    doc="hyperplane-LSH top-5: bucket equi-join candidates, then exact cosine",
+)
+def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.lsh_topk(
+        queries,
+        corpus,
+        "vec_id",
+        "embedding",
+        k=_K,
+        dim=_DIM,
+        bands=_BANDS,
+        planes_per_band=_PLANES_PER_BAND,
+        seed=_SEED,
+    )

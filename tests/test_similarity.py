@@ -1,0 +1,52 @@
+"""Property tests for similarity search."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sig_etl_spark.llm import similarity as S
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.0, 1.0, 0.0, 0.0]),
+    (10, [1.0, 0.01, 0.0, 0.0]),   # ~ query 0
+    (11, [0.0, 0.99, 0.1, 0.0]),   # ~ query 1
+    (12, [-1.0, 0.0, 0.0, 0.0]),   # anti of query 0
+    (13, [0.5, 0.5, 0.0, 0.0]),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(VECS, ["vec_id", "embedding"])
+
+
+def test_brute_force_exact_neighbors(spark):
+    emb = _df(spark)
+    out = S.brute_force_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        "vec_id", "embedding", k=2,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    top0 = sorted(by_q[0], key=lambda r: r.rank)
+    assert top0[0].corpus_id == 10 and top0[0].cosine > 0.99
+    assert by_q[0][-1].corpus_id != 12 or len(by_q[0]) == 2  # anti-vector never rank 1
+    top1 = sorted(by_q[1], key=lambda r: r.rank)
+    assert top1[0].corpus_id == 11
+    # ranks dense 1..k
+    assert [r.rank for r in top0] == [1, 2]
+
+
+def test_lsh_subset_of_bruteforce_pairs(spark):
+    emb = _df(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    brute = {(r.query_id, r.corpus_id): r.cosine
+             for r in S.brute_force_topk(q, c, "vec_id", "embedding", k=10).collect()}
+    lsh = S.lsh_topk(q, c, "vec_id", "embedding", k=10, dim=4,
+                     bands=2, planes_per_band=2).collect()
+    # every LSH result's cosine agrees exactly with the brute-force score
+    for r in lsh:
+        assert abs(brute[(r.query_id, r.corpus_id)] - r.cosine) == 0.0

@@ -1,0 +1,132 @@
+"""Config-driven fuzzy match plan builder.
+
+Semantics (locked by property tests, documented for the oracle):
+
+- Every x row is compared only to y rows sharing all blocking keys
+  (``MatchConfig.block_on``) — never across blocks.
+- Per rule: score = max over the rule's y-source columns (multi-source
+  alternates, e.g. x.firstname vs y.firstname/nickname/middlename —
+  /root/reference/votervoice/match.py:56-66 configures exactly this).
+- Column threshold: a rule scoring below its threshold contributes 0.
+- Empty-x policy: if the x value is null/empty the rule drops out of both
+  numerator and denominator (an absent middlename must not zero the
+  combined score — SURVEY §7 risk (5)).
+- combined = Σ(rule_score' · weight) / Σ(weight) over participating rules.
+- Per x row: best candidate = highest combined (ties broken by y_id
+  ascending — deterministic, SURVEY §7 risk (4)).
+- match_status: 'unmatched' if best < required_threshold; 'review' if ≥2
+  candidates clear required_threshold within duplicate_threshold of the
+  best; else 'matched'.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sig_etl_spark.linkage.scorers import score_column
+
+
+@dataclass(frozen=True)
+class ColumnRule:
+    x_column: str
+    y_columns: tuple[str, ...]  # first is primary; rest are alternates
+    scorer: str = "levenshtein"
+    threshold: float = 75.0
+    weight: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    rules: tuple[ColumnRule, ...]
+    block_on: tuple[str, ...]  # column names present in both x and y
+    y_id: str = "y_id"
+    required_threshold: float = 75.0
+    duplicate_threshold: float = 3.0
+    broadcast_y: bool = False  # True when y is a small dimension
+    extra_x_keys: tuple[str, ...] = field(default=())
+
+
+def fuzzy_match(x: DataFrame, y: DataFrame, config: MatchConfig) -> DataFrame:
+    """Match every x row against blocked y candidates.
+
+    Returns one row per x row: all x columns + matched ``y_id`` (null when
+    unmatched), ``match_score``, ``n_candidates`` (clearing the required
+    threshold), ``match_status`` in {matched, review, unmatched}.
+
+    x rows whose block key has no y partner survive with status
+    'unmatched' (left join semantics, like the reference which reports
+    every scraped row).
+    """
+    x_cols = x.columns
+    xr = x.withColumn("_x_row_id", F.monotonically_increasing_id())
+    y_needed = {config.y_id, *config.block_on}
+    for r in config.rules:
+        y_needed.update(r.y_columns)
+    yr = y.select(*sorted(y_needed))
+    if config.broadcast_y:
+        yr = F.broadcast(yr)
+
+    pairs = xr.join(yr, list(config.block_on), "left")
+
+    # Per-rule score: max over alternates, zeroed below threshold, with the
+    # empty-x drop-out recorded as a weight column.
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i, r in enumerate(config.rules):
+        xcol = F.col(r.x_column)
+        raw = None
+        for ycol in r.y_columns:
+            s = score_column(r.scorer, xcol, F.coalesce(F.col(ycol), F.lit("")))
+            raw = s if raw is None else F.greatest(raw, s)
+        gated = F.when(raw >= F.lit(r.threshold), raw).otherwise(F.lit(0.0))
+        participating = xcol.isNotNull() & (xcol != "")
+        pairs = pairs.withColumn(f"_s{i}", F.when(participating, gated))
+        num = num + F.coalesce(F.col(f"_s{i}") * r.weight, F.lit(0.0))
+        den = den + F.when(F.col(f"_s{i}").isNotNull(), F.lit(r.weight)).otherwise(
+            F.lit(0.0)
+        )
+    combined = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    # y_id null (no block partner) scores 0 and falls through to unmatched.
+    pairs = pairs.withColumn(
+        "_combined", F.when(F.col(config.y_id).isNotNull(), combined).otherwise(F.lit(0.0))
+    )
+
+    w = Window.partitionBy("_x_row_id")
+    rank_w = w.orderBy(F.col("_combined").desc(), F.col(config.y_id).asc_nulls_last())
+    qualifies = F.col("_combined") >= F.lit(config.required_threshold)
+    best_score = F.max("_combined").over(w)
+    n_cand = F.sum(qualifies.cast("int")).over(w)
+    n_near_best = F.sum(
+        (qualifies & (best_score - F.col("_combined") <= config.duplicate_threshold)).cast("int")
+    ).over(w)
+
+    ranked = (
+        pairs.withColumn("_rn", F.row_number().over(rank_w))
+        .withColumn("_n_cand", n_cand)
+        .withColumn("_n_near", n_near_best)
+        .filter(F.col("_rn") == 1)
+    )
+    status = (
+        F.when(F.col("_combined") < config.required_threshold, F.lit("unmatched"))
+        .when(F.col("_n_near") > 1, F.lit("review"))
+        .otherwise(F.lit("matched"))
+    )
+    matched_id = F.when(
+        F.col("_combined") >= config.required_threshold, F.col(config.y_id)
+    )
+    return ranked.select(
+        *x_cols,
+        matched_id.alias("candidate_id"),
+        F.round(F.col("_combined"), 6).alias("match_score"),
+        F.col("_n_cand").alias("n_candidates"),
+        status.alias("match_status"),
+    )
+
+
+def match_stats(matched: DataFrame) -> DataFrame:
+    """A8: match_info counts by status
+    (/root/reference/votervoice/match.py:81-86)."""
+    return matched.groupBy("match_status").agg(F.count(F.lit(1)).alias("n"))

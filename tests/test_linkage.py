@@ -1,0 +1,123 @@
+"""Property tests for the fuzzy blocked record linkage (SURVEY §5.4):
+exact-duplicate scores 100, blocking invariant, threshold monotonicity,
+duplicate-review flag, empty-column policy, multi-source alternates."""
+
+from __future__ import annotations
+
+from sig_etl_spark.linkage import ColumnRule, MatchConfig, fuzzy_match, match_stats
+from sig_etl_spark.linkage.scorers import (
+    py_partial_ratio,
+    py_ratio,
+    py_token_sort_ratio,
+    py_wratio,
+)
+
+
+def _x(spark, rows):
+    return spark.createDataFrame(rows, ["x_id", "state", "first", "last"])
+
+
+def _y(spark, rows):
+    return spark.createDataFrame(rows, ["y_id", "state", "y_first", "y_last", "y_nick"])
+
+
+def _cfg(**kw):
+    base = dict(
+        rules=(
+            ColumnRule("first", ("y_first", "y_nick"), scorer="levenshtein", threshold=85.0),
+            ColumnRule("last", ("y_last",), scorer="levenshtein", threshold=88.0),
+        ),
+        block_on=("state",),
+        y_id="y_id",
+        required_threshold=85.0,
+        duplicate_threshold=3.0,
+    )
+    base.update(kw)
+    return MatchConfig(**base)
+
+
+def test_exact_duplicate_scores_100(spark):
+    x = _x(spark, [(1, "TX", "john", "smith")])
+    y = _y(spark, [(10, "TX", "john", "smith", "")])
+    row = fuzzy_match(x, y, _cfg()).first()
+    assert row.candidate_id == 10
+    assert row.match_score == 100.0
+    assert row.match_status == "matched"
+
+
+def test_blocking_invariant_no_cross_state(spark):
+    x = _x(spark, [(1, "TX", "john", "smith")])
+    y = _y(spark, [(10, "CA", "john", "smith", "")])  # identical but wrong block
+    row = fuzzy_match(x, y, _cfg()).first()
+    assert row.candidate_id is None
+    assert row.match_status == "unmatched"
+
+
+def test_threshold_monotonicity(spark):
+    x = _x(spark, [(1, "TX", "jon", "smith")])  # 1 edit in first name
+    y = _y(spark, [(10, "TX", "john", "smith", "")])
+    # first name scores 75 -> gated 0 by its 85 column threshold, so
+    # combined = (0 + 100)/2 = 50: clears required=50, fails required=95
+    lo = fuzzy_match(x, y, _cfg(required_threshold=50.0)).first()
+    hi = fuzzy_match(x, y, _cfg(required_threshold=95.0)).first()
+    assert lo.candidate_id == 10
+    assert hi.candidate_id is None and hi.match_status == "unmatched"
+
+
+def test_duplicate_review_flag(spark):
+    x = _x(spark, [(1, "TX", "john", "smith")])
+    y = _y(
+        spark,
+        [
+            (10, "TX", "john", "smith", ""),
+            (11, "TX", "john", "smith", ""),  # near-tie duplicate
+            (12, "TX", "zzz", "qqq", ""),
+        ],
+    )
+    row = fuzzy_match(x, y, _cfg()).first()
+    assert row.match_status == "review"
+    assert row.candidate_id == 10  # deterministic tiebreak: lowest y_id
+    assert row.n_candidates == 2
+
+
+def test_empty_x_column_drops_out(spark):
+    # last name empty: rule must not zero the combined score
+    x = _x(spark, [(1, "TX", "john", "")])
+    y = _y(spark, [(10, "TX", "john", "smith", "")])
+    row = fuzzy_match(x, y, _cfg()).first()
+    assert row.match_score == 100.0
+    assert row.match_status == "matched"
+
+
+def test_multi_source_alternate_nickname(spark):
+    # first name only matches the nickname column
+    x = _x(spark, [(1, "TX", "bob", "smith")])
+    y = _y(spark, [(10, "TX", "robert", "smith", "bob")])
+    row = fuzzy_match(x, y, _cfg()).first()
+    assert row.candidate_id == 10
+    assert row.match_score == 100.0
+
+
+def test_unblocked_x_survives(spark):
+    # x block key with no y partner -> left-join survival as unmatched
+    x = _x(spark, [(1, "WY", "john", "smith")])
+    y = _y(spark, [(10, "TX", "john", "smith", "")])
+    out = fuzzy_match(x, y, _cfg()).collect()
+    assert len(out) == 1 and out[0].match_status == "unmatched"
+
+
+def test_match_stats(spark):
+    x = _x(spark, [(1, "TX", "john", "smith"), (2, "TX", "zz", "yy")])
+    y = _y(spark, [(10, "TX", "john", "smith", "")])
+    stats = {r.match_status: r.n for r in match_stats(fuzzy_match(x, y, _cfg())).collect()}
+    assert stats == {"matched": 1, "unmatched": 1}
+
+
+def test_python_scorers_definitions():
+    assert py_ratio("abc", "abc") == 100.0
+    assert py_ratio("", "") == 100.0
+    assert py_ratio("abcd", "abce") == 75.0  # indel: dist 2 of total 8
+    assert py_partial_ratio("abc", "xxabcxx") == 100.0
+    assert py_token_sort_ratio("smith john", "john smith") == 100.0
+    assert py_wratio("john smith", "smith, john") > 90.0
+    assert py_wratio("", "x") == 0.0

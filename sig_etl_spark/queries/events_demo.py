@@ -1,1 +1,92 @@
-"""Placeholder — queries added in a later milestone this round."""
+"""Event-stream-shaped batch queries over the events table.
+
+The reference is batch-only (SURVEY §2.8) — these queries cover the
+streaming-*shaped* behaviors (event-time windows, sessionization) in batch
+where DuckDB can oracle them; the live Structured Streaming versions of
+the same transformations live in sig_etl_spark/streaming/ and are tested
+with availableNow triggers (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sig_etl_spark.queries import register
+from sig_etl_spark.tables import load_table
+
+_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_hourly_rollup",
+    oracle=_HOURLY_ORACLE,
+    doc="tumbling 1h event-time window counts + decimal-stable value sums",
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,10)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+_SESSION_ORACLE = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+s AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o
+),
+c AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM s
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM c GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_sessionize",
+    oracle=_SESSION_ORACLE,
+    doc="gap-based sessionization (30 min) via lag + running sum windows",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(order))
+    is_new = F.when(
+        F.lag("ts").over(order).isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_seq", F.sum("is_new").over(running))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )

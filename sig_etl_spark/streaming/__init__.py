@@ -1,0 +1,17 @@
+"""Structured Streaming layer.
+
+The reference is a batch system, but three of its behaviors are
+streaming-shaped (SURVEY §2.8): a landing directory that grows over time,
+consume-once session dispatch, and event-time stamps on every record.
+This package gives them their native Spark expression: file-source
+streams with availableNow incremental catch-up, watermarked event-time
+windows, and custom stateful operators.
+"""
+
+from sig_etl_spark.streaming.pipeline import (  # noqa: F401
+    EVENT_SCHEMA,
+    read_event_stream,
+    run_available_now,
+    running_user_totals,
+    windowed_counts,
+)

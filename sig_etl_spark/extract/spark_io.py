@@ -1,0 +1,107 @@
+"""Spark wiring for the extraction layer."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StringType
+
+from sig_etl_spark.extract.parse import PARSERS
+
+RECORDS_TYPE = ArrayType(MapType(StringType(), StringType()))
+
+
+def read_landing(
+    spark: SparkSession, landing_dir: str, glob: str = "*.html"
+) -> DataFrame:
+    """S2: scan a landing zone of raw pages.
+
+    binaryFile carries (path, modificationTime, content); ordering by
+    modificationTime reproduces the reference's ctime-sorted re-extraction
+    (/root/reference/templates/template_extract.py:76-84). P9's filename
+    predicate is the pathGlobFilter pushdown — pruned at file listing,
+    before any bytes are read.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(landing_dir)
+        .select(
+            F.col("path"),
+            F.col("modificationTime"),
+            F.decode(F.col("content"), "UTF-8").alias("html"),
+        )
+    )
+
+
+def _parse_udf(parser: str):
+    fn = PARSERS[parser]
+
+    @F.pandas_udf(RECORDS_TYPE)
+    def _parse(html: pd.Series) -> pd.Series:
+        return html.map(lambda h: fn(h or ""))
+
+    return _parse
+
+
+def extract_records(
+    df: DataFrame,
+    parser: str = "table",
+    html_col: str = "html",
+    partition_pattern: str | None = None,
+) -> DataFrame:
+    """Parse each page into records (S3-S6 via ``parser``), preserving
+    in-page row order via posexplode.
+
+    ``partition_pattern``: optional regex over the file path whose group 1
+    becomes the ``partition`` column (S10 — the reference tags rows with
+    the state/office/session the page was scraped for).
+    """
+    out = df.withColumn("_records", _parse_udf(parser)(F.col(html_col)))
+    out = out.select(
+        *[c for c in df.columns if c != html_col],
+        F.posexplode("_records").alias("row_idx", "record"),
+    )
+    if partition_pattern is not None:
+        out = out.withColumn(
+            "partition", F.regexp_extract(F.col("path"), partition_pattern, 1)
+        )
+    return out
+
+
+def stabilize_columns(
+    df: DataFrame, keys: list[str] | None = None, record_col: str = "record"
+) -> DataFrame:
+    """§1.2 schema stabilization: MAP payload -> one column per key.
+
+    When ``keys`` is None they are discovered with a distinct scan
+    (bounded: column-name cardinality, not row cardinality) and sorted so
+    the output schema is deterministic across runs/partitionings.
+    """
+    if keys is None:
+        keys = sorted(
+            r.k
+            for r in df.select(
+                F.explode(F.map_keys(F.col(record_col))).alias("k")
+            )
+            .distinct()
+            .collect()
+        )
+    cols = [c for c in df.columns if c != record_col]
+    return df.select(
+        *cols,
+        *[F.element_at(F.col(record_col), k).alias(k) for k in keys],
+    )
+
+
+def reindex(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """A9: dense 0-based row ids in deterministic order.
+
+    A global row_number is a single-partition sort at the extreme; for the
+    reference's semantics (stable ids per extract batch) this is the
+    faithful rewrite, and extract batches are per-group page sets, not the
+    100 TB fact table.
+    """
+    w = Window.orderBy(*order_cols)
+    return df.withColumn("row_id", F.row_number().over(w) - 1)

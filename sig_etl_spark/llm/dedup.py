@@ -22,8 +22,11 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from sig_etl_spark.llm.text_analysis import exact_hash, shingles
 
@@ -124,19 +127,30 @@ def minhash_signatures(
     """
     base = F.array_distinct(shingles(F.col(text_col), k))
     hashes = F.transform(base, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
 
-    def _perm(a: int, b: int):
-        # closure factory: transform() inspects the lambda arity, so the
-        # coefficients can't ride along as default args
-        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE))
+    # Shingle hashing stays JVM-side (xxhash64 in codegen, evaluated once
+    # per row — building num_hashes separate array_min(transform(hashes,…))
+    # expressions instead re-inlines the tokenize->shingle->xxhash subtree
+    # into every permutation: measured 219s vs 3s at sf0.1). The
+    # permutation matrix runs vectorized in numpy: x < 2^31 and a < 2^31,
+    # so a*x+b < 2^62 stays exact in int64 — identical values to the JVM
+    # formula.
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(hash_arrays: pd.Series) -> pd.Series:
+        out = []
+        for arr in hash_arrays:
+            if arr is None or len(arr) == 0:
+                out.append([_MERSENNE] * len(a_vec))
+                continue
+            x = np.asarray(arr, dtype=np.int64)
+            mins = ((x[:, None] * a_vec[None, :] + b_vec[None, :]) % _MERSENNE).min(axis=0)
+            out.append(mins.tolist())
+        return pd.Series(out)
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(hashes, _perm(a, b)))
-            for a, b in _minhash_coeffs(num_hashes, seed)
-        ]
-    )
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    return df.select(F.col(id_col).alias("doc_id"), _sig(hashes).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -161,7 +175,13 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, seed)
+    # persist() is load-bearing: without the barrier Catalyst's projection
+    # collapse inlines the 64-permutation signature expression into every
+    # band-bucket hash AND both sides of the candidate join (~32x
+    # recompute — measured 507s -> ~10s at sf0.1). At warehouse scale the
+    # signature frame is written to storage here instead.
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, seed).persist()
+    sigs.count()  # eager: join planning needs the cache warm (see above)
     banded = sigs.select(
         "doc_id",
         "sig",
@@ -206,9 +226,11 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, simhash BIGINT, chunk0..chunk3) 64-bit SimHash per doc.
 
-    Majority vote per bit over xxhash64(token): bit_j = 1 iff more than
-    half the tokens have bit_j set. Pure column expressions: 64 filtered
-    size() aggregations over the token-hash array (one codegen stage).
+    Majority vote per bit over xxhash64(token). Token hashing stays
+    JVM-side (xxhash64 in codegen); the 64-bit majority vote runs in a
+    vectorized numpy pandas UDF — bit-unpacking is the rare op that Spark
+    expressions only express as 64 separate array traversals (measured
+    ~3x slower than the Arrow round-trip at sf0.1).
     The four 16-bit chunks are the classic Hamming-neighbor blocking keys:
     two docs within Hamming distance 3 share at least one chunk.
     """
@@ -216,23 +238,27 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     toks = tokens(F.col(text_col))
     hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
-    n = F.size(hashes)
 
-    def _bit_test(j: int):
-        return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
+    @F.pandas_udf(LongType())
+    def _majority(hash_arrays: pd.Series) -> pd.Series:
+        out = []
+        for arr in hash_arrays:
+            if arr is None or len(arr) == 0:
+                out.append(0)
+                continue
+            a = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            # (n, 64) bit matrix -> per-bit counts -> majority sign
+            bits = (a[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            maj = (bits.sum(axis=0) * 2 > len(a)).astype(np.uint64)
+            val = np.uint64(0)
+            for j in range(64):
+                val |= maj[j] << np.uint64(j)
+            out.append(int(val.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
 
-    bits = [
-        (F.size(F.filter(hashes, _bit_test(j))) * 2 > n).cast("long")
-        for j in range(64)
-    ]
-    # Assemble the 64-bit value without overflow: sum of bit_j * 2^j over
-    # the low 63 bits, sign bit folded in via negative offset.
-    val = None
-    for j in range(63):
-        term = bits[j] * F.lit(1 << j)
-        val = term if val is None else val + term
-    val = val + F.when(bits[63] == 1, F.lit(-(1 << 63))).otherwise(F.lit(0))
-    out = df.select(F.col(id_col).alias("doc_id"), val.alias("simhash"))
+    out = df.select(
+        F.col(id_col).alias("doc_id"), _majority(hashes).alias("simhash")
+    )
     for c in range(4):
         out = out.withColumn(
             f"chunk{c}",
@@ -249,7 +275,9 @@ def simhash_near_pairs(
     Candidates share >=1 of 4 16-bit chunks (complete for distance <= 3);
     verification = popcount(xor) via bit_count.
     """
-    sh = simhash(df, id_col, text_col)
+    # barrier for the same reason as minhash_lsh_pairs: the 64-bit-majority
+    # expression must not be re-inlined into each chunk projection / join side
+    sh = simhash(df, id_col, text_col).persist()
     chunks = sh.select(
         "doc_id",
         "simhash",

@@ -49,6 +49,7 @@ def _load_all() -> None:
     from sig_etl_spark.queries import relational  # noqa: F401
     from sig_etl_spark.queries import extract_demo  # noqa: F401
     from sig_etl_spark.queries import transform_demo  # noqa: F401
+    from sig_etl_spark.queries import merge_demo  # noqa: F401
     from sig_etl_spark.queries import functions_demo  # noqa: F401
     from sig_etl_spark.queries import llm_text  # noqa: F401
     from sig_etl_spark.queries import llm_dedup  # noqa: F401

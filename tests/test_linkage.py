@@ -113,6 +113,30 @@ def test_match_stats(spark):
     assert stats == {"matched": 1, "unmatched": 1}
 
 
+def test_batch_ratio_matches_pairwise():
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from sig_etl_spark.linkage.scorers import batch_ratio
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.text(max_size=12), st.text(max_size=12)),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(pairs):
+        a = [p[0] for p in pairs]
+        b = [p[1] for p in pairs]
+        got = batch_ratio(a, b)
+        want = [py_ratio(x, y) for x, y in pairs]
+        assert np.allclose(got, want), (pairs, list(got), want)
+
+    check()
+
+
 def test_python_scorers_definitions():
     assert py_ratio("abc", "abc") == 100.0
     assert py_ratio("", "") == 100.0

@@ -173,8 +173,39 @@ def batch_ratio(a_list: list[str], b_list: list[str]) -> np.ndarray:
     return np.where(total == 0, 100.0, 100.0 * (1.0 - dist / np.maximum(total, 1)))
 
 
-def _batch_token_sort(strings: pd.Series) -> list[str]:
+def _batch_token_sort(strings) -> list[str]:
     return [" ".join(sorted((s or "").split())) for s in strings]
+
+
+def batch_partial_ratio(a_list: list[str], b_list: list[str]) -> np.ndarray:
+    """Vectorized fuzz.partial_ratio: every pair expands into its
+    (shorter, equal-length window of longer) comparisons, all windows run
+    through one batch_ratio call, then max per owning pair."""
+    exp_s: list[str] = []
+    exp_w: list[str] = []
+    owner: list[int] = []
+    out = np.zeros(len(a_list))
+    for i, (a, b) in enumerate(zip(a_list, b_list)):
+        a = a or ""
+        b = b or ""
+        if len(a) > len(b):
+            a, b = b, a
+        if not a:
+            out[i] = 100.0 if not b else 0.0
+            continue
+        if len(a) == len(b):
+            exp_s.append(a)
+            exp_w.append(b)
+            owner.append(i)
+            continue
+        for j in range(len(b) - len(a) + 1):
+            exp_s.append(a)
+            exp_w.append(b[j : j + len(a)])
+            owner.append(i)
+    if exp_s:
+        scores = batch_ratio(exp_s, exp_w)
+        np.maximum.at(out, np.asarray(owner), scores)
+    return out
 
 
 def _batch_score(name: str, a: pd.Series, b: pd.Series) -> pd.Series:
@@ -189,20 +220,35 @@ def _batch_score(name: str, a: pd.Series, b: pd.Series) -> pd.Series:
     if name == "token_sort_ratio":
         return pd.Series(batch_ratio(_batch_token_sort(a), _batch_token_sort(b)))
     if name == "wratio":
+        ts_a = _batch_token_sort(a)
+        ts_b = _batch_token_sort(b)
         base = batch_ratio(al, bl)
-        tsr = batch_ratio(_batch_token_sort(a), _batch_token_sort(b)) * 0.95
+        tsr = batch_ratio(ts_a, ts_b) * 0.95
         out = np.maximum(base, tsr)
         la = np.array([len(s or "") for s in al])
         lb = np.array([len(s or "") for s in bl])
         ratio_len = np.maximum(la, lb) / np.maximum(np.minimum(la, lb), 1)
-        long_mask = ratio_len > 1.5
-        for i in np.nonzero(long_mask)[0]:
-            out[i] = py_wratio(al[i] or "", bl[i] or "")
+        long_idx = np.nonzero(ratio_len > 1.5)[0]
+        if len(long_idx):
+            sub_a = [al[i] or "" for i in long_idx]
+            sub_b = [bl[i] or "" for i in long_idx]
+            sub_ts_a = [ts_a[i] for i in long_idx]
+            sub_ts_b = [ts_b[i] for i in long_idx]
+            scale = np.where(ratio_len[long_idx] < 8, 0.9, 0.6)
+            pr = batch_partial_ratio(sub_a, sub_b)
+            ptr = np.maximum(pr, batch_partial_ratio(sub_ts_a, sub_ts_b))
+            cand = np.maximum(pr * scale, ptr * 0.95 * scale)
+            out[long_idx] = np.maximum(out[long_idx], cand)
         empty = (la == 0) | (lb == 0)
         out[empty] = 0.0
         return pd.Series(out)
-    func = {"partial_ratio": py_partial_ratio, "partial_token_ratio": py_partial_token_ratio}[name]
-    return pd.Series([float(func(x or "", y or "")) for x, y in zip(al, bl)])
+    if name == "partial_ratio":
+        return pd.Series(batch_partial_ratio(al, bl))
+    if name == "partial_token_ratio":
+        pr = batch_partial_ratio(al, bl)
+        ptr = batch_partial_ratio(_batch_token_sort(a), _batch_token_sort(b))
+        return pd.Series(np.maximum(pr, ptr))
+    raise ValueError(f"unknown batch scorer {name!r}")
 
 
 _RF_NAMES = {

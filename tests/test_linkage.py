@@ -137,6 +137,32 @@ def test_batch_ratio_matches_pairwise():
     check()
 
 
+def test_batch_scorers_match_pairwise():
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from sig_etl_spark.linkage.scorers import _batch_score
+
+    words = st.text(alphabet="ab c", max_size=14)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.tuples(words, words), min_size=1, max_size=6))
+    def check(pairs):
+        a = pd.Series([p[0] for p in pairs])
+        b = pd.Series([p[1] for p in pairs])
+        for name, ref in [
+            ("wratio", py_wratio),
+            ("partial_ratio", py_partial_ratio),
+            ("token_sort_ratio", py_token_sort_ratio),
+        ]:
+            got = _batch_score(name, a, b)
+            want = [ref(x, y) for x, y in pairs]
+            assert np.allclose(got, want), (name, pairs, list(got), want)
+
+    check()
+
+
 def test_python_scorers_definitions():
     assert py_ratio("abc", "abc") == 100.0
     assert py_ratio("", "") == 100.0

@@ -75,13 +75,19 @@ def ngram_jaccard_pairs(
     co-occurrence counts — no cross product: candidates only exist where
     at least one shingle is shared.
     """
-    sh = shingle_postings(df, id_col, text_col, k)
+    # persist: the posting list feeds the frequency count, both sides of
+    # the candidate self-join, and the size aggregate — without the
+    # barrier the (interpreted) shingling expression re-evaluates for
+    # every branch of the DAG. At warehouse scale this frame is a
+    # materialized inverted-index table.
+    sh = shingle_postings(df, id_col, text_col, k).persist()
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         sh = (
             sh.join(freq, "shingle")
             .filter(F.col("df_") <= max_doc_freq)
             .drop("df_")
+            .persist()
         )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
@@ -360,14 +366,23 @@ def embedding_near_dup_pairs(
         F.round(F.col("a.norm2"), 12).cast("double")
         * F.round(F.col("b.norm2"), 12).cast("double")
     )
-    return (
+    pairs = (
         a.join(b, "block")
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("block"),
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cos.alias("cosine"),
+        # spread pairs before the (interpreted) decimal dot — a broadcast
+        # join would otherwise leave every pair on the left side's scan
+        # partitioning (often one task)
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "a.vec_id", "b.vec_id"
         )
-        .filter(F.col("cosine") >= threshold)
     )
+    scored = pairs.select(
+        F.col("block"),
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        cos.alias("cosine"),
+    )
+    # persist barrier: the threshold predicate would otherwise be pushed
+    # beneath the projection, re-evaluating the interpreted decimal fold
+    # per row (measured ~5x the projection cost at sf0.1)
+    return scored.persist().filter(F.col("cosine") >= threshold)

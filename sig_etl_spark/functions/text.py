@@ -75,6 +75,31 @@ def key_value_map(c: Column, pair_sep: str = ";", kv_sep: str = ":") -> Column:
     return F.map_from_entries(entries)
 
 
+# F6: election-location parser. Reference: /root/reference/national/_1034/
+# transform.py:159-183 — split "Location - District ..." on ' - ', pull the
+# numeric district, drop structural stop-words from the remainder.
+_LOCATION_STOPWORDS = ("District", "Congressional", "County", "Ward", "At-Large")
+
+
+def parse_election_location(c: Column) -> dict[str, Column]:
+    parts = F.split(c, " - ")
+    location = F.trim(parts.getItem(0))
+    rest = F.coalesce(F.element_at(parts, 2), F.lit(""))
+    district = F.regexp_extract(rest, r"([0-9]+)", 1)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(rest, r"\b(" + "|".join(_LOCATION_STOPWORDS) + r")\b", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return {
+        "location": location,
+        "district": strip_leading_zeros(district),
+        "location_extra": F.trim(F.regexp_replace(cleaned, r"[0-9]+", "")),
+    }
+
+
 # F13: unicode fold. The reference calls unidecode()
 # (/root/reference/national/_1034/transform.py:110); for the Latin-1
 # accent range a translate() covers it JVM-side with no UDF. (A pandas UDF

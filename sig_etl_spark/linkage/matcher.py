@@ -47,6 +47,11 @@ class MatchConfig:
     duplicate_threshold: float = 3.0
     broadcast_y: bool = False  # True when y is a small dimension
     extra_x_keys: tuple[str, ...] = field(default=())
+    # Skew control for 100 TB blocks (the CA/TX problem, SURVEY §7 risk 3):
+    # 0 = rely on AQE skew-join; N > 0 = explicit salting — x rows hash
+    # into N salt buckets, y replicates N times, the block key becomes
+    # (block, salt). Same results, N-way parallel hot blocks.
+    salt_buckets: int = 0
 
 
 def fuzzy_match(x: DataFrame, y: DataFrame, config: MatchConfig) -> DataFrame:
@@ -66,17 +71,27 @@ def fuzzy_match(x: DataFrame, y: DataFrame, config: MatchConfig) -> DataFrame:
     for r in config.rules:
         y_needed.update(r.y_columns)
     yr = y.select(*sorted(y_needed))
+
+    join_keys = list(config.block_on)
+    if config.salt_buckets > 0:
+        n = config.salt_buckets
+        xr = xr.withColumn("_salt", F.pmod(F.hash("_x_row_id"), F.lit(n)))
+        yr = yr.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
+        join_keys = join_keys + ["_salt"]
     if config.broadcast_y:
         yr = F.broadcast(yr)
 
-    pairs = xr.join(yr, list(config.block_on), "left")
+    pairs = xr.join(yr, join_keys, "left")
     # Python-tier scorers pay per-pair: spread the pair frame across the
     # cluster first. A small broadcast-joined x side otherwise keeps its
     # scan partitioning (often 1 file = 1 task) and the Arrow UDF runs on
     # one core (measured 13.5s -> 4s at sf0.1).
     from sig_etl_spark.linkage.scorers import JVM_SCORERS
 
-    if any(r.scorer not in JVM_SCORERS for r in config.rules):
+    has_py_scorer = any(r.scorer not in JVM_SCORERS for r in config.rules)
+    if has_py_scorer:
         pairs = pairs.repartition(
             x.sparkSession.sparkContext.defaultParallelism, "_x_row_id"
         )
@@ -97,6 +112,15 @@ def fuzzy_match(x: DataFrame, y: DataFrame, config: MatchConfig) -> DataFrame:
         num = num + F.coalesce(F.col(f"_s{i}") * r.weight, F.lit(0.0))
         den = den + F.when(F.col(f"_s{i}").isNotNull(), F.lit(r.weight)).otherwise(
             F.lit(0.0)
+        )
+    if has_py_scorer:
+        # second exchange = projection-collapse barrier: num/den both
+        # reference every _s column, and without the barrier each UDF
+        # score expression is inlined (and executed) twice. Hash-
+        # partitioning by _x_row_id also pre-satisfies the windows'
+        # required distribution, so no third shuffle appears.
+        pairs = pairs.repartition(
+            x.sparkSession.sparkContext.defaultParallelism, "_x_row_id"
         )
     combined = F.when(den > 0, num / den).otherwise(F.lit(0.0))
     # y_id null (no block partner) scores 0 and falls through to unmatched.

@@ -22,6 +22,7 @@ from sig_etl_spark.functions import (
     url_tail_id,
 )
 from sig_etl_spark.functions.dates import parse_long_date
+from sig_etl_spark.functions.text import parse_election_location
 from sig_etl_spark.queries import register
 from sig_etl_spark.tables import load_table
 
@@ -329,4 +330,77 @@ def f_text_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.trim(padded)).alias("cleaned"),
         F.element_at(kvmap, "Economy").alias("economy_score"),
         F.element_at(kvmap, "Taxes").alias("taxes_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6: election-location parser — split ' - ', extract district number,
+# remove structural stop-words.
+# Reference: national/_1034/transform.py:159-183.
+# ---------------------------------------------------------------------------
+
+_LOCATION_ORACLE = r"""
+WITH src AS (
+  SELECT c.c_custkey,
+         CASE c.c_custkey % 4
+           WHEN 0 THEN n.n_name || ' - District ' ||
+                       lpad(CAST(c.c_custkey % 40 AS VARCHAR), 2, '0') || ' Congressional'
+           WHEN 1 THEN n.n_name || ' - At-Large'
+           WHEN 2 THEN n.n_name || ' - Ward ' || CAST(c.c_custkey % 9 AS VARCHAR) || ' County'
+           ELSE n.n_name
+         END AS raw_location
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT c_custkey, raw_location,
+       trim(split_part(raw_location, ' - ', 1)) AS location,
+       regexp_replace(regexp_extract(coalesce(nullif(split_part(raw_location, ' - ', 2), ''), ''),
+                                     '([0-9]+)', 1), '^0+', '') AS district,
+       trim(regexp_replace(
+         trim(regexp_replace(
+           regexp_replace(coalesce(nullif(split_part(raw_location, ' - ', 2), ''), ''),
+                          '\b(District|Congressional|County|Ward|At-Large)\b', '', 'g'),
+           '\s+', ' ', 'g')),
+         '[0-9]+', '', 'g')) AS location_extra
+FROM src
+"""
+
+
+@register(
+    "f_election_location",
+    oracle=_LOCATION_ORACLE,
+    doc="F6: ' - ' split, district number extraction, stop-word removal",
+)
+def f_election_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    v = F.col("c_custkey") % 4
+    raw = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.col("n_name"), F.lit(" - District "),
+                F.lpad((F.col("c_custkey") % 40).cast("string"), 2, "0"),
+                F.lit(" Congressional"),
+            ),
+        )
+        .when(v == 1, F.concat(F.col("n_name"), F.lit(" - At-Large")))
+        .when(
+            v == 2,
+            F.concat(
+                F.col("n_name"), F.lit(" - Ward "),
+                (F.col("c_custkey") % 9).cast("string"), F.lit(" County"),
+            ),
+        )
+        .otherwise(F.col("n_name"))
+    )
+    df = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", raw.alias("raw_location"))
+    loc = parse_election_location(F.col("raw_location"))
+    return df.select(
+        "c_custkey",
+        "raw_location",
+        loc["location"].alias("location"),
+        loc["district"].alias("district"),
+        loc["location_extra"].alias("location_extra"),
     )

@@ -106,6 +106,19 @@ def test_unblocked_x_survives(spark):
     assert len(out) == 1 and out[0].match_status == "unmatched"
 
 
+def test_salting_preserves_results(spark):
+    x = _x(spark, [(1, "TX", "john", "smith"), (2, "TX", "jane", "doe"),
+                   (3, "CA", "bob", "li"), (4, "CA", "amy", "wu")])
+    y = _y(spark, [(10, "TX", "john", "smith", ""), (11, "TX", "jane", "doe", ""),
+                   (12, "CA", "bob", "li", ""), (13, "CA", "zoe", "xu", "")])
+    plain = fuzzy_match(x, y, _cfg()).collect()
+    salted = fuzzy_match(x, y, _cfg(salt_buckets=4)).collect()
+    key = lambda rows: {  # noqa: E731
+        r.x_id: (r.candidate_id, r.match_score, r.match_status) for r in rows
+    }
+    assert key(plain) == key(salted)
+
+
 def test_match_stats(spark):
     x = _x(spark, [(1, "TX", "john", "smith"), (2, "TX", "zz", "yy")])
     y = _y(spark, [(10, "TX", "john", "smith", "")])

@@ -16,10 +16,12 @@ from sig_etl_spark.functions.text import (  # noqa: F401
     fold_ascii,
     key_value_map,
     normalize_via_map,
+    parse_election_location,
     parse_party_state_district,
     strip_leading_zeros,
     url_tail_id,
 )
+from sig_etl_spark.functions.explode import split_multi_candidate  # noqa: F401
 from sig_etl_spark.functions.dates import parse_long_date  # noqa: F401
 from sig_etl_spark.functions.scores import (  # noqa: F401
     glyph_translate,

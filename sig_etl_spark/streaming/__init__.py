@@ -13,5 +13,6 @@ from sig_etl_spark.streaming.pipeline import (  # noqa: F401
     read_event_stream,
     run_available_now,
     running_user_totals,
+    session_windows,
     windowed_counts,
 )

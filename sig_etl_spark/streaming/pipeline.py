@@ -67,6 +67,27 @@ def windowed_counts(
     )
 
 
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming gap-based sessionization via session_window — the native
+    streaming twin of the batch events_sessionize query (lag + running
+    sum). State per (user, open session); the watermark closes sessions
+    and bounds state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 _TOTALS_OUT = StructType(
     [
         StructField("user_id", LongType()),

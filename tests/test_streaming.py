@@ -14,6 +14,7 @@ from sig_etl_spark.streaming import (
     read_event_stream,
     run_available_now,
     running_user_totals,
+    session_windows,
     windowed_counts,
 )
 from sig_etl_spark.tables import load_table
@@ -95,3 +96,40 @@ def test_stateful_running_totals_across_batches(spark, landing):
         bn, bs = batch[r.user_id]
         assert r.n_events == bn
         assert abs(r.total_value - bs) < 1e-6
+
+
+def test_streaming_session_windows_match_batch(spark, landing):
+    land, extra, ckpt = landing
+    _deliver(extra, land)  # full data in one pass
+
+    stream = session_windows(read_event_stream(spark, land), "30 minutes", "2 hours")
+    batches = run_available_now(stream, ckpt, "sess", output_mode="complete")
+    final = _last_update_per_key(batches, ["user_id", "session_start"])
+
+    # batch truth: the oracle-checked lag+running-sum sessionization
+    batch = {
+        (r.user_id, pd.Timestamp(r.session_start)): r.n
+        for r in spark.read.parquet(land)
+        .selectExpr(
+            "user_id", "ts",
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts",
+            "event_id",
+        )
+        .selectExpr(
+            "user_id", "ts",
+            "CASE WHEN prev_ts IS NULL OR (unix_micros(ts) - unix_micros(prev_ts))"
+            " > 1800000000 THEN 1 ELSE 0 END AS is_new",
+            "event_id",
+        )
+        .selectExpr(
+            "user_id", "ts",
+            "SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS UNBOUNDED PRECEDING) AS seq",
+        )
+        .groupBy("user_id", "seq")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(final) == len(batch)
+    for r in final.itertuples(index=False):
+        assert batch[(r.user_id, pd.Timestamp(r.session_start))] == r.n_events

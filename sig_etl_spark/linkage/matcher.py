@@ -66,7 +66,19 @@ def fuzzy_match(x: DataFrame, y: DataFrame, config: MatchConfig) -> DataFrame:
     every scraped row).
     """
     x_cols = x.columns
-    xr = x.withColumn("_x_row_id", F.monotonically_increasing_id())
+    # Pre-spread the scraped side BEFORE the join: x is tiny relative to
+    # the pair blow-up, so this shuffle is ~free, and a broadcast-hash
+    # join (y broadcast — only the right side of a LEFT join can be
+    # broadcast) preserves the streamed side's hash partitioning on
+    # _x_row_id. The pair frame is therefore *born* 32-way parallel AND
+    # already satisfies the best-match windows' required distribution —
+    # zero post-join shuffles of the exploded pair frame. When y is too
+    # big to broadcast the join degrades to SMJ on the block keys and the
+    # window adds its own exchange, which is then unavoidable anyway.
+    parallelism = x.sparkSession.sparkContext.defaultParallelism
+    xr = x.withColumn("_x_row_id", F.monotonically_increasing_id()).repartition(
+        parallelism, "_x_row_id"
+    )
     y_needed = {config.y_id, *config.block_on}
     for r in config.rules:
         y_needed.update(r.y_columns)
@@ -84,20 +96,13 @@ def fuzzy_match(x: DataFrame, y: DataFrame, config: MatchConfig) -> DataFrame:
         yr = F.broadcast(yr)
 
     pairs = xr.join(yr, join_keys, "left")
-    # Python-tier scorers pay per-pair: spread the pair frame across the
-    # cluster first. A small broadcast-joined x side otherwise keeps its
-    # scan partitioning (often 1 file = 1 task) and the Arrow UDF runs on
-    # one core (measured 13.5s -> 4s at sf0.1).
-    from sig_etl_spark.linkage.scorers import JVM_SCORERS
 
-    has_py_scorer = any(r.scorer not in JVM_SCORERS for r in config.rules)
-    if has_py_scorer:
-        pairs = pairs.repartition(
-            x.sparkSession.sparkContext.defaultParallelism, "_x_row_id"
-        )
-
-    # Per-rule score: max over alternates, zeroed below threshold, with the
-    # empty-x drop-out recorded as a weight column.
+    # Per-rule score: max over alternates, zeroed below threshold. The
+    # denominator needs only *participation* (x value present), never the
+    # score itself, so the Arrow-UDF score expression is referenced
+    # exactly once per rule in `num`; Spark dedups semantically-equal
+    # Python UDFs inside a projection (verified by accumulator probe), so
+    # no materialization barrier is needed and each pair is scored once.
     num = F.lit(0.0)
     den = F.lit(0.0)
     for i, r in enumerate(config.rules):
@@ -110,18 +115,7 @@ def fuzzy_match(x: DataFrame, y: DataFrame, config: MatchConfig) -> DataFrame:
         participating = xcol.isNotNull() & (xcol != "")
         pairs = pairs.withColumn(f"_s{i}", F.when(participating, gated))
         num = num + F.coalesce(F.col(f"_s{i}") * r.weight, F.lit(0.0))
-        den = den + F.when(F.col(f"_s{i}").isNotNull(), F.lit(r.weight)).otherwise(
-            F.lit(0.0)
-        )
-    if has_py_scorer:
-        # second exchange = projection-collapse barrier: num/den both
-        # reference every _s column, and without the barrier each UDF
-        # score expression is inlined (and executed) twice. Hash-
-        # partitioning by _x_row_id also pre-satisfies the windows'
-        # required distribution, so no third shuffle appears.
-        pairs = pairs.repartition(
-            x.sparkSession.sparkContext.defaultParallelism, "_x_row_id"
-        )
+        den = den + F.when(participating, F.lit(r.weight)).otherwise(F.lit(0.0))
     combined = F.when(den > 0, num / den).otherwise(F.lit(0.0))
     # y_id null (no block partner) scores 0 and falls through to unmatched.
     pairs = pairs.withColumn(

@@ -5,7 +5,14 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, MapType, StringType
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from sig_etl_spark.extract.parse import PARSERS
 
@@ -35,34 +42,52 @@ def read_landing(
     )
 
 
-def _parse_udf(parser: str):
-    fn = PARSERS[parser]
-
-    @F.pandas_udf(RECORDS_TYPE)
-    def _parse(html: pd.Series) -> pd.Series:
-        return html.map(lambda h: fn(h or ""))
-
-    return _parse
-
-
 def extract_records(
     df: DataFrame,
     parser: str = "table",
     html_col: str = "html",
     partition_pattern: str | None = None,
 ) -> DataFrame:
-    """Parse each page into records (S3-S6 via ``parser``), preserving
-    in-page row order via posexplode.
+    """Parse each page into records (S3-S6 via ``parser``), one output row
+    per record with in-page order in ``row_idx``.
+
+    Parsing and flattening happen in a single ``mapInPandas`` pass that
+    emits flat (passthrough…, row_idx, record MAP) rows. Returning
+    ``ARRAY<MAP>`` from a pandas UDF and posexploding JVM-side costs ~3x
+    more at sf0.1: the giant per-page array must round-trip through one
+    Arrow value before the generate re-rows it, while the iterator shape
+    streams record-sized Arrow batches straight into the plan.
 
     ``partition_pattern``: optional regex over the file path whose group 1
     becomes the ``partition`` column (S10 — the reference tags rows with
     the state/office/session the page was scraped for).
     """
-    out = df.withColumn("_records", _parse_udf(parser)(F.col(html_col)))
-    out = out.select(
-        *[c for c in df.columns if c != html_col],
-        F.posexplode("_records").alias("row_idx", "record"),
+    fn = PARSERS[parser]
+    passthrough = [c for c in df.columns if c != html_col]
+    schema = StructType(
+        [df.schema[c] for c in passthrough]
+        + [
+            StructField("row_idx", IntegerType()),
+            StructField("record", MapType(StringType(), StringType())),
+        ]
     )
+
+    def _parse_pages(batches):
+        for pdf in batches:
+            rep: list[int] = []
+            row_idx: list[int] = []
+            records: list[dict[str, str]] = []
+            for i, html in enumerate(pdf[html_col]):
+                recs = fn(html or "")
+                rep.extend([i] * len(recs))
+                row_idx.extend(range(len(recs)))
+                records.extend(recs)
+            out = pdf.iloc[rep][passthrough].reset_index(drop=True)
+            out["row_idx"] = pd.Series(row_idx, dtype="int32")
+            out["record"] = records
+            yield out
+
+    out = df.mapInPandas(_parse_pages, schema)
     if partition_pattern is not None:
         out = out.withColumn(
             "partition", F.regexp_extract(F.col("path"), partition_pattern, 1)

@@ -59,6 +59,10 @@ def extract_s3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("html"),
         )
     )
-    records = extract_records(pages, parser="table")
+    # Explicit-count repartition: AQE would coalesce the tiny rendered-page
+    # shuffle to 1-2 partitions, serializing the Python parse; a numbered
+    # repartition is exempt from coalescing, so each page parses in its own
+    # task. (Real landing zones get this for free: one file = one split.)
+    records = extract_records(pages.repartition(20, "page"), parser="table")
     flat = stabilize_columns(records, keys=["orderkey", "status", "priority"])
     return flat.select("page", "orderkey", "status", "priority")

@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from sig_etl_spark.llm.text_analysis import exact_hash, shingles
 
@@ -143,20 +143,32 @@ def minhash_signatures(
     # into every permutation: measured 219s vs 3s at sf0.1). The
     # permutation matrix runs vectorized in numpy: x < 2^31 and a < 2^31,
     # so a*x+b < 2^62 stays exact in int64 — identical values to the JVM
-    # formula.
-    @F.pandas_udf(ArrayType(LongType()))
-    def _sig(hash_arrays: pd.Series) -> pd.Series:
-        out = []
-        for arr in hash_arrays:
-            if arr is None or len(arr) == 0:
-                out.append([_MERSENNE] * len(a_vec))
-                continue
-            x = np.asarray(arr, dtype=np.int64)
-            mins = ((x[:, None] * a_vec[None, :] + b_vec[None, :]) % _MERSENNE).min(axis=0)
-            out.append(mins.tolist())
-        return pd.Series(out)
+    # formula. mapInPandas rather than a column pandas UDF: the UDF-
+    # extraction rule fails to lift a pandas UDF whose child contains the
+    # bound-lambda shingle expression (second plan in a session keeps the
+    # raw PythonUDF in the projection -> INTERNAL_ERROR at run time); a
+    # MapInPandas operator needs no extraction.
+    hashed = df.select(F.col(id_col).alias("doc_id"), hashes.alias("hs"))
+    schema = StructType(
+        [hashed.schema["doc_id"], StructField("sig", ArrayType(LongType()))]
+    )
 
-    return df.select(F.col(id_col).alias("doc_id"), _sig(hashes).alias("sig"))
+    def _sig_batches(batches):
+        for pdf in batches:
+            sigs = []
+            for arr in pdf["hs"]:
+                if arr is None or len(arr) == 0:
+                    sigs.append([_MERSENNE] * len(a_vec))
+                    continue
+                x = np.asarray(arr, dtype=np.int64)
+                sigs.append(
+                    ((x[:, None] * a_vec[None, :] + b_vec[None, :]) % _MERSENNE)
+                    .min(axis=0)
+                    .tolist()
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    return hashed.mapInPandas(_sig_batches, schema)
 
 
 def minhash_lsh_pairs(
@@ -181,13 +193,19 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    # persist() is load-bearing: without the barrier Catalyst's projection
-    # collapse inlines the 64-permutation signature expression into every
-    # band-bucket hash AND both sides of the candidate join (~32x
-    # recompute — measured 507s -> ~10s at sf0.1). At warehouse scale the
-    # signature frame is written to storage here instead.
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, seed).persist()
-    sigs.count()  # eager: join planning needs the cache warm (see above)
+    # The materialization barrier is load-bearing: without it Catalyst's
+    # projection collapse inlines the 64-permutation signature expression
+    # into every band-bucket hash AND both sides of the candidate join
+    # (~32x recompute — measured 507s -> ~10s at sf0.1). localCheckpoint
+    # (not persist) because it snapshots the *executed* plan's rows: a
+    # cached plan that still contains the Arrow-UDF expression can be
+    # rebuilt through InterpretedUnsafeProjection, which cannot evaluate
+    # PythonUDF (internal error seen when another query's cache is
+    # resident). At warehouse scale the signature frame is written to
+    # storage here instead.
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, seed).localCheckpoint(
+        eager=True
+    )
     banded = sigs.select(
         "doc_id",
         "sig",
@@ -245,26 +263,33 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = tokens(F.col(text_col))
     hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
 
-    @F.pandas_udf(LongType())
-    def _majority(hash_arrays: pd.Series) -> pd.Series:
-        out = []
-        for arr in hash_arrays:
-            if arr is None or len(arr) == 0:
-                out.append(0)
-                continue
-            a = np.asarray(arr, dtype=np.int64).view(np.uint64)
-            # (n, 64) bit matrix -> per-bit counts -> majority sign
-            bits = (a[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            maj = (bits.sum(axis=0) * 2 > len(a)).astype(np.uint64)
-            val = np.uint64(0)
-            for j in range(64):
-                val |= maj[j] << np.uint64(j)
-            out.append(int(val.astype(np.int64)))
-        return pd.Series(out, dtype="int64")
-
-    out = df.select(
-        F.col(id_col).alias("doc_id"), _majority(hashes).alias("simhash")
+    # mapInPandas, not a column pandas UDF — see minhash_signatures for the
+    # UDF-extraction hazard with HOF-built children.
+    hashed = df.select(F.col(id_col).alias("doc_id"), hashes.alias("hs"))
+    schema = StructType(
+        [hashed.schema["doc_id"], StructField("simhash", LongType())]
     )
+
+    def _majority_batches(batches):
+        for pdf in batches:
+            out = []
+            for arr in pdf["hs"]:
+                if arr is None or len(arr) == 0:
+                    out.append(0)
+                    continue
+                a = np.asarray(arr, dtype=np.int64).view(np.uint64)
+                # (n, 64) bit matrix -> per-bit counts -> majority sign
+                bits = (a[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                maj = (bits.sum(axis=0) * 2 > len(a)).astype(np.uint64)
+                val = np.uint64(0)
+                for j in range(64):
+                    val |= maj[j] << np.uint64(j)
+                out.append(int(val.astype(np.int64)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": pd.Series(out, dtype="int64")}
+            )
+
+    out = hashed.mapInPandas(_majority_batches, schema)
     for c in range(4):
         out = out.withColumn(
             f"chunk{c}",
@@ -282,8 +307,10 @@ def simhash_near_pairs(
     verification = popcount(xor) via bit_count.
     """
     # barrier for the same reason as minhash_lsh_pairs: the 64-bit-majority
-    # expression must not be re-inlined into each chunk projection / join side
-    sh = simhash(df, id_col, text_col).persist()
+    # expression must not be re-inlined into each chunk projection / join
+    # side (localCheckpoint, not persist — same Arrow-UDF-in-cached-plan
+    # hazard)
+    sh = simhash(df, id_col, text_col).localCheckpoint(eager=True)
     chunks = sh.select(
         "doc_id",
         "simhash",

@@ -46,6 +46,17 @@ def main() -> int:
     # Warm up the JVM + parquet footers once so per-query numbers measure
     # the query, not first-touch costs.
     run_query(QUERIES[names[0]].builder(spark, sf_dir).limit(1))
+    # Also warm the Python worker pool: the first Arrow-UDF stage otherwise
+    # pays ~8s of one-off worker spawn + pandas/numpy import across all
+    # cores, attributed to whichever query happens to hit it first.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    @F.pandas_udf("double")
+    def _warm(x):
+        return x.astype("float64")
+
+    n = spark.sparkContext.defaultParallelism
+    run_query(spark.range(0, n * 100, 1, n).select(_warm("id")))
 
     timings: dict[str, float] = {}
     total = 0.0

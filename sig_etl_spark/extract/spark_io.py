@@ -114,9 +114,11 @@ def stabilize_columns(
             .collect()
         )
     cols = [c for c in df.columns if c != record_col]
+    # try_element_at: a record missing a key yields null, not
+    # MAP_KEY_DOES_NOT_EXIST under ANSI mode (ragged pages are normal).
     return df.select(
         *cols,
-        *[F.element_at(F.col(record_col), k).alias(k) for k in keys],
+        *[F.try_element_at(F.col(record_col), F.lit(k)).alias(k) for k in keys],
     )
 
 

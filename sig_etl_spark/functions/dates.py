@@ -4,8 +4,9 @@ Reference: /root/reference/national/_1034/transform.py:186-209 — parse
 ``"November 5,2024"`` to ISO ``2024-11-05``; anything unparseable becomes
 null (the reference catches ValueError and blanks the cell).
 
-Spark's non-ANSI `to_date` already returns null on failure, so the whole
-routine is one expression.
+`try_to_date` gives null-on-failure under BOTH ANSI modes (plain `to_date`
+throws CANNOT_PARSE_TIMESTAMP when `spark.sql.ansi.enabled=true`, which is
+the Spark 4 default), so the whole routine is one expression.
 """
 
 from __future__ import annotations
@@ -18,4 +19,4 @@ LONG_DATE_FMT = "MMMM d,yyyy"
 
 def parse_long_date(c: Column, fmt: str = LONG_DATE_FMT) -> Column:
     """'November 5,2024' -> DATE 2024-11-05; invalid -> null."""
-    return F.to_date(F.trim(c), fmt)
+    return F.try_to_date(F.trim(c), fmt)

@@ -24,14 +24,20 @@ def split_multi_candidate(
     - all other columns replicate unchanged.
     """
     arrays = {c: F.split(F.col(c), F.lit(sep)) for c in split_cols}
-    n = F.greatest(*[F.size(a) for a in arrays.values()]) if len(arrays) > 1 else F.size(
-        next(iter(arrays.values()))
-    )
+    sizes = [F.size(a) for a in arrays.values()]
+    raw_n = F.greatest(*sizes) if len(sizes) > 1 else sizes[0]
+    # All-null split columns give size(null)=null -> sequence(1, null)=null
+    # -> posexplode would emit ZERO rows and silently drop the input row;
+    # the reference keeps it (transform.py:55-92). Default the fan-out to 1.
+    n = F.coalesce(raw_n, F.lit(1))
     out = df.select(
         *[F.col(c) for c in df.columns],
         F.posexplode(F.sequence(F.lit(1), n)).alias("_pos", "candidacy"),
     ).drop("_pos")
     for c, arr in arrays.items():
-        part = F.element_at(arr, F.col("candidacy"))
-        out = out.withColumn(c, F.coalesce(part, F.element_at(arr, 1)))
+        # try_element_at: a column with fewer parts than the fan-out yields
+        # null (not INVALID_ARRAY_INDEX under ANSI); coalesce then repeats
+        # its first part — single values apply to every candidacy.
+        part = F.try_element_at(arr, F.col("candidacy"))
+        out = out.withColumn(c, F.coalesce(part, F.try_element_at(arr, F.lit(1))))
     return out

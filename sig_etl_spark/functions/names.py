@@ -101,16 +101,17 @@ def parse_name(c: Column) -> dict[str, Column]:
     base = _squash_ws(strip_suffix(base))
 
     is_comma = base.contains(",")
-    # "Last, First Middle"
-    comma_last = F.trim(F.split(base, ",").getItem(0))
-    comma_rest = _squash_ws(F.split(base, ",").getItem(1))
+    # "Last, First Middle" — try_element_at (1-based) stays null-on-missing
+    # under ANSI; the when(is_comma, ...) guard is belt, this is suspenders.
+    comma_last = F.trim(F.try_element_at(F.split(base, ","), F.lit(1)))
+    comma_rest = _squash_ws(F.try_element_at(F.split(base, ","), F.lit(2)))
     # "First Middle... Last"
     toks = F.split(base, " ")
     n = F.size(toks)
 
-    first = F.when(is_comma, F.split(comma_rest, " ").getItem(0)).otherwise(
-        toks.getItem(0)
-    )
+    first = F.when(
+        is_comma, F.try_element_at(F.split(comma_rest, " "), F.lit(1))
+    ).otherwise(F.try_element_at(toks, F.lit(1)))
     last = F.when(is_comma, comma_last).otherwise(F.element_at(toks, -1))
     middle = F.when(
         is_comma,

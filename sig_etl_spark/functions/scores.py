@@ -30,8 +30,10 @@ def glyph_translate(arr: Column, methodology: Mapping[str, str]) -> Column:
         pairs.append(F.lit(k))
         pairs.append(F.lit(v))
     m = F.create_map(*pairs)
+    # try_element_at: unknown glyph -> null -> '*' (plain element_at throws
+    # MAP_KEY_DOES_NOT_EXIST under ANSI mode, defeating the 'other' bucket).
     return F.array_join(
-        F.transform(arr, lambda x: F.coalesce(F.element_at(m, x), F.lit("*"))), ""
+        F.transform(arr, lambda x: F.coalesce(F.try_element_at(m, x), F.lit("*"))), ""
     )
 
 

@@ -40,7 +40,9 @@ def normalize_via_map(c: Column, mapping: Mapping[str, str]) -> Column:
 
     Implemented as a literal MAP lookup + coalesce — Catalyst constant-folds
     the map; no join, no UDF. For dictionaries too big to inline, use a
-    broadcast join instead (see linkage module).
+    broadcast join instead (see linkage module). ``try_element_at`` keeps the
+    unmapped-key pass-through contract under ANSI mode (plain ``element_at``
+    throws MAP_KEY_DOES_NOT_EXIST there).
     """
     if not mapping:
         return c
@@ -48,7 +50,7 @@ def normalize_via_map(c: Column, mapping: Mapping[str, str]) -> Column:
     for k, v in mapping.items():
         pairs.append(F.lit(k))
         pairs.append(F.lit(v))
-    return F.coalesce(F.element_at(F.create_map(*pairs), c), c)
+    return F.coalesce(F.try_element_at(F.create_map(*pairs), c), c)
 
 
 def url_tail_id(c: Column) -> Column:
@@ -65,11 +67,13 @@ def key_value_map(c: Column, pair_sep: str = ";", kv_sep: str = ":") -> Column:
     Reference: /root/reference/national/_1985/extract.py:30-41.
     """
     pairs = F.filter(F.split(c, pair_sep), lambda p: F.trim(p) != "")
+    # try_element_at (1-based): a separator-less pair yields value=null
+    # instead of INVALID_ARRAY_INDEX under ANSI mode.
     entries = F.transform(
         pairs,
         lambda p: F.struct(
-            F.trim(F.split(p, kv_sep).getItem(0)).alias("key"),
-            F.trim(F.split(p, kv_sep).getItem(1)).alias("value"),
+            F.trim(F.try_element_at(F.split(p, kv_sep), F.lit(1))).alias("key"),
+            F.trim(F.try_element_at(F.split(p, kv_sep), F.lit(2))).alias("value"),
         ),
     )
     return F.map_from_entries(entries)
@@ -83,8 +87,8 @@ _LOCATION_STOPWORDS = ("District", "Congressional", "County", "Ward", "At-Large"
 
 def parse_election_location(c: Column) -> dict[str, Column]:
     parts = F.split(c, " - ")
-    location = F.trim(parts.getItem(0))
-    rest = F.coalesce(F.element_at(parts, 2), F.lit(""))
+    location = F.trim(F.try_element_at(parts, F.lit(1)))
+    rest = F.coalesce(F.try_element_at(parts, F.lit(2)), F.lit(""))
     district = F.regexp_extract(rest, r"([0-9]+)", 1)
     cleaned = F.trim(
         F.regexp_replace(

@@ -55,12 +55,15 @@ s AS (
   FROM o
 ),
 c AS (
-  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  -- CAST: DuckDB windowed SUM(int) is HUGEINT-wide; Spark's is BIGINT.
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM s
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,
-       MIN(ts) AS session_start, MAX(ts) AS session_end
+       -- CAST pins microsecond TIMESTAMP (DuckDB may carry TIMESTAMP_NS here).
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) AS TIMESTAMP) AS session_end
 FROM c GROUP BY 1, 2
 """
 

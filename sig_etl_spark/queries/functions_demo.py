@@ -245,8 +245,8 @@ _VOTES_ORACLE = r"""
 SELECT l_orderkey,
        string_agg(translate(l_returnflag, 'NRA', '+-*'), ''
                   ORDER BY l_linenumber, l_returnflag) AS vote_string,
-       SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS good,
-       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS bad,
+       CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS good,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS bad,
        CASE WHEN SUM(CASE WHEN l_returnflag IN ('N','R') THEN 1 ELSE 0 END) = 0 THEN 0.0
             ELSE ROUND(100.0 * SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
                        / SUM(CASE WHEN l_returnflag IN ('N','R') THEN 1 ELSE 0 END), 2)
@@ -328,8 +328,8 @@ def f_text_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_tail_id(url).alias("sig_candidate_id"),
         fold_ascii(accented).alias("folded"),
         F.lower(F.trim(padded)).alias("cleaned"),
-        F.element_at(kvmap, "Economy").alias("economy_score"),
-        F.element_at(kvmap, "Taxes").alias("taxes_score"),
+        F.try_element_at(kvmap, F.lit("Economy")).alias("economy_score"),
+        F.try_element_at(kvmap, F.lit("Taxes")).alias("taxes_score"),
     )
 
 

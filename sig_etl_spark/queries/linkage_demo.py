@@ -82,14 +82,14 @@ win AS (
   SELECT *,
          row_number() OVER (PARTITION BY x_id ORDER BY c DESC, y_id ASC) AS rn,
          MAX(c) OVER (PARTITION BY x_id) AS best,
-         SUM(CASE WHEN c >= {_REQUIRED} THEN 1 ELSE 0 END)
-           OVER (PARTITION BY x_id) AS ncand
+         CAST(SUM(CASE WHEN c >= {_REQUIRED} THEN 1 ELSE 0 END)
+              OVER (PARTITION BY x_id) AS BIGINT) AS ncand
   FROM combined
 ),
 near AS (
   SELECT *,
-         SUM(CASE WHEN c >= {_REQUIRED} AND best - c <= 3.0 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY x_id) AS nnear
+         CAST(SUM(CASE WHEN c >= {_REQUIRED} AND best - c <= 3.0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY x_id) AS BIGINT) AS nnear
   FROM win
 )
 SELECT x_id, nk, x_name, x_city,

@@ -111,9 +111,10 @@ def flagship_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_vote_counts",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS good_votes,
-           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS bad_votes,
-           SUM(CASE WHEN l_returnflag = 'A' THEN 0.5 ELSE 0.0 END) AS neutral_weight,
+           -- CAST: DuckDB SUM(int) is HUGEINT; Spark's is BIGINT.
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS good_votes,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS bad_votes,
+           CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 0.5 ELSE 0.0 END) AS DOUBLE) AS neutral_weight,
            CASE WHEN SUM(CASE WHEN l_returnflag IN ('N','R') THEN 1 ELSE 0 END) = 0
                 THEN 0.0
                 ELSE ROUND(100.0 * SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
@@ -242,9 +243,10 @@ def proj_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_orderkey, l_linenumber, l_extendedprice,
              row_number() OVER (PARTITION BY l_orderkey
                                 ORDER BY l_extendedprice DESC, l_linenumber) AS rn,
-             SUM(CASE WHEN best_price_all - l_extendedprice <= 100.0
-                      THEN 1 ELSE 0 END)
-                 OVER (PARTITION BY l_orderkey) AS near_ties
+             -- CAST: DuckDB windowed SUM(int) is HUGEINT; Spark's is BIGINT.
+             CAST(SUM(CASE WHEN best_price_all - l_extendedprice <= 100.0
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY l_orderkey) AS BIGINT) AS near_ties
       FROM (
         SELECT *, MAX(l_extendedprice) OVER (PARTITION BY l_orderkey) AS best_price_all
         FROM lineitem

@@ -47,9 +47,13 @@ def get_spark(
         # Parquet scans: allow large-enough splits that small tables stay in
         # one partition but 100 TB tables still parallelize (128 MiB default).
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # ANSI off: the reference is stringly-typed and relies on null-on-
-        # failure casts (e.g. invalid dates -> null, SURVEY §2 F8).
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI on (the Spark 4 default, and what any production deployment
+        # runs). The reference's null-on-failure semantics (invalid dates ->
+        # null, SURVEY §2 F8) are realized with the try_* expression family
+        # (try_to_date, try_element_at, try_cast) inside the library, NOT by
+        # weakening the session — so queries compose safely with user code
+        # that wants ANSI's overflow/cast checks.
+        .config("spark.sql.ansi.enabled", "true")
         # The driver's events table stores TIMESTAMP(NANOS) parquet, which
         # Spark 4 rejects by default; read as long and rebuild (tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

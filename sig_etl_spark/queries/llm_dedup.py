@@ -1,9 +1,10 @@
 """Dedup queries over documents/embeddings.
 
-Exact, n-gram-Jaccard, and embedding-cosine dedup are fully
-SQL-expressible and oracle-checked. MinHash+LSH and SimHash depend on
-xxhash64 (no DuckDB equivalent), so they register rows-only and their
-semantics are locked by property tests (tests/test_dedup.py).
+All five dedup operators are oracle-checked. MinHash+LSH and SimHash use
+md5-derived portable hashes (functions/hashing.py) so DuckDB computes
+bit-identical signatures; their permutation coefficients / bit powers are
+inlined into the oracle SQL as VALUES tables. Property tests
+(tests/test_dedup.py) additionally lock the semantics.
 """
 
 from __future__ import annotations
@@ -12,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sig_etl_spark.llm import dedup as D
+from sig_etl_spark.llm.dedup import _minhash_coeffs
 from sig_etl_spark.queries import register
 from sig_etl_spark.tables import load_table
 
@@ -98,14 +100,64 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MinHash+LSH and SimHash: rows-only (xxhash64 has no DuckDB equivalent);
-# semantics locked by property tests.
+# MinHash+LSH — full oracle: DuckDB recomputes shingles, 60-bit md5 hashes,
+# all 64 permutations, band buckets (slice equality stands in for Spark's
+# murmur3 bucket hash — equal slices <=> equal buckets, modulo 2^-32
+# collisions that only ever ADD oracle candidates), and the signature-
+# agreement estimate.
 # ---------------------------------------------------------------------------
+
+_PERM_VALUES = ",".join(
+    f"({i},{a}::BIGINT,{b}::BIGINT)"
+    for i, (a, b) in enumerate(_minhash_coeffs(64, seed=42))
+)
+
+_MINHASH_ORACLE = rf"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(toks) - 2 >= 1
+                THEN list_transform(generate_series(1, len(toks) - 2),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')]
+           END)) AS shingle
+  FROM base
+),
+hx AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
+              % 2147483647 AS BIGINT) AS x
+  FROM sh
+),
+perms(i, a, b) AS (VALUES {_PERM_VALUES}),
+mh AS (
+  SELECT doc_id, i, MIN((a * x + b) % 2147483647) AS v
+  FROM hx CROSS JOIN perms GROUP BY 1, 2
+),
+sigs AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, sig, band, list_slice(sig, band*4+1, band*4+4) AS bucket
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0,15)) AS band) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                             AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT id_a, id_b,
+         len(list_filter(generate_series(1,64), k -> sa[k] = sb[k])) / 64.0
+           AS est_jaccard
+  FROM cand
+)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
 
 
 @register(
     "llm_minhash_lsh",
-    oracle=None,
+    oracle=_MINHASH_ORACLE,
     doc="MinHash(64)+LSH(16 bands) near-dup candidates, signature-verified",
 )
 def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,9 +167,63 @@ def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SimHash — full oracle: 64-bit md5-derived token hash (two 32-bit halves,
+# two's-complement fold to signed BIGINT), per-bit majority vote, 16-bit
+# chunk blocking, Hamming verify. Bit powers are a VALUES table because
+# POWER() is double-typed and HUGEINT << isn't portable-safe.
+# ---------------------------------------------------------------------------
+
+_POW_VALUES = ",".join(f"({j},{1 << j}::HUGEINT)" for j in range(64))
+
+_SIMHASH_ORACLE = rf"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tk AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM base),
+hv AS (
+  SELECT doc_id,
+         CAST(
+           CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS HUGEINT)
+             * 4294967296
+           + CAST(CAST(('0x' || substr(md5(tok), 9, 8)) AS UBIGINT) AS HUGEINT)
+           - CASE WHEN CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+                       >= 2147483648
+                  THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+         AS BIGINT) AS h
+  FROM tk
+),
+bitcnt AS (
+  SELECT doc_id, j, SUM((h >> j) & 1) AS n_set, COUNT(*) AS n
+  FROM hv CROSS JOIN (SELECT unnest(generate_series(0,63)) AS j) t
+  GROUP BY 1, 2
+),
+powers(j, p) AS (VALUES {_POW_VALUES}),
+sims AS (
+  SELECT doc_id,
+         CAST(u - CASE WHEN u >= 9223372036854775808::HUGEINT
+                       THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+              AS BIGINT) AS simhash
+  FROM (
+    SELECT doc_id, SUM(CASE WHEN n_set * 2 > n THEN p ELSE 0::HUGEINT END) AS u
+    FROM bitcnt JOIN powers USING (j) GROUP BY doc_id
+  )
+),
+chunks AS (
+  SELECT doc_id, simhash, c, ((simhash >> (c*16)) & 65535) AS v
+  FROM sims CROSS JOIN (SELECT unnest([0,1,2,3]) AS c) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
 @register(
     "llm_simhash_pairs",
-    oracle=None,
+    oracle=_SIMHASH_ORACLE,
     doc="SimHash near-dup pairs: 16-bit chunk blocking + Hamming<=3 verify",
 )
 def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

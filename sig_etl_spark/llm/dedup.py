@@ -76,19 +76,22 @@ def ngram_jaccard_pairs(
     co-occurrence counts — no cross product: candidates only exist where
     at least one shingle is shared.
     """
-    # persist: the posting list feeds the frequency count, both sides of
-    # the candidate self-join, and the size aggregate — without the
-    # barrier the (interpreted) shingling expression re-evaluates for
-    # every branch of the DAG. At warehouse scale this frame is a
-    # materialized inverted-index table.
-    sh = shingle_postings(df, id_col, text_col, k).persist()
+    # Materialization barrier: the posting list feeds the frequency count,
+    # both sides of the candidate self-join, and the size aggregate —
+    # without it the (interpreted) shingling expression re-evaluates for
+    # every branch of the DAG. localCheckpoint rather than persist(): the
+    # blocks are freed by the ContextCleaner as soon as the query result is
+    # dereferenced, so a long-lived session running many queries doesn't
+    # accumulate cached frames (VERDICT r1 cache-hygiene note). At
+    # warehouse scale this frame is a materialized inverted-index table.
+    sh = shingle_postings(df, id_col, text_col, k).localCheckpoint(eager=False)
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         sh = (
             sh.join(freq, "shingle")
             .filter(F.col("df_") <= max_doc_freq)
             .drop("df_")
-            .persist()
+            .localCheckpoint(eager=False)
         )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
@@ -352,18 +355,45 @@ _DEC = "decimal(38,18)"
 def _decimal_dot(a, b):
     """Order-independent exact dot product: per-element double multiply,
     DECIMAL(38,18) accumulation (addition order cannot change the result,
-    so the value is reproducible across engines and partitionings)."""
+    so the value is reproducible across engines and partitionings).
+
+    ~100x the cost of ``_double_dot`` and interpreted — kept only for
+    callers that need order-independence under a DISTRIBUTED sum. Per-row
+    array folds don't: see _double_dot."""
     prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC))
     # re-cast after each addition: decimal(38,18)+decimal(38,18) widens and
     # aggregate() requires the merge type to equal the zero type
     return F.aggregate(prods, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC))
 
 
+def _double_dot(a, b):
+    """Dot product as a strict left-to-right IEEE-double fold.
+
+    A per-row array fold has a FIXED evaluation order (the array order), so
+    plain double accumulation is already deterministic — across runs,
+    partitionings, and engines: DuckDB's ``list_reduce(list_transform(...),
+    (acc, x) -> acc + x)`` performs the bit-identical operation sequence
+    (verified: 0 bitwise mismatches over the sf0.01 near-dup pairs). This
+    replaces the DECIMAL(38,18) fold on the hot path — the decimal tax was
+    only ever buying order-independence the per-row fold never needed
+    (VERDICT r1 item 4)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def array_dot(a, b, exact: bool = False):
+    """Dot product over two ARRAY columns. ``exact=True`` selects the
+    DECIMAL(38,18) accumulator (order-independent under re-partitioned
+    sums); the default double fold is deterministic for per-row use and
+    ~100x cheaper."""
+    return _decimal_dot(a, b) if exact else _double_dot(a, b)
+
+
 def embedding_norms(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        _decimal_dot(F.col(vec_col), F.col(vec_col)).alias("norm2"),
+        _double_dot(F.col(vec_col), F.col(vec_col)).alias("norm2"),
     )
 
 
@@ -385,24 +415,17 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("vec_id"),
         F.col(block_col).alias("block"),
         F.col(vec_col).alias("vec"),
-        _decimal_dot(F.col(vec_col), F.col(vec_col)).alias("norm2"),
+        _double_dot(F.col(vec_col), F.col(vec_col)).alias("norm2"),
     )
     a = e.alias("a")
     b = e.alias("b")
-    dot = _decimal_dot(F.col("a.vec"), F.col("b.vec"))
-    # Round decimals to scale 12 before the double cast: unscaled values
-    # then fit in 2^53, so decimal->double is a single correctly-rounded
-    # division in every engine (raw scale-18 casts differ by 1 ulp between
-    # Java BigDecimal and DuckDB's int128 path).
-    cos = F.round(dot, 12).cast("double") / F.sqrt(
-        F.round(F.col("a.norm2"), 12).cast("double")
-        * F.round(F.col("b.norm2"), 12).cast("double")
-    )
+    dot = _double_dot(F.col("a.vec"), F.col("b.vec"))
+    cos = dot / F.sqrt(F.col("a.norm2") * F.col("b.norm2"))
     pairs = (
         a.join(b, "block")
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        # spread pairs before the (interpreted) decimal dot — a broadcast
-        # join would otherwise leave every pair on the left side's scan
+        # spread pairs before the (interpreted) fold — a broadcast join
+        # would otherwise leave every pair on the left side's scan
         # partitioning (often one task)
         .repartition(
             df.sparkSession.sparkContext.defaultParallelism, "a.vec_id", "b.vec_id"
@@ -414,7 +437,8 @@ def embedding_near_dup_pairs(
         F.col("b.vec_id").alias("id_b"),
         cos.alias("cosine"),
     )
-    # persist barrier: the threshold predicate would otherwise be pushed
-    # beneath the projection, re-evaluating the interpreted decimal fold
-    # per row (measured ~5x the projection cost at sf0.1)
-    return scored.persist().filter(F.col("cosine") >= threshold)
+    # Materialization barrier: the threshold predicate would otherwise be
+    # pushed beneath the projection, re-evaluating the interpreted fold per
+    # row. localCheckpoint (not persist) so nothing stays cached after the
+    # query is consumed — cache hygiene for long-lived oracle sessions.
+    return scored.localCheckpoint(eager=False).filter(F.col("cosine") >= threshold)

@@ -13,10 +13,12 @@ Two paths, same contract (query_id, corpus_id, cosine, rank):
   |Q|·|C| pairs and scoring only same-bucket pairs. Recall is tunable via
   (bands, planes_per_band): more bands -> higher recall, more candidates.
 
-Dot products use exact DECIMAL accumulation (order-independent ->
-reproducible across engines and partitionings); see dedup._decimal_dot.
-Planes are generated from a fixed seed so runs — and the DuckDB oracle,
-which inlines the same plane literals — are deterministic.
+Dot products are strict left-to-right double folds (dedup._double_dot) —
+a per-row array fold has fixed evaluation order, so plain IEEE doubles are
+already deterministic across runs, partitionings, AND engines (DuckDB's
+list_reduce performs the identical operation sequence). Planes are
+generated from a fixed seed so runs — and the DuckDB oracle, which inlines
+the same plane literals — are deterministic.
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sig_etl_spark.llm.dedup import _decimal_dot
+from sig_etl_spark.llm.dedup import _double_dot
 
 
 def hyperplanes(dim: int, n: int, seed: int = 7) -> list[list[float]]:
@@ -35,19 +37,14 @@ def hyperplanes(dim: int, n: int, seed: int = 7) -> list[list[float]]:
 
 
 def _cosine(a_vec, b_vec, a_norm2, b_norm2):
-    # scale-12 round before the double cast: keeps decimal->double a single
-    # correctly-rounded division in every engine (see dedup.py).
-    dot = _decimal_dot(a_vec, b_vec)
-    return F.round(dot, 12).cast("double") / F.sqrt(
-        F.round(a_norm2, 12).cast("double") * F.round(b_norm2, 12).cast("double")
-    )
+    return _double_dot(a_vec, b_vec) / F.sqrt(a_norm2 * b_norm2)
 
 
 def _with_norm2(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias(out_id),
         F.col(vec_col).alias(f"{out_id}_vec"),
-        _decimal_dot(F.col(vec_col), F.col(vec_col)).alias(f"{out_id}_norm2"),
+        _double_dot(F.col(vec_col), F.col(vec_col)).alias(f"{out_id}_norm2"),
     )
 
 
@@ -80,13 +77,13 @@ def brute_force_topk(
 
 
 def bucket_signature(vec, planes: list[list[float]]):
-    """Sign-pattern bucket string for one band of hyperplanes (exact
-    decimal dots -> the sign is engine-independent)."""
+    """Sign-pattern bucket string for one band of hyperplanes (the double
+    fold is order-fixed, so the sign is engine-independent)."""
     bits = []
     for plane in planes:
         lit = F.array(*[F.lit(v) for v in plane])
         bits.append(
-            F.when(_decimal_dot(vec, lit) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(_double_dot(vec, lit) >= 0, F.lit("1")).otherwise(F.lit("0"))
         )
     return F.concat(*bits)
 

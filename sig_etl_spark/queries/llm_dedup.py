@@ -236,44 +236,33 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the cosine doubles are bit-identical across engines.
 # ---------------------------------------------------------------------------
 
-_COSINE_ORACLE = r"""
-WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-elems AS (
-  SELECT vec_id, unnest(embedding) AS x FROM e
-),
-norms AS (
-  SELECT vec_id,
-         SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS norm2
-  FROM elems GROUP BY vec_id
-),
-pairs AS (
-  SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
-         a.embedding AS ea, b.embedding AS eb
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-),
-prods AS (
-  SELECT block, id_a, id_b, unnest(ea) AS xa, unnest(eb) AS xb FROM pairs
-),
-dots AS (
-  SELECT block, id_a, id_b,
-         SUM(CAST(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) AS DECIMAL(38,18))) AS dot
-  FROM prods GROUP BY 1, 2, 3
+# Dot products: strict left-to-right double fold, the bit-identical twin of
+# Spark's _double_dot (per-row folds have fixed order — no DECIMAL needed).
+_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
 )
-SELECT block, id_a, id_b,
-       CAST(ROUND(dot, 12) AS DOUBLE)
-         / sqrt(CAST(ROUND(na.norm2, 12) AS DOUBLE) * CAST(ROUND(nb.norm2, 12) AS DOUBLE)) AS cosine
-FROM dots
-JOIN norms na ON na.vec_id = id_a
-JOIN norms nb ON nb.vec_id = id_b
-WHERE CAST(ROUND(dot, 12) AS DOUBLE)
-        / sqrt(CAST(ROUND(na.norm2, 12) AS DOUBLE) * CAST(ROUND(nb.norm2, 12) AS DOUBLE)) >= 0.3
+
+_COSINE_ORACLE = rf"""
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         {_DOT.format(a="embedding", b="embedding")} AS norm2
+  FROM embeddings
+),
+scored AS (
+  SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+         {_DOT.format(a="a.embedding", b="b.embedding")}
+           / sqrt(a.norm2 * b.norm2) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT block, id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
 """
 
 
 @register(
     "llm_embedding_near_dup",
     oracle=_COSINE_ORACLE,
-    doc="cosine>=0.3 near-dup pairs within label blocks, exact decimal dots",
+    doc="cosine>=0.3 near-dup pairs within label blocks, double-fold dots",
 )
 def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

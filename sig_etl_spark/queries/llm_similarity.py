@@ -21,14 +21,21 @@ _BANDS = 2
 _PLANES_PER_BAND = 4
 _SEED = 7
 
-_DEC_PROD = "CAST(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE) AS DECIMAL(38,18))"
+# Strict left-to-right double fold — the bit-identical twin of Spark's
+# dedup._double_dot (F.aggregate over zip_with products). A per-row list
+# fold has fixed evaluation order, so no DECIMAL scaffolding is needed.
+def _dot_expr(a: str, b: str, n: int = _DIM) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {n}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        f"(acc, x) -> acc + x)"
+    )
 
 
 def _norm_cte(src: str, id_col: str) -> str:
-    prod = _DEC_PROD.format(a="x", b="x")
     return (
-        f"SELECT {id_col}, SUM({prod}) AS norm2 "
-        f"FROM (SELECT {id_col}, unnest(embedding) AS x FROM {src}) GROUP BY {id_col}"
+        f"SELECT {id_col}, {_dot_expr('embedding', 'embedding')} AS norm2 "
+        f"FROM {src}"
     )
 
 
@@ -38,22 +45,16 @@ def _bucket_expr(planes: list[list[float]]) -> str:
     bits = []
     for plane in planes:
         lit = "[" + ", ".join(repr(v) for v in plane) + "]"
-        prod = _DEC_PROD.format(a="embedding[i]", b=f"({lit})[i]")
-        dot = f"list_sum(list_transform(generate_series(1, {_DIM}), i -> {prod}))"
+        dot = _dot_expr("embedding", f"({lit})")
         bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
     return " || ".join(bits)
 
 
-_COSINE = (
-    "CAST(ROUND(dot, 12) AS DOUBLE) / "
-    "sqrt(CAST(ROUND(qn.norm2, 12) AS DOUBLE) * CAST(ROUND(cn.norm2, 12) AS DOUBLE))"
-)
+_COSINE = "dot / sqrt(qn.norm2 * cn.norm2)"
 
 _SCORE_TAIL = f"""
 dots AS (
-  SELECT query_id, corpus_id, SUM({_DEC_PROD.format(a="xa", b="xb")}) AS dot
-  FROM (SELECT query_id, corpus_id, unnest(eq) AS xa, unnest(ec) AS xb FROM pairs)
-  GROUP BY 1, 2
+  SELECT query_id, corpus_id, {_dot_expr("eq", "ec")} AS dot FROM pairs
 ),
 scored AS (
   SELECT d.query_id, d.corpus_id, {_COSINE} AS cosine
@@ -81,7 +82,7 @@ pairs AS (
 @register(
     "llm_knn_bruteforce",
     oracle=_BRUTE_ORACLE,
-    doc="exact cosine top-5 per query (broadcast queries, decimal dots)",
+    doc="exact cosine top-5 per query (broadcast queries, double-fold dots)",
 )
 def llm_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -94,17 +94,98 @@ def render_any_list(column: str, values: list) -> str:
     return f"{column} IN ({rendered})"
 
 
-def read_excel(spark: SparkSession, path: str, **kwargs) -> DataFrame:
-    """S14: Excel driver table via pandas (dtype=str, like the
-    reference's zip-code table read). Import-gated: raises a clear error
-    when openpyxl/xlrd are absent."""
-    import pandas as pd
+def _xlsx_col_index(ref: str) -> int:
+    """'C5' -> 2 (0-based column index from an A1-style cell reference)."""
+    idx = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
 
-    try:
-        pdf = pd.read_excel(path, dtype=str, **kwargs)
-    except ImportError as e:  # pragma: no cover - engine not installed here
-        raise NotImplementedError(
-            "read_excel needs an excel engine (openpyxl); install it or "
-            "convert the driver table to CSV and use read_stage_csv"
-        ) from e
-    return spark.createDataFrame(pdf)
+
+def _read_xlsx_rows(path: str, sheet: int = 0) -> list[list[str | None]]:
+    """Minimal stdlib xlsx parse: zip container + sheet/sharedStrings XML.
+
+    Covers what a driver table needs — shared strings, inline strings,
+    numeric/boolean cells (raw stored text), sparse rows (missing cells
+    -> None). No styles, dates-as-serials, or formula re-evaluation
+    (formula cells yield their cached value, as pandas does).
+    """
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as zf:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in root.findall("m:si", ns):
+                shared.append("".join(t.text or "" for t in si.iter(f"{{{ns['m']}}}t")))
+        sheets = sorted(
+            n
+            for n in zf.namelist()
+            if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+        )
+        if not sheets:
+            raise ValueError(f"{path}: no worksheets found")
+        root = ET.fromstring(zf.read(sheets[sheet]))
+        rows: list[list[str | None]] = []
+        for row in root.iter(f"{{{ns['m']}}}row"):
+            cells: list[str | None] = []
+            for c in row.findall("m:c", ns):
+                col = _xlsx_col_index(c.get("r", ""))
+                if col < 0:
+                    col = len(cells)
+                while len(cells) <= col:
+                    cells.append(None)
+                ctype = c.get("t", "n")
+                if ctype == "inlineStr":
+                    is_el = c.find("m:is", ns)
+                    val = (
+                        "".join(t.text or "" for t in is_el.iter(f"{{{ns['m']}}}t"))
+                        if is_el is not None
+                        else None
+                    )
+                else:
+                    v = c.find("m:v", ns)
+                    val = None if v is None else v.text
+                    if ctype == "s" and val is not None:
+                        val = shared[int(val)]
+                cells[col] = val
+            rows.append(cells)
+        return rows
+
+
+def read_excel(
+    spark: SparkSession, path: str, sheet: int = 0, header: bool = True
+) -> DataFrame:
+    """S14: Excel driver table -> DataFrame of strings.
+
+    Reference: /root/reference/national/_2155/__main__.py:119-120 —
+    ``pandas.read_excel(args.zip, dtype=str)`` feeding the zip-code dim
+    that drives the group's scan. All cells surface as strings (dtype=str
+    semantics); empty cells are null; row 1 is the header by default.
+
+    Parsed on the driver with the stdlib (zipfile + ElementTree — no
+    openpyxl dependency): driver tables are dimension-sized by
+    construction, and the resulting frame is what you feed
+    ``F.broadcast`` in a J9-shaped dim-driven join. Terabyte fact data
+    does not arrive as .xlsx.
+    """
+    rows = _read_xlsx_rows(path, sheet)
+    if not rows:
+        return spark.createDataFrame([], "value string")
+    width = max(len(r) for r in rows)
+    padded = [r + [None] * (width - len(r)) for r in rows]
+    if header:
+        names = [
+            str(v) if v is not None else f"col{i}"
+            for i, v in enumerate(padded[0])
+        ]
+        data = padded[1:]
+    else:
+        names = [f"col{i}" for i in range(width)]
+        data = padded
+    schema = ", ".join(f"`{n}` string" for n in names)
+    return spark.createDataFrame([tuple(r) for r in data], schema)

@@ -29,3 +29,94 @@ def test_render_any_list():
         == "state_id IN ('TX', 'O''Hare')"
     )
     assert render_any_list("x", []) == "FALSE"
+
+
+# --- S14: Excel source (stdlib xlsx parse) --------------------------------
+
+_XLSX_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+  <Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+  <Default Extension="xml" ContentType="application/xml"/>
+  <Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+  <Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+  <Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
+</Types>"""
+
+_XLSX_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+  <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_XLSX_WORKBOOK = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+  <sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+</workbook>"""
+
+_XLSX_SHARED = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">
+  <si><t>zip</t></si><si><t>state_id</t></si><si><t>TX</t></si><si><t>CA</t></si>
+</sst>"""
+
+# Row 2: shared-string + numeric; row 3: sparse (zip missing) + inline str;
+# row 4: numeric zip + shared TX.
+_XLSX_SHEET = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+  <sheetData>
+    <row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+    <row r="2"><c r="A2"><v>75001</v></c><c r="B2" t="s"><v>2</v></c></row>
+    <row r="3"><c r="B3" t="inlineStr"><is><t>NY</t></is></c></row>
+    <row r="4"><c r="A4"><v>94105</v></c><c r="B4" t="s"><v>3</v></c></row>
+  </sheetData>
+</worksheet>"""
+
+
+def _write_fixture_xlsx(path):
+    import zipfile
+
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", _XLSX_CONTENT_TYPES)
+        zf.writestr("_rels/.rels", _XLSX_RELS)
+        zf.writestr("xl/workbook.xml", _XLSX_WORKBOOK)
+        zf.writestr("xl/sharedStrings.xml", _XLSX_SHARED)
+        zf.writestr("xl/worksheets/sheet1.xml", _XLSX_SHEET)
+
+
+def test_read_excel_stdlib(spark, tmp_path):
+    from sig_etl_spark.sources import read_excel
+
+    path = str(tmp_path / "dim.xlsx")
+    _write_fixture_xlsx(path)
+    df = read_excel(spark, path)
+    assert df.columns == ["zip", "state_id"]
+    rows = sorted(
+        ((r.zip, r.state_id) for r in df.collect()), key=lambda t: (t[0] or "",)
+    )
+    # dtype=str semantics: numerics surface as strings, missing cells null
+    assert rows == [(None, "NY"), ("75001", "TX"), ("94105", "CA")]
+
+
+def test_read_excel_dim_driven_join(spark, sf_dir, tmp_path):
+    """J9 shape: the xlsx dim drives a broadcast join against fact data."""
+    from pyspark.sql import functions as F
+
+    from sig_etl_spark.sources import read_excel
+    from sig_etl_spark.tables import load_table
+
+    path = str(tmp_path / "dim.xlsx")
+    _write_fixture_xlsx(path)
+    dim = read_excel(spark, path).filter(F.col("zip").isNotNull())
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "zip",
+        F.element_at(
+            F.array(F.lit("75001"), F.lit("94105"), F.lit("00000")),
+            (F.col("c_custkey") % 3).cast("int") + 1,
+        ),
+    )
+    joined = cust.join(F.broadcast(dim), "zip")
+    got = dict(
+        joined.groupBy("state_id").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    total = cust.count()
+    assert set(got) == {"TX", "CA"}
+    assert sum(got.values()) < total  # the 00000 zips fell out

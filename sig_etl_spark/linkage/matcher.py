@@ -21,7 +21,7 @@ Semantics (locked by property tests, documented for the oracle):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -46,7 +46,6 @@ class MatchConfig:
     required_threshold: float = 75.0
     duplicate_threshold: float = 3.0
     broadcast_y: bool = False  # True when y is a small dimension
-    extra_x_keys: tuple[str, ...] = field(default=())
     # Skew control for 100 TB blocks (the CA/TX problem, SURVEY §7 risk 3):
     # 0 = rely on AQE skew-join; N > 0 = explicit salting — x rows hash
     # into N salt buckets, y replicates N times, the block key becomes
@@ -83,6 +82,21 @@ def fuzzy_match(x: DataFrame, y: DataFrame, config: MatchConfig) -> DataFrame:
     for r in config.rules:
         y_needed.update(r.y_columns)
     yr = y.select(*sorted(y_needed))
+    # Rename y's non-block columns before the join: the reference's
+    # canonical config scores x.firstname against y.firstname, and a bare
+    # F.col("firstname") after the join would raise AMBIGUOUS_REFERENCE.
+    # Block keys keep their names (the equi-join collapses them to one
+    # column); everything else gets an _y_ prefix, resolved through
+    # _ycol() below. x columns keep their names, so the output contract
+    # (all x columns pass through) is unchanged.
+    y_renames = {c: f"_y_{c}" for c in yr.columns if c not in config.block_on}
+    for old, new in y_renames.items():
+        yr = yr.withColumnRenamed(old, new)
+
+    def _ycol(name: str):
+        return F.col(y_renames.get(name, name))
+
+    y_id = y_renames.get(config.y_id, config.y_id)
 
     join_keys = list(config.block_on)
     if config.salt_buckets > 0:
@@ -109,7 +123,7 @@ def fuzzy_match(x: DataFrame, y: DataFrame, config: MatchConfig) -> DataFrame:
         xcol = F.col(r.x_column)
         raw = None
         for ycol in r.y_columns:
-            s = score_column(r.scorer, xcol, F.coalesce(F.col(ycol), F.lit("")))
+            s = score_column(r.scorer, xcol, F.coalesce(_ycol(ycol), F.lit("")))
             raw = s if raw is None else F.greatest(raw, s)
         gated = F.when(raw >= F.lit(r.threshold), raw).otherwise(F.lit(0.0))
         participating = xcol.isNotNull() & (xcol != "")
@@ -119,11 +133,11 @@ def fuzzy_match(x: DataFrame, y: DataFrame, config: MatchConfig) -> DataFrame:
     combined = F.when(den > 0, num / den).otherwise(F.lit(0.0))
     # y_id null (no block partner) scores 0 and falls through to unmatched.
     pairs = pairs.withColumn(
-        "_combined", F.when(F.col(config.y_id).isNotNull(), combined).otherwise(F.lit(0.0))
+        "_combined", F.when(F.col(y_id).isNotNull(), combined).otherwise(F.lit(0.0))
     )
 
     w = Window.partitionBy("_x_row_id")
-    rank_w = w.orderBy(F.col("_combined").desc(), F.col(config.y_id).asc_nulls_last())
+    rank_w = w.orderBy(F.col("_combined").desc(), F.col(y_id).asc_nulls_last())
     qualifies = F.col("_combined") >= F.lit(config.required_threshold)
     best_score = F.max("_combined").over(w)
     n_cand = F.sum(qualifies.cast("int")).over(w)
@@ -143,7 +157,7 @@ def fuzzy_match(x: DataFrame, y: DataFrame, config: MatchConfig) -> DataFrame:
         .otherwise(F.lit("matched"))
     )
     matched_id = F.when(
-        F.col("_combined") >= config.required_threshold, F.col(config.y_id)
+        F.col("_combined") >= config.required_threshold, F.col(y_id)
     )
     return ranked.select(
         *x_cols,

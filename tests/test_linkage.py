@@ -184,3 +184,34 @@ def test_python_scorers_definitions():
     assert py_token_sort_ratio("smith john", "john smith") == 100.0
     assert py_wratio("john smith", "smith, john") > 90.0
     assert py_wratio("", "x") == 0.0
+
+
+def test_shared_column_names_resolve(spark):
+    """The reference's canonical shape: x and y BOTH carry firstname/
+    lastname (votervoice/match.py:56-66 scores firstname vs firstname).
+    Bare column refs after the join used to raise AMBIGUOUS_REFERENCE."""
+    x = spark.createDataFrame(
+        [(1, "TX", "john", "smith"), (2, "TX", "mary", "jones")],
+        ["x_id", "state", "firstname", "lastname"],
+    )
+    y = spark.createDataFrame(
+        [(10, "TX", "john", "smith", "jack"), (11, "TX", "peter", "brown", "")],
+        ["y_id", "state", "firstname", "lastname", "nickname"],
+    )
+    cfg = MatchConfig(
+        rules=(
+            ColumnRule("firstname", ("firstname", "nickname"), scorer="levenshtein", threshold=85.0),
+            ColumnRule("lastname", ("lastname",), scorer="levenshtein", threshold=88.0),
+        ),
+        block_on=("state",),
+        y_id="y_id",
+        required_threshold=85.0,
+    )
+    rows = {r.x_id: r for r in fuzzy_match(x, y, cfg).collect()}
+    assert rows[1].candidate_id == 10
+    assert rows[1].match_score == 100.0
+    assert rows[1].match_status == "matched"
+    assert rows[2].candidate_id is None
+    assert rows[2].match_status == "unmatched"
+    # x's own firstname column passes through untouched
+    assert rows[1].firstname == "john"

@@ -4,6 +4,8 @@ duplicate-review flag, empty-column policy, multi-source alternates."""
 
 from __future__ import annotations
 
+import pytest
+
 from sig_etl_spark.linkage import ColumnRule, MatchConfig, fuzzy_match, match_stats
 from sig_etl_spark.linkage.scorers import (
     py_partial_ratio,
@@ -215,3 +217,68 @@ def test_shared_column_names_resolve(spark):
     assert rows[2].match_status == "unmatched"
     # x's own firstname column passes through untouched
     assert rows[1].firstname == "john"
+
+
+# --- Golden-value parity lock for the pure-Python scorer tier -------------
+# Hand-verified against the rapidfuzz indel definitions (the lib itself is
+# not in this container): ratio = 100*(1 - indel/(len(a)+len(b))) with
+# indel = len(a)+len(b)-2*LCS; partial = best window; token_sort = ratio
+# over space-sorted tokens; wratio = the weighted combination implemented
+# in scorers.py (0.95 token boost, 0.9/0.6 partial scaling). Spot checks:
+# kitten/sitting LCS=4 -> 61.538462; smith/smyth LCS=4 -> 80; JOHN/john is
+# case-sensitive -> 0; WRatio("","") = 0 per rapidfuzz.
+_GOLDEN = [
+    # a, b, ratio, partial, token_sort, partial_token, wratio
+    ("", "", 100.0, 100.0, 100.0, 100.0, 0.0),
+    ("abc", "abc", 100.0, 100.0, 100.0, 100.0, 100.0),
+    ("abc", "abd", 66.666667, 66.666667, 66.666667, 66.666667, 66.666667),
+    ("abcd", "bcda", 75.0, 75.0, 75.0, 75.0, 75.0),
+    ("kitten", "sitting", 61.538462, 66.666667, 61.538462, 66.666667, 61.538462),
+    ("john", "jon", 85.714286, 66.666667, 85.714286, 66.666667, 85.714286),
+    ("john smith", "smith john", 50.0, 50.0, 100.0, 100.0, 95.0),
+    ("new york mets", "mets new york", 61.538462, 61.538462, 100.0, 100.0, 95.0),
+    ("mary q public", "public, mary q", 44.444444, 46.153846, 96.296296, 92.307692, 91.481481),
+    ("robert", "bob", 44.444444, 66.666667, 44.444444, 66.666667, 60.0),
+    ("elizabeth warren", "liz warren", 76.923077, 70.0, 76.923077, 70.0, 76.923077),
+    ("JOHN", "john", 0.0, 0.0, 0.0, 0.0, 0.0),
+    ("a", "b", 0.0, 0.0, 0.0, 0.0, 0.0),
+    ("ab", "", 0.0, 0.0, 0.0, 0.0, 0.0),
+    ("van der berg", "vandenberg", 81.818182, 70.0, 36.363636, 70.0, 81.818182),
+    ("smith", "smyth", 80.0, 80.0, 80.0, 80.0, 80.0),
+    ("o'brien", "obrien", 92.307692, 83.333333, 92.307692, 83.333333, 92.307692),
+    ("washington", "washingtno", 90.0, 90.0, 90.0, 90.0, 90.0),
+    ("this is a test", "this is a test!", 96.551724, 100.0, 96.551724, 100.0, 96.551724),
+    ("fuzzy wuzzy was a bear", "wuzzy fuzzy was a bear", 90.909091, 90.909091, 100.0, 100.0, 95.0),
+]
+
+
+@pytest.mark.parametrize("a,b,ratio,partial,tsort,ptoken,wratio", _GOLDEN)
+def test_scorer_golden_values(a, b, ratio, partial, tsort, ptoken, wratio):
+    from sig_etl_spark.linkage.scorers import (
+        py_partial_ratio,
+        py_partial_token_ratio,
+        py_ratio,
+        py_token_sort_ratio,
+        py_wratio,
+    )
+
+    assert py_ratio(a, b) == pytest.approx(ratio, abs=1e-6)
+    assert py_partial_ratio(a, b) == pytest.approx(partial, abs=1e-6)
+    assert py_token_sort_ratio(a, b) == pytest.approx(tsort, abs=1e-6)
+    assert py_partial_token_ratio(a, b) == pytest.approx(ptoken, abs=1e-6)
+    assert py_wratio(a, b) == pytest.approx(wratio, abs=1e-6)
+
+
+def test_vectorized_batch_matches_golden():
+    """The numpy batch tier must agree with the scalar tier everywhere."""
+    import pandas as pd
+
+    from sig_etl_spark.linkage.scorers import _batch_score, py_ratio, py_wratio
+
+    a = pd.Series([c[0] for c in _GOLDEN])
+    b = pd.Series([c[1] for c in _GOLDEN])
+    got_ratio = _batch_score("ratio", a, b)
+    got_wratio = _batch_score("wratio", a, b)
+    for i, (x, y, *_rest) in enumerate(_GOLDEN):
+        assert got_ratio[i] == pytest.approx(py_ratio(x, y), abs=1e-6)
+        assert got_wratio[i] == pytest.approx(py_wratio(x, y), abs=1e-6)

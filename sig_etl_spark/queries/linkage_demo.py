@@ -136,3 +136,26 @@ def linkage_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 def linkage_fuzzy_match_wratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     x, y = _xy(spark, sf_dir)
     return fuzzy_match(x, y, _config("wratio"))
+
+
+# ---------------------------------------------------------------------------
+# A8: match statistics — counts by match_status over the full linkage
+# output (votervoice/match.py:81-86 prints exactly this summary).
+# ---------------------------------------------------------------------------
+
+_STATS_ORACLE = f"""
+WITH linked AS ({_LINKAGE_ORACLE})
+SELECT match_status, COUNT(*) AS n FROM linked GROUP BY match_status
+"""
+
+
+@register(
+    "linkage_match_stats",
+    oracle=_STATS_ORACLE,
+    doc="A8: match_info counts by status over the fuzzy-match output",
+)
+def linkage_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.linkage import match_stats
+
+    x, y = _xy(spark, sf_dir)
+    return match_stats(fuzzy_match(x, y, _config("levenshtein")))

@@ -193,3 +193,111 @@ def extract_s5_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = extract_records(pages.repartition(5, "page"), parser="nested")
     flat = stabilize_columns(records, keys=["region", "nation", "name", "acctbal"])
     return flat.select("region", "nation", "name", "acctbal")
+
+
+# ---------------------------------------------------------------------------
+# S2+S10+P9: landing-zone scan — real files on disk read through
+# binaryFile with pathGlobFilter pushdown (P9: the .txt decoys are pruned
+# at file listing) and a partition column extracted from the file path
+# (S10). Content is generated deterministically from the file index, so
+# the DuckDB oracle reproduces the expected records from range() alone.
+# Reference: templates/template_extract.py:76-84 (landing-dir re-extract).
+# ---------------------------------------------------------------------------
+
+_LANDING_STATES = ["TX", "CA", "NY", "WA"]
+_N_PAGES = 20
+
+
+def _landing_dir(spark: SparkSession) -> str:
+    """Create the fixture landing dir once per host (idempotent)."""
+    import os
+
+    d = "/root/repo/.landing_demo"
+    done = os.path.join(d, ".complete")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        for i in range(_N_PAGES):
+            state = _LANDING_STATES[i % len(_LANDING_STATES)]
+            rows = "".join(
+                f"<tr><td>{i}-{j}</td><td>{i * 100 + j}</td></tr>"
+                for j in range(1 + i % 3)
+            )
+            html = (
+                "<html><body><table><thead><tr><th>k</th><th>v</th></tr>"
+                f"</thead><tbody>{rows}</tbody></table></body></html>"
+            )
+            with open(os.path.join(d, f"page_{state}_{i}.html"), "w") as f:
+                f.write(html)
+            # P9 decoys: same stem, wrong extension - must be pruned by glob
+            with open(os.path.join(d, f"page_{state}_{i}.txt"), "w") as f:
+                f.write("not html")
+        with open(done, "w") as f:
+            f.write("ok")
+    return d
+
+
+_LANDING_ORACLE = f"""
+WITH pages AS (SELECT i FROM range({_N_PAGES}) t(i)),
+rows_ AS (
+  SELECT i, j FROM pages CROSS JOIN range(3) t2(j) WHERE j < 1 + i % 3
+)
+SELECT ({"[" + ",".join("'" + s + "'" for s in _LANDING_STATES) + "]"})
+         [CAST(i % {len(_LANDING_STATES)} AS INTEGER) + 1] AS state,
+       CAST(i AS VARCHAR) || '-' || CAST(j AS VARCHAR) AS k,
+       CAST(i * 100 + j AS VARCHAR) AS v
+FROM rows_
+"""
+
+
+@register(
+    "extract_s2_landing_scan",
+    oracle=_LANDING_ORACLE,
+    doc="S2+S10+P9: binaryFile landing scan with glob pushdown and"
+        " path-derived partition column",
+)
+def extract_s2_landing_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.extract import read_landing
+
+    d = _landing_dir(spark)
+    landed = read_landing(spark, d, glob="*.html")
+    records = extract_records(
+        landed, parser="table", partition_pattern=r"page_([A-Z]{2})_\d+\.html"
+    )
+    flat = stabilize_columns(records, keys=["k", "v"])
+    return flat.select(F.col("partition").alias("state"), "k", "v")
+
+
+# ---------------------------------------------------------------------------
+# K1+S15: CSV stage round-trip — write a derived frame through the CSV
+# sink (nulls as literal 'nan'), re-enter it with the stage reader, and
+# return the recovered records. The oracle recomputes the same derivation
+# directly; any sink/reader defect (quoting, header, NaN policy, empty
+# strings) breaks the hash.
+# Reference: templates/template_script.py:161-183.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "csv_stage_roundtrip",
+    oracle="""
+    SELECT CAST(p_partkey AS VARCHAR) AS pk,
+           CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_name END AS name,
+           CASE WHEN p_partkey % 5 = 0 THEN '' ELSE p_brand END AS brand
+    FROM part
+    """,
+    doc="K1+S15: CSV sink + stage re-entry preserving the nan/empty policy",
+)
+def csv_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.sources import read_stage_csv, write_stage_csv
+
+    part = load_table(spark, sf_dir, "part")
+    staged = part.select(
+        F.col("p_partkey").cast("string").alias("pk"),
+        F.when(F.col("p_partkey") % 7 != 0, F.col("p_name")).alias("name"),
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("")).otherwise(
+            F.col("p_brand")
+        ).alias("brand"),
+    )
+    d = "/root/repo/.stage_demo"
+    write_stage_csv(staged, d)
+    return read_stage_csv(spark, d)

@@ -143,3 +143,78 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    centroid_every: int = 40,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-flat approximate top-k: inverted-file cells from sampled
+    centroids, queries probe the ``nprobe`` nearest cells.
+
+    The coarse quantizer is the deterministic sample
+    ``id % centroid_every == 0`` of the corpus itself (a degenerate but
+    standard quantizer — FAISS-style training would add k-means, whose
+    distributed mean updates are not bit-reproducible; sampling keeps the
+    whole operator oracle-checkable). Every distance is a per-row double
+    fold, so assignments are engine-exact.
+
+    Scale shape: centroids are broadcast twice (cell assignment for the
+    corpus scan; probe list for the query set); the only shuffle of
+    corpus-sized data is the equi-join on cell id — candidates per query
+    are |probed cells| * cell size, never |corpus|. Exactly the FAISS IVF
+    contract, expressed as DataFrame ops.
+    """
+    cents = corpus.filter((F.col(id_col) % centroid_every) == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    cent_norm = _with_norm2(cents, "cent_id", "cent_vec", "cent_id").select(
+        "cent_id", F.col("cent_id_vec").alias("cent_vec"),
+        F.col("cent_id_norm2").alias("cent_norm2"),
+    )
+
+    def nearest_cells(df: DataFrame, out_id: str, n: int) -> DataFrame:
+        scored = df.join(F.broadcast(cent_norm)).select(
+            out_id,
+            f"{out_id}_vec",
+            f"{out_id}_norm2",
+            "cent_id",
+            _cosine(
+                F.col(f"{out_id}_vec"), F.col("cent_vec"),
+                F.col(f"{out_id}_norm2"), F.col("cent_norm2"),
+            ).alias("_csim"),
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("_csim").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("_crank", F.row_number().over(w))
+            .filter(F.col("_crank") <= n)
+            .drop("_csim", "_crank")
+        )
+
+    c = nearest_cells(_with_norm2(corpus, id_col, vec_col, "corpus_id"), "corpus_id", 1)
+    q = nearest_cells(_with_norm2(queries, id_col, vec_col, "query_id"), "query_id", nprobe)
+    cands = (
+        c.join(F.broadcast(q), "cent_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            _cosine(
+                F.col("query_id_vec"), F.col("corpus_id_vec"),
+                F.col("query_id_norm2"), F.col("corpus_id_norm2"),
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

@@ -140,3 +140,80 @@ def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes_per_band=_PLANES_PER_BAND,
         seed=_SEED,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat ANN: inverted-file cells from the deterministic corpus sample
+# (id % 40 == 0), corpus assigned to its nearest cell, queries probe the
+# 3 nearest cells. Every distance is the same double fold, so cell
+# assignments and the final top-k are engine-exact.
+# ---------------------------------------------------------------------------
+
+_CENT_EVERY = 40
+_NPROBE = 3
+
+
+def _ivf_oracle() -> str:
+    dot_qc = _dot_expr("x.embedding", "ct.cent_vec")
+    dot_pair = _dot_expr("qv.embedding", "cv.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id, embedding FROM embeddings WHERE vec_id >= 10),
+qn AS ({_norm_cte("q", "query_id")}),
+cn AS ({_norm_cte("c", "corpus_id")}),
+centn AS (
+  SELECT corpus_id AS cent_id, embedding AS cent_vec,
+         {_dot_expr("embedding", "embedding")} AS cent_norm2
+  FROM c WHERE corpus_id % {_CENT_EVERY} = 0
+),
+cassign AS (
+  SELECT corpus_id, cent_id FROM (
+    SELECT x.corpus_id, ct.cent_id,
+           row_number() OVER (
+             PARTITION BY x.corpus_id
+             ORDER BY ({dot_qc} / sqrt(n.norm2 * ct.cent_norm2)) DESC, ct.cent_id
+           ) AS rn
+    FROM c x JOIN cn n USING (corpus_id) CROSS JOIN centn ct
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT query_id, cent_id FROM (
+    SELECT x.query_id, ct.cent_id,
+           row_number() OVER (
+             PARTITION BY x.query_id
+             ORDER BY ({_dot_expr("x.embedding", "ct.cent_vec")} / sqrt(n.norm2 * ct.cent_norm2)) DESC, ct.cent_id
+           ) AS rn
+    FROM q x JOIN qn n USING (query_id) CROSS JOIN centn ct
+  ) WHERE rn <= {_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.corpus_id,
+         {dot_pair} / sqrt(qn.norm2 * cn.norm2) AS cosine
+  FROM qprobe p
+  JOIN cassign a USING (cent_id)
+  JOIN q qv ON qv.query_id = p.query_id
+  JOIN c cv ON cv.corpus_id = a.corpus_id
+  JOIN qn ON qn.query_id = p.query_id
+  JOIN cn ON cn.corpus_id = a.corpus_id
+)
+SELECT query_id, corpus_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, corpus_id) AS rank
+      FROM scored) t
+WHERE rank <= {_K}
+"""
+
+
+@register(
+    "llm_knn_ivf",
+    oracle=_ivf_oracle(),
+    doc="IVF-flat top-5: sampled-centroid cells, nprobe=3, exact re-rank",
+)
+def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.ivf_topk(
+        queries, corpus, "vec_id", "embedding",
+        k=_K, centroid_every=_CENT_EVERY, nprobe=_NPROBE,
+    )

@@ -50,3 +50,30 @@ def test_lsh_subset_of_bruteforce_pairs(spark):
     # every LSH result's cosine agrees exactly with the brute-force score
     for r in lsh:
         assert abs(brute[(r.query_id, r.corpus_id)] - r.cosine) == 0.0
+
+
+def test_ivf_topk_subset_of_bruteforce_candidates(spark, sf_dir):
+    """IVF results are genuine corpus neighbors: every (query, corpus)
+    pair IVF returns must score identically to the brute-force cosine,
+    and the rank-1 hit should usually agree (cells are coarse)."""
+    from sig_etl_spark.llm.similarity import brute_force_topk, ivf_topk
+    from sig_etl_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+    ivf = ivf_topk(q, c, "vec_id", "embedding", k=3, centroid_every=20, nprobe=2)
+    brute = brute_force_topk(q, c, "vec_id", "embedding", k=200)
+    b = {(r.query_id, r.corpus_id): r.cosine for r in brute.collect()}
+    rows = ivf.collect()
+    assert rows, "IVF returned nothing"
+    for r in rows:
+        assert (r.query_id, r.corpus_id) in b
+        assert r.cosine == b[(r.query_id, r.corpus_id)]
+    # per-query results are ranked 1..n without gaps
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

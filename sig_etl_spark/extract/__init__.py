@@ -20,7 +20,9 @@ from sig_etl_spark.extract.parse import (  # noqa: F401
 )
 from sig_etl_spark.extract.spark_io import (  # noqa: F401
     extract_records,
+    latest_files,
     read_landing,
     reindex,
+    slice_records,
     stabilize_columns,
 )

@@ -122,6 +122,42 @@ def stabilize_columns(
     )
 
 
+def latest_files(
+    df: DataFrame, n: int, ts_col: str = "modificationTime"
+) -> DataFrame:
+    """O1: keep the ``n`` most recently modified files of a landing scan.
+
+    The reference sorts the landing dir by ctime and re-extracts the
+    newest batch (templates/template_extract.py:76-84). A global
+    row_number over the *file listing* is a single-partition sort, but it
+    ranks one row per file — bounded by directory size, never by record
+    count — so it is safe at any data scale. Ties break on path for
+    determinism.
+    """
+    w = Window.orderBy(F.col(ts_col).desc(), F.col("path").desc())
+    return (
+        df.withColumn("_file_rank", F.row_number().over(w))
+        .filter(F.col("_file_rank") <= n)
+        .drop("_file_rank")
+    )
+
+
+def slice_records(
+    df: DataFrame, start: int = 0, stop: int | None = None
+) -> DataFrame:
+    """P4: positional slice of in-page records, ``records[start:stop]``.
+
+    The reference drops header/footer rows positionally after parsing
+    (e.g. ``rows[1:]``); here position is the ``row_idx`` that
+    ``extract_records`` stamps per page, so the slice is a plain filter —
+    fully distributed, no sort.
+    """
+    out = df.filter(F.col("row_idx") >= start)
+    if stop is not None:
+        out = out.filter(F.col("row_idx") < stop)
+    return out
+
+
 def reindex(df: DataFrame, order_cols: list[str]) -> DataFrame:
     """A9: dense 0-based row ids in deterministic order.
 

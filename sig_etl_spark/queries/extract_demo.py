@@ -233,6 +233,13 @@ def _landing_dir(spark: SparkSession) -> str:
                 f.write("not html")
         with open(done, "w") as f:
             f.write("ok")
+    # Deterministic mtimes (base + page index) so O1's most-recent-first
+    # ordering is reproducible; re-applied every call because filesystem
+    # copies / checkouts don't preserve them.
+    base = 1_700_000_000
+    for i in range(_N_PAGES):
+        state = _LANDING_STATES[i % len(_LANDING_STATES)]
+        os.utime(os.path.join(d, f"page_{state}_{i}.html"), (base + i, base + i))
     return d
 
 
@@ -301,3 +308,51 @@ def csv_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = "/root/repo/.stage_demo"
     write_stage_csv(staged, d)
     return read_stage_csv(spark, d)
+
+
+# ---------------------------------------------------------------------------
+# O1+P4: newest-batch re-extract with positional slice — the reference
+# sorts the landing dir by ctime, re-extracts only the newest files, and
+# drops the first parsed row of each page positionally (header rows that
+# survive the parser). Fixture mtimes are pinned to base+i, so "the 8
+# newest pages" is exactly i in [12, 20).
+# Reference: templates/template_extract.py:76-84 (ctime sort),
+# national/_1034/extract.py (rows[1:] slice).
+# ---------------------------------------------------------------------------
+
+_N_LATEST = 8
+
+_LATEST_ORACLE = f"""
+WITH pages AS (
+  SELECT i FROM range({_N_PAGES}) t(i) WHERE i >= {_N_PAGES - _N_LATEST}
+),
+rows_ AS (
+  SELECT i, j FROM pages CROSS JOIN range(3) t2(j)
+  WHERE j >= 1 AND j < 1 + i % 3
+)
+SELECT ({"[" + ",".join("'" + s + "'" for s in _LANDING_STATES) + "]"})
+         [CAST(i % {len(_LANDING_STATES)} AS INTEGER) + 1] AS state,
+       CAST(i AS VARCHAR) || '-' || CAST(j AS VARCHAR) AS k,
+       CAST(i * 100 + j AS VARCHAR) AS v
+FROM rows_
+"""
+
+
+@register(
+    "extract_o1_latest_slice",
+    oracle=_LATEST_ORACLE,
+    doc="O1+P4: mtime-ranked newest-batch scan, then positional record"
+        " slice (drop row 0 per page)",
+)
+def extract_o1_latest_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.extract import latest_files, read_landing, slice_records
+
+    d = _landing_dir(spark)
+    landed = read_landing(spark, d, glob="*.html")
+    newest = latest_files(landed, _N_LATEST)
+    records = extract_records(
+        newest, parser="table", partition_pattern=r"page_([A-Z]{2})_\d+\.html"
+    )
+    sliced = slice_records(records, start=1)
+    flat = stabilize_columns(sliced, keys=["k", "v"])
+    return flat.select(F.col("partition").alias("state"), "k", "v")

@@ -109,3 +109,35 @@ def test_fill_forward_window_after_sectioned_parse(spark, landing_dir):
     assert [r.section_filled for r in filled.orderBy("pos").collect()] == [
         "U.S. Senate - District 1", "U.S. Senate - District 1", "Governor",
     ]
+
+
+def test_latest_files_and_slice_records(spark, tmp_path):
+    # O1: mtime-ranked newest batch; P4: positional record slice
+    import os
+
+    from sig_etl_spark.extract import (
+        extract_records,
+        latest_files,
+        read_landing,
+        slice_records,
+        stabilize_columns,
+    )
+
+    for i in range(4):
+        p = tmp_path / f"page_{i}.html"
+        p.write_text(
+            "<table><thead><tr><th>k</th></tr></thead><tbody>"
+            + "".join(f"<tr><td>{i}-{j}</td></tr>" for j in range(3))
+            + "</tbody></table>"
+        )
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    landed = read_landing(spark, str(tmp_path), glob="*.html")
+    newest = latest_files(landed, 2)
+    paths = sorted(r.path.rsplit("/", 1)[1] for r in newest.select("path").collect())
+    assert paths == ["page_2.html", "page_3.html"]
+
+    records = extract_records(newest, parser="table")
+    flat = stabilize_columns(slice_records(records, start=1, stop=3), keys=["k"])
+    ks = sorted(r.k for r in flat.collect())
+    assert ks == ["2-1", "2-2", "3-1", "3-2"]

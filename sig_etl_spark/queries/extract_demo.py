@@ -356,3 +356,74 @@ def extract_o1_latest_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliced = slice_records(records, start=1)
     flat = stabilize_columns(sliced, keys=["k", "v"])
     return flat.select(F.col("partition").alias("state"), "k", "v")
+
+
+# ---------------------------------------------------------------------------
+# S14+J9: Excel-driven dim join — an xlsx driver table (parsed with the
+# stdlib reader, dtype=str semantics) broadcast-joined against fact rows,
+# exactly how the reference drives a group's scan off a spreadsheet.
+# Reference: national/_2155/__main__.py:119-120 (pandas.read_excel dim).
+# ---------------------------------------------------------------------------
+
+_XLSX_STATES = ["TX", "CA", "NY", "WA", "IL", "MA", "GA", "OH"]
+_XLSX_ZIPS = [str(75000 + i) for i in range(10)]  # last two not in the dim
+
+
+def _excel_dim(spark: SparkSession):
+    import os
+
+    from sig_etl_spark.sources import read_excel, write_xlsx
+
+    d = "/root/repo/.excel_demo"
+    path = os.path.join(d, "dim.xlsx")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        write_xlsx(
+            path,
+            ["zip", "state_id"],
+            [[_XLSX_ZIPS[i], s] for i, s in enumerate(_XLSX_STATES)],
+        )
+    return read_excel(spark, path)
+
+
+_EXCEL_ORACLE = f"""
+WITH dim(zip, state_id) AS (VALUES
+  {", ".join(f"('{_XLSX_ZIPS[i]}', '{s}')" for i, s in enumerate(_XLSX_STATES))}
+),
+cust AS (
+  SELECT c_name,
+         ({"[" + ",".join("'" + z + "'" for z in _XLSX_ZIPS) + "]"})
+           [CAST(c_custkey % {len(_XLSX_ZIPS)} AS INTEGER) + 1] AS zip
+  FROM customer
+)
+SELECT state_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       MIN(c_name) AS first_name
+FROM cust JOIN dim USING (zip)
+GROUP BY state_id
+"""
+
+
+@register(
+    "excel_dim_join",
+    oracle=_EXCEL_ORACLE,
+    doc="S14+J9: stdlib-parsed xlsx dim broadcast-joined to customers;"
+        " unknown zips fall out on the inner join",
+)
+def excel_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = _excel_dim(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_name",
+        F.try_element_at(
+            F.array(*[F.lit(z) for z in _XLSX_ZIPS]),
+            (F.col("c_custkey") % len(_XLSX_ZIPS)).cast("int") + 1,
+        ).alias("zip"),
+    )
+    return (
+        cust.join(F.broadcast(dim), "zip")
+        .groupBy("state_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.min("c_name").alias("first_name"),
+        )
+    )

@@ -189,3 +189,67 @@ def read_excel(
         data = padded
     schema = ", ".join(f"`{n}` string" for n in names)
     return spark.createDataFrame([tuple(r) for r in data], schema)
+
+
+def write_xlsx(path: str, columns: list[str], rows: list[list[str | None]]) -> None:
+    """Minimal stdlib xlsx writer (inline strings only).
+
+    The fixture twin of :func:`read_excel` — enough of the OOXML package
+    (content types, rels, workbook, one worksheet) that any spreadsheet
+    tool or our reader can open it. Driver tables are dimension-sized, so
+    a driver-side writer is the right scale. None cells are omitted
+    (sparse rows), matching how real exports leave blanks.
+    """
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def cell_ref(ci: int, ri: int) -> str:
+        col = ""
+        ci += 1
+        while ci:
+            ci, rem = divmod(ci - 1, 26)
+            col = chr(ord("A") + rem) + col
+        return f"{col}{ri}"
+
+    def row_xml(ri: int, vals: list[str | None]) -> str:
+        cells = "".join(
+            f'<c r="{cell_ref(ci, ri)}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+            for ci, v in enumerate(vals)
+            if v is not None
+        )
+        return f'<row r="{ri}">{cells}</row>'
+
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        + row_xml(1, list(columns))
+        + "".join(row_xml(i + 2, r) for i, r in enumerate(rows))
+        + "</sheetData></worksheet>"
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+        ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        zf.writestr("_rels/.rels", rels)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)

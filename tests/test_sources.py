@@ -120,3 +120,20 @@ def test_read_excel_dim_driven_join(spark, sf_dir, tmp_path):
     total = cust.count()
     assert set(got) == {"TX", "CA"}
     assert sum(got.values()) < total  # the 00000 zips fell out
+
+
+def test_write_xlsx_roundtrip(spark, tmp_path):
+    from sig_etl_spark.sources import read_excel, write_xlsx
+
+    path = str(tmp_path / "out.xlsx")
+    write_xlsx(
+        path,
+        ["a", "b"],
+        [["1", "x"], [None, "y <&> z"], ["3", None]],
+    )
+    df = read_excel(spark, path)
+    assert df.columns == ["a", "b"]
+    rows = sorted(df.collect(), key=lambda r: (r.a or "",))
+    assert [(r.a, r.b) for r in rows] == [
+        (None, "y <&> z"), ("1", "x"), ("3", None),
+    ]

@@ -54,6 +54,7 @@ def _load_all() -> None:
     from sig_etl_spark.queries import llm_text  # noqa: F401
     from sig_etl_spark.queries import llm_dedup  # noqa: F401
     from sig_etl_spark.queries import llm_similarity  # noqa: F401
+    from sig_etl_spark.queries import multimodal_demo  # noqa: F401
     from sig_etl_spark.queries import linkage_demo  # noqa: F401
     from sig_etl_spark.queries import vsdb_demo  # noqa: F401
     from sig_etl_spark.queries import events_demo  # noqa: F401

@@ -1,0 +1,184 @@
+"""Oracle-checked multimodal plumbing queries.
+
+The testdata has no real media, so these queries *manufacture* binary
+columns deterministically (content = UTF-8 bytes of ``documents.text``,
+metadata derived from doc_id) and drive the real mapInPandas codec
+plumbing (llm/multimodal.py) over them. Because the stub codecs are
+deterministic byte functions and the text is ASCII, every output is
+re-expressible in ANSI SQL — the DuckDB oracle checks the *plumbing*
+(batch shapes, explosion, slicing, histogramming) cell-for-cell. Real
+codecs swap into ``_decode_bytes`` without touching any of this wiring.
+
+Reference scope: SURVEY §2 multimodal columns (decode / feature-extract /
+resize / frame-sample as Pandas UDFs over mapInPandas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sig_etl_spark.llm.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    partition_media,
+    resize_images,
+    sample_frames,
+)
+from sig_etl_spark.queries import register
+from sig_etl_spark.tables import load_table
+
+_KINDS = ["image", "audio", "video"]
+
+
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> MEDIA_SCHEMA frame: content is the UTF-8 text bytes,
+    kind cycles image/audio/video by doc_id, duration is 500*(1+id%7) ms."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.try_element_at(
+            F.array(*[F.lit(k) for k in _KINDS]),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit(64).cast("int").alias("width"),
+        F.lit(64).cast("int").alias("height"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+        (F.lit(500) * (F.lit(1) + F.col("doc_id") % 7)).cast("int").alias("duration_ms"),
+        F.lit("raw").alias("format"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction: the stub featurizer is a 16-bucket byte histogram
+# normalized by n_bytes. The query de-normalizes back to integer counts
+# (exact: float32 error ~1e-3 absolute, rounded away), and the oracle
+# recomputes each bucket as "characters in [16b, 16b+16)" via regex
+# removal — valid because the text is ASCII (1 char == 1 byte).
+# ---------------------------------------------------------------------------
+
+
+def _bucket_count(b: int) -> str:
+    lo, hi = 16 * b, 16 * b + 15
+    return (
+        f"CAST(length(text) - length(regexp_replace(text,"
+        f" '[\\x{lo:02x}-\\x{hi:02x}]', '', 'g')) AS INTEGER)"
+    )
+
+
+_FEATURES_ORACLE = f"""
+SELECT doc_id AS media_id,
+       (['{"','".join(_KINDS)}'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       {" || ',' || ".join(_bucket_count(b) for b in range(FEATURE_DIM))} AS byte_hist
+FROM documents
+"""
+
+
+@register(
+    "mm_features",
+    oracle=_FEATURES_ORACLE,
+    doc="multimodal feature extraction: mapInPandas byte-histogram"
+        " featurizer over manufactured media, de-normalized to exact"
+        " integer bucket counts",
+)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = partition_media(_media_from_documents(spark, sf_dir), 32)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda x: F.round(x * F.col("n_bytes")).cast("int").cast("string"),
+            ),
+            ",",
+        ).alias("byte_hist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: videos explode to one row per sampled frame inside
+# mapInPandas; the oracle recomputes frame counts, timestamps and slice
+# lengths from octet_length alone.
+# ---------------------------------------------------------------------------
+
+_EVERY_MS = 700
+
+_FRAMES_ORACLE = f"""
+WITH v AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n,
+         CAST(500 * (1 + doc_id % 7) AS INTEGER) AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+),
+x AS (
+  SELECT media_id, n,
+         GREATEST(duration_ms // {_EVERY_MS}, 1) AS n_frames
+  FROM v
+),
+s AS (SELECT media_id, n, n_frames, GREATEST(n // n_frames, 1) AS step FROM x)
+SELECT media_id,
+       CAST(j AS INTEGER) AS frame_idx,
+       CAST(j * {_EVERY_MS} AS INTEGER) AS ts_ms,
+       CAST(CASE WHEN LEAST(step, n - j * step) <= 0 THEN 1
+                 ELSE LEAST(step, n - j * step) END AS INTEGER) AS frame_bytes
+FROM s CROSS JOIN range(8) t(j)
+WHERE j < n_frames
+"""
+
+
+@register(
+    "mm_frame_sample",
+    oracle=_FRAMES_ORACLE,
+    doc="multimodal frame sampling: per-frame explosion inside mapInPandas;"
+        " oracle checks frame counts, timestamps and slice lengths",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = partition_media(_media_from_documents(spark, sf_dir), 32)
+    frames = sample_frames(media, every_ms=_EVERY_MS)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        F.length("frame").alias("frame_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resize: the stub tiles/truncates the source bytes to exactly
+# width*height; decoding the blob back to text makes the oracle a strict
+# content check (repeat + substr), not just a length check.
+# ---------------------------------------------------------------------------
+
+_RW, _RH = 16, 16
+
+_RESIZE_ORACLE = f"""
+SELECT doc_id AS media_id,
+       {_RW} AS width, {_RH} AS height,
+       substr(repeat(text, CAST(CEIL({_RW * _RH}.0 / length(text)) AS INTEGER)),
+              1, {_RW * _RH}) AS payload,
+       'raw' AS format
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+@register(
+    "mm_resize",
+    oracle=_RESIZE_ORACLE,
+    doc="multimodal resize: deterministic tile/truncate to width*height"
+        " bytes inside mapInPandas; oracle re-derives the exact payload",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = partition_media(_media_from_documents(spark, sf_dir), 32)
+    resized = resize_images(media, width=_RW, height=_RH)
+    return resized.select(
+        "media_id",
+        F.col("width"),
+        F.col("height"),
+        F.decode("content", "UTF-8").alias("payload"),
+        "format",
+    )

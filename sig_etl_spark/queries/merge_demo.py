@@ -45,17 +45,24 @@ LEFT JOIN part p ON p.p_partkey = s.row_index
 def j2_composite_key_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    w = Window.partitionBy("l_suppkey", "l_partkey").orderBy(
-        "l_orderkey", "l_linenumber"
-    )
+    # Keep-first as min(struct(order-cols…, payload…)) rather than a
+    # row_number window: lexicographic struct-min is the same "first row
+    # by (l_orderkey, l_linenumber)" semantics, but aggregates get a
+    # map-side partial combine — the shuffle carries at most one
+    # candidate per (suppkey, partkey) per input partition instead of
+    # every lineitem row + a per-partition sort. At 100 TB that is the
+    # difference between shuffling the fact table and shuffling its keys.
+    first = F.min(
+        F.struct("l_orderkey", "l_linenumber", "l_quantity")
+    ).alias("s")
     survivors = (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(first)
         .select(
             F.col("l_suppkey").alias("state_key"),
             F.col("l_partkey").alias("row_index"),
-            "l_orderkey",
-            "l_quantity",
+            F.col("s.l_orderkey").alias("l_orderkey"),
+            F.col("s.l_quantity").alias("l_quantity"),
         )
     )
     cards = part.select(

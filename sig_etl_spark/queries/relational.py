@@ -377,15 +377,23 @@ def set_union_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedupe_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # min(struct(...)) instead of a row_number window: same keep-first-by-
+    # (o_orderdate, o_orderkey) semantics (o_orderkey is unique, so the
+    # lexicographic struct order is total), but with map-side partial
+    # aggregation — the shuffle moves one candidate per customer per
+    # partition, not the whole orders table plus a sort.
     return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.struct("o_orderdate", "o_orderkey", "o_totalprice")
+            ).alias("s")
+        )
         .select(
             "o_custkey",
-            F.col("o_orderkey").alias("first_orderkey"),
-            F.col("o_orderdate").alias("first_orderdate"),
-            F.col("o_totalprice").alias("first_totalprice"),
+            F.col("s.o_orderkey").alias("first_orderkey"),
+            F.col("s.o_orderdate").alias("first_orderdate"),
+            F.col("s.o_totalprice").alias("first_totalprice"),
         )
     )
 

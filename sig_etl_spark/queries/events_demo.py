@@ -93,3 +93,63 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's most recent click at or
+# before it, within a 1-hour tolerance. Spark has no ASOF JOIN builtin —
+# temporal.asof_join realizes it as union-tag + fill-forward window (one
+# shuffle, no range explosion); DuckDB's native ASOF LEFT JOIN is the
+# oracle. Clicks are deduplicated per (user, ts) first (max event_id) so
+# tie-handling is engine-independent.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+c0 AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         MAX(struct_pack(event_id := event_id, value := value)) AS s
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, CAST(ts AS TIMESTAMP)
+),
+c AS (SELECT user_id, ts, s.event_id AS event_id, s.value AS value FROM c0)
+SELECT p.user_id, p.event_id, p.ts, p.value,
+       CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN c.event_id END AS click_id,
+       CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN c.ts END AS click_ts,
+       CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN c.value END AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register(
+    "events_asof_purchase_click",
+    oracle=_ASOF_ORACLE,
+    doc="as-of join (backward, 1h tolerance): purchases to the latest"
+        " prior click per user; union-tag + fill-forward window plan",
+)
+def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "value")).alias("s"))
+        .select("user_id", "ts", F.col("s.event_id").alias("cid"),
+                F.col("s.value").alias("cval"))
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by=["user_id"], tolerance_s=3600.0
+    )
+    return joined.select(
+        "user_id", "event_id", "ts", "value",
+        F.col("cid_r").alias("click_id"),
+        F.col("ts_r").alias("click_ts"),
+        F.col("cval_r").alias("click_value"),
+    )

@@ -1,0 +1,96 @@
+"""Temporal joins Spark lacks as builtins, expressed scale-first.
+
+``asof_join`` — for each left row, the nearest right row of the same key
+at-or-before (backward) / at-or-after (forward) its timestamp, optionally
+within a tolerance. The reference joins scraped snapshots to the vote/
+rating effective at scrape time by sorting per entity and scanning
+(pandas ``merge_asof`` shape); a naive Spark translation is a range join
+(|left| x |right| per key worst case).
+
+Scale design: union-tag both sides, ONE shuffle on the ``by`` key, sort
+by (ts, side), and fill the right payload forward with
+``last(ignorenulls)``. Cost is a single hash shuffle + per-partition sort
+of |left|+|right| rows — the same plan whether the inputs are 60k rows or
+100 TB, with no pair explosion and AQE-handled skew. Tolerance is a
+post-filter that nulls the match (left semantics keep the row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    tolerance_s: float | None = None,
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the temporally nearest right
+    row per ``by`` key (``right.on <= left.on`` for backward, ``>=`` for
+    forward); unmatched left rows keep nulls.
+
+    Right columns (except ``by``) come back suffixed. Ties on ``on``
+    between the two sides resolve to the right row being visible
+    (DuckDB/pandas ``allow_exact_matches=True`` semantics). Right rows
+    with duplicate (by, on) must be pre-deduplicated by the caller if
+    deterministic output matters — the window keeps the one latest in
+    sort order.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+
+    lcols = [c for c in left.columns if c not in by]
+    rcols = [c for c in right.columns if c not in by]
+    rpay = F.struct(*[F.col(c) for c in rcols]).alias("__rpay")
+    rpay_type = right.select(rpay).schema["__rpay"].dataType
+
+    l_tagged = left.select(
+        *by,
+        F.col(on).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *lcols,
+        F.lit(None).cast(rpay_type).alias("__rpay"),
+    )
+    r_tagged = right.select(
+        *by,
+        F.col(on).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        rpay,
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # Backward: ascending ts, right rows (side 0) sort before left rows at
+    # equal ts, so an exact-ts right row is already visible. Forward is
+    # the mirror image on descending ts.
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__side").asc()]
+    else:
+        order = [F.col("__ts").desc(), F.col("__side").asc()]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("__rpay", ignorenulls=True).over(w)
+
+    if tolerance_s is not None:
+        gap = F.col("__ts").cast("double") - matched[on].cast("double")
+        if direction == "forward":
+            gap = -gap
+        matched = F.when(gap <= F.lit(float(tolerance_s)), matched)
+
+    return (
+        unioned.withColumn("__m", matched)
+        .filter(F.col("__side") == 1)
+        .select(
+            *by,
+            *[F.col(c) for c in lcols],
+            *[F.col("__m")[c].alias(f"{c}{suffix}") for c in rcols],
+        )
+    )

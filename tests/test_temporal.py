@@ -1,0 +1,72 @@
+"""asof_join semantics: backward/forward, exact-tie visibility, tolerance,
+unmatched-left null survival."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sig_etl_spark.temporal import asof_join
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p10"), (1, _ts(20), "p20"), (2, _ts(5), "p5")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100.0), (1, _ts(15), 150.0), (3, _ts(1), 999.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_backward_with_exact_tie(spark, frames):
+    left, right = frames
+    out = {
+        (r.user_id, r.tag): r.v_r
+        for r in asof_join(left, right, on="ts", by=["user_id"]).collect()
+    }
+    # exact-ts right row is visible (allow_exact_matches semantics)
+    assert out[(1, "p10")] == 100.0
+    # latest at-or-before wins
+    assert out[(1, "p20")] == 150.0
+    # user 2 has no right rows -> left row survives with null
+    assert out[(2, "p5")] is None
+
+
+def test_backward_tolerance(spark, frames):
+    left, right = frames
+    out = {
+        (r.user_id, r.tag): r.v_r
+        for r in asof_join(
+            left, right, on="ts", by=["user_id"], tolerance_s=120.0
+        ).collect()
+    }
+    assert out[(1, "p10")] == 100.0  # gap 0 <= 120s
+    assert out[(1, "p20")] is None  # gap 300s > 120s -> nulled, row kept
+    assert len(out) == 3
+
+
+def test_forward(spark, frames):
+    left, right = frames
+    out = {
+        (r.user_id, r.tag): r.v_r
+        for r in asof_join(
+            left, right, on="ts", by=["user_id"], direction="forward"
+        ).collect()
+    }
+    assert out[(1, "p10")] == 100.0  # exact tie visible forward too
+    assert out[(1, "p20")] is None  # nothing at-or-after
+    assert out[(2, "p5")] is None
+
+
+def test_bad_direction(frames):
+    left, right = frames
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="ts", by=["user_id"], direction="nearest")

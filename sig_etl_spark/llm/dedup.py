@@ -442,3 +442,75 @@ def embedding_near_dup_pairs(
     # row. localCheckpoint (not persist) so nothing stays cached after the
     # query is consumed — cache hygiene for long-lived oracle sessions.
     return scored.localCheckpoint(eager=False).filter(F.col("cosine") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    left_col: str,
+    right_col: str,
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster assignment over a near-dup pair graph: (node, cluster_id)
+    where cluster_id is the minimum node id reachable through pairs.
+
+    This is the step that turns pairwise near-dup evidence into a dedup
+    keep-list (one canonical doc per cluster) — pairs alone over-remove
+    when A~B and B~C but A!~C.
+
+    Algorithm: min-label propagation with pointer jumping. Per round,
+    every node takes the min label over itself and its neighbors (one
+    edge-join + groupBy), then short-circuits one indirection
+    (label <- label(label), one self-join) so long chains collapse in
+    O(log n) rounds rather than O(diameter). Labels decrease
+    monotonically and are bounded by the component minimum, so the
+    fixpoint is exact; iteration stops the first round nothing changes.
+
+    Scale: each round shuffles the edge list once by each endpoint and
+    the label table twice — all hash joins on ids, AQE-skew-safe, no
+    driver-side state. ``localCheckpoint`` truncates lineage so round N
+    doesn't replay rounds 1..N-1. Near-dup graphs are almost all tiny
+    stars: expect 2-4 rounds.
+
+    ``nodes``: optional (node) frame of the full id universe; ids with no
+    pairs come back as singleton clusters of themselves.
+    """
+    sym = pairs.select(
+        F.col(left_col).alias("u"), F.col(right_col).alias("v")
+    ).union(pairs.select(F.col(right_col).alias("u"), F.col(left_col).alias("v")))
+    if nodes is None:
+        nodes = sym.select(F.col("u").alias("node")).distinct()
+    cur = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+
+    for _ in range(max_iter):
+        nb_min = (
+            sym.join(cur, sym["v"] == cur["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("m"))
+        )
+        prop = (
+            cur.join(nb_min, cur["node"] == nb_min["u"], "left")
+            .select(
+                "node",
+                F.col("label").alias("old"),
+                F.least(F.col("label"), F.coalesce(F.col("m"), F.col("label"))).alias("lbl"),
+            )
+        )
+        x, y = prop.alias("x"), cur.alias("y")
+        jumped = (
+            x.join(y, F.col("x.lbl") == F.col("y.node"), "left")
+            .select(
+                F.col("x.node").alias("node"),
+                F.col("x.old").alias("old"),
+                F.least(
+                    F.col("x.lbl"),
+                    F.coalesce(F.col("y.label"), F.col("x.lbl")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = jumped.filter(F.col("label") != F.col("old")).count()
+        cur = jumped.select("node", "label")
+        if n_changed == 0:
+            break
+    return cur.select("node", F.col("label").alias("cluster_id"))

@@ -58,8 +58,9 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
 
-_JACCARD_ORACLE = rf"""
-WITH base AS (
+# CTE chain shared with llm_dedup_clusters (which builds connected
+# components on top of the same pair set).
+_JACCARD_CTES = rf"""base AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents
 ),
 sh0 AS (
@@ -79,12 +80,17 @@ co AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS co
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT id_a, id_b, co, sa.n AS n_a, sb.n AS n_b,
+         co / (sa.n + sb.n - co) AS jaccard
+  FROM co JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE co / (sa.n + sb.n - co) >= 0.5
+)"""
+
+_JACCARD_ORACLE = (
+    f"WITH {_JACCARD_CTES} SELECT id_a, id_b, co, n_a, n_b, jaccard FROM jpairs"
 )
-SELECT id_a, id_b, co, sa.n AS n_a, sb.n AS n_b,
-       co / (sa.n + sb.n - co) AS jaccard
-FROM co JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-WHERE co / (sa.n + sb.n - co) >= 0.5
-"""
 
 
 @register(
@@ -268,4 +274,59 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_near_dup_pairs(
         emb, "vec_id", "embedding", "label", threshold=0.3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster assignment: connected components over the Jaccard pair
+# graph -> one canonical doc per cluster (the dedup keep-list). Oracle:
+# DuckDB recursive CTE propagating min reachable id over the same pairs.
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM jpairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM jpairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.u, r.label FROM reach r JOIN sym s ON s.v = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id,
+       (c.doc_id = c.cluster_id) AS is_canonical,
+       s.cluster_size
+FROM comp c JOIN csize s USING (cluster_id)
+"""
+
+
+@register(
+    "llm_dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
+    doc="connected components over Jaccard near-dup pairs: cluster id,"
+        " canonical flag, cluster size for every document",
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5, max_doc_freq=100
+    ).select("id_a", "id_b")
+    comp = D.connected_components(
+        pairs, "id_a", "id_b", nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "cluster_id")
+        .select(
+            F.col("node").alias("doc_id"),
+            "cluster_id",
+            (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+            "cluster_size",
+        )
     )

@@ -77,3 +77,31 @@ def test_embedding_blocking_invariant(spark):
     assert (1, 2) in ids
     assert (1, 3) not in ids  # blocking: no cross-block comparisons
     assert all(r.cosine >= 0.9 for r in pairs)
+
+
+def test_connected_components_chain_star_singleton(spark):
+    from sig_etl_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20]],
+                                  "node long")
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(pairs, "id_a", "id_b", nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from sig_etl_spark.llm.dedup import connected_components
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs, "id_a", "id_b", max_iter=10).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert len(out) == n + 1

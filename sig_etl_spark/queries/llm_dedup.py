@@ -58,10 +58,12 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
 
-# CTE chain shared with llm_dedup_clusters (which builds connected
-# components on top of the same pair set).
-_JACCARD_CTES = rf"""base AS (
-  SELECT doc_id, {_TOKS} AS toks FROM documents
+# CTE chain shared with llm_dedup_clusters and llm_corpus_curation
+# (which build connected components on top of the same pair set, over a
+# parameterized source relation).
+def _jaccard_ctes(src: str = "documents") -> str:
+    return rf"""base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM {src}
 ),
 sh0 AS (
   SELECT doc_id,
@@ -88,8 +90,9 @@ jpairs AS (
   WHERE co / (sa.n + sb.n - co) >= 0.5
 )"""
 
+
 _JACCARD_ORACLE = (
-    f"WITH {_JACCARD_CTES} SELECT id_a, id_b, co, n_a, n_b, jaccard FROM jpairs"
+    f"WITH {_jaccard_ctes()} SELECT id_a, id_b, co, n_a, n_b, jaccard FROM jpairs"
 )
 
 
@@ -284,7 +287,7 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CLUSTERS_ORACLE = f"""
-WITH RECURSIVE {_JACCARD_CTES},
+WITH RECURSIVE {_jaccard_ctes()},
 sym AS (
   SELECT id_a AS u, id_b AS v FROM jpairs
   UNION ALL
@@ -328,5 +331,77 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id",
             (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
             "cluster_size",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation: quality gate -> near-dup pairs among the
+# survivors -> connected components -> per-document keep decision. The
+# composite a real training-data pipeline runs, as ONE declarative plan —
+# Catalyst sees filter, posting-list join, groupBys and the CC loop's
+# joins together, so the quality filter prunes the pair computation too.
+# ---------------------------------------------------------------------------
+
+_Q_THRESHOLD = 0.40
+
+# Same formula as text_analysis.quality_score(scale=None) / llm_text_stats.
+_Q_EXPR = """0.4 * least(length(text) / 500.0, 1.0)
+  + 0.3 * (CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_distinct(toks)) * 1.0 / len(toks) END)
+  + 0.3 * (CASE WHEN len(toks) = 0 THEN 0.0
+           ELSE len(list_filter(toks, t -> list_contains(
+                ['the','a','an','of','and','to','in','is','it','for'], t))) * 1.0 / len(toks) END)"""
+
+_CURATION_ORACLE = f"""
+WITH RECURSIVE q0 AS (
+  SELECT doc_id, text, {_Q_EXPR} AS quality
+  FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+),
+q AS (SELECT doc_id, text, quality FROM q0 WHERE quality >= {_Q_THRESHOLD}),
+{_jaccard_ctes("q")},
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM jpairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM jpairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM q
+  UNION
+  SELECT s.u, r.label FROM reach r JOIN sym s ON s.v = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node)
+SELECT q.doc_id, q.quality, c.cluster_id,
+       (q.doc_id = c.cluster_id) AS keep
+FROM q JOIN comp c USING (doc_id)
+"""
+
+
+@register(
+    "llm_corpus_curation",
+    oracle=_CURATION_ORACLE,
+    doc="curation pipeline: quality gate, near-dup CC over survivors,"
+        " canonical keep flag per document",
+)
+def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.llm import text_analysis as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "text", T.quality_score(F.col("text"), scale=None).alias("quality")
+    ).filter(F.col("quality") >= _Q_THRESHOLD)
+    pairs = D.ngram_jaccard_pairs(
+        q.select("doc_id", "text"), "doc_id", "text",
+        k=3, threshold=0.5, max_doc_freq=100,
+    ).select("id_a", "id_b")
+    comp = D.connected_components(
+        pairs, "id_a", "id_b", nodes=q.select(F.col("doc_id").alias("node"))
+    )
+    return (
+        q.join(comp, q["doc_id"] == comp["node"])
+        .select(
+            "doc_id",
+            "quality",
+            "cluster_id",
+            (F.col("node") == F.col("cluster_id")).alias("keep"),
         )
     )

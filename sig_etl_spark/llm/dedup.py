@@ -475,9 +475,14 @@ def connected_components(
     ``nodes``: optional (node) frame of the full id universe; ids with no
     pairs come back as singleton clusters of themselves.
     """
-    sym = pairs.select(
-        F.col(left_col).alias("u"), F.col(right_col).alias("v")
-    ).union(pairs.select(F.col(right_col).alias("u"), F.col(left_col).alias("v")))
+    # One-time barrier: sym is re-read twice per round across every round;
+    # without it each iteration replays the entire upstream pair pipeline
+    # (posting-list joins, groupBys) from scratch.
+    sym = (
+        pairs.select(F.col(left_col).alias("u"), F.col(right_col).alias("v"))
+        .union(pairs.select(F.col(right_col).alias("u"), F.col(left_col).alias("v")))
+        .localCheckpoint()
+    )
     if nodes is None:
         nodes = sym.select(F.col("u").alias("node")).distinct()
     cur = nodes.select("node", F.col("node").alias("label")).localCheckpoint()

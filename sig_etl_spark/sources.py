@@ -62,16 +62,18 @@ def jdbc_query(
     reference's pushdown. For big dimensions pass partition_column +
     bounds to parallelize the read.
     """
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("query", query)
-    )
+    reader = spark.read.format("jdbc").option("url", url)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
-    if partition_column is not None:
+    if partition_column is None:
+        reader = reader.option("query", query)
+    else:
+        # Spark rejects `query` combined with partitionColumn; a derived
+        # table under `dbtable` is the supported spelling (the partition
+        # predicates are ANDed onto the outer select).
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) spark_q")
+            .option("partitionColumn", partition_column)
             .option("numPartitions", num_partitions)
             .option("lowerBound", lower_bound)
             .option("upperBound", upper_bound)

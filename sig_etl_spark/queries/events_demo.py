@@ -153,3 +153,59 @@ def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_r").alias("click_ts"),
         F.col("cval_r").alias("click_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join: views falling inside a +-30-minute window around an error of
+# the same user (incident correlation). temporal.range_join buckets both
+# sides onto the time grid so the pairing is an equi-join + residual
+# filter; the oracle is the plain inequality join DuckDB can afford at
+# sf0.01.
+# ---------------------------------------------------------------------------
+
+_RANGE_ORACLE = """
+WITH v AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'view'
+),
+e AS (
+  SELECT user_id, event_id AS err_id,
+         CAST(ts AS TIMESTAMP) - INTERVAL 30 MINUTE AS w_start,
+         CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS w_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT v.user_id, v.event_id, v.ts, e.err_id, e.w_start, e.w_end
+FROM v JOIN e ON v.user_id = e.user_id
+              AND e.w_start <= v.ts AND v.ts <= e.w_end
+"""
+
+
+@register(
+    "events_range_join",
+    oracle=_RANGE_ORACLE,
+    doc="bucketized interval join: views inside +-30min error windows per"
+        " user; equi-join on (user, time bucket) + residual filter",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    joined = range_join(
+        views, errors, left_ts="ts", right_start="w_start",
+        right_end="w_end", by=["user_id"], bucket_s=1800,
+    )
+    return joined.select(
+        "user_id", "event_id", "ts",
+        F.col("err_id_r").alias("err_id"),
+        F.col("w_start_r").alias("w_start"),
+        F.col("w_end_r").alias("w_end"),
+    )

@@ -94,3 +94,55 @@ def asof_join(
             *[F.col("__m")[c].alias(f"{c}{suffix}") for c in rcols],
         )
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    by: list[str] | None = None,
+    bucket_s: int = 300,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval-containment join: left rows paired with every right
+    interval where ``right_start <= left_ts <= right_end`` (and ``by``
+    keys match). One output row per (left row, containing interval).
+
+    A naive theta-join is |left| x |right| per key. Here both sides map
+    onto coarse time buckets — the interval explodes to the buckets it
+    spans (``bucket_s`` wide), the point to exactly one — so the pairing
+    is an equi-join on (by…, bucket) plus a residual filter, and each
+    (row, interval) candidate pair arises exactly once (the point's
+    single bucket). Shuffle cost is |left| + |intervals| x spanned
+    buckets; pick ``bucket_s`` near the typical interval length so the
+    span factor stays small. Degenerate (end < start) intervals drop out.
+    """
+    by = by or []
+    b = float(bucket_s)
+    lcols = [c for c in left.columns]
+    rcols = [c for c in right.columns if c not in by]
+
+    l_b = left.withColumn(
+        "__bucket", F.floor(F.col(left_ts).cast("double") / b).cast("long")
+    )
+    r_b = (
+        right.filter(F.col(right_start) <= F.col(right_end))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(right_start).cast("double") / b).cast("long"),
+                    F.floor(F.col(right_end).cast("double") / b).cast("long"),
+                )
+            ),
+        )
+        .select(*by, "__bucket", *[F.col(c).alias(f"{c}{suffix}") for c in rcols])
+    )
+    joined = l_b.join(r_b, [*by, "__bucket"]).filter(
+        (F.col(f"{right_start}{suffix}") <= F.col(left_ts))
+        & (F.col(left_ts) <= F.col(f"{right_end}{suffix}"))
+    )
+    return joined.select(*by, *[c for c in lcols if c not in by],
+                         *[f"{c}{suffix}" for c in rcols])

@@ -70,3 +70,27 @@ def test_bad_direction(frames):
     left, right = frames
     with pytest.raises(ValueError):
         asof_join(left, right, on="ts", by=["user_id"], direction="nearest")
+
+
+def test_range_join_bucket_edges(spark):
+    from sig_etl_spark.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 299.0, "b"), (1, 300.0, "c"), (2, 50.0, "d")],
+        "k long, ts double, tag string",
+    )
+    right = spark.createDataFrame(
+        # interval spanning a bucket edge; one fully inside; one degenerate
+        [(1, 250.0, 350.0, "r1"), (1, 0.0, 20.0, "r2"), (2, 60.0, 40.0, "bad")],
+        "k long, lo double, hi double, rtag string",
+    )
+    out = range_join(
+        left, right, left_ts="ts", right_start="lo", right_end="hi",
+        by=["k"], bucket_s=100,
+    )
+    pairs = sorted((r.tag, r.rtag_r) for r in out.collect())
+    # a@10 in r2; b@299 + c@300 in r1 (both sides of the 300 bucket edge);
+    # degenerate interval matches nothing
+    assert pairs == [("a", "r2"), ("b", "r1"), ("c", "r1")]
+    # no duplicate pairs despite r1 spanning two buckets
+    assert len(pairs) == len(set(pairs))

@@ -209,3 +209,71 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w_start_r").alias("w_start"),
         F.col("w_end_r").alias("w_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution rollup (hypertable-style continuous-aggregate shape):
+# day x event_type with ROLLUP subtotals and a grouping id, the coarse
+# tiers reaggregated from the same scan. Decimal-stable sums keep the
+# value hash partition-count-independent.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       GROUPING(date_trunc('day', ts), event_type) AS gid,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+"""
+
+
+@register(
+    "events_rollup_sets",
+    oracle=_ROLLUP_ORACLE,
+    doc="ROLLUP grouping sets: day x type, per-day subtotal, grand total"
+        " with grouping_id",
+)
+def events_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return (
+        ev.rollup(day, F.col("event_type"))
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,10)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles per event type: Spark's exact percentile (sort-based)
+# vs DuckDB quantile_cont — both linear interpolation over the sorted
+# values, so the doubles agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_QUANTILE_ORACLE = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       MIN(value) AS vmin, MAX(value) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "events_quantiles",
+    oracle=_QUANTILE_ORACLE,
+    doc="exact p50/p95 per event type (sort-based percentile, not approx)",
+)
+def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )

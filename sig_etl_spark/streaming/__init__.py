@@ -14,5 +14,6 @@ from sig_etl_spark.streaming.pipeline import (  # noqa: F401
     run_available_now,
     running_user_totals,
     session_windows,
+    stream_dedup,
     windowed_counts,
 )

@@ -156,3 +156,25 @@ def run_available_now(
         q.stop()
         raise TimeoutError(f"stream {query_name} did not finish in {timeout_s}s")
     return [pdf for _, pdf in sorted(batches, key=lambda t: t[0])]
+
+
+def stream_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose key was already seen within
+    the watermark horizon — at-least-once file/queue delivery becomes
+    effectively-once downstream (the streaming twin of llm/dedup's
+    exact_dedup for continuous ingestion).
+
+    State is keyed by ``key_cols`` and expires with the watermark, so
+    memory is bounded by keys-per-horizon, not stream lifetime; size the
+    watermark to the source's maximum redelivery lag. Survivor = first
+    arrival (processing order), matching the reference's skip-seen
+    accumulation.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -133,3 +133,33 @@ def test_streaming_session_windows_match_batch(spark, landing):
     assert len(final) == len(batch)
     for r in final.itertuples(index=False):
         assert batch[(r.user_id, pd.Timestamp(r.session_start))] == r.n_events
+
+
+def test_stream_dedup_across_redelivery(spark, landing):
+    """At-least-once delivery: the same file content re-arrives under a
+    new name; dropDuplicatesWithinWatermark emits each event_id once."""
+    from sig_etl_spark.streaming import stream_dedup
+
+    land, extra, ckpt = landing
+    stream = read_event_stream(spark, land)
+    # watermark wider than the table's full time span: no row is late,
+    # so every suppression below is the dedup state, not late filtering
+    deduped = stream_dedup(stream, key_cols=("event_id",), watermark="400 days")
+
+    b1 = run_available_now(deduped, ckpt, "dedup_b1", output_mode="append")
+    n1 = sum(len(b) for b in b1)
+
+    # redeliver batch 1's file under a new name + deliver the second half
+    for f in os.listdir(land):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(land, f), os.path.join(land, "redeliver_" + f))
+    _deliver(extra, land)
+    stream2 = read_event_stream(spark, land)
+    deduped2 = stream_dedup(stream2, key_cols=("event_id",), watermark="400 days")
+    b2 = run_available_now(deduped2, ckpt, "dedup_b2", output_mode="append")
+    n2 = sum(len(b) for b in b2)
+
+    seen = pd.concat([pdf for pdf in b1 + b2], ignore_index=True)
+    assert n1 + n2 == seen["event_id"].nunique(), "emitted a duplicate event_id"
+    # the redelivered half was fully suppressed: batch 2 emitted only the rest
+    assert n2 == seen["event_id"].nunique() - n1

@@ -94,3 +94,52 @@ def test_range_join_bucket_edges(spark):
     assert pairs == [("a", "r2"), ("b", "r1"), ("c", "r1")]
     # no duplicate pairs despite r1 spanning two buckets
     assert len(pairs) == len(set(pairs))
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property: asof_join == pandas.merge_asof on random inputs."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        nl, nr = 60, 40
+        lp = pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, nl),
+                "ts": rng.integers(0, 1000, nl).astype("float64"),
+                "lv": np.arange(nl, dtype="int64"),
+            }
+        )
+        rp = pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, nr),
+                "ts": rng.integers(0, 1000, nr).astype("float64"),
+                "rv": np.arange(nr, dtype="int64"),
+            }
+        )
+        # unique (k, ts) on the right: asof tie-handling is otherwise
+        # engine-defined (documented contract requires pre-dedup)
+        rp = rp.drop_duplicates(["k", "ts"])
+        exp = pd.merge_asof(
+            lp.sort_values(["ts", "lv"]).reset_index(drop=True),
+            rp.sort_values("ts").reset_index(drop=True),
+            on="ts", by="k", direction="backward", suffixes=("", "_r"),
+        )
+        exp_map = dict(zip(exp["lv"], exp["rv"]))
+
+        left = spark.createDataFrame(lp)
+        right = spark.createDataFrame(rp)
+        from sig_etl_spark.temporal import asof_join
+
+        got = {
+            r.lv: r.rv_r
+            for r in asof_join(left, right, on="ts", by=["k"]).collect()
+        }
+        assert len(got) == nl
+        for lv, rv in got.items():
+            e = exp_map[lv]
+            if rv is None:
+                assert pd.isna(e), (trial, lv, e)
+            else:
+                assert e == rv, (trial, lv, e, rv)

@@ -518,4 +518,12 @@ def connected_components(
         cur = jumped.select("node", "label")
         if n_changed == 0:
             break
+    else:
+        # Returning labels above the component minimum would silently
+        # split clusters (a keep-list would keep several "canonical"
+        # docs per real cluster) — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (pointer jumping needs ~log2(diameter) rounds)"
+        )
     return cur.select("node", F.col("label").alias("cluster_id"))

@@ -210,8 +210,11 @@ def ivf_topk(
                 F.col("query_id_norm2"), F.col("corpus_id_norm2"),
             ).alias("cosine"),
         )
-        .dropDuplicates(["query_id", "corpus_id"])
     )
+    # No dedup needed: each corpus vector lives in exactly one cell
+    # (rank<=1) and a query probes distinct cells, so a (query, corpus)
+    # pair arises at most once — a dropDuplicates here would be a wasted
+    # full shuffle of the candidate set.
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
     return (
         cands.withColumn("rank", F.row_number().over(w))

@@ -213,8 +213,16 @@ def _landing_dir(spark: SparkSession) -> str:
     import os
 
     d = "/root/repo/.landing_demo"
+    # Version the fixture by its generating constants: editing the page
+    # count or state cycle invalidates the cache instead of silently
+    # serving stale files against a freshly built oracle.
     done = os.path.join(d, ".complete")
-    if not os.path.exists(done):
+    version = f"{_N_PAGES}:{','.join(_LANDING_STATES)}"
+    stale = True
+    if os.path.exists(done):
+        with open(done) as f:
+            stale = f.read() != version
+    if stale:
         os.makedirs(d, exist_ok=True)
         for i in range(_N_PAGES):
             state = _LANDING_STATES[i % len(_LANDING_STATES)]
@@ -232,7 +240,7 @@ def _landing_dir(spark: SparkSession) -> str:
             with open(os.path.join(d, f"page_{state}_{i}.txt"), "w") as f:
                 f.write("not html")
         with open(done, "w") as f:
-            f.write("ok")
+            f.write(version)
     # Deterministic mtimes (base + page index) so O1's most-recent-first
     # ordering is reproducible; re-applied every call because filesystem
     # copies / checkouts don't preserve them.
@@ -376,13 +384,15 @@ def _excel_dim(spark: SparkSession):
 
     d = "/root/repo/.excel_demo"
     path = os.path.join(d, "dim.xlsx")
-    if not os.path.exists(path):
-        os.makedirs(d, exist_ok=True)
-        write_xlsx(
-            path,
-            ["zip", "state_id"],
-            [[_XLSX_ZIPS[i], s] for i, s in enumerate(_XLSX_STATES)],
-        )
+    # Rewritten unconditionally: the file is dim-sized and written on the
+    # driver, and an unconditional write can never serve a stale fixture
+    # after the _XLSX_* constants (and thus the oracle SQL) change.
+    os.makedirs(d, exist_ok=True)
+    write_xlsx(
+        path,
+        ["zip", "state_id"],
+        [[_XLSX_ZIPS[i], s] for i, s in enumerate(_XLSX_STATES)],
+    )
     return read_excel(spark, path)
 
 

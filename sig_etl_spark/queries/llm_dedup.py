@@ -61,7 +61,10 @@ _TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
 # CTE chain shared with llm_dedup_clusters and llm_corpus_curation
 # (which build connected components on top of the same pair set, over a
 # parameterized source relation).
-def _jaccard_ctes(src: str = "documents") -> str:
+def _shingle_ctes(src: str = "documents") -> str:
+    """base + distinct 3-gram shingles (sh0) — the tokenize/shingle step
+    shared by the Jaccard, MinHash and clustering oracles; one point of
+    change for the shingling arithmetic."""
     return rf"""base AS (
   SELECT doc_id, {_TOKS} AS toks FROM {src}
 ),
@@ -74,7 +77,11 @@ sh0 AS (
                 ELSE [array_to_string(toks, ' ')]
            END)) AS shingle
   FROM base
-),
+)"""
+
+
+def _jaccard_ctes(src: str = "documents") -> str:
+    return rf"""{_shingle_ctes(src)},
 freq AS (SELECT shingle, COUNT(*) AS df_ FROM sh0 GROUP BY shingle),
 sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN freq USING (shingle) WHERE df_ <= 100),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -122,22 +129,12 @@ _PERM_VALUES = ",".join(
 )
 
 _MINHASH_ORACLE = rf"""
-WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-sh AS (
-  SELECT doc_id,
-         unnest(list_distinct(
-           CASE WHEN len(toks) - 2 >= 1
-                THEN list_transform(generate_series(1, len(toks) - 2),
-                                    i -> array_to_string(toks[i:i+2], ' '))
-                ELSE [array_to_string(toks, ' ')]
-           END)) AS shingle
-  FROM base
-),
+WITH {_shingle_ctes()},
 hx AS (
   SELECT doc_id,
          CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
               % 2147483647 AS BIGINT) AS x
-  FROM sh
+  FROM sh0
 ),
 perms(i, a, b) AS (VALUES {_PERM_VALUES}),
 mh AS (

@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from sig_etl_spark import vsdb
 from sig_etl_spark.extract.spark_io import reindex
-from sig_etl_spark.functions.text import normalize_via_map
 from sig_etl_spark.queries import register
 from sig_etl_spark.tables import load_table
 
@@ -103,12 +102,16 @@ def vsdb_election_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S13/J3: two-column office list -> driver dict -> literal-map lookup
     # (the reference builds {office_id: name} and indexes it per row).
     ref_map = vsdb.as_reference_map(vsdb.office_list(office), "office_id", "name")
-    office_name = normalize_via_map(
+    # Literal-map lookup with an explicit null-on-miss (LEFT JOIN
+    # semantics). Comparing normalize_via_map's pass-through output to
+    # its input would misfire on identity mappings (a name equal to its
+    # id string); try_element_at distinguishes miss (null) from identity.
+    office_name = F.try_element_at(
+        F.create_map(
+            *[F.lit(x) for kv in ref_map.items() for x in (str(kv[0]), kv[1])]
+        ),
         F.col("office_id").cast("string"),
-        {str(k): v for k, v in ref_map.items()},
     )
-    # unmapped ids (>= 25 never occur: office_id = orderkey % 25) resolve
-    # through the map; the cast-back keeps the pass-through contract honest
     return kept.select(
         "candidate_id",
         "candidate_name",
@@ -117,8 +120,7 @@ def vsdb_election_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage",
         "state_id",
         "office_id",
-        F.when(office_name != F.col("office_id").cast("string"), office_name)
-        .alias("office_name"),
+        office_name.alias("office_name"),
     )
 
 

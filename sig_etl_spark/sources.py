@@ -124,10 +124,21 @@ def _read_xlsx_rows(path: str, sheet: int = 0) -> list[list[str | None]]:
             root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
             for si in root.findall("m:si", ns):
                 shared.append("".join(t.text or "" for t in si.iter(f"{{{ns['m']}}}t")))
+        # Numeric sort: lexicographic ordering puts sheet10 before sheet2,
+        # silently remapping indexes in 10+-sheet workbooks.
+        import re as _re
+
+        def _sheet_no(n: str) -> tuple[int, str]:
+            m = _re.search(r"sheet(\d+)\.xml$", n)
+            return (int(m.group(1)) if m else 1 << 30, n)
+
         sheets = sorted(
-            n
-            for n in zf.namelist()
-            if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+            (
+                n
+                for n in zf.namelist()
+                if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+            ),
+            key=_sheet_no,
         )
         if not sheets:
             raise ValueError(f"{path}: no worksheets found")

@@ -56,6 +56,10 @@ def asof_join(
         *lcols,
         F.lit(None).cast(rpay_type).alias("__rpay"),
     )
+    # Null-ts right rows would sort before every real row (asc, nulls
+    # first) and fabricate matches for otherwise-unmatched left rows;
+    # pandas merge_asof rejects null keys, DuckDB ASOF returns no match.
+    right = right.filter(F.col(on).isNotNull())
     r_tagged = right.select(
         *by,
         F.col(on).alias("__ts"),
@@ -77,7 +81,12 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = F.last("__rpay", ignorenulls=True).over(w)
+    # A null left timestamp matches nothing (it has no place on the time
+    # axis; under forward/desc ordering it would otherwise trail the
+    # whole partition and see every right row).
+    matched = F.when(
+        F.col("__ts").isNotNull(), F.last("__rpay", ignorenulls=True).over(w)
+    )
 
     if tolerance_s is not None:
         gap = F.col("__ts").cast("double") - matched[on].cast("double")

@@ -105,3 +105,15 @@ def test_connected_components_long_chain_converges(spark):
     out = connected_components(pairs, "id_a", "id_b", max_iter=10).collect()
     assert {r.cluster_id for r in out} == {0}
     assert len(out) == n + 1
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    from sig_etl_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, "id_a", "id_b", max_iter=1)

@@ -192,3 +192,32 @@ def test_jdbc_query_partitioned_read(spark, derby_url):
     assert df.rdd.getNumPartitions() == 4
     assert df.count() == 20
     assert sorted(r.ID for r in df.collect()) == list(range(20))
+
+
+def test_read_excel_sheet_index_numeric_order(spark, tmp_path):
+    """sheet=N must map to sheetN+1.xml numerically, not lexicographically
+    (sheet10.xml sorts before sheet2.xml as a string)."""
+    import zipfile
+
+    from sig_etl_spark.sources import read_excel
+
+    path = str(tmp_path / "many.xlsx")
+
+    def sheet_xml(tag):
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            '<sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>name</t></is></c></row>'
+            f'<row r="2"><c r="A2" t="inlineStr"><is><t>{tag}</t></is></c></row>'
+            "</sheetData></worksheet>"
+        )
+
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", _XLSX_CONTENT_TYPES)
+        zf.writestr("_rels/.rels", _XLSX_RELS)
+        zf.writestr("xl/workbook.xml", _XLSX_WORKBOOK)
+        for i in range(1, 13):
+            zf.writestr(f"xl/worksheets/sheet{i}.xml", sheet_xml(f"s{i}"))
+
+    assert read_excel(spark, path, sheet=1).collect()[0].name == "s2"
+    assert read_excel(spark, path, sheet=9).collect()[0].name == "s10"

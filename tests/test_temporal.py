@@ -143,3 +143,27 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                 assert pd.isna(e), (trial, lv, e)
             else:
                 assert e == rv, (trial, lv, e, rv)
+
+
+def test_asof_null_timestamps_match_nothing(spark):
+    from sig_etl_spark.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100.0, "ok"), (1, None, "null_ts")],
+        "k long, ts double, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 999.0), (1, 50.0, 1.0)],
+        "k long, ts double, v double",
+    )
+    for direction in ("backward", "forward"):
+        out = {
+            r.tag: r.v_r
+            for r in asof_join(
+                left, right, on="ts", by=["k"], direction=direction
+            ).collect()
+        }
+        # null-ts left row survives but matches nothing, in both directions
+        assert out["null_ts"] is None
+        # null-ts right row is never a match candidate
+        assert out["ok"] == (1.0 if direction == "backward" else None)

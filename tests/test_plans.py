@@ -1,0 +1,92 @@
+"""Physical-plan regression guards for scale-critical properties.
+
+These assert the *shape* Spark compiles, not timings: filters reach the
+parquet scan, small dims broadcast, keep-first aggregates keep their
+map-side partial, and shuffle counts stay at the designed minimum. A
+regression here is a 100 TB problem long before it is a benchmark
+problem. Assertions are deliberately loose (substring checks) to survive
+cosmetic plan-format changes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from sig_etl_spark.queries import QUERIES, _load_all
+from sig_etl_spark.tables import load_table
+
+_load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    import contextlib
+    import io
+
+    df = QUERIES[name].builder(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def _count_op(plan: str, op: str) -> int:
+    """Count operator instances via the numbered detail lines ("(17)
+    Window"), which list each node exactly once."""
+    return len(re.findall(rf"^\(\d+\) {op}\b", plan, re.M))
+
+
+def test_projection_filter_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "proj_filter_parts")
+    assert "PushedFilters: [" in plan
+    # at least one real predicate reached the scan (not an empty list)
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "no filters pushed to the parquet scan"
+
+
+def test_flagship_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_latest_order")
+    # lineitem has 16 columns; the scan must not read them all
+    for chunk in plan.split("ReadSchema: ")[1:]:
+        schema = chunk.splitlines()[0]
+        assert schema.count(",") < 12, f"scan reads too many columns: {schema}"
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ["excel_dim_join", "j_master_detail_parts", "flagship_latest_order"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: dim join not broadcast"
+
+
+def test_keep_first_has_partial_aggregate(spark, sf_dir):
+    for name in ["j2_composite_key_merge", "dedupe_first_order_per_customer"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "partial_min" in plan, f"{name}: lost map-side combine"
+        assert "Window" not in plan, f"{name}: regressed to a window plan"
+
+
+def test_asof_join_single_shuffle_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_asof_purchase_click")
+    # one window pass over the union; no pair-explosion joins
+    assert _count_op(plan, "Window") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_range_join")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exchange_budget(spark, sf_dir):
+    """Shuffle-count ceilings for the core relational queries. These are
+    the designed plans' counts; going UP means a new shuffle snuck in."""
+    budget = {
+        "proj_filter_parts": 0,
+        "dedupe_first_order_per_customer": 1,
+        "agg_vote_counts": 1,
+        "w_latest_session": 2,
+        "j2_composite_key_merge": 1,  # + broadcast side
+    }
+    for name, maxn in budget.items():
+        plan = _plan(spark, sf_dir, name)
+        n = len(re.findall(r"Arguments: hashpartitioning", plan))
+        assert n <= maxn, f"{name}: {n} hash shuffles (budget {maxn})"

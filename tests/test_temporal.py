@@ -167,3 +167,48 @@ def test_asof_null_timestamps_match_nothing(spark):
         assert out["null_ts"] is None
         # null-ts right row is never a match candidate
         assert out["ok"] == (1.0 if direction == "backward" else None)
+
+
+def test_range_join_matches_bruteforce(spark):
+    """Property: bucketized range_join == brute-force interval filter,
+    for several bucket widths (edge alignment must not matter)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    lp = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 80),
+            "ts": rng.uniform(0, 1000, 80),
+            "lv": np.arange(80, dtype="int64"),
+        }
+    )
+    lo = rng.uniform(0, 950, 30)
+    rp = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 30),
+            "lo": lo,
+            "hi": lo + rng.uniform(0, 120, 30),
+            "rv": np.arange(30, dtype="int64"),
+        }
+    )
+    merged = lp.merge(rp, on="k")
+    brute = set(
+        zip(
+            merged.loc[(merged.lo <= merged.ts) & (merged.ts <= merged.hi), "lv"],
+            merged.loc[(merged.lo <= merged.ts) & (merged.ts <= merged.hi), "rv"],
+        )
+    )
+
+    from sig_etl_spark.temporal import range_join
+
+    left, right = spark.createDataFrame(lp), spark.createDataFrame(rp)
+    for bucket_s in (7, 50, 300, 2000):
+        got = {
+            (r.lv, r.rv_r)
+            for r in range_join(
+                left, right, left_ts="ts", right_start="lo", right_end="hi",
+                by=["k"], bucket_s=bucket_s,
+            ).collect()
+        }
+        assert got == brute, f"bucket_s={bucket_s}"

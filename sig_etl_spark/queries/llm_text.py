@@ -76,6 +76,16 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# min-shingle fingerprint over a `toks`/`n` relation — shared by the
+# fingerprint query and llm_decontaminate.
+_FP_EXPR = r"""CASE WHEN n >= 1
+            THEN list_aggregate(
+                   list_transform(generate_series(1, n),
+                                  i -> md5(array_to_string(toks[i:i+2], ' '))),
+                   'min')
+            ELSE md5(array_to_string(toks, ' '))
+       END"""
+
 _FP_ORACLE = rf"""
 WITH base AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -86,13 +96,7 @@ s AS (
 )
 SELECT doc_id,
        md5(array_to_string(toks, ' ')) AS exact_key,
-       CASE WHEN n >= 1
-            THEN list_aggregate(
-                   list_transform(generate_series(1, n),
-                                  i -> md5(array_to_string(toks[i:i+2], ' '))),
-                   'min')
-            ELSE md5(array_to_string(toks, ' '))
-       END AS fingerprint
+       {_FP_EXPR} AS fingerprint
 FROM s
 """
 
@@ -110,3 +114,123 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.exact_hash(text).alias("exact_key"),
         T.fingerprint(text, k=3).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building: corpus-wide token frequency + document frequency,
+# top 200 by count. The aggregation is the canonical map-side-combine
+# shape; the top-k is TakeOrdered (no global sort materialized), with the
+# token in the sort key so the cut is deterministic under ties.
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 200
+
+_VOCAB_ORACLE = rf"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM base),
+agg AS (
+  SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS doc_freq
+  FROM tok GROUP BY token
+)
+SELECT token, n, doc_freq
+FROM (SELECT *, row_number() OVER (ORDER BY n DESC, token) AS rn FROM agg)
+WHERE rn <= {_VOCAB_K}
+"""
+
+
+@register(
+    "llm_vocab_topk",
+    oracle=_VOCAB_ORACLE,
+    doc="vocabulary build: token count + doc frequency, deterministic"
+        " top-200",
+)
+def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
+    )
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    return agg.orderBy(F.col("n").desc(), "token").limit(_VOCAB_K)
+
+
+# ---------------------------------------------------------------------------
+# Reproducible corpus split: hash-mod bucketing on content (never
+# random()) — the same document lands in the same split on any engine,
+# cluster size, or rerun. This is how big pipelines carve held-out sets.
+# ---------------------------------------------------------------------------
+
+_SPLIT_SALT = "corpus-split-v1"
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(text || '{_SPLIT_SALT}'), 1, 15)) AS UBIGINT)
+            % 100 AS BIGINT) AS bucket,
+       CASE WHEN CAST(('0x' || substr(md5(text || '{_SPLIT_SALT}'), 1, 15)) AS UBIGINT) % 100 < 10 THEN 'test'
+            WHEN CAST(('0x' || substr(md5(text || '{_SPLIT_SALT}'), 1, 15)) AS UBIGINT) % 100 < 20 THEN 'valid'
+            ELSE 'train'
+       END AS split
+FROM documents
+"""
+
+
+@register(
+    "llm_reproducible_split",
+    oracle=_SPLIT_ORACLE,
+    doc="content-hash-mod train/valid/test split (deterministic across"
+        " engines and cluster sizes)",
+)
+def llm_reproducible_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.functions.hashing import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash60(
+        F.concat(F.col("text"), F.lit(_SPLIT_SALT))
+    ) % 100
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 10, "test")
+        .when(bucket < 20, "valid")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: drop training docs that share a min-shingle
+# fingerprint with the (pseudo) benchmark set — the overlap-removal step
+# every training corpus runs against eval suites. Anti-join on the
+# fingerprint key; the benchmark side is dimension-sized and broadcasts.
+# ---------------------------------------------------------------------------
+
+_DECON_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+s AS (SELECT doc_id, toks, len(toks) - 2 AS n FROM base),
+fp AS (SELECT doc_id, {_FP_EXPR} AS fingerprint FROM s),
+bench AS (SELECT fingerprint FROM fp WHERE doc_id % 97 = 0),
+train AS (SELECT * FROM fp WHERE doc_id % 97 <> 0)
+SELECT t.doc_id, t.fingerprint
+FROM train t
+WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.fingerprint = t.fingerprint)
+"""
+
+
+@register(
+    "llm_decontaminate",
+    oracle=_DECON_ORACLE,
+    doc="benchmark decontamination: anti-join training docs against the"
+        " eval set on min-shingle fingerprints",
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", T.fingerprint(F.col("text"), k=3).alias("fingerprint")
+    )
+    bench = fp.filter(F.col("doc_id") % 97 == 0).select("fingerprint")
+    train = fp.filter(F.col("doc_id") % 97 != 0)
+    return train.join(F.broadcast(bench), "fingerprint", "left_anti")

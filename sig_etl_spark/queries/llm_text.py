@@ -234,3 +234,63 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = fp.filter(F.col("doc_id") % 97 == 0).select("fingerprint")
     train = fp.filter(F.col("doc_id") % 97 != 0)
     return train.join(F.broadcast(bench), "fingerprint", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document. The idf is the rational (N+1)/(df+1) —
+# log-free, because * and / are IEEE-exact in both engines while libm ln
+# differs in the last ulp; the ranking is identical and the hash check
+# stays bit-exact. Corpus size N rides in as a broadcast scalar.
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+_TFIDF_ORACLE = rf"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM base),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df_ FROM tok GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ((n.n_docs + 1.0) / (df.df_ + 1.0)) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tfidf, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rank
+      FROM scored)
+WHERE rank <= {_TFIDF_K}
+"""
+
+
+@register(
+    "llm_tfidf_top_terms",
+    oracle=_TFIDF_ORACLE,
+    doc="tf-idf (rational idf) top-3 characteristic terms per document",
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df_"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * ((F.col("n_docs") + 1.0) / (F.col("df_") + 1.0))).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .select("doc_id", "token", "tfidf", "rank")
+    )

@@ -389,7 +389,7 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the gated corpus once: it feeds three branches (pair
     # generation, the node universe, the final join) and at scale is a
     # real pipeline stage, not a recomputable view.
-    q = q.localCheckpoint()
+    q = q.localCheckpoint(eager=False)
     pairs = D.ngram_jaccard_pairs(
         q.select("doc_id", "text"), "doc_id", "text",
         k=3, threshold=0.5, max_doc_freq=100,

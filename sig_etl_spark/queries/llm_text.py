@@ -277,7 +277,10 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df_"))
+    # tf already holds one row per (doc, token): derive document frequency
+    # from it rather than re-exploding the corpus (and skip countDistinct's
+    # two-phase expand) — halves the tokenize/explode work.
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df_, "token")

@@ -12,10 +12,7 @@ from __future__ import annotations
 
 import re
 
-from sig_etl_spark.queries import QUERIES, _load_all
-from sig_etl_spark.tables import load_table
-
-_load_all()
+from sig_etl_spark.queries import QUERIES
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -43,12 +40,19 @@ def test_projection_filter_pushdown(spark, sf_dir):
     assert pushed.strip(), "no filters pushed to the parquet scan"
 
 
-def test_flagship_prunes_columns(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "flagship_latest_order")
-    # lineitem has 16 columns; the scan must not read them all
-    for chunk in plan.split("ReadSchema: ")[1:]:
-        schema = chunk.splitlines()[0]
-        assert schema.count(",") < 12, f"scan reads too many columns: {schema}"
+def test_lineitem_scan_prunes_columns(spark, sf_dir):
+    # j2 reads 5 of lineitem's 11 columns; the scan schema must show the
+    # pruned set, not the full table
+    plan = _plan(spark, sf_dir, "j2_composite_key_merge")
+    li_schemas = [
+        chunk.splitlines()[0]
+        for chunk in plan.split("ReadSchema: ")[1:]
+        if "l_orderkey" in chunk.splitlines()[0]
+    ]
+    assert li_schemas, "no lineitem scan found in plan"
+    for schema in li_schemas:
+        # 5 fields = 4 commas; decimal(12,2) adds one more
+        assert schema.count(",") <= 5, f"lineitem scan not pruned: {schema}"
 
 
 def test_dim_joins_broadcast(spark, sf_dir):

@@ -277,3 +277,69 @@ def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel: per user, the first signup, the first click at or
+# after it, and the first purchase at or after that — the ordered-stage
+# analysis a behavioral pipeline runs. One hash shuffle on user_id; the
+# three stage timestamps are windowed conditional mins over the same
+# partition (no joins, no re-shuffles), then one row per user.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t1 AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS click_ts
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= t1.signup_ts
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS purchase_ts
+  FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= t2.click_ts
+  GROUP BY e.user_id
+)
+SELECT u.user_id, t1.signup_ts, t2.click_ts, t3.purchase_ts
+FROM u
+LEFT JOIN t1 USING (user_id)
+LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id)
+"""
+
+
+@register(
+    "events_funnel",
+    oracle=_FUNNEL_ORACLE,
+    doc="signup->click->purchase funnel: ordered conditional stage mins,"
+        " one shuffle on user_id",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    byu = Window.partitionBy("user_id")
+    signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(byu)
+    e1 = ev.select("user_id", "ts", "event_type", signup.alias("signup_ts"))
+    click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("signup_ts")),
+            F.col("ts"),
+        )
+    ).over(byu)
+    e2 = e1.select("user_id", "ts", "event_type", "signup_ts", click.alias("click_ts"))
+    purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("click_ts")),
+            F.col("ts"),
+        )
+    ).over(byu)
+    e3 = e2.select("user_id", "signup_ts", "click_ts", purchase.alias("purchase_ts"))
+    return e3.groupBy("user_id").agg(
+        F.first("signup_ts").alias("signup_ts"),
+        F.first("click_ts").alias("click_ts"),
+        F.first("purchase_ts").alias("purchase_ts"),
+    )

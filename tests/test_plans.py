@@ -89,6 +89,7 @@ def test_exchange_budget(spark, sf_dir):
         "agg_vote_counts": 1,
         "w_latest_session": 2,
         "j2_composite_key_merge": 1,  # + broadcast side
+        "events_funnel": 1,  # windows + final agg share one partitioning
     }
     for name, maxn in budget.items():
         plan = _plan(spark, sf_dir, name)

@@ -343,3 +343,38 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("click_ts").alias("click_ts"),
         F.first("purchase_ts").alias("purchase_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: daily event counts, one column per event type — the wide
+# reporting shape. Spark's pivot with an explicit value list stays a
+# single groupBy (no second pass to discover columns); the oracle is the
+# equivalent conditional aggregation.
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       {", ".join(
+           f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+           for t in _EVENT_TYPES
+       )}
+FROM events GROUP BY 1
+"""
+
+
+@register(
+    "events_pivot",
+    oracle=_PIVOT_ORACLE,
+    doc="pivot: daily counts, one column per event type (explicit value"
+        " list keeps it single-pass)",
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )

@@ -117,3 +117,43 @@ def test_connected_components_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, "id_a", "id_b", max_iter=1)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property: distributed CC == classic union-find on random graphs."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    from sig_etl_spark.llm.dedup import connected_components
+
+    for trial in range(3):
+        n, m = 60, 45
+        edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (m, 2))
+                 if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {v: find(v) for v in range(n)}
+        # canonical label = min member id per component
+        comp_min = {}
+        for v, r in expected.items():
+            comp_min.setdefault(r, v)
+            comp_min[r] = min(comp_min[r], v)
+        expected = {v: comp_min[r] for v, r in expected.items()}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+        got = {
+            r.node: r.cluster_id
+            for r in connected_components(pairs, "id_a", "id_b", nodes=nodes).collect()
+        }
+        assert got == expected, f"trial {trial}"

@@ -151,18 +151,30 @@ def ivf_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
-    centroid_every: int = 40,
+    n_centroids: int = 16,
     nprobe: int = 3,
 ) -> DataFrame:
     """IVF-flat approximate top-k: inverted-file cells from sampled
     centroids, queries probe the ``nprobe`` nearest cells.
 
-    The coarse quantizer is the deterministic sample
-    ``id % centroid_every == 0`` of the corpus itself (a degenerate but
-    standard quantizer — FAISS-style training would add k-means, whose
-    distributed mean updates are not bit-reproducible; sampling keeps the
-    whole operator oracle-checkable). Every distance is a per-row double
-    fold, so assignments are engine-exact.
+    The coarse quantizer is a FIXED-SIZE deterministic pseudo-random
+    sample: the ``n_centroids`` corpus rows with the smallest
+    ``md5(id)`` (a takeOrdered — per-partition top-K then a driver merge
+    of K-row heaps, one corpus scan, no shuffle). |centroids| is constant
+    w.r.t. corpus size, so the centroid broadcast stays
+    ``n_centroids × dim`` at any scale and cell assignment is
+    O(n_centroids · |corpus|) distance evaluations — the linear-growth
+    trap of a density-coupled sample (``id % every == 0``) cannot occur.
+    FAISS-style k-means training would tighten the cells but its
+    distributed mean updates are not bit-reproducible; a hash-ordered
+    sample keeps the whole operator oracle-checkable. Every distance is a
+    per-row double fold, so assignments are engine-exact.
+
+    An empty corpus yields an empty centroid set and an empty result —
+    the correct answer (no corpus, no neighbors); a non-empty corpus
+    always yields min(n_centroids, |corpus|) centroids regardless of the
+    id space (dense, sparse, offset), so the empty-join failure mode of a
+    modulus-based sample cannot occur either.
 
     Scale shape: centroids are broadcast twice (cell assignment for the
     corpus scan; probe list for the query set); the only shuffle of
@@ -170,8 +182,15 @@ def ivf_topk(
     are |probed cells| * cell size, never |corpus|. Exactly the FAISS IVF
     contract, expressed as DataFrame ops.
     """
-    cents = corpus.filter((F.col(id_col) % centroid_every) == 0).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    cents = (
+        corpus.select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cent_vec"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "cent_id")
+        .limit(n_centroids)
+        .drop("_h")
     )
     cent_norm = _with_norm2(cents, "cent_id", "cent_vec", "cent_id").select(
         "cent_id", F.col("cent_id_vec").alias("cent_vec"),

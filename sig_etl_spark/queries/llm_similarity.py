@@ -143,13 +143,16 @@ def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF-flat ANN: inverted-file cells from the deterministic corpus sample
-# (id % 40 == 0), corpus assigned to its nearest cell, queries probe the
-# 3 nearest cells. Every distance is the same double fold, so cell
-# assignments and the final top-k are engine-exact.
+# IVF-flat ANN: inverted-file cells from a FIXED-SIZE deterministic sample
+# (the _N_CENTROIDS corpus rows with the smallest md5(id) — constant
+# centroid count at any corpus scale), corpus assigned to its nearest
+# cell, queries probe the 3 nearest cells. Every distance is the same
+# double fold, so cell assignments and the final top-k are engine-exact;
+# both engines order by the same md5 hex string, so both pick the same
+# centroids.
 # ---------------------------------------------------------------------------
 
-_CENT_EVERY = 40
+_N_CENTROIDS = 16
 _NPROBE = 3
 
 
@@ -164,7 +167,9 @@ cn AS ({_norm_cte("c", "corpus_id")}),
 centn AS (
   SELECT corpus_id AS cent_id, embedding AS cent_vec,
          {_dot_expr("embedding", "embedding")} AS cent_norm2
-  FROM c WHERE corpus_id % {_CENT_EVERY} = 0
+  FROM (SELECT * FROM c
+        ORDER BY md5(CAST(corpus_id AS VARCHAR)), corpus_id
+        LIMIT {_N_CENTROIDS})
 ),
 cassign AS (
   SELECT corpus_id, cent_id FROM (
@@ -207,7 +212,8 @@ WHERE rank <= {_K}
 @register(
     "llm_knn_ivf",
     oracle=_ivf_oracle(),
-    doc="IVF-flat top-5: sampled-centroid cells, nprobe=3, exact re-rank",
+    doc="IVF-flat top-5: fixed-size hash-sampled centroid cells, nprobe=3,"
+        " exact re-rank",
 )
 def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -215,5 +221,5 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") >= 10)
     return S.ivf_topk(
         queries, corpus, "vec_id", "embedding",
-        k=_K, centroid_every=_CENT_EVERY, nprobe=_NPROBE,
+        k=_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE,
     )

@@ -37,15 +37,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file; nanosAsLong surfaces it as a
-        # raw int64. Rebuild a microsecond timestamp with *integer* division
-        # (ns values exceed double's 53-bit mantissa) — truncation toward
-        # zero matches DuckDB's ns→µs cast.
+        # Normalize ts to TIMESTAMP (ltz) whatever the file's physical type:
+        # - TIMESTAMP(NANOS): nanosAsLong surfaces a raw int64; rebuild a
+        #   microsecond timestamp with *integer* division (ns values exceed
+        #   double's 53-bit mantissa) — truncation toward zero matches
+        #   DuckDB's ns→µs cast.
+        # - timestamp[us] without tz: Spark reads TIMESTAMP_NTZ, which
+        #   unix_micros / numeric casts reject. The session runs in UTC, so
+        #   casting NTZ→TIMESTAMP is value-preserving and matches DuckDB's
+        #   naive reading of the same file.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
+        t = df.schema["ts"].dataType
+        if isinstance(t, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(t, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

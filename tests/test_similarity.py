@@ -63,7 +63,7 @@ def test_ivf_topk_subset_of_bruteforce_candidates(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     c = emb.filter(F.col("vec_id") >= 5)
-    ivf = ivf_topk(q, c, "vec_id", "embedding", k=3, centroid_every=20, nprobe=2)
+    ivf = ivf_topk(q, c, "vec_id", "embedding", k=3, n_centroids=8, nprobe=2)
     brute = brute_force_topk(q, c, "vec_id", "embedding", k=200)
     b = {(r.query_id, r.corpus_id): r.cosine for r in brute.collect()}
     rows = ivf.collect()
@@ -77,3 +77,24 @@ def test_ivf_topk_subset_of_bruteforce_candidates(spark, sf_dir):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+def test_ivf_sparse_offset_ids_still_produce_centroids(spark):
+    """Regression: a modulus quantizer (id % N == 0) returns ZERO centroids
+    on sparse/offset id spaces and every downstream join silently empties.
+    The hash-ordered fixed-size sample must yield min(n_centroids, |corpus|)
+    centroids for ANY id space — so results are non-empty here."""
+    sparse = [(1_000_003 + 40 * i + 7, v) for i, (_, v) in enumerate(VECS)]
+    emb = spark.createDataFrame(sparse, ["vec_id", "embedding"])
+    ids = sorted(r[0] for r in sparse)
+    q = emb.filter(F.col("vec_id") == ids[0])
+    c = emb.filter(F.col("vec_id") != ids[0])
+    rows = S.ivf_topk(q, c, "vec_id", "embedding", k=2, n_centroids=3, nprobe=3).collect()
+    assert rows, "IVF must not silently empty on sparse id spaces"
+    assert all(r.query_id == ids[0] for r in rows)
+
+
+def test_ivf_empty_corpus_yields_empty_result(spark):
+    emb = _df(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") > 10_000)  # empty
+    assert S.ivf_topk(q, c, "vec_id", "embedding", k=2).count() == 0

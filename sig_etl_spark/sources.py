@@ -124,22 +124,48 @@ def _read_xlsx_rows(path: str, sheet: int = 0) -> list[list[str | None]]:
             root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
             for si in root.findall("m:si", ns):
                 shared.append("".join(t.text or "" for t in si.iter(f"{{{ns['m']}}}t")))
-        # Numeric sort: lexicographic ordering puts sheet10 before sheet2,
-        # silently remapping indexes in 10+-sheet workbooks.
-        import re as _re
+        # Resolve sheet position through xl/workbook.xml's <sheets> order
+        # (the order a spreadsheet UI shows), following each sheet's r:id
+        # through workbook.xml.rels to its part. File numbering
+        # (sheetN.xml) is NOT positional in externally-authored workbooks
+        # whose sheets were reordered — sorting file names would silently
+        # read the wrong sheet.
+        rel_ns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+        sheets: list[str] = []
+        if "xl/workbook.xml" in zf.namelist():
+            targets: dict[str, str] = {}
+            rels_name = "xl/_rels/workbook.xml.rels"
+            if rels_name in zf.namelist():
+                for rel in ET.fromstring(zf.read(rels_name)):
+                    tgt = rel.get("Target", "")
+                    if tgt.startswith("/"):
+                        tgt = tgt.lstrip("/")
+                    else:
+                        tgt = "xl/" + tgt
+                    targets[rel.get("Id", "")] = tgt.replace("xl/./", "xl/")
+            wb = ET.fromstring(zf.read("xl/workbook.xml"))
+            for sh in wb.iter(f"{{{ns['m']}}}sheet"):
+                rid = sh.get(f"{{{rel_ns}}}id", "")
+                if rid in targets and targets[rid] in zf.namelist():
+                    sheets.append(targets[rid])
+        if not sheets:
+            # Damaged/minimal package without workbook metadata: fall back
+            # to numeric file-name order (lexicographic would put sheet10
+            # before sheet2).
+            import re as _re
 
-        def _sheet_no(n: str) -> tuple[int, str]:
-            m = _re.search(r"sheet(\d+)\.xml$", n)
-            return (int(m.group(1)) if m else 1 << 30, n)
+            def _sheet_no(n: str) -> tuple[int, str]:
+                m = _re.search(r"sheet(\d+)\.xml$", n)
+                return (int(m.group(1)) if m else 1 << 30, n)
 
-        sheets = sorted(
-            (
-                n
-                for n in zf.namelist()
-                if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
-            ),
-            key=_sheet_no,
-        )
+            sheets = sorted(
+                (
+                    n
+                    for n in zf.namelist()
+                    if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+                ),
+                key=_sheet_no,
+            )
         if not sheets:
             raise ValueError(f"{path}: no worksheets found")
         root = ET.fromstring(zf.read(sheets[sheet]))
@@ -200,7 +226,18 @@ def read_excel(
     else:
         names = [f"col{i}" for i in range(width)]
         data = padded
-    schema = ", ".join(f"`{n}` string" for n in names)
+    # Header hygiene: duplicate header cells would collide in the schema
+    # and backticks would break out of the DDL identifier quoting.
+    used: set[str] = set()
+    uniq: list[str] = []
+    for n in names:
+        cand, k = n, 1
+        while cand in used:
+            k += 1
+            cand = f"{n}_{k}"
+        used.add(cand)
+        uniq.append(cand)
+    schema = ", ".join(f"`{n.replace('`', '``')}` string" for n in uniq)
     return spark.createDataFrame([tuple(r) for r in data], schema)
 
 
@@ -261,8 +298,15 @@ def write_xlsx(path: str, columns: list[str], rows: list[list[str | None]]) -> N
         ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
         '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
     )
+    workbook_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
     with zipfile.ZipFile(path, "w") as zf:
         zf.writestr("[Content_Types].xml", content_types)
         zf.writestr("_rels/.rels", rels)
         zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", workbook_rels)
         zf.writestr("xl/worksheets/sheet1.xml", sheet)

@@ -221,3 +221,64 @@ def test_read_excel_sheet_index_numeric_order(spark, tmp_path):
 
     assert read_excel(spark, path, sheet=1).collect()[0].name == "s2"
     assert read_excel(spark, path, sheet=9).collect()[0].name == "s10"
+
+def test_read_excel_workbook_order_beats_file_numbering(spark, tmp_path):
+    """Externally-authored workbooks can have sheet POSITION decoupled from
+    sheetN.xml file numbering (sheets get reordered in the UI). sheet=N must
+    follow xl/workbook.xml's <sheets> order via the rels targets, not the
+    file names."""
+    import zipfile
+
+    from sig_etl_spark.sources import read_excel
+
+    path = str(tmp_path / "reordered.xlsx")
+
+    def sheet_xml(tag):
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            '<sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>name</t></is></c></row>'
+            f'<row r="2"><c r="A2" t="inlineStr"><is><t>{tag}</t></is></c></row>'
+            "</sheetData></worksheet>"
+        )
+
+    # UI order: Second (sheet2.xml), First (sheet1.xml)
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+        ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Second" sheetId="2" r:id="rIdB"/>'
+        '<sheet name="First" sheetId="1" r:id="rIdA"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rIdA" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rIdB" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>'
+        "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", _XLSX_CONTENT_TYPES)
+        zf.writestr("_rels/.rels", _XLSX_RELS)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml("from_file1"))
+        zf.writestr("xl/worksheets/sheet2.xml", sheet_xml("from_file2"))
+
+    # position 0 is "Second" which lives in sheet2.xml
+    assert read_excel(spark, path, sheet=0).collect()[0].name == "from_file2"
+    assert read_excel(spark, path, sheet=1).collect()[0].name == "from_file1"
+
+
+def test_read_excel_header_hygiene(spark, tmp_path):
+    """Duplicate and backtick-bearing header cells must not corrupt the
+    DDL schema string: duplicates get positional suffixes, backticks are
+    escaped (doubled) in the identifier quoting."""
+    from sig_etl_spark.sources import read_excel, write_xlsx
+
+    path = str(tmp_path / "dup.xlsx")
+    write_xlsx(path, ["id", "id", "id_2", "we`ird"], [["1", "2", "3", "4"]])
+    df = read_excel(spark, path)
+    assert df.columns == ["id", "id_2", "id_2_2", "we`ird"]
+    row = df.collect()[0]
+    assert [row[c] for c in df.columns] == ["1", "2", "3", "4"]

@@ -19,6 +19,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark can sort values of this type (maps cannot be sort
+    keys; structs/arrays are orderable iff their element types are)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -37,9 +50,13 @@ def asof_join(
     Right columns (except ``by``) come back suffixed. Ties on ``on``
     between the two sides resolve to the right row being visible
     (DuckDB/pandas ``allow_exact_matches=True`` semantics). Right rows
-    with duplicate (by, on) must be pre-deduplicated by the caller if
-    deterministic output matters — the window keeps the one latest in
-    sort order.
+    with duplicate (by, on) reduce deterministically to the greatest
+    payload struct (field-lexicographic max — equivalent to a
+    ``max(struct(*rcols))`` pre-aggregation but without its extra
+    shuffle: the payload is simply the final window sort key). When the
+    payload contains an unorderable type (map), the tiebreak is skipped
+    and duplicate (by, on) right rows fall back to sort-arbitrary
+    resolution — pre-deduplicate in that case.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
@@ -71,11 +88,16 @@ def asof_join(
 
     # Backward: ascending ts, right rows (side 0) sort before left rows at
     # equal ts, so an exact-ts right row is already visible. Forward is
-    # the mirror image on descending ts.
-    if direction == "backward":
-        order = [F.col("__ts").asc(), F.col("__side").asc()]
-    else:
-        order = [F.col("__ts").desc(), F.col("__side").asc()]
+    # the mirror image on descending ts. The payload struct is the last
+    # sort key so duplicate right (by, ts) rows resolve deterministically
+    # (fill-forward then sees the max payload); left rows carry a null
+    # payload, which asc_nulls_first keeps inert w.r.t. the side ordering.
+    order = [
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc(),
+        F.col("__side").asc(),
+    ]
+    if _orderable(rpay_type):
+        order.append(F.col("__rpay").asc_nulls_first())
     w = (
         Window.partitionBy(*by)
         .orderBy(*order)

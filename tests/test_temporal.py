@@ -212,3 +212,34 @@ def test_range_join_matches_bruteforce(spark):
             ).collect()
         }
         assert got == brute, f"bucket_s={bucket_s}"
+
+def test_asof_duplicate_right_ts_resolves_to_max_payload(spark):
+    """Duplicate right (by, ts) rows must resolve deterministically — to
+    the field-lexicographic max of the payload struct (the windowed twin
+    of a max(struct(*rcols)) pre-reduction), under every partitioning."""
+    left = spark.createDataFrame(
+        [(1, _ts(20), "x")], "user_id long, ts timestamp, tag string"
+    )
+    dup_rows = [(1, _ts(10), v, lbl) for v, lbl in
+                [(100.0, "a"), (300.0, "c"), (200.0, "b")]]
+    for nparts in (1, 3, 7):
+        right = spark.createDataFrame(
+            dup_rows, "user_id long, ts timestamp, v double, lbl string"
+        ).repartition(nparts)
+        out = asof_join(left, right, on="ts", by=["user_id"]).collect()
+        assert len(out) == 1
+        assert out[0].v_r == 300.0 and out[0].lbl_r == "c"
+
+
+def test_asof_map_payload_skips_tiebreak_but_still_joins(spark):
+    """Map-typed right payloads are unorderable: the deterministic
+    tiebreak is skipped, but unique (by, ts) rows still join fine."""
+    left = spark.createDataFrame(
+        [(1, _ts(20), "x")], "user_id long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), {"k": "v"})],
+        "user_id long, ts timestamp, attrs map<string,string>",
+    )
+    out = asof_join(left, right, on="ts", by=["user_id"]).collect()
+    assert len(out) == 1 and out[0].attrs_r == {"k": "v"}

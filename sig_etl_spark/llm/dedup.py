@@ -253,8 +253,10 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, simhash BIGINT, chunk0..chunk3) 64-bit SimHash per doc.
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, n_chunks: int = 4
+) -> DataFrame:
+    """(doc_id, simhash BIGINT, chunk0..chunk{n-1}) 64-bit SimHash per doc.
 
     Majority vote per bit over portable_hash64(token) — md5-derived so
     DuckDB computes the identical value and the operator is
@@ -263,9 +265,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     vectorized numpy pandas UDF — bit-unpacking is the rare op that Spark
     expressions only express as 64 separate array traversals (measured
     ~3x slower than the Arrow round-trip at sf0.1).
-    The four 16-bit chunks are the classic Hamming-neighbor blocking keys:
-    two docs within Hamming distance 3 share at least one chunk.
+    The ``n_chunks`` equal-width chunks are the classic Hamming-neighbor
+    blocking keys: flipping d bits changes at most d chunks, so two docs
+    within Hamming distance n_chunks-1 share at least one chunk
+    (pigeonhole). More chunks extend the covered distance AND shrink each
+    bucket's candidate set at large n (an 8-bit bucket holds n/256 docs
+    vs n/65536 for 16-bit — pick n_chunks so bucket size stays bounded);
+    the cost is n_chunks candidate rows per doc in the block join.
+    ``n_chunks`` must divide 64.
     """
+    if 64 % n_chunks != 0:
+        raise ValueError(f"n_chunks must divide 64, got {n_chunks}")
     from sig_etl_spark.llm.text_analysis import tokens
 
     toks = tokens(F.col(text_col))
@@ -298,27 +308,41 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
 
     out = hashed.mapInPandas(_majority_batches, schema)
-    for c in range(4):
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    for c in range(n_chunks):
         out = out.withColumn(
             f"chunk{c}",
-            F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)),
+            F.shiftrightunsigned(F.col("simhash"), c * width).bitwiseAND(F.lit(mask)),
         )
     return out
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: chunk-bucket join then exact Hamming.
 
-    Candidates share >=1 of 4 16-bit chunks (complete for distance <= 3);
-    verification = popcount(xor) via bit_count.
+    Candidates share >=1 of the ``n_chunks`` equal-width chunks — complete
+    for Hamming distance <= n_chunks-1 (at most max_hamming chunks can
+    differ, so one is shared); verification = popcount(xor) via
+    bit_count. Raises when the requested ``max_hamming`` exceeds what the
+    blocking can guarantee — silent recall loss is not an option.
     """
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"chunk blocking with n_chunks={n_chunks} is only complete for "
+            f"max_hamming <= {n_chunks - 1}, got {max_hamming}; raise n_chunks"
+        )
     # barrier for the same reason as minhash_lsh_pairs: the 64-bit-majority
     # expression must not be re-inlined into each chunk projection / join
     # side (localCheckpoint, not persist — same Arrow-UDF-in-cached-plan
     # hazard)
-    sh = simhash(df, id_col, text_col).localCheckpoint(eager=True)
+    sh = simhash(df, id_col, text_col, n_chunks=n_chunks).localCheckpoint(eager=True)
     chunks = sh.select(
         "doc_id",
         "simhash",
@@ -326,7 +350,7 @@ def simhash_near_pairs(
             F.array(
                 *[
                     F.struct(F.lit(c).alias("c"), F.col(f"chunk{c}").alias("v"))
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ch"),

@@ -157,3 +157,52 @@ def test_connected_components_matches_union_find(spark):
             for r in connected_components(pairs, "id_a", "id_b", nodes=nodes).collect()
         }
         assert got == expected, f"trial {trial}"
+
+def test_simhash_chunk_blocking_completeness_property():
+    """Pigeonhole completeness, pure math: for any 64-bit value and any
+    <= n_chunks-1 bit flips, the chunked decompositions share a chunk.
+    Exercised over many random (value, flip-set) draws for 4/8/16 chunks."""
+    import random
+
+    rng = random.Random(20260813)
+
+    def chunks_of(x, n_chunks):
+        w = 64 // n_chunks
+        m = (1 << w) - 1
+        return [(c, (x >> (c * w)) & m) for c in range(n_chunks)]
+
+    for n_chunks in (4, 8, 16):
+        for _ in range(500):
+            x = rng.getrandbits(64)
+            d = rng.randint(0, n_chunks - 1)
+            y = x
+            for bit in rng.sample(range(64), d):
+                y ^= 1 << bit
+            assert set(chunks_of(x, n_chunks)) & set(chunks_of(y, n_chunks)), (
+                f"n_chunks={n_chunks} x={x:#x} y={y:#x} d={d}"
+            )
+
+
+def test_simhash_n_chunks_equivalent_results(spark):
+    """8-chunk blocking must produce the identical verified pair set as the
+    default 4-chunk blocking for the same max_hamming (both complete for
+    <= 3): the candidate sets differ, the post-verification output cannot."""
+    def pairs(n_chunks):
+        return {
+            (r.id_a, r.id_b, r.hamming)
+            for r in D.simhash_near_pairs(
+                _docs(spark), "doc_id", "text", max_hamming=3, n_chunks=n_chunks
+            ).collect()
+        }
+
+    assert pairs(8) == pairs(4)
+
+
+def test_simhash_rejects_incomplete_blocking(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="complete"):
+        D.simhash_near_pairs(_docs(spark), "doc_id", "text",
+                             max_hamming=5, n_chunks=4)
+    with pytest.raises(ValueError, match="divide"):
+        D.simhash(_docs(spark), "doc_id", "text", n_chunks=5)

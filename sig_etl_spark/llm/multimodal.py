@@ -88,16 +88,106 @@ def _decode_bytes(content: bytes) -> np.ndarray:
     return arr
 
 
-def decode_real(content: bytes):  # pragma: no cover - codec not installed
-    """Hook for the real codec path; clearly marked stub."""
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Real pixel decode for binary PPM (P6): header parse + raw RGB.
+
+    Pure stdlib/numpy — no codec library. Handles the format's header
+    grammar (ASCII magic, whitespace-separated width/height/maxval,
+    ``#`` comments) and returns an (h, w, 3) uint8 array. Only
+    maxval <= 255 (1 byte/sample) is supported; that is what every
+    common P6 producer emits.
+    """
+    if not content.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and # comments between header tokens
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            nl = content.find(b"\n", pos)
+            pos = len(content) if nl < 0 else nl + 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        fields.append(int(content[start:pos]))
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError(f"16-bit PPM unsupported (maxval={maxval})")
+    pos += 1  # single whitespace byte after maxval, then raw samples
+    raw = content[pos : pos + w * h * 3]
+    if len(raw) != w * h * 3:
+        raise ValueError(f"PPM raster truncated: want {w * h * 3}, got {len(raw)}")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM bytes (fixture twin of decode_ppm)."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_real(content: bytes) -> np.ndarray:
+    """Real codec path: bytes -> (h, w, 3) uint8 RGB pixels.
+
+    PIL when importable (JPEG/PNG/...); the stdlib PPM decoder for P6
+    payloads regardless; an honest NotImplementedError for compressed
+    formats in codec-less environments — never a silent fake."""
+    if content[:2] == b"P6":
+        return decode_ppm(content)
     if not _HAVE_PIL:
         raise NotImplementedError(
-            "real image decode requires PIL; this environment stubs decode "
-            "with deterministic byte statistics (_decode_bytes)"
+            "decoding non-PPM images requires PIL; this environment only "
+            "decodes uncompressed P6 PPM (decode_ppm)"
         )
     import io
 
-    return Image.open(io.BytesIO(content))
+    return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def decode_image_stats(df: DataFrame) -> DataFrame:
+    """REAL pixel decode via ``decode_real``: every row's content is
+    decoded (PPM header parsed, raster reshaped), and the output carries
+    decoder-derived facts — width/height from the header, exact integer
+    per-channel pixel sums from the raster. Integer sums (not float
+    means) keep the contract bit-exact across engines.
+
+    Same scale shape as the other media ops: streaming Arrow batches
+    through mapInPandas, no row-at-a-time Python, blob never leaves the
+    executor."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "width", "height", "sum_r", "sum_g", "sum_b")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_real(bytes(content))
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out["media_id"].append(mid)
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_stats, IMAGE_STATS_SCHEMA)
 
 
 def partition_media(df: DataFrame, n: int | None = None) -> DataFrame:

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from sig_etl_spark.llm.multimodal import (
     FEATURE_DIM,
+    decode_image_stats,
     extract_features,
     partition_media,
     resize_images,
@@ -164,6 +165,73 @@ SELECT doc_id AS media_id,
        'raw' AS format
 FROM documents WHERE doc_id % 3 = 0
 """
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode: the fixture is a genuine binary PPM (P6) image built
+# in Spark — header + raster whose pixel j is the closed form
+# (media_id*7 + j*13) % 95 + 32 (printable ASCII, so 1 char == 1 byte and
+# the whole file is UTF-8-encodable). decode_image_stats traverses the
+# actual codec gate (decode_real -> decode_ppm): header grammar parsed,
+# raster reshaped, per-channel integer sums computed from decoded pixels.
+# The oracle re-derives width/height/sums from the same closed form —
+# a wrong header parse, stride, or channel order fails the hash.
+# ---------------------------------------------------------------------------
+
+_PPM_MAX_BYTES = 8 * 6 * 3  # w <= 8, h <= 6
+
+_DECODE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CAST(4 + doc_id % 5 AS INTEGER) AS width,
+         CAST(3 + doc_id % 4 AS INTEGER) AS height
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height,
+         (media_id * 7 + j * 13) % 95 + 32 AS v,
+         j % 3 AS ch
+  FROM d CROSS JOIN range({_PPM_MAX_BYTES}) t(j)
+  WHERE j < width * height * 3
+)
+SELECT media_id, width, height,
+       CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sum_b
+FROM px GROUP BY media_id, width, height
+"""
+
+
+def _ppm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.lit(4) + F.col("doc_id") % 5).cast("int")
+    h = (F.lit(3) + F.col("doc_id") % 4).cast("int")
+    raster = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (w * h * 3 - 1).cast("int")),
+            lambda j: F.char((F.col("doc_id") * 7 + j * 13) % 95 + 32),
+        ),
+        "",
+    )
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(header, raster), "UTF-8").alias("content"),
+    )
+
+
+@register(
+    "mm_decode_ppm",
+    oracle=_DECODE_ORACLE,
+    doc="REAL image decode: binary PPM fixtures parsed by the stdlib codec"
+        " (decode_real -> decode_ppm) inside mapInPandas; oracle re-derives"
+        " header fields and per-channel pixel sums arithmetically",
+)
+def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = partition_media(_ppm_media(spark, sf_dir), 32)
+    return decode_image_stats(media)
 
 
 @register(

@@ -58,3 +58,58 @@ def test_real_codec_is_clearly_stubbed():
     if not M._HAVE_PIL:
         with pytest.raises(NotImplementedError):
             M.decode_real(b"not an image")
+
+# --- real PPM codec -------------------------------------------------------
+
+def test_ppm_roundtrip_and_header_grammar():
+    import numpy as np
+
+    from sig_etl_spark.llm.multimodal import decode_ppm, encode_ppm
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert (decode_ppm(encode_ppm(px)) == px).all()
+
+    # comment lines and arbitrary whitespace inside the header are legal
+    raw = px.tobytes()
+    weird = b"P6 # magic\n# a comment line\n 3\t2 # dims\n255\n" + raw
+    assert (decode_ppm(weird) == px).all()
+
+
+def test_ppm_decode_rejects_garbage():
+    import numpy as np
+    import pytest
+
+    from sig_etl_spark.llm.multimodal import decode_ppm, decode_real, encode_ppm
+
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"PNG...")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n4 4\n255\n\x00\x00")  # raster too short
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+    # decode_real routes P6 to the stdlib decoder even without PIL
+    px = np.zeros((1, 2, 3), dtype=np.uint8)
+    assert decode_real(encode_ppm(px)).shape == (1, 2, 3)
+    # and stays an HONEST gate for compressed formats when PIL is absent
+    from sig_etl_spark.llm import multimodal as M
+
+    if not M._HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            decode_real(b"\x89PNG\r\n\x1a\n")
+
+
+def test_decode_image_stats_real_decode(spark):
+    import numpy as np
+
+    from sig_etl_spark.llm.multimodal import decode_image_stats, encode_ppm
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    px[..., 0] = 10  # R
+    px[..., 1] = 20  # G
+    px[..., 2] = 30  # B
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(px)))], "media_id long, content binary"
+    )
+    row = decode_image_stats(df).collect()[0]
+    assert (row.width, row.height) == (2, 2)
+    assert (row.sum_r, row.sum_g, row.sum_b) == (40, 80, 120)

@@ -60,6 +60,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     total = 0.0
+    gc_overhead = 0.0
     for i, name in enumerate(names):
         t0 = time.perf_counter()
         run_query(QUERIES[name].builder(spark, sf_dir))
@@ -72,10 +73,14 @@ def main() -> int:
             # the driver GC feeds the ContextCleaner; across 50+ sequential
             # query plans in one JVM the backlog measurably taxes the late
             # queries (iterative CC was 5s fresh, 26s at position 37).
-            # Untimed housekeeping between queries, like any long-lived
-            # server session would run.
+            # Housekeeping between queries, like any long-lived server
+            # session would run — excluded from per-query timings but
+            # REPORTED (gc_overhead_seconds) so the exclusion is visible
+            # in results, not just in this comment.
+            g0 = time.perf_counter()
             spark.catalog.clearCache()
             spark._jvm.System.gc()
+            gc_overhead += time.perf_counter() - g0
 
     print(
         json.dumps(
@@ -84,6 +89,7 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "gc_overhead_seconds": round(gc_overhead, 3),
                 "sf": sf,
             }
         )

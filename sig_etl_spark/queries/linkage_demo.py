@@ -129,6 +129,23 @@ def linkage_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "linkage_fuzzy_match_salted",
+    oracle=_LINKAGE_ORACLE,
+    doc="J4 with explicit 4-way block salting: identical results to"
+        " linkage_fuzzy_match by construction (same oracle), registered so"
+        " the skew path has a MEASURED bench number, not just an"
+        " equivalence test",
+)
+def linkage_fuzzy_match_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import dataclasses
+
+    x, y = _xy(spark, sf_dir)
+    return fuzzy_match(
+        x, y, dataclasses.replace(_config("levenshtein"), salt_buckets=4)
+    )
+
+
+@register(
     "linkage_fuzzy_match_wratio",
     oracle=None,
     doc="J4 with rapidfuzz-style WRatio pandas-UDF scorer (rows-only)",

@@ -118,9 +118,13 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash+LSH — full oracle: DuckDB recomputes shingles, 60-bit md5 hashes,
 # all 64 permutations, band buckets (slice equality stands in for Spark's
-# murmur3 bucket hash — equal slices <=> equal buckets, modulo 2^-32
-# collisions that only ever ADD oracle candidates), and the signature-
-# agreement estimate.
+# murmur3 bucket hash — equal slices => equal buckets always, so every
+# oracle candidate is also a Spark candidate; the reverse can fail when
+# two DIFFERENT slices collide under murmur3, adding a SPARK-side
+# candidate the oracle lacks. Such a pair only breaks the gate if it also
+# passes est_jaccard >= threshold, and the collision itself is ~2^-32 —
+# the gate knowingly accepts those odds), and the signature-agreement
+# estimate.
 # ---------------------------------------------------------------------------
 
 _PERM_VALUES = ",".join(

@@ -249,6 +249,15 @@ _GOLDEN = [
     ("washington", "washingtno", 90.0, 90.0, 90.0, 90.0, 90.0),
     ("this is a test", "this is a test!", 96.551724, 100.0, 96.551724, 100.0, 96.551724),
     ("fuzzy wuzzy was a bear", "wuzzy fuzzy was a bear", 90.909091, 90.909091, 100.0, 100.0, 95.0),
+    # --- length-ratio seams (the scale switch points rapidfuzz treats
+    # specially: partial kicks in above 1.5, its scale drops 0.9 -> 0.6 at
+    # 8). Hand-computed: ratio = 200*LCS/(la+lb); the short side is an
+    # exact prefix of the long side so every partial window score is 100.
+    ("abcdef", "abcd", 80.0, 100.0, 80.0, 100.0, 80.0),          # 6/4 = 1.5 exactly: plain branch, partial NOT consulted
+    ("abcdefg", "abcd", 72.727273, 100.0, 72.727273, 100.0, 90.0),  # 7/4 = 1.75: partial*0.9 wins
+    ("abxxxxxxxxxxxxx", "ab", 23.529412, 100.0, 23.529412, 100.0, 90.0),   # 15/2 = 7.5: still 0.9
+    ("abxxxxxxxxxxxxxx", "ab", 22.222222, 100.0, 22.222222, 100.0, 60.0),  # 16/2 = 8 exactly: scale drops to 0.6
+    ("abxxxxxxxxxxxxxxxx", "ab", 20.0, 100.0, 20.0, 100.0, 60.0),          # 18/2 = 9: 0.6 branch proper
 ]
 
 

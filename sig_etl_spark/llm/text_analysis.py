@@ -129,6 +129,43 @@ def quality_score(c: Column, scale: int | None = 4) -> Column:
     return F.round(raw, scale) if scale is not None else raw
 
 
+# PII patterns kept to syntax shared by Java regex and RE2 (no lookarounds)
+# so the Spark expression and a DuckDB oracle scrub identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_email_count(c: Column) -> Column:
+    return F.regexp_count(c, F.lit(PII_EMAIL)).cast("bigint")
+
+
+def pii_phone_count(c: Column) -> Column:
+    return F.regexp_count(c, F.lit(PII_PHONE)).cast("bigint")
+
+
+def scrub_pii(c: Column) -> Column:
+    """Redact emails then phone numbers (order matters and is part of the
+    contract: the email pattern can consume digit-dash runs in a local
+    part, so emails go first). Pure regexp_replace — codegen, no UDF."""
+    cleaned = F.regexp_replace(c, PII_EMAIL, "[EMAIL]")
+    return F.regexp_replace(cleaned, PII_PHONE, "[PHONE]")
+
+
+def ngram_repetition(c: Column, k: int = 3) -> Column:
+    """STRUCT(n_grams, n_distinct_grams) over the k-token shingle stream —
+    the inputs to Gopher-style duplicate-n-gram-fraction quality gates.
+    The shingle array is bound once (see ``bind``); counts stay integers
+    so downstream ratios are engine-exact divisions."""
+
+    def _from_sh(sh: Column) -> Column:
+        return F.struct(
+            F.size(sh).cast("bigint").alias("n_grams"),
+            F.size(F.array_distinct(sh)).cast("bigint").alias("n_distinct_grams"),
+        )
+
+    return bind(shingles(c, k), _from_sh)
+
+
 def exact_hash(c: Column) -> Column:
     """Exact-dedup key: md5 of whitespace-normalized text."""
     return F.md5(F.array_join(tokens(c), " "))

@@ -157,6 +157,110 @@ def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style repetition signal: duplicate k-gram fraction per document.
+# Counts stay integers on both engines; the ratio is one division of the
+# same two BIGINTs, so it hashes exactly.
+# ---------------------------------------------------------------------------
+
+_REP_ORACLE = rf"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) - 2 >= 1
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+              ELSE [array_to_string(toks, ' ')]
+         END AS grams
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+       CASE WHEN len(grams) = 0 THEN 0.0
+            ELSE (len(grams) - len(list_distinct(grams))) / len(grams)
+       END AS dup_gram_ratio
+FROM s
+"""
+
+
+@register(
+    "llm_repetition",
+    oracle=_REP_ORACLE,
+    doc="Gopher-style duplicate 3-gram fraction per document (repetition"
+        " quality gate); shingle array bound once, integer counts",
+)
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rep = T.ngram_repetition(F.col("text"), k=3)
+    out = docs.select("doc_id", rep.alias("r"))
+    n, d = F.col("r.n_grams"), F.col("r.n_distinct_grams")
+    return out.select(
+        "doc_id",
+        n.alias("n_grams"),
+        d.alias("n_distinct_grams"),
+        F.when(n == 0, F.lit(0.0)).otherwise((n - d) / n).alias("dup_gram_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: the fixture deterministically plants an email and a
+# phone number in every document (both engines build the identical
+# string), the operator counts and redacts them. Patterns are restricted
+# to the Java-regex/RE2 common subset; emails are replaced before phones
+# (the order is part of the operator contract — see scrub_pii).
+# ---------------------------------------------------------------------------
+
+_PII_SUFFIX_SQL = (
+    "' Contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or call '"
+    " || lpad(CAST(doc_id * 37 % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(doc_id * 53 % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(doc_id * 91 % 10000 AS VARCHAR), 4, '0') || '.'"
+)
+
+_PII_ORACLE = rf"""
+WITH planted AS (
+  SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{T.PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{T.PII_PHONE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(text, '{T.PII_EMAIL}', '[EMAIL]', 'g'),
+                      '{T.PII_PHONE}', '[PHONE]', 'g') AS clean_text
+FROM planted
+"""
+
+
+def _plant_pii(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    suffix = F.concat(
+        F.lit(" Contact: user"), did.cast("string"),
+        F.lit("@example.com or call "),
+        F.lpad((did * 37 % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((did * 53 % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((did * 91 % 10000).cast("string"), 4, "0"), F.lit("."),
+    )
+    return docs.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+
+
+@register(
+    "llm_pii_scrub",
+    oracle=_PII_ORACLE,
+    doc="PII detection + redaction: email/phone counts and [EMAIL]/[PHONE]"
+        " replacement over deterministically planted fixtures — pure"
+        " regexp codegen, no UDF",
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planted = _plant_pii(load_table(spark, sf_dir, "documents"))
+    text = F.col("text")
+    return planted.select(
+        "doc_id",
+        T.pii_email_count(text).alias("n_emails"),
+        T.pii_phone_count(text).alias("n_phones"),
+        T.scrub_pii(text).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Reproducible corpus split: hash-mod bucketing on content (never
 # random()) — the same document lands in the same split on any engine,
 # cluster size, or rerun. This is how big pipelines carve held-out sets.

@@ -74,3 +74,41 @@ def test_fingerprint_properties(spark):
     # shingle array is ordered windows
     sh = _vals(spark, "a b c d", T.shingles(F.col("t"), 3).alias("sh"))
     assert sh.sh == ["a b c", "b c d"]
+
+def test_ngram_repetition_counts(spark):
+    from sig_etl_spark.llm.text_analysis import ngram_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # 7 shingles, 3 distinct
+            (2, "all distinct words here now"),  # 3 shingles, all distinct
+            (3, "tiny doc"),            # < k tokens -> single joined gram
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id", ngram_repetition(F.col("text"), k=3).alias("r")
+    ).select("doc_id", "r.n_grams", "r.n_distinct_grams").collect()}
+    assert (rows[1].n_grams, rows[1].n_distinct_grams) == (7, 3)
+    assert (rows[2].n_grams, rows[2].n_distinct_grams) == (3, 3)
+    assert (rows[3].n_grams, rows[3].n_distinct_grams) == (1, 1)
+
+
+def test_scrub_pii_order_and_counts(spark):
+    from sig_etl_spark.llm.text_analysis import (
+        pii_email_count,
+        pii_phone_count,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.org or 555-123-4567 or bad 55-123-4567")],
+        ["id", "text"],
+    )
+    row = df.select(
+        scrub_pii(F.col("text")).alias("clean"),
+        pii_email_count(F.col("text")).alias("ne"),
+        pii_phone_count(F.col("text")).alias("np"),
+    ).collect()[0]
+    assert row.clean == "mail [EMAIL] or [PHONE] or bad 55-123-4567"
+    assert (row.ne, row.np) == (1, 1)

@@ -378,3 +378,39 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, _EVENT_TYPES)
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-on-read JSON extraction: events.props is a JSON string column
+# (the universal "loose properties" bag of event pipelines). The path
+# expression stays JVM-side (get_json_object — no Python, no
+# whole-column from_json materialization when one field is needed), the
+# extracted value feeds a normal aggregate. Per-type sum/min/max of k
+# plus a null-tally proves both extraction and the cast contract.
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(COUNT(*) - COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_missing
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "events_json_extract",
+    oracle=_JSON_ORACLE,
+    doc="schema-on-read JSON: get_json_object path extraction from the"
+        " props bag, aggregated per event type — JVM-side, single pass",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        (F.count(F.lit(1)) - F.count(k)).alias("n_missing"),
+    )

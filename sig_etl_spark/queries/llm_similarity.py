@@ -223,3 +223,52 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, corpus, "vec_id", "embedding",
         k=_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label vote — the standard embedding-quality evaluation: each query
+# takes its exact top-5 neighbors' majority label (count desc, label asc
+# tiebreak). Labels join onto the top-k via broadcast (dimension-sized);
+# the vote is one tiny groupBy + window over k rows per query.
+# ---------------------------------------------------------------------------
+
+_VOTE_ORACLE = f"""
+WITH topk AS ({_BRUTE_ORACLE}),
+votes AS (
+  SELECT t.query_id, e.label, COUNT(*) AS votes
+  FROM topk t JOIN embeddings e ON e.vec_id = t.corpus_id
+  GROUP BY t.query_id, e.label
+)
+SELECT query_id, CAST(label AS INTEGER) AS pred_label, CAST(votes AS BIGINT) AS votes
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, label) AS rn
+      FROM votes) v
+WHERE rn = 1
+"""
+
+
+@register(
+    "llm_knn_label_vote",
+    oracle=_VOTE_ORACLE,
+    doc="kNN classification eval: majority label of the exact top-5"
+        " neighbors per query, deterministic tiebreak",
+)
+def llm_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    topk = S.brute_force_topk(queries, corpus, "vec_id", "embedding", k=_K)
+    labels = emb.select(F.col("vec_id").alias("corpus_id"), "label")
+    votes = (
+        topk.join(F.broadcast(labels), "corpus_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )

@@ -401,3 +401,55 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TFIDF_K)
         .select("doc_id", "token", "tfidf", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source curation rollup — the "per-domain quality dashboard" every
+# corpus pipeline maintains. All aggregates are integer sums/counts (one
+# map-side-combinable shuffle on source), ratios derived afterward as a
+# single division of exact BIGINTs so the doubles hash identically.
+# ---------------------------------------------------------------------------
+
+_SOURCE_ORACLE = rf"""
+WITH base AS (
+  SELECT source, lang, n_chars, len({_TOKS}) AS ws_tokens,
+         CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS has_marker
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(ws_tokens) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(has_marker) AS BIGINT) AS n_marker_docs,
+       SUM(n_chars) / COUNT(*) AS mean_chars
+FROM base GROUP BY source
+"""
+
+
+@register(
+    "llm_source_rollup",
+    oracle=_SOURCE_ORACLE,
+    doc="per-source corpus rollup: doc/char/token totals, language spread,"
+        " marker-doc tally — one map-side-combinable shuffle",
+)
+def llm_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        T.ws_token_count(F.col("text")).alias("ws_tokens"),
+        F.col("text").contains("spark").cast("int").alias("has_marker"),
+    )
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("ws_tokens").alias("sum_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("has_marker").cast("bigint").alias("n_marker_docs"),
+    )
+    return agg.select(
+        "source", "n_docs", "sum_chars", "sum_tokens", "n_langs", "n_marker_docs",
+        (F.col("sum_chars") / F.col("n_docs")).alias("mean_chars"),
+    )

@@ -95,3 +95,41 @@ def test_exchange_budget(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         n = len(re.findall(r"Arguments: hashpartitioning", plan))
         assert n <= maxn, f"{name}: {n} hash shuffles (budget {maxn})"
+
+
+def test_ivf_centroids_take_ordered_not_global_sort(spark, sf_dir):
+    """The fixed-size centroid sample must compile to TakeOrderedAndProject
+    (per-partition top-K + driver heap merge) — a global Sort before the
+    limit would shuffle the whole corpus just to pick K rows."""
+    from pyspark.sql import functions as F
+
+    from sig_etl_spark.llm.similarity import ivf_topk
+    from sig_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ivf_topk(q, c, "vec_id", "embedding").explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, "centroid sample lost takeOrdered"
+
+
+def test_text_quality_gates_stay_codegen(spark, sf_dir):
+    """Repetition and PII scrubbing run over EVERY document — they must
+    stay pure JVM expressions (no Python evaluation nodes in the plan)."""
+    for name in ["llm_repetition", "llm_pii_scrub", "events_json_extract"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "Python" not in plan, f"{name}: Python crept into the hot path"
+
+
+def test_new_aggregates_keep_partial(spark, sf_dir):
+    """Per-source rollup and JSON extraction must keep map-side combine:
+    partial_* aggregate functions present before the exchange."""
+    for name in ["llm_source_rollup", "events_json_extract"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "partial_" in plan, f"{name}: lost map-side partial aggregation"

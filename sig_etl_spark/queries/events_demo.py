@@ -414,3 +414,54 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         (F.count(F.lit(1)) - F.count(k)).alias("n_missing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — the canonical activity matrix: users grouped by
+# first-seen day, counted on each later active day as a day offset.
+# Scale shape: one distinct over (user, day) and one min-per-user, both
+# map-side-combinable on the user hash; the cohort join is user-keyed
+# (co-partitioned with the activity shuffle, AQE-coalesced) — nothing
+# broadcasts a user-sized frame, nothing explodes.
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT c.cohort_day,
+       CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_retention",
+    oracle=_RETENTION_ORACLE,
+    doc="cohort retention matrix: first-seen-day cohorts x day offset,"
+        " distinct active users — user-keyed shuffles only",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # day as a midnight timestamp (not DATE): both engines and the hash
+    # canonicalization agree on timestamp rendering, and the other events
+    # queries share the convention.
+    activity = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

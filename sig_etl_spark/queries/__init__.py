@@ -55,6 +55,7 @@ def _load_all() -> None:
     # since round 1 (and stays locally verified via tools/verify_local.py,
     # which reproduces the driver's hash protocol exactly). When adding a
     # module, insert it at the TOP of this list.
+    from sig_etl_spark.queries import bucketed_demo  # noqa: F401
     from sig_etl_spark.queries import pipeline_demo  # noqa: F401
     from sig_etl_spark.queries import events_demo  # noqa: F401
     from sig_etl_spark.queries import vsdb_demo  # noqa: F401

@@ -1,0 +1,102 @@
+"""Bucketed co-located join — the shuffle-elimination story as a
+registered, oracle-checked query.
+
+At 100 TB the single biggest join cost is shuffling both fact sides on
+the key. Bucketing pays that shuffle ONCE at write time: both tables are
+written ``bucketBy(N, key)``, and every later join on that key reads
+bucket i against bucket i with NO exchange on either side — the plan
+guard (tests/test_plans.py::test_bucketed_join_has_no_join_exchange)
+asserts the join runs exchange-free, and the DuckDB oracle (which reads
+the raw parquet) proves bucketing never changes results.
+
+The bucketed tables are written into the session warehouse on first use
+per (sf_dir, version) — the warehouse stand-in for the one-time
+re-bucketing job a real deployment schedules. Float sums go through
+DECIMAL(38,10) like every cross-row reduction in this repo.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sig_etl_spark.queries import register
+from sig_etl_spark.tables import load_table
+
+_N_BUCKETS = 8
+_VERSION = "v1"
+
+
+def bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    n_buckets: int = _N_BUCKETS,
+) -> DataFrame:
+    """Read ``table`` as a bucketed catalog table, writing it on first use.
+
+    The catalog name is versioned by (table, sf basename, layout version)
+    so different scale factors coexist and layout changes regenerate
+    rather than silently reusing stale buckets."""
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    name = f"bkt_{table}_{base}_{_VERSION}"
+    if not spark.catalog.tableExists(name):
+        # The in-memory catalog forgets tables across sessions while the
+        # warehouse dir persists; a location without catalog metadata has
+        # no bucket spec, so clear it and rewrite (CREATE would otherwise
+        # fail with LOCATION_ALREADY_EXISTS).
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        stale = os.path.join(wh, name)
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+        (
+            load_table(spark, sf_dir, table)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
+_BUCKETED_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_qty,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "j_bucketed_colocated",
+    oracle=_BUCKETED_ORACLE,
+    doc="co-located fact-fact join on pre-bucketed tables: zero exchanges"
+        " at the join (plan-guarded); oracle on raw parquet proves layout"
+        " invisibility",
+)
+def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    lineitem = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    # merge hint: at fact-fact scale neither side broadcasts, and the
+    # point of this query is the bucket-co-located SMJ — the hint keeps
+    # the demo (and its plan guard) on that path at every test SF instead
+    # of letting small-SF statistics flip it to a broadcast join.
+    joined = orders.hint("merge").join(
+        lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(38,10)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )

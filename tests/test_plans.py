@@ -133,3 +133,16 @@ def test_new_aggregates_keep_partial(spark, sf_dir):
     for name in ["llm_source_rollup", "events_json_extract"]:
         plan = _plan(spark, sf_dir, name)
         assert "partial_" in plan, f"{name}: lost map-side partial aggregation"
+
+
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    """The whole point of bucketing: the fact-fact join reads bucket i
+    against bucket i with NO exchange on either join side. The only
+    shuffle in the query is the final per-priority aggregation."""
+    plan = _plan(spark, sf_dir, "j_bucketed_colocated")
+    assert "SortMergeJoin" in plan, "bucketed join lost its sort-merge shape"
+    n_shuffles = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_shuffles <= 1, (
+        f"bucketed join plan has {n_shuffles} hash shuffles; the join sides "
+        "must come from bucketed scans, only the final agg may shuffle"
+    )

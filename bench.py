@@ -70,14 +70,20 @@ def main() -> int:
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
         if (i + 1) % 8 == 0:
             # Dead localCheckpoint/broadcast blocks are only released when
-            # the driver GC feeds the ContextCleaner; across 50+ sequential
+            # the driver GC feeds the ContextCleaner; across 70 sequential
             # query plans in one JVM the backlog measurably taxes the late
-            # queries (iterative CC was 5s fresh, 26s at position 37).
-            # Housekeeping between queries, like any long-lived server
-            # session would run — excluded from per-query timings but
-            # REPORTED (gc_overhead_seconds) so the exclusion is visible
-            # in results, not just in this comment.
+            # queries (measured: agg_pricing_summary 6.3s at position 62
+            # vs 1.6s isolated). Python gc first — py4j proxies pin the
+            # JVM-side DataFrames/RDDs until the Python objects die, so
+            # System.gc() alone can't free them. Housekeeping between
+            # queries, like any long-lived server session would run —
+            # excluded from per-query timings but REPORTED
+            # (gc_overhead_seconds) so the exclusion is visible in
+            # results, not just in this comment.
+            import gc as _gc
+
             g0 = time.perf_counter()
+            _gc.collect()
             spark.catalog.clearCache()
             spark._jvm.System.gc()
             gc_overhead += time.perf_counter() - g0

@@ -453,3 +453,46 @@ def llm_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "sum_chars", "sum_tokens", "n_langs", "n_marker_docs",
         (F.col("sum_chars") / F.col("n_docs")).alias("mean_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sample: K docs per source, chosen by md5(doc_id)
+# order — a reproducible "reservoir" (same K docs on any engine, cluster
+# size, or rerun; no random()). One hash-shuffle on source; the window
+# truncates each group to K before anything downstream touches text.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 5
+
+_SAMPLE_ORACLE = f"""
+SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) t
+WHERE rn <= {_SAMPLE_K}
+"""
+
+
+@register(
+    "llm_stratified_sample",
+    oracle=_SAMPLE_ORACLE,
+    doc=f"deterministic stratified sample: {_SAMPLE_K} docs per source by"
+        " md5(doc_id) order — reproducible on any engine or partitioning",
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= _SAMPLE_K)
+    )

@@ -465,3 +465,64 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily anomaly z-scores per event type: two exact integer/decimal passes
+# (per-day decimal sums, then per-type moments over the daily series),
+# sqrt only at the end so both engines compute the identical double.
+# The shape is the standard monitoring rollup: tiny after the first
+# aggregation, so the second pass is effectively free at any scale.
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 6) AS DOUBLE) AS day_total
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(ROUND(SUM(CAST(day_total AS DECIMAL(38,10))), 6) AS DOUBLE) AS sum_total,
+         CAST(ROUND(SUM(CAST(day_total AS DECIMAL(38,10))
+                        * CAST(day_total AS DECIMAL(38,10))), 6) AS DOUBLE) AS sum_sq
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.day_total,
+       ROUND((d.day_total - s.sum_total / s.n_days)
+             / sqrt(GREATEST(s.sum_sq / s.n_days
+                             - (s.sum_total / s.n_days) * (s.sum_total / s.n_days),
+                             1e-12)), 6) AS zscore
+FROM daily d JOIN stats s USING (event_type)
+"""
+
+
+@register(
+    "events_zscore",
+    oracle=_ZSCORE_ORACLE,
+    doc="daily anomaly z-scores per event type: decimal-exact two-pass"
+        " moments, sqrt deferred to the final double",
+)
+def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(38,10)")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum(dec), 6).cast("double").alias("day_total"))
+    ddec = F.col("day_total").cast("decimal(38,10)")
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.sum(ddec), 6).cast("double").alias("sum_total"),
+        F.round(F.sum(ddec * ddec), 6).cast("double").alias("sum_sq"),
+    )
+    mean = F.col("sum_total") / F.col("n_days")
+    var = F.col("sum_sq") / F.col("n_days") - mean * mean
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "day_total",
+        F.round(
+            (F.col("day_total") - mean) / F.sqrt(F.greatest(var, F.lit(1e-12))), 6
+        ).alias("zscore"),
+    )

@@ -496,3 +496,70 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("sample_rank") <= _SAMPLE_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard packing: chunk each source's documents into ~capacity-token shards
+# by running sum over a deterministic order (hash of doc_id). This is the
+# sequential-fill sharding every training pipeline runs before writing
+# tokenized shards. Scale shape: the window partitions by source, so
+# packing parallelizes across sources and no global order exists;
+# the running sum is integer, so shard ids are engine-exact.
+# ---------------------------------------------------------------------------
+
+_SHARD_CAPACITY = 2000  # tokens per shard
+
+
+_PACK_ORACLE = rf"""
+WITH sized AS (
+  SELECT source, doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+runs AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM sized
+)
+SELECT source, doc_id, n_tokens,
+       CAST((cum - n_tokens) // {_SHARD_CAPACITY} AS BIGINT) AS shard_id
+FROM runs
+"""
+
+
+@register(
+    "llm_shard_packing",
+    oracle=_PACK_ORACLE,
+    doc=f"sequential shard packing: ~{_SHARD_CAPACITY}-token shards per"
+        " source via running-sum window over deterministic hash order",
+)
+def llm_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source",
+        "doc_id",
+        T.ws_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = sized.select(
+        "source", "doc_id", "n_tokens", F.sum("n_tokens").over(w).alias("cum")
+    )
+    # integer `div`, not double division: at warehouse scale the running
+    # sum can pass 2^53 where double division would mis-assign shards.
+    return runs.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) div {_SHARD_CAPACITY}").alias("shard_id"),
+    )

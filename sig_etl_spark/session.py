@@ -59,6 +59,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Pin the warehouse (bucketed catalog tables) inside the repo
+        # regardless of the caller's CWD.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "spark-warehouse"),
+        )
         .config("spark.ui.enabled", "false")
     )
     if master:

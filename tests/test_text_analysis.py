@@ -112,3 +112,21 @@ def test_scrub_pii_order_and_counts(spark):
     ).collect()[0]
     assert row.clean == "mail [EMAIL] or [PHONE] or bad 55-123-4567"
     assert (row.ne, row.np) == (1, 1)
+
+def test_shard_packing_capacity_invariant(spark):
+    """No shard exceeds capacity unless a single document alone does, and
+    shard ids per source are dense from 0."""
+    from sig_etl_spark.queries import QUERIES
+
+    out = QUERIES["llm_shard_packing"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_shard: dict[tuple, int] = {}
+    for r in out:
+        by_shard[(r.source, r.shard_id)] = by_shard.get((r.source, r.shard_id), 0) + r.n_tokens
+    for (src, sid), total in by_shard.items():
+        docs = [r.n_tokens for r in out if r.source == src and r.shard_id == sid]
+        assert total < 2000 + max(docs), (src, sid, total)
+    for src in {r.source for r in out}:
+        ids = sorted({r.shard_id for r in out if r.source == src})
+        assert ids == list(range(len(ids))), f"{src}: non-dense shards {ids}"

@@ -451,20 +451,27 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # day as a midnight timestamp (not DATE): both engines and the hash
     # canonicalization agree on timestamp rendering, and the other events
     # queries share the convention.
-    activity = ev.select(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-    ).distinct()
-    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    return (
-        activity.join(cohort, "user_id")
-        .groupBy(
-            "cohort_day",
-            F.datediff(F.col("day"), F.col("cohort_day"))
-            .cast("bigint")
-            .alias("day_offset"),
-        )
-        .agg(F.countDistinct("user_id").alias("n_users"))
+    #
+    # Single-pass shape: ONE user-keyed shuffle builds each user's
+    # distinct-day set (collect_set dedupes map-side), the cohort day is
+    # array_min of that set (no join back), and after explode every
+    # (cohort, offset, user) row is unique BY CONSTRUCTION — so count(*)
+    # replaces countDistinct(user), removing the distinct-expansion
+    # exchange. 2 shuffles total vs 4 + a user-sized join for the naive
+    # activity⋈cohort plan; the per-user set is bounded by the calendar,
+    # not by event volume.
+    per_user = (
+        ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
     )
+    exploded = per_user.select(
+        F.array_min("days").alias("cohort_day"), F.explode("days").alias("day")
+    )
+    return exploded.groupBy(
+        "cohort_day",
+        F.datediff(F.col("day"), F.col("cohort_day")).cast("bigint").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
 
 
 # ---------------------------------------------------------------------------

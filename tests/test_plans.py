@@ -90,6 +90,7 @@ def test_exchange_budget(spark, sf_dir):
         "w_latest_session": 2,
         "j2_composite_key_merge": 1,  # + broadcast side
         "events_funnel": 1,  # windows + final agg share one partitioning
+        "events_retention": 2,  # user-set build + cohort/offset agg, no join
     }
     for name, maxn in budget.items():
         plan = _plan(spark, sf_dir, name)

@@ -504,7 +504,11 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sequential-fill sharding every training pipeline runs before writing
 # tokenized shards. Scale shape: the window partitions by source, so
 # packing parallelizes across sources and no global order exists;
-# the running sum is integer, so shard ids are engine-exact.
+# the running sum is integer, so shard ids are engine-exact. If ONE
+# source dominates the corpus, pre-split it into (source, hash-bucket)
+# sub-streams and pack per bucket — per-bucket tail shards run slightly
+# underfilled, the standard trade every sharded tokenizer makes; the
+# per-source window here is the exact variant.
 # ---------------------------------------------------------------------------
 
 _SHARD_CAPACITY = 2000  # tokens per shard

@@ -192,6 +192,22 @@ def ivf_topk(
         .limit(n_centroids)
         .drop("_h")
     )
+    return _ivf_with_centroids(queries, corpus, cents, id_col, vec_col, k, nprobe)
+
+
+def _ivf_with_centroids(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Shared IVF cell machinery: assign corpus rows to their nearest
+    centroid, probe the ``nprobe`` nearest cells per query, exact-score
+    only same-cell candidates. ``cents`` must be (cent_id, cent_vec) and
+    centroid-count-sized (it is broadcast twice)."""
     cent_norm = _with_norm2(cents, "cent_id", "cent_vec", "cent_id").select(
         "cent_id", F.col("cent_id_vec").alias("cent_vec"),
         F.col("cent_id_norm2").alias("cent_norm2"),
@@ -240,3 +256,85 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    iters: int = 8,
+) -> list[list[float]]:
+    """Train a bounded-sample k-means coarse quantizer (the production
+    IVF path; FAISS trains exactly this way).
+
+    The training sample is the ``sample_size`` corpus rows with the
+    smallest md5(id) — the same deterministic hash-order sample the exact
+    IVF uses, so training is reproducible across runs and partitionings.
+    The driver-side collect is BOUNDED by sample_size (2048 x dim floats,
+    ~1 MB), never by corpus size — this is the one place a quantizer
+    genuinely wants a driver-side loop, mirroring how warehouse engines
+    train sketches on bounded samples. Lloyd iterations run in numpy with
+    spherical (cosine) assignment; empty clusters keep their previous
+    centroid so the count never collapses.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("i"),
+            F.col(vec_col).alias("v"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", "i")
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        return []
+    X = np.asarray([list(r.v) for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(X))
+    C = X[:k].copy()  # deterministic init: first k in hash order
+    for _ in range(iters):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(Xn @ Cn.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return [c.tolist() for c in C]
+
+
+def ivf_kmeans_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    sample_size: int = 2048,
+    iters: int = 8,
+) -> DataFrame:
+    """IVF-flat with a trained k-means quantizer — the production variant
+    of :func:`ivf_topk` (tighter cells -> better recall per probe). Same
+    cell machinery, same O(n_centroids * |corpus|) assignment bound; the
+    trained centroids are means, not SQL-re-derivable, so this operator
+    is pinned by property tests instead of the DuckDB oracle."""
+    spark = corpus.sparkSession
+    cents_local = kmeans_centroids(
+        corpus, id_col, vec_col, n_centroids, sample_size, iters
+    )
+    if not cents_local:
+        return _ivf_with_centroids(
+            queries, corpus,
+            spark.createDataFrame([], "cent_id long, cent_vec array<double>"),
+            id_col, vec_col, k, nprobe,
+        )
+    cents = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents_local)],
+        "cent_id long, cent_vec array<double>",
+    )
+    return _ivf_with_centroids(queries, corpus, cents, id_col, vec_col, k, nprobe)

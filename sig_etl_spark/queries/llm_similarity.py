@@ -272,3 +272,21 @@ def llm_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("query_id", F.col("label").alias("pred_label"), "votes")
     )
+
+
+@register(
+    "llm_knn_ivf_kmeans",
+    oracle=None,
+    doc="IVF-flat with a TRAINED k-means quantizer (bounded deterministic"
+        " sample, numpy Lloyd on the driver, centroid-count broadcast) —"
+        " the production path; means are not SQL-re-derivable, so this is"
+        " rows-only and pinned by property tests",
+)
+def llm_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.ivf_kmeans_topk(
+        queries, corpus, "vec_id", "embedding",
+        k=_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE,
+    )

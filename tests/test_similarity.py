@@ -98,3 +98,31 @@ def test_ivf_empty_corpus_yields_empty_result(spark):
     q = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") > 10_000)  # empty
     assert S.ivf_topk(q, c, "vec_id", "embedding", k=2).count() == 0
+
+
+def test_ivf_kmeans_scores_exact_and_deterministic(spark, sf_dir):
+    """Trained-quantizer IVF must return genuine neighbors (cosines match
+    brute force exactly) with dense ranks, and be run-to-run identical
+    (deterministic sample + deterministic Lloyd)."""
+    from sig_etl_spark.llm.similarity import brute_force_topk, ivf_kmeans_topk
+    from sig_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+    brute = {(r.query_id, r.corpus_id): r.cosine
+             for r in brute_force_topk(q, c, "vec_id", "embedding", k=200).collect()}
+
+    def run():
+        return sorted(
+            (r.query_id, r.corpus_id, r.cosine, r.rank)
+            for r in ivf_kmeans_topk(
+                q, c, "vec_id", "embedding", k=3, n_centroids=8, nprobe=2
+            ).collect()
+        )
+
+    first = run()
+    assert first, "kmeans IVF returned nothing"
+    for qid, cid, cos, _ in first:
+        assert (qid, cid) in brute and cos == brute[(qid, cid)]
+    assert first == run(), "kmeans IVF not deterministic across runs"

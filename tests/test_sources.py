@@ -282,3 +282,35 @@ def test_read_excel_header_hygiene(spark, tmp_path):
     assert df.columns == ["id", "id_2", "id_2_2", "we`ird"]
     row = df.collect()[0]
     assert [row[c] for c in df.columns] == ["1", "2", "3", "4"]
+
+
+def test_xlsx_roundtrip_property(spark):
+    """write_xlsx -> read_excel is identity for arbitrary cell text:
+    XML-special characters, unicode, whitespace — everything must survive
+    the OOXML escape/parse cycle. (Cells that are pure whitespace or
+    empty are exempt: xlsx renders None and '' identically.)"""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from sig_etl_spark.sources import read_excel, write_xlsx
+
+    cell = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs", "Cc"),  # no surrogates/control chars
+        ),
+        min_size=1,
+        max_size=20,
+    ).filter(lambda s: s.strip() == s and s)
+
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=st.lists(st.tuples(cell, cell), min_size=1, max_size=5))
+    def roundtrip(rows):
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            path = f"{td}/prop.xlsx"
+            write_xlsx(path, ["a", "b"], [list(r) for r in rows])
+            got = [(r.a, r.b) for r in read_excel(spark, path).collect()]
+            assert got == rows
+
+    roundtrip()

@@ -268,10 +268,10 @@ def simhash(
     The ``n_chunks`` equal-width chunks are the classic Hamming-neighbor
     blocking keys: flipping d bits changes at most d chunks, so two docs
     within Hamming distance n_chunks-1 share at least one chunk
-    (pigeonhole). More chunks extend the covered distance AND shrink each
-    bucket's candidate set at large n (an 8-bit bucket holds n/256 docs
-    vs n/65536 for 16-bit — pick n_chunks so bucket size stays bounded);
-    the cost is n_chunks candidate rows per doc in the block join.
+    (pigeonhole). More chunks extend the covered distance but ENLARGE
+    each bucket (narrower chunks: an 8-bit bucket holds ~n/256 docs vs
+    ~n/65536 for 16-bit), so candidate volume in the block join grows —
+    use the smallest n_chunks the required max_hamming allows.
     ``n_chunks`` must divide 64.
     """
     if 64 % n_chunks != 0:

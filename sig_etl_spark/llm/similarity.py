@@ -182,17 +182,29 @@ def ivf_topk(
     are |probed cells| * cell size, never |corpus|. Exactly the FAISS IVF
     contract, expressed as DataFrame ops.
     """
-    cents = (
-        corpus.select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("cent_vec"),
+    cents = _hash_sample(corpus, id_col, vec_col, n_centroids, "cent_id", "cent_vec")
+    return _ivf_with_centroids(queries, corpus, cents, id_col, vec_col, k, nprobe)
+
+
+def _hash_sample(
+    df: DataFrame, id_col: str, vec_col: str, n: int, out_id: str, out_vec: str
+) -> DataFrame:
+    """The ``n`` rows with the smallest md5(id): the repo's one
+    deterministic fixed-size sample, shared by the exact IVF quantizer
+    and the k-means trainer. The definition is load-bearing for oracle
+    parity (the DuckDB oracle mirrors it literally) — change it HERE or
+    the two paths and the oracle desynchronize. Compiles to takeOrdered:
+    per-partition top-n + a driver merge of n-row heaps."""
+    return (
+        df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
             F.md5(F.col(id_col).cast("string")).alias("_h"),
         )
-        .orderBy("_h", "cent_id")
-        .limit(n_centroids)
+        .orderBy("_h", out_id)
+        .limit(n)
         .drop("_h")
     )
-    return _ivf_with_centroids(queries, corpus, cents, id_col, vec_col, k, nprobe)
 
 
 def _ivf_with_centroids(
@@ -281,16 +293,7 @@ def kmeans_centroids(
     """
     import numpy as np
 
-    rows = (
-        corpus.select(
-            F.col(id_col).alias("i"),
-            F.col(vec_col).alias("v"),
-            F.md5(F.col(id_col).cast("string")).alias("h"),
-        )
-        .orderBy("h", "i")
-        .limit(sample_size)
-        .collect()
-    )
+    rows = _hash_sample(corpus, id_col, vec_col, sample_size, "i", "v").collect()
     if not rows:
         return []
     X = np.asarray([list(r.v) for r in rows], dtype=np.float64)

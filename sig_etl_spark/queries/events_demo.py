@@ -390,12 +390,22 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _JSON_ORACLE = """
+WITH x AS (
+  -- integer-regex gate before the cast: a bare CAST diverges across
+  -- engines on non-integer payloads (DuckDB rounds '12.5' to 13, ANSI
+  -- Spark throws) — gated, both yield NULL and count as missing.
+  SELECT event_type,
+         CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
+  FROM events
+)
 SELECT event_type,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
-       CAST(COUNT(*) - COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_missing
-FROM events GROUP BY event_type
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST(COUNT(*) - COUNT(k) AS BIGINT) AS n_missing
+FROM x GROUP BY event_type
 """
 
 
@@ -407,7 +417,11 @@ FROM events GROUP BY event_type
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    ks = F.get_json_object(F.col("props"), "$.k")
+    # integer-regex gate (mirrors the oracle): never a bare ANSI cast on
+    # schema-on-read data — a '12.5' payload would crash the query where
+    # the oracle's cast rounds; gated, both sides agree it is missing.
+    k = F.when(ks.rlike(r"^-?[0-9]+$"), ks.cast("bigint"))
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
         F.min(k).alias("min_k"),
@@ -489,11 +503,15 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 ),
 stats AS (
+  -- sum_sq: square in DOUBLE (identical inputs -> identical IEEE product
+  -- on both engines), THEN cast to decimal for the order-independent
+  -- sum. A decimal*decimal product would type differently per engine
+  -- (Spark truncates the scale to 6 under precision-loss rules, DuckDB
+  -- keeps scale 20) and silently round only one side.
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n_days,
          CAST(ROUND(SUM(CAST(day_total AS DECIMAL(38,10))), 6) AS DOUBLE) AS sum_total,
-         CAST(ROUND(SUM(CAST(day_total AS DECIMAL(38,10))
-                        * CAST(day_total AS DECIMAL(38,10))), 6) AS DOUBLE) AS sum_sq
+         CAST(ROUND(SUM(CAST(day_total * day_total AS DECIMAL(38,10))), 6) AS DOUBLE) AS sum_sq
   FROM daily GROUP BY event_type
 )
 SELECT d.event_type, d.day, d.day_total,
@@ -518,10 +536,14 @@ def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.round(F.sum(dec), 6).cast("double").alias("day_total"))
     ddec = F.col("day_total").cast("decimal(38,10)")
+    # square in DOUBLE then cast the product (see the oracle comment):
+    # decimal*decimal would silently truncate to scale 6 on the Spark
+    # side only (allowPrecisionLoss) while DuckDB keeps scale 20.
+    dsq = (F.col("day_total") * F.col("day_total")).cast("decimal(38,10)")
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.round(F.sum(ddec), 6).cast("double").alias("sum_total"),
-        F.round(F.sum(ddec * ddec), 6).cast("double").alias("sum_sq"),
+        F.round(F.sum(dsq), 6).cast("double").alias("sum_sq"),
     )
     mean = F.col("sum_total") / F.col("n_days")
     var = F.col("sum_sq") / F.col("n_days") - mean * mean

@@ -567,3 +567,50 @@ def llm_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.expr(f"(cum - n_tokens) div {_SHARD_CAPACITY}").alias("shard_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Length deciles PER SOURCE: ntile(10) over (n_chars, doc_id) within each
+# source — the "drop the shortest/longest X% of each source" curation
+# gate, with the id in the sort key so tile boundaries are deterministic
+# under ties. Partitioning by source keeps the window parallel (a GLOBAL
+# ntile would force every row into one partition — the exact
+# single-partition window this repo's plan guards exist to forbid); each
+# source's sort is bounded by that source's size.
+# ---------------------------------------------------------------------------
+
+_DECILE_ORACLE = """
+WITH tiled AS (
+  SELECT source, doc_id, n_chars,
+         ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT source, CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM tiled GROUP BY source, decile
+"""
+
+
+@register(
+    "llm_length_deciles",
+    oracle=_DECILE_ORACLE,
+    doc="per-source document-length deciles (ntile with deterministic"
+        " tiebreak) — the drop-the-tails curation gate's bucket"
+        " boundaries, window parallel across sources",
+)
+def llm_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    tiled = docs.select(
+        "source", "doc_id", "n_chars",
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    )
+    return tiled.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -570,6 +570,120 @@ def llm_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sub-bucketed shard packing — the dominant-source variant the exact
+# packer's docstring specifies. Real pretraining corpora are crawl-
+# dominated (one source is routinely 60-80% of rows), and a window
+# partitioned on `source` alone then sorts most of the corpus in ONE
+# task. Fix: any source whose row count exceeds ``bucket_docs_over``
+# pre-splits into ceil(rows / bucket_docs_over) md5-derived sub-buckets
+# and packs per (source, bucket) — parallelism follows data volume, not
+# source cardinality. Cost: each bucket's LAST shard may run underfilled
+# (≤ one shard of slack per bucket), the standard trade every sharded
+# tokenizer makes. Shard ids are therefore local to (source, bucket);
+# (source, bucket, shard_id) is the shard key.
+#
+# Everything is engine-exact so DuckDB re-derives it: bucket counts use
+# integer (n + N - 1) div N, the bucket assignment uses the md5-derived
+# portable_hash60, and the running sum stays integer.
+# ---------------------------------------------------------------------------
+
+_BUCKET_DOCS_OVER = 10  # split any source larger than this many docs
+
+
+def _bucketed_pack_oracle(bucket_docs_over: int, capacity: int) -> str:
+    return rf"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents GROUP BY source
+),
+sized AS (
+  SELECT d.source, d.doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         md5(CAST(d.doc_id AS VARCHAR)) AS h,
+         CASE WHEN c.n_rows > {bucket_docs_over}
+              THEN CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+                        % CAST((c.n_rows + {bucket_docs_over} - 1) // {bucket_docs_over} AS UBIGINT)
+                        AS BIGINT)
+              ELSE CAST(0 AS BIGINT)
+         END AS bucket
+  FROM documents d JOIN counts c USING (source)
+),
+runs AS (
+  SELECT source, bucket, doc_id, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source, bucket ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM sized
+)
+SELECT source, bucket, doc_id, n_tokens,
+       CAST((cum - n_tokens) // {capacity} AS BIGINT) AS shard_id
+FROM runs
+"""
+
+
+@register(
+    "llm_shard_packing_bucketed",
+    oracle=_bucketed_pack_oracle(_BUCKET_DOCS_OVER, _SHARD_CAPACITY),
+    doc=f"skew-proof shard packing: sources over {_BUCKET_DOCS_OVER} docs"
+        " pre-split into md5 sub-buckets so no single task sorts a"
+        " dominant source; running-sum window per (source, bucket)",
+)
+def llm_shard_packing_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_docs_over: int = _BUCKET_DOCS_OVER,
+    capacity: int = _SHARD_CAPACITY,
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sig_etl_spark.functions.hashing import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Per-source row counts: one small aggregate (|sources| rows), joined
+    # back broadcast — never a corpus-sized shuffle.
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_rows"))
+    # Integer bucket count, (n + N - 1) div N: exact on both engines at
+    # any corpus size (float ceil would drift past 2^53).
+    n_buckets = F.expr(
+        f"(n_rows + {bucket_docs_over} - 1) div {bucket_docs_over}"
+    )
+    doc_key = F.col("doc_id").cast("string")
+    sized = (
+        docs.join(F.broadcast(counts), "source")
+        .select(
+            "source",
+            "doc_id",
+            T.ws_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+            F.md5(doc_key).alias("h"),
+            F.when(
+                F.col("n_rows") > bucket_docs_over,
+                # portable_hash60 is non-negative, so % == pmod here.
+                portable_hash60(doc_key) % n_buckets,
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = sized.select(
+        "source", "bucket", "doc_id", "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum"),
+    )
+    return runs.select(
+        "source",
+        "bucket",
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) div {capacity}").alias("shard_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Length deciles PER SOURCE: ntile(10) over (n_chars, doc_id) within each
 # source — the "drop the shortest/longest X% of each source" curation
 # gate, with the id in the sort key so tile boundaries are deterministic

@@ -147,3 +147,21 @@ def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
         f"bucketed join plan has {n_shuffles} hash shuffles; the join sides "
         "must come from bucketed scans, only the final agg may shuffle"
     )
+
+
+def test_bucketed_shard_packing_window_includes_bucket(spark, sf_dir):
+    """The skew-proof packer exists to break the dominant-source sort: its
+    running-sum window MUST partition on (source, bucket), and the count
+    join feeding bucket assignment must broadcast. A window back on
+    `source` alone re-creates the single-task sort this query fixes."""
+    plan = _plan(spark, sf_dir, "llm_shard_packing_bucketed")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "no window in the bucketed packing plan"
+    for spec in specs:
+        assert "source" in spec and "bucket" in spec, (
+            f"window partitions on {spec!r}; bucket column missing — "
+            "dominant source would sort in one task"
+        )
+    assert "BroadcastHashJoin" in plan, (
+        "per-source count join must broadcast (it is |sources| rows)"
+    )

@@ -2,13 +2,15 @@
 with typed metadata.
 
 The Spark-side machinery here is real and tested — schemas, Arrow batch
-shapes, mapInPandas signatures, frame explosion, partitioning — while the
-codec step is STUBBED: this container has no image/audio libraries, so
-``_decode_bytes`` produces a deterministic fake "decode" (byte-level
-statistics) and the real-codec hook raises NotImplementedError unless
-PIL/soundfile are importable. Swapping in real codecs changes only the
-body of ``_decode_bytes``; every schema, batch and shuffle stays as
-tested.
+shapes, mapInPandas signatures, frame explosion, partitioning. The codec
+layer is tiered: REAL stdlib decoders for binary PPM (P6) and
+non-interlaced 8-bit PNG (zlib inflate + filter reversal, CRC-checked),
+PIL for everything else when importable, and an honest
+NotImplementedError for formats neither covers (this container ships no
+image/audio libraries). The byte-statistics featurizer (``_decode_bytes``)
+remains a deterministic stand-in for an embedding model; swapping a real
+one changes only the batch body — every schema, batch and shuffle stays
+as tested.
 
 At 100 TB: media rows are large and skew-prone — features are computed in
 ``mapInPandas`` (streaming Arrow batches, bounded by
@@ -118,10 +120,18 @@ def decode_ppm(content: bytes) -> np.ndarray:
     w, h, maxval = fields
     if maxval > 255:
         raise ValueError(f"16-bit PPM unsupported (maxval={maxval})")
-    pos += 1  # single whitespace byte after maxval, then raw samples
-    raw = content[pos : pos + w * h * 3]
+    # Exactly ONE whitespace byte separates maxval from the raster (PPM
+    # grammar). A CRLF-emitting writer would otherwise shift the raster
+    # start by one byte and decode shifted garbage, so verify the byte
+    # and demand the remaining length matches the raster exactly.
+    if pos >= len(content) or not content[pos : pos + 1].isspace():
+        raise ValueError("PPM header not terminated by a whitespace byte")
+    pos += 1
+    raw = content[pos:]
     if len(raw) != w * h * 3:
-        raise ValueError(f"PPM raster truncated: want {w * h * 3}, got {len(raw)}")
+        raise ValueError(
+            f"PPM raster length mismatch: want exactly {w * h * 3}, got {len(raw)}"
+        )
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
 
 
@@ -131,18 +141,176 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Real COMPRESSED-format decode: non-interlaced 8-bit PNG, pure
+    stdlib (zlib inflate + struct chunk walk) + numpy.
+
+    Full spec subset: chunk CRCs verified, multi-IDAT streams
+    concatenated, all five scanline filters (None/Sub/Up/Average/Paeth)
+    reversed. Color types 2 (RGB), 0 (greyscale, replicated to RGB) and
+    6 (RGBA, alpha dropped) are accepted; interlaced or 16-bit images
+    raise — honestly unsupported, never silently wrong. Returns
+    (h, w, 3) uint8.
+
+    The per-row filter reversal is sequential by spec (Sub/Average/Paeth
+    reference the just-reconstructed left neighbor), so rows loop in
+    Python over numpy int16 rows — fine for fixture-scale images; a
+    production deployment swaps PIL into decode_real and never reaches
+    this code path.
+    """
+    import struct
+    import zlib
+
+    if not content.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(_PNG_SIG)
+    ihdr: tuple | None = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (length,), ctype = struct.unpack(">I", content[pos : pos + 4]), content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        (crc,) = struct.unpack(">I", content[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bit_depth, color_type, compression, filter_method, interlace = ihdr
+    if bit_depth != 8 or interlace != 0 or compression != 0 or filter_method != 0:
+        raise ValueError(
+            f"unsupported PNG shape (bit_depth={bit_depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"PNG scanline data length mismatch: {len(raw)}")
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int16)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up — fully vectorized
+            rec = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth — sequential in x
+            rec = np.zeros(stride, dtype=np.int16)
+            for i in range(stride):
+                a = rec[i - channels] if i >= channels else 0
+                b = prev[i]
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prev[i - channels] if i >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype} in row {y}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3].copy() if channels == 4 else px
+
+
+def encode_png(pixels: np.ndarray, filter_choice=None) -> bytes:
+    """(h, w, 3) uint8 -> PNG bytes (fixture twin of decode_png).
+
+    ``filter_choice(y) -> 0..4`` picks each row's scanline filter
+    (default: cycle through all five) so fixtures exercise every
+    reversal path in the decoder, not just filter 0.
+    """
+    import struct
+    import zlib
+
+    if filter_choice is None:
+        filter_choice = lambda y: y % 5  # noqa: E731
+    px = pixels.astype(np.int16)
+    h, w, channels = px.shape
+    stride = w * channels
+    flat = px.reshape(h, stride)
+    lines = bytearray()
+    for y in range(h):
+        ftype = filter_choice(y)
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int16)
+        left = np.concatenate([np.zeros(channels, dtype=np.int16), cur[:-channels]])
+        ul = np.concatenate([np.zeros(channels, dtype=np.int16), prev[:-channels]])
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prev
+        elif ftype == 3:
+            filt = cur - ((left + prev) >> 1)
+        elif ftype == 4:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"bad filter choice {ftype}")
+        lines.append(ftype)
+        lines.extend((filt & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_real(content: bytes) -> np.ndarray:
     """Real codec path: bytes -> (h, w, 3) uint8 RGB pixels.
 
-    PIL when importable (JPEG/PNG/...); the stdlib PPM decoder for P6
-    payloads regardless; an honest NotImplementedError for compressed
-    formats in codec-less environments — never a silent fake."""
+    The stdlib codecs handle P6 PPM and non-interlaced 8-bit PNG
+    natively; PIL, when importable, covers everything else (JPEG/...);
+    otherwise an honest NotImplementedError — never a silent fake."""
     if content[:2] == b"P6":
         return decode_ppm(content)
+    if content[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(content)
     if not _HAVE_PIL:
         raise NotImplementedError(
-            "decoding non-PPM images requires PIL; this environment only "
-            "decodes uncompressed P6 PPM (decode_ppm)"
+            "decoding non-PPM/PNG images requires PIL; this environment "
+            "decodes uncompressed P6 PPM (decode_ppm) and non-interlaced "
+            "8-bit PNG (decode_png)"
         )
     import io
 

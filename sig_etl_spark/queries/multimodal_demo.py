@@ -234,6 +234,85 @@ def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_stats(media)
 
 
+# ---------------------------------------------------------------------------
+# REAL compressed-format decode: per-document PNG fixtures (zlib-deflated,
+# CRC'd, row filters cycling None/Sub/Up/Average/Paeth so every filter
+# reversal in decode_png runs) built in mapInPandas from the closed form
+# pixel j = (media_id*11 + j*17) % 256, then decoded back through the
+# decode_real gate. The oracle re-derives width/height/channel sums from
+# the same closed form — a wrong inflate, filter reversal, stride or CRC
+# pass fails the hash.
+# ---------------------------------------------------------------------------
+
+_PNG_MAX_SAMPLES = 8 * 6 * 3  # w <= 8, h <= 6
+
+_PNG_DECODE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CAST(4 + doc_id % 5 AS INTEGER) AS width,
+         CAST(3 + doc_id % 4 AS INTEGER) AS height
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height,
+         (media_id * 11 + j * 17) % 256 AS v,
+         j % 3 AS ch
+  FROM d CROSS JOIN range({_PNG_MAX_SAMPLES}) t(j)
+  WHERE j < width * height * 3
+)
+SELECT media_id, width, height,
+       CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sum_b
+FROM px GROUP BY media_id, width, height
+"""
+
+
+def _png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> real PNG bytes of the closed-form raster. Encoding is
+    Python (zlib/CRC are not SQL expressions), so it runs in mapInPandas
+    — same Arrow-batch shape as the decode side."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from sig_etl_spark.llm.multimodal import encode_png
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 4 + mid % 5, 3 + mid % 4
+                j = np.arange(w * h * 3, dtype=np.int64)
+                px = ((mid * 11 + j * 17) % 256).astype(np.uint8).reshape(h, w, 3)
+                blobs.append(encode_png(px))  # default: filters cycle 0..4
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    return docs.mapInPandas(_make, schema)
+
+
+@register(
+    "mm_decode_png",
+    oracle=_PNG_DECODE_ORACLE,
+    doc="REAL compressed decode: zlib-deflated PNG fixtures (all 5 row"
+        " filters) parsed by the stdlib codec (decode_real -> decode_png)"
+        " inside mapInPandas; oracle re-derives pixel sums arithmetically",
+)
+def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = partition_media(_png_media(spark, sf_dir), 32)
+    return decode_image_stats(media)
+
+
 @register(
     "mm_resize",
     oracle=_RESIZE_ORACLE,

@@ -83,19 +83,94 @@ def test_ppm_decode_rejects_garbage():
 
     with pytest.raises(ValueError, match="P6"):
         decode_ppm(b"PNG...")
-    with pytest.raises(ValueError, match="truncated"):
+    with pytest.raises(ValueError, match="length mismatch"):
         decode_ppm(b"P6\n4 4\n255\n\x00\x00")  # raster too short
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_ppm(b"P6\n1 1\n255\n\x00\x00\x00extra")  # trailing bytes
+    with pytest.raises(ValueError, match="whitespace"):
+        # header must end in exactly one whitespace byte
+        decode_ppm(b"P6\n1 1\n255")
+    with pytest.raises(ValueError, match="length mismatch"):
+        # CRLF after maxval must error, not shift the raster silently
+        decode_ppm(b"P6\n1 1\n255\r\n\x00\x00\x00")
     with pytest.raises(ValueError, match="16-bit"):
         decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
     # decode_real routes P6 to the stdlib decoder even without PIL
     px = np.zeros((1, 2, 3), dtype=np.uint8)
     assert decode_real(encode_ppm(px)).shape == (1, 2, 3)
-    # and stays an HONEST gate for compressed formats when PIL is absent
+    # and stays an HONEST gate for formats neither codec covers
     from sig_etl_spark.llm import multimodal as M
 
     if not M._HAVE_PIL:
         with pytest.raises(NotImplementedError):
-            decode_real(b"\x89PNG\r\n\x1a\n")
+            decode_real(b"\xff\xd8\xff\xe0JFIF-ish")
+
+
+def test_png_roundtrip_all_filters():
+    import numpy as np
+
+    from sig_etl_spark.llm.multimodal import decode_png, decode_real, encode_png
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 4), (16, 5), (2, 33)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        # each fixed filter type, then the default all-five cycle
+        for fc in [lambda y, t=t: t for t in range(5)] + [None]:
+            assert (decode_png(encode_png(px, fc)) == px).all()
+        # decode_real routes PNG signatures to the stdlib decoder
+        assert (decode_real(encode_png(px)) == px).all()
+
+
+def test_png_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sig_etl_spark.llm.multimodal import decode_png, encode_png
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        seed=st.integers(0, 2**31),
+    )
+    def check(w, h, seed):
+        px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(px)) == px).all()
+
+    check()
+
+
+def test_png_decode_rejects_corruption():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from sig_etl_spark.llm.multimodal import decode_png, encode_png
+
+    px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    blob = bytearray(encode_png(px))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x89PNJ" + bytes(blob[4:]))
+    # flip one IDAT byte -> CRC catches it
+    corrupt = bytearray(blob)
+    corrupt[-20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupt))
+    # 16-bit / interlaced headers are honestly rejected
+    ihdr = struct.pack(">IIBBBBB", 3, 4, 16, 2, 0, 0, 0)
+    import zlib
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(bad)
 
 
 def test_decode_image_stats_real_decode(spark):

@@ -91,11 +91,11 @@ def llm_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(queries, corpus, "vec_id", "embedding", k=_K)
 
 
-def _lsh_oracle() -> str:
-    planes = S.hyperplanes(_DIM, _BANDS * _PLANES_PER_BAND, _SEED)
+def _lsh_oracle(bands: int = _BANDS, planes_per_band: int = _PLANES_PER_BAND) -> str:
+    planes = S.hyperplanes(_DIM, bands * planes_per_band, _SEED)
     band_exprs = [
-        _bucket_expr(planes[i * _PLANES_PER_BAND : (i + 1) * _PLANES_PER_BAND])
-        for i in range(_BANDS)
+        _bucket_expr(planes[i * planes_per_band : (i + 1) * planes_per_band])
+        for i in range(bands)
     ]
     buckets = lambda src, id_col: " UNION ALL ".join(  # noqa: E731
         f"SELECT {id_col}, embedding, {i} AS band, {expr} AS bucket FROM {src}"
@@ -156,7 +156,7 @@ _N_CENTROIDS = 16
 _NPROBE = 3
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(nprobe: int = _NPROBE) -> str:
     dot_qc = _dot_expr("x.embedding", "ct.cent_vec")
     dot_pair = _dot_expr("qv.embedding", "cv.embedding")
     return f"""
@@ -189,7 +189,7 @@ qprobe AS (
              ORDER BY ({_dot_expr("x.embedding", "ct.cent_vec")} / sqrt(n.norm2 * ct.cent_norm2)) DESC, ct.cent_id
            ) AS rn
     FROM q x JOIN qn n USING (query_id) CROSS JOIN centn ct
-  ) WHERE rn <= {_NPROBE}
+  ) WHERE rn <= {nprobe}
 ),
 scored AS (
   SELECT p.query_id, a.corpus_id,
@@ -271,6 +271,133 @@ def llm_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         votes.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recall@k — the quality metric that makes "approximate" measurable. Each
+# approximate path's top-k is intersected with the exact brute-force
+# top-k; recall = |intersection| / (n_queries * k). Reported at the demo
+# configs (cheap, recall ~0.3-0.5 on these near-random synthetic
+# embeddings — IVF/LSH pruning is worst-case on unclustered data, stated
+# honestly) AND at the high-recall configs the floor test pins (>= 0.8).
+# The brute-force truth is 50 rows, localCheckpointed once and reused by
+# every intersection — the approx paths are the only per-method cost.
+# ---------------------------------------------------------------------------
+
+_HI_BANDS, _HI_PLANES = 8, 3
+_HI_NPROBE = 12
+_N_QUERIES = 10  # vec_id < 10
+
+
+def _recall_union(methods: dict[str, str]) -> str:
+    """methods: name -> full top-k oracle SQL (nested-WITH subquery)."""
+    arms = " UNION ALL ".join(
+        f"SELECT '{name}' AS method, CAST(COUNT(*) AS BIGINT) AS hits "
+        f"FROM brute JOIN m_{name} USING (query_id, corpus_id)"
+        for name in methods
+    )
+    ctes = ",\n".join(
+        f"m_{name} AS (SELECT query_id, corpus_id FROM ({sql}) x)"
+        for name, sql in methods.items()
+    )
+    denom = _N_QUERIES * _K
+    return f"""
+WITH brute AS (SELECT query_id, corpus_id FROM ({_BRUTE_ORACLE}) b),
+{ctes}
+SELECT method, hits, CAST(hits AS DOUBLE) / {denom} AS recall
+FROM ({arms}) t
+"""
+
+
+def _recall_df(brute: DataFrame, name: str, approx: DataFrame) -> DataFrame:
+    hits = (
+        brute.join(
+            approx.select("query_id", "corpus_id"), ["query_id", "corpus_id"]
+        )
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return hits.select(
+        F.lit(name).alias("method"),
+        "hits",
+        (F.col("hits") / F.lit(_N_QUERIES * _K)).alias("recall"),
+    )
+
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+@register(
+    "llm_ann_recall",
+    oracle=_recall_union(
+        {
+            "lsh_b2p4": _lsh_oracle(_BANDS, _PLANES_PER_BAND),
+            "lsh_b8p3": _lsh_oracle(_HI_BANDS, _HI_PLANES),
+            "ivf_np3": _ivf_oracle(_NPROBE),
+            "ivf_np12": _ivf_oracle(_HI_NPROBE),
+        }
+    ),
+    doc="recall@5 of the LSH and IVF paths vs exact brute force, at both"
+        " the demo configs and the >=0.8-floor configs — every"
+        " intersection re-derived by the oracle",
+)
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    # 50-row exact truth, materialized once for all four intersections.
+    brute = (
+        S.brute_force_topk(queries, corpus, "vec_id", "embedding", k=_K)
+        .select("query_id", "corpus_id")
+        .localCheckpoint()
+    )
+    lsh = lambda b, p: S.lsh_topk(  # noqa: E731
+        queries, corpus, "vec_id", "embedding",
+        k=_K, dim=_DIM, bands=b, planes_per_band=p, seed=_SEED,
+    )
+    ivf = lambda np_: S.ivf_topk(  # noqa: E731
+        queries, corpus, "vec_id", "embedding",
+        k=_K, n_centroids=_N_CENTROIDS, nprobe=np_,
+    )
+    return _union_all(
+        [
+            _recall_df(brute, "lsh_b2p4", lsh(_BANDS, _PLANES_PER_BAND)),
+            _recall_df(brute, "lsh_b8p3", lsh(_HI_BANDS, _HI_PLANES)),
+            _recall_df(brute, "ivf_np3", ivf(_NPROBE)),
+            _recall_df(brute, "ivf_np12", ivf(_HI_NPROBE)),
+        ]
+    )
+
+
+@register(
+    "llm_ann_recall_kmeans",
+    oracle=None,
+    doc="recall@5 of the TRAINED k-means IVF path vs exact brute force"
+        " (rows-only: trained means are not SQL-re-derivable; the >=0.8"
+        " floor at nprobe=12 is asserted in tests/test_similarity.py)",
+)
+def llm_ann_recall_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    brute = (
+        S.brute_force_topk(queries, corpus, "vec_id", "embedding", k=_K)
+        .select("query_id", "corpus_id")
+        .localCheckpoint()
+    )
+    km = lambda np_: S.ivf_kmeans_topk(  # noqa: E731
+        queries, corpus, "vec_id", "embedding",
+        k=_K, n_centroids=_N_CENTROIDS, nprobe=np_,
+    )
+    return _union_all(
+        [
+            _recall_df(brute, "ivf_kmeans_np3", km(_NPROBE)),
+            _recall_df(brute, "ivf_kmeans_np12", km(_HI_NPROBE)),
+        ]
     )
 
 

@@ -126,3 +126,66 @@ def test_ivf_kmeans_scores_exact_and_deterministic(spark, sf_dir):
     for qid, cid, cos, _ in first:
         assert (qid, cid) in brute and cos == brute[(qid, cid)]
     assert first == run(), "kmeans IVF not deterministic across runs"
+
+
+def test_ann_recall_floors(spark, sf_dir):
+    """The approximate paths must actually be GOOD at their high-recall
+    configs: recall@5 vs exact brute force >= 0.8 for LSH (8 bands x 3
+    planes), sampled-centroid IVF (nprobe=12/16) and trained-k-means IVF
+    (nprobe=12/16). These synthetic embeddings are near-random — the
+    worst case for cell/bucket pruning — so a floor that holds here
+    holds on clustered real embeddings a fortiori."""
+    from sig_etl_spark.llm.similarity import (
+        brute_force_topk,
+        ivf_kmeans_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+    from sig_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    k = 5
+    brute = (
+        brute_force_topk(q, c, "vec_id", "embedding", k=k)
+        .select("query_id", "corpus_id")
+        .localCheckpoint()
+    )
+    denom = brute.count()
+    assert denom == 10 * k
+
+    approx = {
+        "lsh_b8p3": lsh_topk(
+            q, c, "vec_id", "embedding",
+            k=k, dim=64, bands=8, planes_per_band=3, seed=7,
+        ),
+        "ivf_np12": ivf_topk(
+            q, c, "vec_id", "embedding", k=k, n_centroids=16, nprobe=12
+        ),
+        "ivf_kmeans_np12": ivf_kmeans_topk(
+            q, c, "vec_id", "embedding", k=k, n_centroids=16, nprobe=12
+        ),
+    }
+    for name, df in approx.items():
+        hits = brute.join(
+            df.select("query_id", "corpus_id"), ["query_id", "corpus_id"]
+        ).count()
+        recall = hits / denom
+        assert recall >= 0.8, f"{name}: recall@5 {recall:.2f} < 0.8"
+
+
+def test_ann_recall_query_shape(spark, sf_dir):
+    """Registered recall queries return one row per method with recall in
+    [0, 1] and hits consistent with recall * (n_queries * k)."""
+    from sig_etl_spark.queries import QUERIES
+
+    for qname, expected in [
+        ("llm_ann_recall", {"lsh_b2p4", "lsh_b8p3", "ivf_np3", "ivf_np12"}),
+        ("llm_ann_recall_kmeans", {"ivf_kmeans_np3", "ivf_kmeans_np12"}),
+    ]:
+        rows = QUERIES[qname].builder(spark, sf_dir).collect()
+        assert {r.method for r in rows} == expected
+        for r in rows:
+            assert 0.0 <= r.recall <= 1.0
+            assert r.hits == round(r.recall * 50)

@@ -50,7 +50,20 @@ class MatchConfig:
     # 0 = rely on AQE skew-join; N > 0 = explicit salting — x rows hash
     # into N salt buckets, y replicates N times, the block key becomes
     # (block, salt). Same results, N-way parallel hot blocks.
+    #
+    # NOTE on when salting matters: when y fits in a broadcast, the pair
+    # frame inherits x's row-id partitioning and block-size skew never
+    # becomes task skew — salting is pure overhead there (measured:
+    # ~2.6x slower on a 52%-dominant block at sf0.1). Salt only in the
+    # shuffle-join regime below, where the join partitions BY BLOCK KEY
+    # and a dominant block lands on one task.
     salt_buckets: int = 0
+    # Pin the block-key shuffle join (MERGE hint) instead of letting the
+    # optimizer broadcast y. This is the plan shape a warehouse-sized y
+    # forces at scale; setting it at test scale makes the skew/salting
+    # behavior of that regime measurable on small fixtures, where y would
+    # otherwise always auto-broadcast.
+    shuffle_join: bool = False
 
 
 def fuzzy_match(x: DataFrame, y: DataFrame, config: MatchConfig) -> DataFrame:
@@ -108,6 +121,8 @@ def fuzzy_match(x: DataFrame, y: DataFrame, config: MatchConfig) -> DataFrame:
         join_keys = join_keys + ["_salt"]
     if config.broadcast_y:
         yr = F.broadcast(yr)
+    elif config.shuffle_join:
+        yr = yr.hint("merge")
 
     pairs = xr.join(yr, join_keys, "left")
 

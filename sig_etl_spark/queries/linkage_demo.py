@@ -46,22 +46,31 @@ def _xy(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return x, y
 
 
-_LINKAGE_ORACLE = f"""
+_NAME_SQL = "translate(CAST(c_custkey AS VARCHAR), '0123456789', 'abcdefghij')"
+
+
+def _linkage_oracle(
+    x_mod: int = 10,
+    block_col: str = "nk",
+    block_expr: str = "c_nationkey",
+    name_sql: str = _NAME_SQL,
+) -> str:
+    return f"""
 WITH y AS (
-  SELECT c_custkey AS y_id, c_nationkey AS nk,
-         translate(CAST(c_custkey AS VARCHAR), '0123456789', 'abcdefghij') AS y_name,
+  SELECT c_custkey AS y_id, {block_expr} AS {block_col},
+         {name_sql} AS y_name,
          'city' || CAST(c_custkey % 7 AS VARCHAR) AS y_city
   FROM customer
 ),
 x AS (
-  SELECT c_custkey AS x_id, c_nationkey AS nk,
-         translate(CAST(c_custkey AS VARCHAR), '0123456789', 'abcdefghij') || 'x' AS x_name,
+  SELECT c_custkey AS x_id, {block_expr} AS {block_col},
+         {name_sql} || 'x' AS x_name,
          'city' || CAST(c_custkey % 7 AS VARCHAR) AS x_city
-  FROM customer WHERE c_custkey % 10 = 3
+  FROM customer WHERE c_custkey % {x_mod} = 3
 ),
 pairs AS (
-  SELECT x.x_id, x.nk, x.x_name, x.x_city, y.y_id, y.y_name, y.y_city
-  FROM x LEFT JOIN y USING (nk)
+  SELECT x.x_id, x.{block_col}, x.x_name, x.x_city, y.y_id, y.y_name, y.y_city
+  FROM x LEFT JOIN y USING ({block_col})
 ),
 scored AS (
   SELECT *,
@@ -92,7 +101,7 @@ near AS (
               OVER (PARTITION BY x_id) AS BIGINT) AS nnear
   FROM win
 )
-SELECT x_id, nk, x_name, x_city,
+SELECT x_id, {block_col}, x_name, x_city,
        CASE WHEN c >= {_REQUIRED} THEN y_id END AS candidate_id,
        ROUND(c, 6) AS match_score,
        ncand AS n_candidates,
@@ -102,6 +111,9 @@ SELECT x_id, nk, x_name, x_city,
        END AS match_status
 FROM near WHERE rn = 1
 """
+
+
+_LINKAGE_ORACLE = _linkage_oracle()
 
 
 def _config(scorer: str) -> MatchConfig:
@@ -143,6 +155,100 @@ def linkage_fuzzy_match_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_match(
         x, y, dataclasses.replace(_config("levenshtein"), salt_buckets=4)
     )
+
+
+# ---------------------------------------------------------------------------
+# Skewed-block variants: the real CA/TX shape (SURVEY §4) — one block
+# holds ~52% of all rows (nations 0-12 collapse into block 0), so under
+# a block-key shuffle join most candidate pairs are generated AND scored
+# in ONE task while every other core idles. The salted twin splits the
+# hot block 8 ways. Both are oracle-checked against the identical
+# skewed-block SQL, and both are registered so BENCH records the
+# measured salted-vs-unsalted gap on skew (the uniform-data pair above
+# measures the no-skew overhead).
+#
+# Fixture realism notes, each one load-bearing for the measurement:
+# - names are ~27 chars (realistic linkage keys), because levenshtein is
+#   O(len^2) and 6-char toy names make scoring so cheap the balanced
+#   window stage drowns the hot task (measured: gap within noise);
+# - shuffle_join pins the merge-join regime (see _skew_config) — with
+#   broadcast-y the pair frame inherits x's row-id partitioning and
+#   block skew never becomes task skew in the first place;
+# - x is 2.5% of customers so the deliberately-pathological pair count
+#   stays bench-sized (~1.5M hot pairs at sf0.1).
+# Measured at sf0.1 local[32]: unsalted ~13-16s vs salted ~8.2-8.5s at
+# 2x this x volume; the registered queries run at half that.
+# ---------------------------------------------------------------------------
+
+_SKEW_X_MOD = 40
+_SKEW_BLOCK_SQL = "CASE WHEN c_nationkey < 13 THEN 0 ELSE c_nationkey END"
+_SKEW_NAME_SQL = (
+    f"{_NAME_SQL} || '-' || reverse({_NAME_SQL}) || '-' || "
+    f"{_NAME_SQL} || '-' || reverse({_NAME_SQL})"
+)
+_SKEW_SALT = 8
+
+
+def _xy_skewed(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    customer = load_table(spark, sf_dir, "customer")
+    base = F.translate(F.col("c_custkey").cast("string"), "0123456789", "abcdefghij")
+    name = F.concat_ws("-", base, F.reverse(base), base, F.reverse(base))
+    city = F.concat(F.lit("city"), (F.col("c_custkey") % 7).cast("string"))
+    blk = F.when(F.col("c_nationkey") < 13, F.lit(0)).otherwise(
+        F.col("c_nationkey")
+    )
+    y = customer.select(
+        F.col("c_custkey").alias("y_id"),
+        blk.alias("blk"),
+        name.alias("y_name"),
+        city.alias("y_city"),
+    )
+    x = customer.filter(F.col("c_custkey") % _SKEW_X_MOD == 3).select(
+        F.col("c_custkey").alias("x_id"),
+        blk.alias("blk"),
+        F.concat(name, F.lit("x")).alias("x_name"),
+        city.alias("x_city"),
+    )
+    return x, y
+
+
+def _skew_config(salt_buckets: int = 0) -> MatchConfig:
+    import dataclasses
+
+    # shuffle_join pins the merge-join (warehouse-sized-y) regime: at
+    # test scale y would auto-broadcast and block skew would never
+    # become task skew, hiding exactly the effect these queries measure.
+    return dataclasses.replace(
+        _config("levenshtein"),
+        block_on=("blk",),
+        salt_buckets=salt_buckets,
+        shuffle_join=True,
+    )
+
+
+_SKEW_ORACLE = _linkage_oracle(_SKEW_X_MOD, "blk", _SKEW_BLOCK_SQL, _SKEW_NAME_SQL)
+
+
+@register(
+    "linkage_fuzzy_match_skew",
+    oracle=_SKEW_ORACLE,
+    doc="J4 on a 52%-dominant block (CA/TX shape), UNSALTED — the"
+        " single-hot-task baseline the salted twin is measured against",
+)
+def linkage_fuzzy_match_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x, y = _xy_skewed(spark, sf_dir)
+    return fuzzy_match(x, y, _skew_config(0))
+
+
+@register(
+    "linkage_fuzzy_match_skew_salted",
+    oracle=_SKEW_ORACLE,
+    doc=f"J4 on the same 52%-dominant block, {_SKEW_SALT}-way salted —"
+        " identical results (same oracle), hot block scored in parallel",
+)
+def linkage_fuzzy_match_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x, y = _xy_skewed(spark, sf_dir)
+    return fuzzy_match(x, y, _skew_config(_SKEW_SALT))
 
 
 @register(

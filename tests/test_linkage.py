@@ -291,3 +291,53 @@ def test_vectorized_batch_matches_golden():
     for i, (x, y, *_rest) in enumerate(_GOLDEN):
         assert got_ratio[i] == pytest.approx(py_ratio(x, y), abs=1e-6)
         assert got_wratio[i] == pytest.approx(py_wratio(x, y), abs=1e-6)
+
+
+def test_skewed_fixture_salted_equivalence(spark):
+    """tests/fixtures/skewed_linkage_{x,y}.csv: a deliberately skewed
+    block map (block 0 = 52% of rows, the CA/TX shape). Salted and
+    unsalted runs must produce identical results under the shuffle-join
+    regime, and the fixture must actually BE skewed."""
+    import dataclasses
+    import os
+
+    from pyspark.sql import functions as F
+
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    y = spark.read.csv(
+        os.path.join(fixtures, "skewed_linkage_y.csv"),
+        header=True,
+        schema="y_id long, blk int, y_name string, y_city string",
+    )
+    x = spark.read.csv(
+        os.path.join(fixtures, "skewed_linkage_x.csv"),
+        header=True,
+        schema="x_id long, blk int, x_name string, x_city string",
+    )
+    hot = y.filter(F.col("blk") == 0).count() / y.count()
+    assert hot >= 0.4, f"fixture lost its skew (hot share {hot:.2f})"
+
+    cfg = MatchConfig(
+        rules=(
+            ColumnRule("x_name", ("y_name",), scorer="levenshtein", threshold=85.0),
+            ColumnRule("x_city", ("y_city",), scorer="exact", threshold=100.0),
+        ),
+        block_on=("blk",),
+        y_id="y_id",
+        required_threshold=80.0,
+        duplicate_threshold=3.0,
+        shuffle_join=True,
+    )
+
+    def run(salt):
+        out = fuzzy_match(x, y, dataclasses.replace(cfg, salt_buckets=salt))
+        return sorted(
+            (r.x_id, r.candidate_id, r.match_score, r.n_candidates, r.match_status)
+            for r in out.collect()
+        )
+
+    unsalted = run(0)
+    assert len(unsalted) == x.count()  # every x row survives
+    assert unsalted == run(8), "salting changed linkage results on skew"
+    statuses = {s for *_rest, s in unsalted}
+    assert "matched" in statuses

@@ -42,10 +42,18 @@ def bucketed_table(
     so different scale factors coexist and layout changes regenerate
     rather than silently reusing stale buckets."""
     base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    # Full-path hash alongside the basename: two different sf_dirs with
+    # the same basename (e.g. two tmp copies of sf0.01) must not silently
+    # share bucketed data within a session.
+    import hashlib
+
+    path_tag = hashlib.md5(
+        os.path.abspath(sf_dir).encode("utf-8")
+    ).hexdigest()[:8]
     # n_buckets is part of the name: bucket count IS the layout, and two
     # join sides only co-locate when their counts match — a different
     # count must regenerate, never silently reuse the old layout.
-    name = f"bkt_{table}_{base}_b{n_buckets}_{_VERSION}"
+    name = f"bkt_{table}_{base}_{path_tag}_b{n_buckets}_{_VERSION}"
     if not spark.catalog.tableExists(name):
         # The in-memory catalog forgets tables across sessions while the
         # warehouse dir persists; a location without catalog metadata has

@@ -460,7 +460,9 @@ GROUP BY 1, 2
     doc="cohort retention matrix: first-seen-day cohorts x day offset,"
         " distinct active users — user-keyed shuffles only",
 )
-def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_retention(
+    spark: SparkSession, sf_dir: str, max_days: int | None = None
+) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # day as a midnight timestamp (not DATE): both engines and the hash
     # canonicalization agree on timestamp rendering, and the other events
@@ -474,11 +476,22 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange. 2 shuffles total vs 4 + a user-sized join for the naive
     # activity⋈cohort plan; the per-user set is bounded by the calendar,
     # not by event volume.
+    # GUARD: the per-user set holds one entry per distinct ACTIVE DAY, so
+    # it is bounded by the calendar span of the data (a decade of daily
+    # activity is ~3.7k timestamps/user, a few tens of KB) — never by
+    # event volume. For pipelines ingesting longer horizons, max_days
+    # caps each user at their first max_days active days (sorted slice),
+    # bounding the downstream explode while keeping the cohort day —
+    # the default (None) leaves the oracle-checked semantics untouched.
     per_user = (
         ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
         .groupBy("user_id")
         .agg(F.collect_set("day").alias("days"))
     )
+    if max_days is not None:
+        per_user = per_user.withColumn(
+            "days", F.slice(F.array_sort("days"), 1, max_days)
+        )
     exploded = per_user.select(
         F.array_min("days").alias("cohort_day"), F.explode("days").alias("day")
     )

@@ -144,10 +144,21 @@ def _read_xlsx_rows(path: str, sheet: int = 0) -> list[list[str | None]]:
                         tgt = "xl/" + tgt
                     targets[rel.get("Id", "")] = tgt.replace("xl/./", "xl/")
             wb = ET.fromstring(zf.read("xl/workbook.xml"))
+            resolved: list[str] = []
+            all_resolved = True
             for sh in wb.iter(f"{{{ns['m']}}}sheet"):
                 rid = sh.get(f"{{{rel_ns}}}id", "")
-                if rid in targets and targets[rid] in zf.namelist():
-                    sheets.append(targets[rid])
+                tgt = targets.get(rid)
+                if tgt is None or tgt not in zf.namelist():
+                    # Damaged rels: compacting out the unresolvable sheet
+                    # would silently shift every index after the gap, so
+                    # discard workbook order entirely and use the
+                    # file-name fallback below instead.
+                    all_resolved = False
+                    break
+                resolved.append(tgt)
+            if all_resolved:
+                sheets = resolved
         if not sheets:
             # Damaged/minimal package without workbook metadata: fall back
             # to numeric file-name order (lexicographic would put sheet10
@@ -227,15 +238,17 @@ def read_excel(
         names = [f"col{i}" for i in range(width)]
         data = padded
     # Header hygiene: duplicate header cells would collide in the schema
-    # and backticks would break out of the DDL identifier quoting.
+    # and backticks would break out of the DDL identifier quoting. Dedup
+    # on a casefolded key — Spark resolves columns case-insensitively by
+    # default, so 'ID' and 'id' are just as ambiguous as exact twins.
     used: set[str] = set()
     uniq: list[str] = []
     for n in names:
         cand, k = n, 1
-        while cand in used:
+        while cand.casefold() in used:
             k += 1
             cand = f"{n}_{k}"
-        used.add(cand)
+        used.add(cand.casefold())
         uniq.append(cand)
     schema = ", ".join(f"`{n.replace('`', '``')}` string" for n in uniq)
     return spark.createDataFrame([tuple(r) for r in data], schema)

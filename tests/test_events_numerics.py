@@ -54,3 +54,26 @@ def test_events_zscore_fine_decimals_match_oracle(spark, tmp_path):
             s[c].values,
             o[c].values,
         )
+
+
+def test_retention_max_days_cap(spark, sf_dir):
+    """max_days caps each user at their first N active days; the cohort
+    day is unchanged. Default (None) remains the oracle path."""
+    from pyspark.sql import functions as F
+
+    from sig_etl_spark.queries.events_demo import events_retention
+
+    full = events_retention(spark, sf_dir)
+    capped = events_retention(spark, sf_dir, max_days=2)
+    # cohort days identical (slice keeps the earliest days)
+    assert {r.cohort_day for r in capped.collect()} <= {
+        r.cohort_day for r in full.collect()
+    }
+    # each user contributes at most 2 rows -> total user-rows shrink
+    n_full = full.agg(F.sum("n_users")).collect()[0][0]
+    n_capped = capped.agg(F.sum("n_users")).collect()[0][0]
+    assert n_capped <= n_full
+    # every user still appears exactly once at offset 0
+    day0_full = {r.cohort_day: r.n_users for r in full.filter("day_offset = 0").collect()}
+    day0_capped = {r.cohort_day: r.n_users for r in capped.filter("day_offset = 0").collect()}
+    assert day0_full == day0_capped

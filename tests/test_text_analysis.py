@@ -113,14 +113,12 @@ def test_scrub_pii_order_and_counts(spark):
     assert row.clean == "mail [EMAIL] or [PHONE] or bad 55-123-4567"
     assert (row.ne, row.np) == (1, 1)
 
-def test_shard_packing_capacity_invariant(spark):
+def test_shard_packing_capacity_invariant(spark, sf_dir):
     """No shard exceeds capacity unless a single document alone does, and
     shard ids per source are dense from 0."""
     from sig_etl_spark.queries import QUERIES
 
-    out = QUERIES["llm_shard_packing"].builder(
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    out = QUERIES["llm_shard_packing"].builder(spark, sf_dir).collect()
     by_shard: dict[tuple, int] = {}
     for r in out:
         by_shard[(r.source, r.shard_id)] = by_shard.get((r.source, r.shard_id), 0) + r.n_tokens

@@ -76,6 +76,78 @@ def brute_force_topk(
     )
 
 
+def _int_dot(a, b):
+    """Exact integer dot product (zip_with + aggregate over BIGINTs) —
+    order-independent and engine-exact, no float scaffolding needed."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def int8_quantize(vec):
+    """Symmetric per-vector int8 quantization: q_i = floor(v_i * 127 /
+    max|v| + 0.5) in [-127, 127]. Half-up floor rounding (not round()) so
+    Spark and DuckDB produce identical codes. All-zero vectors map to
+    all-zero codes."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    return F.when(
+        maxabs == 0, F.transform(v, lambda x: F.lit(0).cast("bigint"))
+    ).otherwise(
+        F.transform(v, lambda x: F.floor(x * 127 / maxabs + F.lit(0.5)).cast("bigint"))
+    )
+
+
+def int8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k by SCALAR-QUANTIZED (int8) cosine — the memory-bound scale
+    path: 4x smaller vectors than float32, and because cosine is
+    scale-invariant the per-vector quantization scales cancel, leaving
+    pure integer arithmetic (exact on both engines, no float folds).
+    At 100 TB this is the standard first compression step before IVF/PQ:
+    the corpus scan reads a quarter of the bytes and the scoring stays
+    whole-stage-codegen integer math. Same plan shape as
+    brute_force_topk: queries broadcast, corpus streams, one top-k
+    window. Approximation error is the quantization itself — recall vs
+    the float scan is measured by ``llm_ann_recall_int8``."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), int8_quantize(F.col(vec_col)).alias("qv")
+    )
+    q = q.withColumn("qn", _int_dot(F.col("qv"), F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), int8_quantize(F.col(vec_col)).alias("cv")
+    )
+    c = c.withColumn("cn", _int_dot(F.col("cv"), F.col("cv")))
+    dot = _int_dot(F.col("qv"), F.col("cv"))
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "corpus_id",
+        # integer dot / sqrt(integer norms): deterministic double; zero
+        # norms (all-zero vectors) score 0 rather than dividing by zero.
+        F.when(
+            (F.col("qn") > 0) & (F.col("cn") > 0),
+            dot / F.sqrt((F.col("qn") * F.col("cn")).cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def bucket_signature(vec, planes: list[list[float]]):
     """Sign-pattern bucket string for one band of hyperplanes (the double
     fold is order-fixed, so the sign is engine-independent)."""

@@ -82,6 +82,7 @@ def _load_all() -> None:
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # (a) new in round 4
+    "llm_knn_int8",
     "llm_shard_packing_bucketed",
     "mm_decode_png",
     "llm_ann_recall",

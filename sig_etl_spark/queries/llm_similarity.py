@@ -275,6 +275,71 @@ def llm_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# int8 scalar-quantized scan — the memory-bound scale path (4x smaller
+# corpus bytes). Quantized cosine is scale-invariant, so the per-vector
+# scales cancel and scoring is pure integer arithmetic: both engines
+# compute bit-identical dots and norms, making even this approximate
+# path fully oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+def _int8_oracle() -> str:
+    def quant(src: str, id_col: str, vec_out: str) -> str:
+        return f"""
+  SELECT {id_col},
+         CASE WHEN m = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 127 / m + 0.5) AS BIGINT))
+         END AS {vec_out}
+  FROM (SELECT {id_col}, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        FROM {src})"""
+
+    idot = (
+        lambda a, b: f"list_reduce(list_transform(generate_series(1, {_DIM}), "
+        f"i -> {a}[i] * {b}[i]), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH q0 AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+c0 AS (SELECT vec_id AS corpus_id, embedding FROM embeddings WHERE vec_id >= 10),
+qq AS ({quant("q0", "query_id", "qv")}),
+cc AS ({quant("c0", "corpus_id", "cv")}),
+scored AS (
+  SELECT qq.query_id, cc.corpus_id,
+         {idot("qq.qv", "cc.cv")} AS dot,
+         {idot("qq.qv", "qq.qv")} AS qn,
+         {idot("cc.cv", "cc.cv")} AS cn
+  FROM qq CROSS JOIN cc
+)
+SELECT query_id, corpus_id, cosine, rank
+FROM (SELECT query_id, corpus_id,
+             CASE WHEN qn > 0 AND cn > 0
+                  THEN dot / sqrt(CAST(qn * cn AS DOUBLE)) ELSE 0.0 END AS cosine,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY (CASE WHEN qn > 0 AND cn > 0
+                              THEN dot / sqrt(CAST(qn * cn AS DOUBLE))
+                              ELSE 0.0 END) DESC, corpus_id) AS rank
+      FROM scored) t
+WHERE rank <= {_K}
+"""
+
+
+@register(
+    "llm_knn_int8",
+    oracle=_int8_oracle(),
+    doc="int8 scalar-quantized top-5: 4x-compressed corpus scan, pure"
+        " integer scoring (scales cancel in cosine) — approximate path"
+        " that is still fully hash-checkable",
+)
+def llm_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.int8_topk(queries, corpus, "vec_id", "embedding", k=_K)
+
+
+# ---------------------------------------------------------------------------
 # Recall@k — the quality metric that makes "approximate" measurable. Each
 # approximate path's top-k is intersected with the exact brute-force
 # top-k; recall = |intersection| / (n_queries * k). Reported at the demo
@@ -339,9 +404,10 @@ def _union_all(dfs: list[DataFrame]) -> DataFrame:
             "lsh_b8p3": _lsh_oracle(_HI_BANDS, _HI_PLANES),
             "ivf_np3": _ivf_oracle(_NPROBE),
             "ivf_np12": _ivf_oracle(_HI_NPROBE),
+            "int8": _int8_oracle(),
         }
     ),
-    doc="recall@5 of the LSH and IVF paths vs exact brute force, at both"
+    doc="recall@5 of the LSH/IVF/int8 paths vs exact brute force, at both"
         " the demo configs and the >=0.8-floor configs — every"
         " intersection re-derived by the oracle",
 )
@@ -369,6 +435,9 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             _recall_df(brute, "lsh_b8p3", lsh(_HI_BANDS, _HI_PLANES)),
             _recall_df(brute, "ivf_np3", ivf(_NPROBE)),
             _recall_df(brute, "ivf_np12", ivf(_HI_NPROBE)),
+            _recall_df(
+                brute, "int8", S.int8_topk(queries, corpus, "vec_id", "embedding", k=_K)
+            ),
         ]
     )
 

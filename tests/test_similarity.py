@@ -137,6 +137,7 @@ def test_ann_recall_floors(spark, sf_dir):
     holds on clustered real embeddings a fortiori."""
     from sig_etl_spark.llm.similarity import (
         brute_force_topk,
+        int8_topk,
         ivf_kmeans_topk,
         ivf_topk,
         lsh_topk,
@@ -166,6 +167,7 @@ def test_ann_recall_floors(spark, sf_dir):
         "ivf_kmeans_np12": ivf_kmeans_topk(
             q, c, "vec_id", "embedding", k=k, n_centroids=16, nprobe=12
         ),
+        "int8": int8_topk(q, c, "vec_id", "embedding", k=k),
     }
     for name, df in approx.items():
         hits = brute.join(
@@ -181,7 +183,7 @@ def test_ann_recall_query_shape(spark, sf_dir):
     from sig_etl_spark.queries import QUERIES
 
     for qname, expected in [
-        ("llm_ann_recall", {"lsh_b2p4", "lsh_b8p3", "ivf_np3", "ivf_np12"}),
+        ("llm_ann_recall", {"lsh_b2p4", "lsh_b8p3", "ivf_np3", "ivf_np12", "int8"}),
         ("llm_ann_recall_kmeans", {"ivf_kmeans_np3", "ivf_kmeans_np12"}),
     ]:
         rows = QUERIES[qname].builder(spark, sf_dir).collect()

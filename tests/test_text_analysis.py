@@ -128,3 +128,37 @@ def test_shard_packing_capacity_invariant(spark, sf_dir):
     for src in {r.source for r in out}:
         ids = sorted({r.shard_id for r in out if r.source == src})
         assert ids == list(range(len(ids))), f"{src}: non-dense shards {ids}"
+
+
+def test_bucketed_shard_packing_invariants(spark, sf_dir):
+    """The skew-proof packer: bucket count per source is exactly
+    ceil(rows / bucket_docs_over); shards never exceed capacity except by
+    their own final document; shard ids are dense from 0 per bucket; and
+    the union of (doc_id) matches the exact packer's coverage."""
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.queries.llm_text import _BUCKET_DOCS_OVER, _SHARD_CAPACITY
+
+    out = QUERIES["llm_shard_packing_bucketed"].builder(spark, sf_dir).collect()
+    rows_per_source: dict[str, int] = {}
+    for r in out:
+        rows_per_source[r.source] = rows_per_source.get(r.source, 0) + 1
+    for src, n in rows_per_source.items():
+        want = -(-n // _BUCKET_DOCS_OVER)
+        got = {r.bucket for r in out if r.source == src}
+        if n > _BUCKET_DOCS_OVER:
+            assert got <= set(range(want)), (src, got)
+            assert len(got) >= 2, f"{src}: dominant source did not split"
+        else:
+            assert got == {0}
+
+    by_shard: dict[tuple, list] = {}
+    for r in out:
+        by_shard.setdefault((r.source, r.bucket, r.shard_id), []).append(r.n_tokens)
+    for key, toks in by_shard.items():
+        assert sum(toks) < _SHARD_CAPACITY + max(toks), key
+    for (src, bkt) in {(r.source, r.bucket) for r in out}:
+        sids = sorted({sid for (s, b, sid) in by_shard if s == src and b == bkt})
+        assert sids == list(range(len(sids))), (src, bkt, sids)
+
+    exact = QUERIES["llm_shard_packing"].builder(spark, sf_dir).collect()
+    assert {r.doc_id for r in out} == {r.doc_id for r in exact}

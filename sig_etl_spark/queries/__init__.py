@@ -48,6 +48,7 @@ def _load_all() -> None:
     # Import for side effect: each module registers its queries. Import
     # order no longer determines driver coverage — _PRIORITY / _reorder()
     # below do (see the rotation policy there).
+    from sig_etl_spark.queries import sketch_demo  # noqa: F401
     from sig_etl_spark.queries import bucketed_demo  # noqa: F401
     from sig_etl_spark.queries import pipeline_demo  # noqa: F401
     from sig_etl_spark.queries import events_demo  # noqa: F401
@@ -89,6 +90,11 @@ _PRIORITY = [
     "llm_ann_recall_kmeans",
     "linkage_fuzzy_match_skew",
     "linkage_fuzzy_match_skew_salted",
+    "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
+    "j_bloom_pruned",
+    "events_gaps_islands",
+    "llm_weighted_sample",
     # (b) past the cap in round 3
     "f_normalize_dictionaries",
     "extract_s3_roundtrip",

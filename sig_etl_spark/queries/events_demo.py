@@ -568,3 +568,79 @@ def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("day_total") - mean) / F.sqrt(F.greatest(var, F.lit(1e-12))), 6
         ).alias("zscore"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands / SCD2 interval build: collapse each user's event stream
+# into maximal runs of consecutive identical event_type, with validity
+# intervals — the standard change-log -> slowly-changing-dimension shape
+# (type-2 history table). One user-keyed shuffle; the lag, running sum and
+# lead all reuse the same (user_id) partitioning, and the island groupBy is
+# map-side combinable within it.
+# ---------------------------------------------------------------------------
+
+_ISLANDS_ORACLE = """
+WITH o AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+c AS (
+  -- CAST: DuckDB windowed SUM(int) is HUGEINT-wide; Spark's is BIGINT.
+  SELECT *, CAST(SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                          THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM o
+),
+runs AS (
+  SELECT user_id, island, MIN(event_type) AS event_type,
+         CAST(MIN(ts) AS TIMESTAMP) AS valid_from,
+         CAST(MAX(ts) AS TIMESTAMP) AS valid_to,
+         COUNT(*) AS n_events
+  FROM c GROUP BY user_id, island
+)
+SELECT user_id, island, event_type, valid_from, valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+         AS next_valid_from,
+       n_events
+FROM runs
+"""
+
+
+@register(
+    "events_gaps_islands",
+    oracle=_ISLANDS_ORACLE,
+    doc="gaps-and-islands: collapse per-user event runs into SCD2-style"
+        " validity intervals (valid_from/valid_to/next_valid_from)",
+)
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    c = ev.withColumn(
+        "island",
+        F.sum(chg)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    runs = c.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("valid_to"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("island")
+    return runs.select(
+        "user_id",
+        "island",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.lead("valid_from").over(wl).alias("next_valid_from"),
+        "n_events",
+    )

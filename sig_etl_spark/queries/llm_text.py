@@ -728,3 +728,63 @@ def llm_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES): each doc
+# draws u from a *portable* md5-uniform in (0,1] and gets priority
+# ln(u)/weight (monotone in u^(1/w)); the top-K priorities ARE a weighted
+# sample without replacement. One pass, no per-key state, top-K via
+# TakeOrdered — the distributed-sampling shape curation pipelines use for
+# importance-weighted corpus selection. ln() on bit-identical double inputs
+# is bit-identical across Spark/DuckDB (verified), so even the priority
+# column hash-matches the oracle.
+# ---------------------------------------------------------------------------
+
+_WS_K = 100
+_WS_DENOM = 1 << 60  # hash60 range; (h+1)/2^60 lands in (0, 1]
+
+_WS_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln(CAST(CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) + 1 AS DOUBLE)
+            / CAST({_WS_DENOM} AS DOUBLE)) / CAST(n_chars AS DOUBLE) AS priority
+  FROM documents
+  WHERE n_chars > 0
+)
+-- round(priority, 9): Java's Math.log and libm's log may differ in the
+-- last ulp, so the raw priority is ordering-stable but not hash-stable;
+-- 9 decimals is ~6 significant digits here, far above the ulp noise.
+SELECT doc_id, source, n_chars, round(priority, 9) AS priority
+FROM keyed
+ORDER BY priority DESC, doc_id
+LIMIT {_WS_K}
+"""
+
+
+@register(
+    "llm_weighted_sample",
+    oracle=_WS_ORACLE,
+    doc=f"Efraimidis–Spirakis weighted sample (k={_WS_K}, weight=n_chars):"
+        " md5-uniform priorities, deterministic and oracle-exact",
+)
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    keyed = docs.selectExpr(
+        "doc_id",
+        "source",
+        "n_chars",
+        f"ln(cast(cast(conv(substring(md5(concat('ws:', cast(doc_id as string))), "
+        f"1, 15), 16, 10) as bigint) + 1 as double) "
+        f"/ cast({_WS_DENOM}L as double)) / cast(n_chars as double) as priority",
+    )
+    # orderBy+limit compiles to TakeOrdered: per-partition top-K, K-sized
+    # merge on the driver — no global sort materialization. The output
+    # rounds the priority (see the oracle comment on ulp noise); the SORT
+    # uses the raw value, whose sub-ulp ties cannot flip a rank-100 cut.
+    return (
+        keyed.orderBy(F.col("priority").desc(), "doc_id")
+        .limit(_WS_K)
+        .select("doc_id", "source", "n_chars", F.round("priority", 9).alias("priority"))
+    )

@@ -1,0 +1,179 @@
+"""Sketch-family queries: HLL distinct, count-min heavy hitters, bloom join.
+
+These are the approximate/streaming-summary operators a 100 TB engine
+needs when exact answers are shuffle-bound: COUNT(DISTINCT) over a
+high-cardinality column shuffles every distinct key, while the HLL sketch
+shuffles 64 registers per group; exact heavy-hitters shuffle every key,
+while CMS shuffles d*w counters; a selective dimension filter can prune a
+fact scan before the join shuffle via a broadcast bloom filter (Spark's
+own runtime row-level filtering made explicit).
+
+Every query is fully oracle-checked because the hashes are portable md5
+(functions/hashing.py): DuckDB re-derives register indexes, ranks, cells
+and bit positions from the same bits, so even the *estimates* hash-match.
+
+Reference scope note: the reference engine has no sketches (it is an exact
+small-data ETL; SURVEY §2.6) — these extend the engine for the LLM-scale
+brief, same as the dedup/ANN family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sig_etl_spark import sketches as SK
+from sig_etl_spark.llm import text_analysis as T
+from sig_etl_spark.queries import register
+from sig_etl_spark.tables import load_table
+
+_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+
+# ---------------------------------------------------------------------------
+# HLL: distinct tokens per source. Exact countDistinct rides along so the
+# output row shows estimate vs truth (and the oracle re-derives both).
+# ---------------------------------------------------------------------------
+
+_HLL_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS}) AS token FROM documents
+),
+hll AS (
+{SK.hll_oracle_sql("tok", "token", ["source"])}
+),
+exact AS (
+  SELECT source, COUNT(DISTINCT token) AS exact_distinct FROM tok GROUP BY source
+)
+SELECT hll.source, n_zero_regs, reg_sum, hll_distinct, exact_distinct
+FROM hll JOIN exact ON hll.source = exact.source
+"""
+
+
+@register(
+    "sketch_hll_distinct",
+    oracle=_HLL_ORACLE,
+    doc="HyperLogLog distinct-token estimate per source (m=64, portable md5"
+        " registers), exact count alongside for the error to be visible",
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("token"))
+    est = SK.hll_estimate(SK.hll_registers(tok, "token", ["source"]), ["source"])
+    exact = tok.groupBy("source").agg(
+        F.countDistinct("token").alias("exact_distinct")
+    )
+    # 20 sources: the exact side is broadcast; at scale one would drop it
+    # (it exists here precisely to expose the sketch's error).
+    return est.join(F.broadcast(exact), "source")
+
+
+# ---------------------------------------------------------------------------
+# CMS heavy hitters: tokens whose count-min estimate clears a threshold.
+# CMS estimates >= truth, so the threshold never misses a true heavy
+# hitter; exact counts ride along to show the overestimate.
+# ---------------------------------------------------------------------------
+
+_CMS_THRESHOLD = 200
+
+_CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS token FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+cells AS (
+  SELECT k, CAST(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || token), 1, 15))
+                      AS BIGINT) % {SK.CMS_W} AS INT) AS cell,
+         n, token
+  FROM counts CROSS JOIN range({SK.CMS_D}) AS r(k)
+),
+sketch AS (SELECT k, cell, SUM(n) AS cell_n FROM cells GROUP BY k, cell),
+est AS (
+  SELECT c.token, MIN(s.cell_n) AS cms_n
+  FROM cells c JOIN sketch s ON c.k = s.k AND c.cell = s.cell
+  GROUP BY c.token
+)
+SELECT est.token, CAST(counts.n AS BIGINT) AS exact_n, CAST(cms_n AS BIGINT) AS cms_n
+FROM est JOIN counts ON est.token = counts.token
+WHERE cms_n >= {_CMS_THRESHOLD}
+"""
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=_CMS_ORACLE,
+    doc=f"count-min sketch ({SK.CMS_D}x{SK.CMS_W}) heavy hitters at"
+        f" threshold {_CMS_THRESHOLD}; exact counts alongside",
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    sketch = SK.cms_sketch(counts, "token", "n")  # d*w = 1024 counters
+    cells = counts.selectExpr(
+        "token", "n", f"explode(sequence(0, {SK.CMS_D - 1})) as k"
+    ).selectExpr(
+        "token",
+        "n",
+        "k",
+        f"cast(cast(conv(substring(md5(concat(cast(k as string), ':', token)), "
+        f"1, 15), 16, 10) as bigint) % {SK.CMS_W} as int) as cell",
+    )
+    est = (
+        cells.join(F.broadcast(sketch), ["k", "cell"])
+        .groupBy("token", "n")
+        .agg(F.min("cell_n").alias("cms_n"))
+    )
+    return est.where(F.col("cms_n") >= _CMS_THRESHOLD).select(
+        "token", F.col("n").cast("bigint").alias("exact_n"), "cms_n"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned join: a selective orders filter builds a bloom filter that
+# prunes the lineitem scan BEFORE the join shuffle. The join still runs,
+# so false positives are eliminated and the result equals the plain join —
+# which is exactly what the oracle asserts.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 17  # 131072 bits = 2 KiB of longs; ~3% FP at sf0.01 load
+_BLOOM_K = 3
+_ORDERS_PRED = "o_orderpriority = '1-URGENT' AND o_totalprice > 250000"
+
+_BLOOM_ORACLE = f"""
+SELECT o.o_orderpriority,
+       date_trunc('month', CAST(o.o_orderdate AS TIMESTAMP)) AS order_month,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE {_ORDERS_PRED}
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "j_bloom_pruned",
+    oracle=_BLOOM_ORACLE,
+    doc="runtime bloom-filter join pruning: selective orders filter -> "
+        "bit_or-aggregated bloom words -> broadcast prune of lineitem -> "
+        "exact join (FPs eliminated); result provably equals the plain join",
+)
+def j_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(_ORDERS_PRED)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    # Build side: sketch-sized driver materialization (m/64 longs, 16 KiB).
+    words = SK.bloom_words(orders, "o_orderkey", _BLOOM_M, _BLOOM_K)
+    pruned = SK.with_bloom_prune(
+        lineitem, words, "l_orderkey", _BLOOM_M, _BLOOM_K
+    )
+    joined = pruned.join(orders, pruned.l_orderkey == orders.o_orderkey)
+    return joined.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        # DECIMAL accumulation so addition order can't flap the hash
+        # (same convention as agg_pricing_summary).
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,10)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -1,0 +1,169 @@
+"""Sketch-family tests: HLL accuracy, CMS soundness, bloom-join equivalence,
+gaps-and-islands invariants, weighted-sample determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sig_etl_spark.queries import QUERIES
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    rows = QUERIES["sketch_hll_distinct"].builder(spark, sf_dir).collect()
+    assert rows, "no sources"
+    for r in rows:
+        # m=64 -> relative standard error ~1.04/sqrt(64) = 13%; 3 sigma.
+        rel = abs(r["hll_distinct"] - r["exact_distinct"]) / max(r["exact_distinct"], 1)
+        assert rel < 0.40, f"{r['source']}: est {r['hll_distinct']} vs {r['exact_distinct']}"
+        assert r["reg_sum"] > 0
+        assert 0 <= r["n_zero_regs"] <= 64
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    rows = QUERIES["sketch_cms_heavy_hitters"].builder(spark, sf_dir).collect()
+    assert rows, "threshold admitted no tokens at this sf"
+    for r in rows:
+        assert r["cms_n"] >= r["exact_n"], f"CMS underestimated {r['token']}"
+
+
+def test_cms_catches_every_true_heavy_hitter(spark, sf_dir):
+    from sig_etl_spark.llm import text_analysis as T
+    from sig_etl_spark.queries.sketch_demo import _CMS_THRESHOLD
+    from sig_etl_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        r["token"]
+        for r in docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .count()
+        .where(F.col("count") >= _CMS_THRESHOLD)
+        .collect()
+    }
+    reported = {
+        r["token"]
+        for r in QUERIES["sketch_cms_heavy_hitters"].builder(spark, sf_dir).collect()
+    }
+    missing = truth - reported
+    assert not missing, f"CMS missed true heavy hitters: {sorted(missing)[:5]}"
+
+
+def test_bloom_join_equals_plain_join(spark, sf_dir):
+    from sig_etl_spark.queries.sketch_demo import _ORDERS_PRED
+    from sig_etl_spark.tables import load_table
+
+    got = {
+        (r["o_orderpriority"], r["order_month"], r["n_items"], r["revenue"])
+        for r in QUERIES["j_bloom_pruned"].builder(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").where(_ORDERS_PRED)
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,10)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    want = {
+        (r["o_orderpriority"], r["order_month"], r["n_items"], r["revenue"])
+        for r in plain.collect()
+    }
+    assert got == want
+
+
+def test_bloom_prune_is_selective(spark, sf_dir):
+    """The pruned scan must pass far fewer rows than the full table (the
+    whole point); with a saturated filter this breaks loudly."""
+    from sig_etl_spark import sketches as SK
+    from sig_etl_spark.queries.sketch_demo import _BLOOM_K, _BLOOM_M, _ORDERS_PRED
+    from sig_etl_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").where(_ORDERS_PRED)
+    li = load_table(spark, sf_dir, "lineitem")
+    words = SK.bloom_words(orders, "o_orderkey", _BLOOM_M, _BLOOM_K)
+    kept = SK.with_bloom_prune(li, words, "l_orderkey", _BLOOM_M, _BLOOM_K).count()
+    matching = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    total = li.count()
+    # kept >= truly-matching (no false negatives), and well under the scan
+    assert kept >= matching
+    assert kept < total * 0.5, f"bloom passed {kept}/{total} rows — saturated?"
+
+
+def test_bloom_words_sketch_sized(spark, sf_dir):
+    from sig_etl_spark import sketches as SK
+    from sig_etl_spark.queries.sketch_demo import _BLOOM_K, _BLOOM_M, _ORDERS_PRED
+    from sig_etl_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").where(_ORDERS_PRED)
+    words = SK.bloom_words(orders, "o_orderkey", _BLOOM_M, _BLOOM_K)
+    assert len(words) == _BLOOM_M // 64
+    assert any(w != 0 for w in words)
+
+
+def test_gaps_islands_intervals_are_consistent(spark, sf_dir):
+    rows = QUERIES["events_gaps_islands"].builder(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, runs in by_user.items():
+        runs.sort(key=lambda r: r["island"])
+        # islands are 1..n dense; intervals ordered; adjacent runs differ
+        assert [r["island"] for r in runs] == list(range(1, len(runs) + 1))
+        for a, b in zip(runs, runs[1:]):
+            assert a["valid_to"] <= b["valid_from"]
+            assert a["next_valid_from"] == b["valid_from"]
+            assert a["event_type"] != b["event_type"], (
+                f"user {user}: adjacent islands share event_type"
+            )
+        assert runs[-1]["next_valid_from"] is None
+
+
+def test_gaps_islands_covers_every_event(spark, sf_dir):
+    from sig_etl_spark.tables import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    total = (
+        QUERIES["events_gaps_islands"]
+        .builder(spark, sf_dir)
+        .agg(F.sum("n_events"))
+        .collect()[0][0]
+    )
+    assert total == n_events
+
+
+def test_weighted_sample_deterministic_and_biased(spark, sf_dir):
+    a = QUERIES["llm_weighted_sample"].builder(spark, sf_dir).collect()
+    b = QUERIES["llm_weighted_sample"].builder(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    # weighting by n_chars must pull the sample's mean length above the
+    # corpus mean (that's what "weighted" buys)
+    from sig_etl_spark.tables import load_table
+
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r["n_chars"] for r in a) / len(a)
+    assert sample_mean > corpus_mean
+
+
+def test_hll_plan_partial_aggregates(spark, sf_dir):
+    """The register max must partial-aggregate map-side: the shuffle after
+    the token explode carries (source, j, partial max), never raw tokens."""
+    import contextlib
+    import io
+
+    df = QUERIES["sketch_hll_distinct"].builder(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "partial_max" in plan or "partial max" in plan.lower(), plan[:2000]

@@ -296,6 +296,120 @@ def encode_png(pixels: np.ndarray, filter_choice=None) -> bytes:
     )
 
 
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """Real AUDIO decode for RIFF/WAVE PCM: chunk walk + 16-bit samples.
+
+    Pure stdlib/numpy — no audio library. Walks the RIFF chunk list
+    (tolerating extra chunks like LIST/fact before or after ``data``),
+    parses the ``fmt `` chunk, and returns ``(samples, sample_rate)``
+    where samples is an (n_frames, n_channels) int16 array. Only
+    uncompressed PCM (format tag 1) at 16 bits/sample is supported —
+    anything else raises, never silently misparses.
+
+    The audio parallel of decode_ppm/decode_png: closes the "audio is an
+    opaque blob" gap with an actual byte-level codec the oracle can
+    re-derive (see queries/multimodal_demo.mm_decode_wav).
+    """
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack("<I", content[4:8])
+    if riff_size != len(content) - 8:
+        raise ValueError(
+            f"RIFF size field {riff_size} != payload size {len(content) - 8}"
+        )
+    pos = 12
+    fmt: tuple | None = None
+    data: bytes | None = None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (clen,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, channels, sample_rate, byte_rate, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only 16-bit PCM supported (format={audio_format}, bits={bits})"
+        )
+    if block_align != channels * 2 or byte_rate != sample_rate * block_align:
+        raise ValueError("inconsistent fmt chunk (block_align/byte_rate)")
+    if len(data) % block_align:
+        raise ValueError("data chunk not a whole number of frames")
+    samples = np.frombuffer(data, dtype="<i2").reshape(-1, channels)
+    return samples, sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n_frames, n_channels) int16 -> WAV bytes (fixture twin of decode_wav)."""
+    import struct
+
+    frames, channels = samples.shape
+    block_align = channels * 2
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("sum_ch0", LongType()),
+        StructField("sum_ch1", LongType()),
+        StructField("peak_abs", IntegerType()),
+    ]
+)
+
+
+def decode_audio_stats(df: DataFrame) -> DataFrame:
+    """REAL audio decode via ``decode_wav``: RIFF walked, fmt parsed,
+    samples reshaped; output carries decoder-derived facts — rate and
+    channel count from the header, exact integer per-channel sample sums
+    and the absolute peak from the PCM payload. Integer sums keep the
+    contract bit-exact across engines (same discipline as
+    decode_image_stats)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "sample_rate", "n_channels", "n_frames",
+                "sum_ch0", "sum_ch1", "peak_abs")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, rate = decode_wav(bytes(content))
+                sums = samples.sum(axis=0, dtype=np.int64)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(samples.shape[1])
+                out["n_frames"].append(samples.shape[0])
+                out["sum_ch0"].append(int(sums[0]))
+                out["sum_ch1"].append(int(sums[1]) if samples.shape[1] > 1 else 0)
+                out["peak_abs"].append(
+                    int(np.abs(samples.astype(np.int32)).max(initial=0))
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_stats, AUDIO_STATS_SCHEMA)
+
+
 def decode_real(content: bytes) -> np.ndarray:
     """Real codec path: bytes -> (h, w, 3) uint8 RGB pixels.
 

@@ -413,3 +413,145 @@ def ivf_kmeans_topk(
         "cent_id long, cent_vec array<double>",
     )
     return _ivf_with_centroids(queries, corpus, cents, id_col, vec_col, k, nprobe)
+
+
+def _double_l2(a, b):
+    """Squared L2 distance as a strict left-to-right double fold (the
+    distance twin of dedup._double_dot, same engine-exactness argument)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    m_subs: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization ADC top-k — the canonical memory-bound ANN
+    scan at 100 TB (FAISS IVFPQ's scoring stage, here over a flat index).
+
+    The vector space is split into ``m_subs`` subspaces of dim/m_subs
+    dims. Each subspace has a ``ksub``-entry codebook; a corpus vector is
+    stored as ``m_subs`` small codes (here 8 codes of 4 bits — a 16x
+    compression of a 64-dim float32 vector). Queries stay exact: each
+    query precomputes a lookup table LUT[m][j] = <q_sub_m, centroid_j
+    sub_m>, and scoring a corpus row is m_subs table lookups + adds —
+    no float vector is ever touched in the scan. Cosine uses the
+    RECONSTRUCTED corpus norm (sum of chosen centroid-subvector norms),
+    exactly what an ADC index stores.
+
+    Codebooks: like :func:`ivf_topk`'s coarse quantizer, subspace
+    codebooks are the sub-vectors of the ``ksub`` corpus rows with the
+    smallest md5(id) (``_hash_sample``) — fixed-size, deterministic, and
+    SQL-re-derivable, which keeps the WHOLE operator oracle-checkable
+    (k-means-trained codebooks would be rows-only; the sampled ones pin
+    the machinery bit-exactly). Every distance/dot is an order-fixed
+    fold; the argmin tiebreak is (distance, codebook index).
+
+    Scale shape: the codebook is one broadcast row (ksub x dim doubles);
+    encoding is a narrow map over the corpus scan; queries (with LUTs)
+    broadcast; the only shuffle is the per-query top-k window over
+    scored rows — identical to brute_force_topk's plan but over codes
+    instead of vectors.
+    """
+    dsub = dim // m_subs
+    assert dsub * m_subs == dim, "dim must divide evenly into subspaces"
+
+    # dense codebook index j in the same md5 order the sample used
+    cents = _hash_sample(corpus, id_col, vec_col, ksub, "cent_id", "cent_vec")
+    wj = Window.orderBy(F.md5(F.col("cent_id").cast("string")), "cent_id")
+    cents = cents.select(
+        (F.row_number().over(wj) - 1).alias("j"), "cent_vec"
+    )
+    cb = cents.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("j", "cent_vec"))).alias("cbook")
+    )
+
+    def sub(col, m):
+        return F.slice(col, m * dsub + 1, dsub)
+
+    # ---- encode corpus: m_subs argmins over the broadcast codebook ----
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
+    ).crossJoin(F.broadcast(cb))
+    code_cols, n2_cols = [], []
+    for m in range(m_subs):
+        pick = F.array_min(
+            F.transform(
+                "cbook",
+                lambda cent, m=m: F.struct(
+                    _double_l2(sub(F.col("cvec"), m), sub(cent["cent_vec"], m)).alias("d"),
+                    cent["j"].alias("j"),
+                    _double_dot(sub(cent["cent_vec"], m), sub(cent["cent_vec"], m)).alias("n2"),
+                ),
+            )
+        )
+        code_cols.append(pick["j"])
+        n2_cols.append(pick["n2"])
+    from functools import reduce as _reduce
+
+    ccodes = c.select(
+        "corpus_id",
+        F.array(*code_cols).alias("codes"),
+        _reduce(lambda a, b: a + b, n2_cols).alias("recon_norm2"),
+    )
+
+    # ---- queries: exact side builds the ADC lookup table ----
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).crossJoin(F.broadcast(cb))
+    lut = F.array(
+        *[
+            F.transform(
+                "cbook",
+                lambda cent, m=m: _double_dot(
+                    sub(F.col("qvec"), m), sub(cent["cent_vec"], m)
+                ),
+            )
+            for m in range(m_subs)
+        ]
+    )
+    qlut = q.select(
+        "query_id",
+        lut.alias("lut"),
+        _double_dot(F.col("qvec"), F.col("qvec")).alias("qnorm2"),
+    )
+
+    # ---- ADC scan: m_subs lookups + adds per (query, corpus) pair ----
+    scored = ccodes.crossJoin(F.broadcast(qlut))
+    adc = _reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(
+                F.element_at("lut", m + 1),
+                F.element_at("codes", m + 1).cast("int") + 1,
+            )
+            for m in range(m_subs)
+        ],
+    )
+    scored = scored.select(
+        "query_id",
+        "corpus_id",
+        F.when(
+            (F.col("qnorm2") > 0) & (F.col("recon_norm2") > 0),
+            adc / F.sqrt(F.col("qnorm2") * F.col("recon_norm2")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

@@ -48,6 +48,7 @@ def _load_all() -> None:
     # Import for side effect: each module registers its queries. Import
     # order no longer determines driver coverage — _PRIORITY / _reorder()
     # below do (see the rotation policy there).
+    from sig_etl_spark.queries import diag_demo  # noqa: F401
     from sig_etl_spark.queries import sketch_demo  # noqa: F401
     from sig_etl_spark.queries import bucketed_demo  # noqa: F401
     from sig_etl_spark.queries import pipeline_demo  # noqa: F401
@@ -83,6 +84,12 @@ def _load_all() -> None:
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # (a) new in round 4
+    "llm_knn_pq",
+    "mm_decode_wav",
+    "llm_chunk_overlap",
+    "llm_boilerplate_scrub",
+    "diag_key_skew",
+    "layout_zorder_pruning",
     "llm_knn_int8",
     "llm_shard_packing_bucketed",
     "mm_decode_png",

@@ -340,6 +340,115 @@ def llm_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (ADC): corpus vectors stored as 8 codes into
+# hash-sampled per-subspace codebooks; queries build a LUT and scoring is
+# 8 lookups + adds. Codebooks are the sub-vectors of the md5-smallest 16
+# corpus rows — deterministic, so codes, reconstructed norms, and ADC
+# scores are all SQL-re-derivable and the whole compressed path is
+# hash-checked (k-means-trained codebooks would lose that; the sampled
+# ones pin the machinery). Mirrors sig_etl_spark.llm.similarity.pq_topk
+# fold-for-fold: every dot/l2 is a left fold in index order, the argmin
+# tiebreak is (distance, codebook index), recon/ADC sums associate left
+# in subspace order.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8          # subspaces
+_PQ_KSUB = 16      # codebook entries per subspace
+_PQ_DSUB = _DIM // _PQ_M
+
+
+def _pq_oracle(m_subs: int = _PQ_M, ksub: int = _PQ_KSUB) -> str:
+    dsub = _DIM // m_subs
+
+    def l2_sub(vec: str, cvec: str) -> str:
+        # m is the 0-based subspace column from range(m_subs)
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dsub}), i -> "
+            f"(CAST({vec}[m * {dsub} + i] AS DOUBLE) - CAST({cvec}[m * {dsub} + i] AS DOUBLE))"
+            f" * (CAST({vec}[m * {dsub} + i] AS DOUBLE) - CAST({cvec}[m * {dsub} + i] AS DOUBLE))"
+            f"), (a, b) -> a + b)"
+        )
+
+    def n2_sub(cvec: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dsub}), i -> "
+            f"CAST({cvec}[m * {dsub} + i] AS DOUBLE) * CAST({cvec}[m * {dsub} + i] AS DOUBLE)"
+            f"), (a, b) -> a + b)"
+        )
+
+    # ADC: outer fold over subspaces (p = 1-based subspace), inner fold
+    # over dims; the codebook entry is cbook[codes[p] + 1].
+    adc = (
+        f"list_reduce(list_transform(generate_series(1, {m_subs}), p -> "
+        f"list_reduce(list_transform(generate_series(1, {dsub}), i -> "
+        f"CAST(q.embedding[(p - 1) * {dsub} + i] AS DOUBLE)"
+        f" * CAST(cb.cbook[r.codes[p] + 1][(p - 1) * {dsub} + i] AS DOUBLE)"
+        f"), (s, t) -> s + t)"
+        f"), (a, b) -> a + b)"
+    )
+
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id, embedding FROM embeddings WHERE vec_id >= 10),
+qn AS ({_norm_cte("q", "query_id")}),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(corpus_id AS VARCHAR)), corpus_id) - 1 AS j,
+         embedding AS cent_vec
+  FROM (SELECT * FROM c
+        ORDER BY md5(CAST(corpus_id AS VARCHAR)), corpus_id
+        LIMIT {ksub})
+),
+cc AS (
+  SELECT corpus_id, m, j, n2 FROM (
+    SELECT x.corpus_id, t.m, ct.j,
+           {n2_sub("ct.cent_vec").replace("m *", "t.m *")} AS n2,
+           row_number() OVER (
+             PARTITION BY x.corpus_id, t.m
+             ORDER BY {l2_sub("x.embedding", "ct.cent_vec").replace("m *", "t.m *")}, ct.j
+           ) AS rn
+    FROM c x CROSS JOIN range({m_subs}) t(m) CROSS JOIN cent ct
+  ) WHERE rn = 1
+),
+crec AS (
+  SELECT corpus_id,
+         list(j ORDER BY m) AS codes,
+         list_reduce(list(n2 ORDER BY m), (a, b) -> a + b) AS recon
+  FROM cc GROUP BY corpus_id
+),
+cb AS (SELECT list(cent_vec ORDER BY j) AS cbook FROM cent),
+scored AS (
+  SELECT q.query_id, r.corpus_id,
+         CASE WHEN qn.norm2 > 0 AND r.recon > 0
+              THEN ({adc}) / sqrt(qn.norm2 * r.recon)
+              ELSE 0.0 END AS cosine
+  FROM q JOIN qn USING (query_id) CROSS JOIN crec r CROSS JOIN cb
+)
+SELECT query_id, corpus_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, corpus_id) AS rank
+      FROM scored) t
+WHERE rank <= {_K}
+"""
+
+
+@register(
+    "llm_knn_pq",
+    oracle=_pq_oracle(),
+    doc=f"product-quantization ADC top-5: {_PQ_M}x{_PQ_KSUB} hash-sampled"
+        " codebooks, corpus stored as codes, query-side LUT scoring —"
+        " the 16x-compressed ANN scan, fully hash-checkable",
+)
+def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.pq_topk(
+        queries, corpus, "vec_id", "embedding",
+        k=_K, m_subs=_PQ_M, ksub=_PQ_KSUB, dim=_DIM,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Recall@k — the quality metric that makes "approximate" measurable. Each
 # approximate path's top-k is intersected with the exact brute-force
 # top-k; recall = |intersection| / (n_queries * k). Reported at the demo

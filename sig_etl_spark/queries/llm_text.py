@@ -788,3 +788,156 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WS_K)
         .select("doc_id", "source", "n_chars", F.round("priority", 9).alias("priority"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (RAG / context-window prep): every document is
+# split into W-token chunks advancing by stride S (overlap W-S). The fan
+# -out is computed entirely with array expressions (split -> sequence ->
+# explode -> slice) — a NARROW transformation: zero shuffles, chunk rows
+# are produced in the same task that read the document, so at 100 TB this
+# parallelizes with the scan and never materializes the token arrays
+# outside whole-stage codegen. Tail chunks shorter than W are kept (the
+# standard chunker contract); chunks whose start >= n never exist because
+# the start sequence is bounded by n-1.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+_CHUNK_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+b2 AS (
+  SELECT doc_id, toks, len(toks) AS ntok FROM base WHERE len(toks) > 0
+),
+c AS (
+  SELECT doc_id, ntok, toks, unnest(range(0, ntok, {_CHUNK_S})) AS s FROM b2
+)
+SELECT doc_id,
+       CAST(s // {_CHUNK_S} AS INTEGER) AS chunk_idx,
+       CAST(LEAST({_CHUNK_W}, ntok - s) AS INTEGER) AS chunk_tokens,
+       array_to_string(list_slice(toks, s + 1, s + {_CHUNK_W}), ' ') AS chunk_text
+FROM c
+"""
+
+
+@register(
+    "llm_chunk_overlap",
+    oracle=_CHUNK_ORACLE,
+    doc=f"sliding-window chunking (W={_CHUNK_W}, stride={_CHUNK_S}):"
+        " narrow array-expression fan-out, zero shuffles",
+)
+def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .withColumn("ntok", F.size("toks"))
+        .where(F.col("ntok") > 0)
+    )
+    c = base.select(
+        "doc_id",
+        "ntok",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("ntok") - 1, F.lit(_CHUNK_S))).alias("s"),
+    )
+    return c.select(
+        "doc_id",
+        (F.col("s") / _CHUNK_S).cast("int").alias("chunk_idx"),
+        F.least(F.lit(_CHUNK_W), F.col("ntok") - F.col("s"))
+        .cast("int")
+        .alias("chunk_tokens"),
+        F.array_join(F.slice("toks", F.col("s") + 1, F.lit(_CHUNK_W)), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate segment scrub (CCNet/C4-style): documents are cut into
+# non-overlapping G-token segments; a segment that appears in >= T
+# distinct documents is corpus boilerplate (nav bars, license footers)
+# and is dropped from every document that contains it. Three-shuffle
+# shape, each keyed and map-side combinable:
+#   1. segment -> countDistinct(doc) groupBy (partial aggs apply);
+#   2. join segments back to the (bounded, distinct-segment-sized) count
+#      table on the segment key;
+#   3. per-doc reassembly via array_sort(collect_list(struct)) — bounded
+#      by segments-per-document, never a global sort.
+# At 100 TB the count table is |distinct segments| — the Zipf head that
+# matters fits a broadcast; the code keeps the general shuffle join so
+# the tail (unique segments) also gets exact counts, and AQE will locally
+# convert to broadcast when the build side measures small.
+# ---------------------------------------------------------------------------
+
+_SEG_G = 2
+_SEG_T = 20
+
+_BOILER_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+segd AS (
+  SELECT doc_id, s // {_SEG_G} AS seg_idx,
+         array_to_string(list_slice(toks, s + 1, s + {_SEG_G}), ' ') AS seg
+  FROM (SELECT doc_id, toks, unnest(range(0, len(toks), {_SEG_G})) AS s
+        FROM base WHERE len(toks) > 0)
+),
+cnt AS (SELECT seg, COUNT(DISTINCT doc_id) AS ndocs FROM segd GROUP BY seg)
+SELECT segd.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN cnt.ndocs >= {_SEG_T} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate,
+       COALESCE(array_to_string(
+         list(seg ORDER BY seg_idx) FILTER (WHERE cnt.ndocs < {_SEG_T}), ' '), '')
+         AS clean_text
+FROM segd JOIN cnt USING (seg)
+GROUP BY segd.doc_id
+"""
+
+
+@register(
+    "llm_boilerplate_scrub",
+    oracle=_BOILER_ORACLE,
+    doc=f"corpus boilerplate removal: {_SEG_G}-token segments present in"
+        f" >={_SEG_T} docs are scrubbed; countDistinct + keyed join +"
+        " ordered per-doc reassembly",
+)
+def llm_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    segd = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_SEG_G))
+        ).alias("s"),
+        "toks",
+    ).select(
+        "doc_id",
+        (F.col("s") / _SEG_G).cast("long").alias("seg_idx"),
+        F.array_join(F.slice("toks", F.col("s") + 1, F.lit(_SEG_G)), " ").alias("seg"),
+    )
+    cnt = segd.groupBy("seg").agg(F.countDistinct("doc_id").alias("ndocs"))
+    joined = segd.join(cnt, "seg")
+    kept = F.filter("ordered", lambda x: x["ndocs"] < _SEG_T)
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum((F.col("ndocs") >= _SEG_T).cast("long")).alias("n_boilerplate"),
+            F.array_sort(
+                F.collect_list(F.struct("seg_idx", "seg", "ndocs"))
+            ).alias("ordered"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_boilerplate",
+            F.array_join(F.transform(kept, lambda x: x["seg"]), " ").alias(
+                "clean_text"
+            ),
+        )
+    )

@@ -313,6 +313,90 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_stats(media)
 
 
+# ---------------------------------------------------------------------------
+# REAL audio decode: per-document RIFF/WAVE PCM16 fixtures built in
+# mapInPandas from the closed form sample j = (media_id*31 + j*57) % 4001
+# - 2000 (interleaved when stereo), then decoded back through decode_wav:
+# RIFF chunk walk, fmt parse, frame reshape. The oracle re-derives rate /
+# channels / frame count / per-channel integer sums / abs peak from the
+# same closed form — a wrong chunk walk, fmt field, or interleave order
+# fails the hash. Audio twin of mm_decode_ppm / mm_decode_png.
+# ---------------------------------------------------------------------------
+
+_WAV_MAX_SAMPLES = (50 + 63) * 2  # n_frames <= 113, channels <= 2
+
+_WAV_DECODE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+         CAST(50 + doc_id % 64 AS BIGINT) AS n_frames,
+         CAST(8000 + 100 * (doc_id % 5) AS INTEGER) AS sample_rate
+  FROM documents
+),
+s AS (
+  SELECT media_id, sample_rate, n_channels, n_frames,
+         (media_id * 31 + j * 57) % 4001 - 2000 AS v,
+         j % n_channels AS ch
+  FROM d CROSS JOIN range({_WAV_MAX_SAMPLES}) t(j)
+  WHERE j < n_frames * n_channels
+)
+SELECT media_id, sample_rate, n_channels, n_frames,
+       CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS sum_ch0,
+       CAST(COALESCE(SUM(CASE WHEN ch = 1 THEN v END), 0) AS BIGINT) AS sum_ch1,
+       CAST(MAX(ABS(v)) AS INTEGER) AS peak_abs
+FROM s GROUP BY media_id, sample_rate, n_channels, n_frames
+"""
+
+
+def _wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> real WAV bytes of the closed-form PCM stream (struct
+    packing is Python, so mapInPandas — same Arrow shape as decode)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from sig_etl_spark.llm.multimodal import encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                channels = 1 + mid % 2
+                frames = 50 + mid % 64
+                rate = 8000 + 100 * (mid % 5)
+                j = np.arange(frames * channels, dtype=np.int64)
+                v = ((mid * 31 + j * 57) % 4001 - 2000).astype(np.int16)
+                blobs.append(encode_wav(v.reshape(frames, channels), rate))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    return docs.mapInPandas(_make, schema)
+
+
+@register(
+    "mm_decode_wav",
+    oracle=_WAV_DECODE_ORACLE,
+    doc="REAL audio decode: RIFF/WAVE PCM16 fixtures (mono+stereo) parsed"
+        " by the stdlib codec (decode_wav) inside mapInPandas; oracle"
+        " re-derives header fields, per-channel sums and abs peak"
+        " arithmetically",
+)
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.llm.multimodal import decode_audio_stats
+
+    media = partition_media(_wav_media(spark, sf_dir), 32)
+    return decode_audio_stats(media)
+
+
 @register(
     "mm_resize",
     oracle=_RESIZE_ORACLE,

@@ -188,3 +188,114 @@ def test_decode_image_stats_real_decode(spark):
     row = decode_image_stats(df).collect()[0]
     assert (row.width, row.height) == (2, 2)
     assert (row.sum_r, row.sum_g, row.sum_b) == (40, 80, 120)
+
+
+def test_wav_roundtrip_property():
+    """encode_wav -> decode_wav is identity for arbitrary PCM16 shapes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        frames=st.integers(min_value=1, max_value=300),
+        channels=st.integers(min_value=1, max_value=4),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(frames, channels, rate, seed):
+        rng = np.random.RandomState(seed)
+        samples = rng.randint(-32768, 32768, size=(frames, channels)).astype(np.int16)
+        out, out_rate = M.decode_wav(M.encode_wav(samples, rate))
+        assert out_rate == rate
+        assert out.shape == (frames, channels)
+        assert (out == samples).all()
+
+    check()
+
+
+def test_wav_decode_rejects_corruption():
+    import struct
+
+    import numpy as np
+
+    good = M.encode_wav(np.arange(8, dtype=np.int16).reshape(4, 2), 8000)
+    # not RIFF / not WAVE
+    with pytest.raises(ValueError):
+        M.decode_wav(b"JUNK" + good[4:])
+    with pytest.raises(ValueError):
+        M.decode_wav(good[:8] + b"AIFF" + good[12:])
+    # truncated payload (RIFF size check)
+    with pytest.raises(ValueError):
+        M.decode_wav(good[:-2])
+    # non-PCM format tag (2 = ADPCM) -> honest rejection, not garbage
+    bad = bytearray(good)
+    fmt_at = good.index(b"fmt ") + 8
+    bad[fmt_at : fmt_at + 2] = struct.pack("<H", 2)
+    with pytest.raises(ValueError):
+        M.decode_wav(bytes(bad))
+    # inconsistent block_align
+    bad = bytearray(good)
+    bad[fmt_at + 12 : fmt_at + 14] = struct.pack("<H", 7)
+    with pytest.raises(ValueError):
+        M.decode_wav(bytes(bad))
+    # data not a whole number of frames: stereo with odd sample count
+    with pytest.raises(ValueError):
+        samples = np.arange(6, dtype=np.int16).reshape(3, 2)
+        blob = M.encode_wav(samples, 8000)
+        # chop 2 bytes out of data and fix up sizes
+        cut = blob[:-2]
+        cut = (
+            cut[:4]
+            + struct.pack("<I", len(cut) - 8)
+            + cut[8 : cut.index(b"data") + 4]
+            + struct.pack("<I", 10)
+            + cut[cut.index(b"data") + 8 :]
+        )
+        M.decode_wav(cut)
+
+
+def test_wav_extra_chunks_tolerated():
+    """Real-world WAVs carry LIST/fact chunks; the walker must skip them."""
+    import struct
+
+    import numpy as np
+
+    samples = np.array([[100, -100], [2000, -2000]], dtype=np.int16)
+    blob = M.encode_wav(samples, 16000)
+    # splice a LIST chunk (odd length -> exercises word-align padding)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    data_at = blob.index(b"data")
+    spliced = blob[:data_at] + extra + blob[data_at:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    out, rate = M.decode_wav(spliced)
+    assert rate == 16000
+    assert (out == samples).all()
+
+
+def test_decode_audio_stats_real_decode(spark):
+    import numpy as np
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    mono = np.array([[1], [2], [-3]], dtype=np.int16)
+    stereo = np.array([[10, -10], [300, -300]], dtype=np.int16)
+    rows = [
+        (1, M.encode_wav(mono, 8000)),
+        (2, M.encode_wav(stereo, 44100)),
+    ]
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    out = {r.media_id: r for r in M.decode_audio_stats(
+        spark.createDataFrame(rows, schema)).collect()}
+    assert out[1].sample_rate == 8000
+    assert (out[1].n_channels, out[1].n_frames) == (1, 3)
+    assert (out[1].sum_ch0, out[1].sum_ch1, out[1].peak_abs) == (0, 0, 3)
+    assert out[2].sample_rate == 44100
+    assert (out[2].n_channels, out[2].n_frames) == (2, 2)
+    assert (out[2].sum_ch0, out[2].sum_ch1, out[2].peak_abs) == (310, -310, 300)

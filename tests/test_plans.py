@@ -165,3 +165,33 @@ def test_bucketed_shard_packing_window_includes_bucket(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, (
         "per-source count join must broadcast (it is |sources| rows)"
     )
+
+
+def test_diag_skew_take_ordered(spark, sf_dir):
+    """Top-K heavy keys must compile to TakeOrdered (per-partition top-K
+    + driver merge), never a global sort of the key histogram."""
+    plan = _plan(spark, sf_dir, "diag_key_skew")
+    assert "TakeOrderedAndProject" in plan
+    assert _count_op(plan, "Sort") == 0
+
+
+def test_zorder_layouts_partial_agg(spark, sf_dir):
+    """Both layout scorecards keep map-side partial aggregation."""
+    plan = _plan(spark, sf_dir, "layout_zorder_pruning")
+    assert _count_op(plan, "HashAggregate") >= 4  # partial+final per layout
+
+
+def test_zorder_actually_prunes(spark, sf_dir):
+    from sig_etl_spark.queries import QUERIES
+
+    rows = {
+        r.layout: r
+        for r in QUERIES["layout_zorder_pruning"].builder(spark, sf_dir).collect()
+    }
+    z, lin = rows["zorder"], rows["linear"]
+    assert z.rows_total == lin.rows_total
+    # linear layout cannot prune on the second dimension at all
+    assert lin.prunable_buckets == 0
+    # z-order: the 16-wide band keeps one tile row of 16 -> ~15/16 prunable
+    assert z.prunable_buckets >= z.n_buckets * 0.8
+    assert z.rows_skipped > 0

@@ -162,3 +162,97 @@ def test_bucketed_shard_packing_invariants(spark, sf_dir):
 
     exact = QUERIES["llm_shard_packing"].builder(spark, sf_dir).collect()
     assert {r.doc_id for r in out} == {r.doc_id for r in exact}
+
+
+def test_chunk_overlap_invariants(spark, sf_dir):
+    """Chunk grid: stride-aligned starts, overlap consistency, full
+    coverage of every token."""
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.queries.llm_text import _CHUNK_S, _CHUNK_W
+
+    rows = QUERIES["llm_chunk_overlap"].builder(spark, sf_dir).collect()
+    docs: dict[int, dict[int, list[str]]] = {}
+    for r in rows:
+        toks = r.chunk_text.split(" ")
+        assert len(toks) == r.chunk_tokens <= _CHUNK_W
+        docs.setdefault(r.doc_id, {})[r.chunk_idx] = toks
+    base = {
+        r.doc_id: r.text.split()
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        if r.text.split()
+    }
+    assert set(docs) == set(base)
+    for doc_id, chunks in docs.items():
+        n = len(base[doc_id])
+        # chunk count matches the stride grid exactly
+        assert len(chunks) == len(range(0, n, _CHUNK_S))
+        for idx, toks in chunks.items():
+            # every chunk is the verbatim token slice at its grid offset
+            assert toks == base[doc_id][idx * _CHUNK_S : idx * _CHUNK_S + _CHUNK_W]
+        # consecutive full chunks share the W-S token overlap
+        for idx in range(len(chunks) - 1):
+            if len(chunks[idx]) == _CHUNK_W:
+                assert chunks[idx][_CHUNK_S:] == chunks[idx + 1][: _CHUNK_W - _CHUNK_S]
+
+
+def test_chunk_overlap_is_narrow(spark, sf_dir):
+    """The chunker must compile to a shuffle-free (narrow) plan: fan-out
+    happens in the scan task, critical at 100 TB."""
+    from sig_etl_spark.queries import QUERIES
+
+    df = QUERIES["llm_chunk_overlap"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_boilerplate_scrub_invariants(spark, sf_dir):
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.queries.llm_text import _SEG_G
+
+    rows = QUERIES["llm_boilerplate_scrub"].builder(spark, sf_dir).collect()
+    base = {
+        r.doc_id: r.text.split()
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    total_boiler = 0
+    for r in rows:
+        n = len(base[r.doc_id])
+        assert r.n_segments == -(-n // _SEG_G)  # ceil
+        assert 0 <= r.n_boilerplate <= r.n_segments
+        total_boiler += r.n_boilerplate
+        kept = r.clean_text.split() if r.clean_text else []
+        # kept tokens are an in-order subsequence of the original doc
+        it = iter(base[r.doc_id])
+        assert all(tok in it for tok in kept)
+    # threshold is calibrated so the corpus actually has boilerplate
+    assert total_boiler > 0
+
+
+def test_boilerplate_scrub_removes_common_segments_only(spark, sf_dir):
+    """Cross-check the scrub criterion itself: a segment string absent
+    from any clean_text must occur in >= T distinct docs, and every
+    kept segment in < T (checked on a sample)."""
+    from collections import defaultdict
+
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.queries.llm_text import _SEG_G, _SEG_T
+
+    base = {
+        r.doc_id: r.text.split()
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    seg_docs: dict[str, set[int]] = defaultdict(set)
+    for doc_id, toks in base.items():
+        for s in range(0, len(toks), _SEG_G):
+            seg_docs[" ".join(toks[s : s + _SEG_G])].add(doc_id)
+    rows = QUERIES["llm_boilerplate_scrub"].builder(spark, sf_dir).collect()
+    for r in rows[:50]:
+        toks = base[r.doc_id]
+        expect = [
+            " ".join(toks[s : s + _SEG_G])
+            for s in range(0, len(toks), _SEG_G)
+            if len(seg_docs[" ".join(toks[s : s + _SEG_G])]) < _SEG_T
+        ]
+        assert (r.clean_text.split(" ") if r.clean_text else []) == " ".join(
+            expect
+        ).split()

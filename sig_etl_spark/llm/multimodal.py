@@ -342,6 +342,12 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(
             f"only 16-bit PCM supported (format={audio_format}, bits={bits})"
         )
+    # channels=0 / sample_rate=0 would pass the consistency checks below
+    # (0 == 0) and then divide by zero — reject them explicitly.
+    if channels < 1 or sample_rate < 1:
+        raise ValueError(
+            f"invalid fmt chunk (channels={channels}, sample_rate={sample_rate})"
+        )
     if block_align != channels * 2 or byte_rate != sample_rate * block_align:
         raise ValueError("inconsistent fmt chunk (block_align/byte_rate)")
     if len(data) % block_align:

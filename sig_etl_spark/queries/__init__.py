@@ -79,55 +79,60 @@ def _load_all() -> None:
 # runs every round over ALL queries, so (c) is still locally verified in
 # the rounds where the cap falls on it.
 #
-# Round 4 priority: (a) = the 6 new r4 queries; (b) = the 25 entries past
-# the cap in CORRECTNESS_r03 (the stable relational/F-series block).
+# Round 5 priority: (a) = queries new or CHANGED this round (llm_knn_pq's
+# lambda-arity fix and llm_ann_recall's new pq arm need driver rows to
+# prove the fix); (b) = the 44 entries past the cap in CORRECTNESS_r04,
+# in registration order.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # (a) new in round 4
+    # (a) new / changed in round 5
+    "llm_knn_pq_rerank",
     "llm_knn_pq",
-    "mm_decode_wav",
-    "llm_chunk_overlap",
-    "llm_boilerplate_scrub",
-    "diag_key_skew",
-    "layout_zorder_pruning",
-    "llm_knn_int8",
-    "llm_shard_packing_bucketed",
-    "mm_decode_png",
     "llm_ann_recall",
-    "llm_ann_recall_kmeans",
-    "linkage_fuzzy_match_skew",
-    "linkage_fuzzy_match_skew_salted",
-    "sketch_hll_distinct",
-    "sketch_cms_heavy_hitters",
-    "j_bloom_pruned",
-    "events_gaps_islands",
-    "llm_weighted_sample",
-    # (b) past the cap in round 3
-    "f_normalize_dictionaries",
-    "extract_s3_roundtrip",
-    "extract_s4_cards",
-    "extract_s5_nested",
-    "extract_s2_landing_scan",
-    "csv_stage_roundtrip",
-    "extract_o1_latest_slice",
-    "excel_dim_join",
-    "f_parse_names",
-    "f_party_state_district",
-    "f_long_dates",
-    "f_vote_string",
-    "f_text_misc",
-    "f_election_location",
-    "flagship_latest_order",
-    "agg_vote_counts",
-    "agg_pricing_summary",
-    "proj_filter_parts",
-    "w_best_match_per_order",
-    "w_fill_forward_events",
-    "set_union_anti",
-    "dedupe_first_order_per_customer",
-    "j_master_detail_parts",
-    "agg_param_derivation",
-    "w_latest_session",
+    # (b) past the cap in round 4
+    "events_quantiles",
+    "events_funnel",
+    "events_pivot",
+    "events_json_extract",
+    "events_retention",
+    "events_zscore",
+    "vsdb_election_candidates",
+    "a9_reindex",
+    "linkage_fuzzy_match",
+    "linkage_fuzzy_match_salted",
+    "linkage_fuzzy_match_wratio",
+    "linkage_match_stats",
+    "mm_features",
+    "mm_frame_sample",
+    "mm_decode_ppm",
+    "mm_resize",
+    "llm_knn_bruteforce",
+    "llm_knn_lsh",
+    "llm_knn_ivf",
+    "llm_knn_label_vote",
+    "llm_knn_ivf_kmeans",
+    "llm_exact_dedup",
+    "llm_ngram_jaccard",
+    "llm_minhash_lsh",
+    "llm_simhash_pairs",
+    "llm_embedding_near_dup",
+    "llm_dedup_clusters",
+    "llm_corpus_curation",
+    "llm_text_stats",
+    "llm_fingerprint",
+    "llm_vocab_topk",
+    "llm_repetition",
+    "llm_pii_scrub",
+    "llm_reproducible_split",
+    "llm_decontaminate",
+    "llm_tfidf_top_terms",
+    "llm_source_rollup",
+    "llm_stratified_sample",
+    "llm_shard_packing",
+    "llm_length_deciles",
+    "j2_composite_key_merge",
+    "a7_consume_once_dispatch",
+    "transform_split_candidacies",
 ]
 
 

@@ -357,7 +357,7 @@ _PQ_KSUB = 16      # codebook entries per subspace
 _PQ_DSUB = _DIM // _PQ_M
 
 
-def _pq_oracle(m_subs: int = _PQ_M, ksub: int = _PQ_KSUB) -> str:
+def _pq_oracle(m_subs: int = _PQ_M, ksub: int = _PQ_KSUB, k: int = _K) -> str:
     dsub = _DIM // m_subs
 
     def l2_sub(vec: str, cvec: str) -> str:
@@ -427,7 +427,7 @@ SELECT query_id, corpus_id, cosine, rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, corpus_id) AS rank
       FROM scored) t
-WHERE rank <= {_K}
+WHERE rank <= {k}
 """
 
 
@@ -445,6 +445,48 @@ def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(
         queries, corpus, "vec_id", "embedding",
         k=_K, m_subs=_PQ_M, ksub=_PQ_KSUB, dim=_DIM,
+    )
+
+
+_PQ_SHORTLIST = 200
+
+
+def _pq_rerank_oracle(shortlist: int = _PQ_SHORTLIST) -> str:
+    # ADC top-`shortlist` re-derived by the pq oracle, then rescored with
+    # the exact cosine fold (same tail as brute force) and re-ranked.
+    return f"""
+WITH short AS (SELECT query_id, corpus_id
+               FROM ({_pq_oracle(k=shortlist)}) s),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id, embedding FROM embeddings WHERE vec_id >= 10),
+qn AS ({_norm_cte("q", "query_id")}),
+cn AS ({_norm_cte("c", "corpus_id")}),
+pairs AS (
+  SELECT short.query_id, short.corpus_id, q.embedding AS eq, c.embedding AS ec
+  FROM short
+  JOIN q ON q.query_id = short.query_id
+  JOIN c ON c.corpus_id = short.corpus_id
+),
+{_SCORE_TAIL}
+"""
+
+
+@register(
+    "llm_knn_pq_rerank",
+    oracle=_pq_rerank_oracle(),
+    doc=f"two-stage PQ scan: ADC top-{_PQ_SHORTLIST} shortlist over codes,"
+        " then exact-cosine rerank of only the shortlist (FAISS refine"
+        " pattern) — recall@5 ~0.9 where raw ADC gives ~0.2, still fully"
+        " hash-checkable",
+)
+def llm_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.pq_rerank_topk(
+        queries, corpus, "vec_id", "embedding",
+        k=_K, shortlist=_PQ_SHORTLIST,
+        m_subs=_PQ_M, ksub=_PQ_KSUB, dim=_DIM,
     )
 
 
@@ -514,9 +556,10 @@ def _union_all(dfs: list[DataFrame]) -> DataFrame:
             "ivf_np3": _ivf_oracle(_NPROBE),
             "ivf_np12": _ivf_oracle(_HI_NPROBE),
             "int8": _int8_oracle(),
+            "pq": _pq_oracle(),
         }
     ),
-    doc="recall@5 of the LSH/IVF/int8 paths vs exact brute force, at both"
+    doc="recall@5 of the LSH/IVF/int8/pq paths vs exact brute force, at both"
         " the demo configs and the >=0.8-floor configs — every"
         " intersection re-derived by the oracle",
 )
@@ -546,6 +589,14 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             _recall_df(brute, "ivf_np12", ivf(_HI_NPROBE)),
             _recall_df(
                 brute, "int8", S.int8_topk(queries, corpus, "vec_id", "embedding", k=_K)
+            ),
+            _recall_df(
+                brute,
+                "pq",
+                S.pq_topk(
+                    queries, corpus, "vec_id", "embedding",
+                    k=_K, m_subs=_PQ_M, ksub=_PQ_KSUB, dim=_DIM,
+                ),
             ),
         ]
     )

@@ -253,6 +253,20 @@ def test_wav_decode_rejects_corruption():
             + cut[cut.index(b"data") + 8 :]
         )
         M.decode_wav(cut)
+    # channels=0 with block_align=0/byte_rate=0: the consistency checks
+    # pass vacuously (0 == 0) — must raise ValueError, not ZeroDivisionError
+    bad = bytearray(good)
+    bad[fmt_at + 2 : fmt_at + 4] = struct.pack("<H", 0)   # channels = 0
+    bad[fmt_at + 8 : fmt_at + 12] = struct.pack("<I", 0)  # byte_rate = 0
+    bad[fmt_at + 12 : fmt_at + 14] = struct.pack("<H", 0)  # block_align = 0
+    with pytest.raises(ValueError):
+        M.decode_wav(bytes(bad))
+    # sample_rate=0 likewise
+    bad = bytearray(good)
+    bad[fmt_at + 4 : fmt_at + 8] = struct.pack("<I", 0)   # sample_rate = 0
+    bad[fmt_at + 8 : fmt_at + 12] = struct.pack("<I", 0)  # byte_rate = 0
+    with pytest.raises(ValueError):
+        M.decode_wav(bytes(bad))
 
 
 def test_wav_extra_chunks_tolerated():

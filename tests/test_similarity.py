@@ -128,6 +128,65 @@ def test_ivf_kmeans_scores_exact_and_deterministic(spark, sf_dir):
     assert first == run(), "kmeans IVF not deterministic across runs"
 
 
+def test_pq_exact_when_corpus_is_codebook(spark, sf_dir):
+    """When |corpus| == ksub every corpus row IS a codebook entry, so PQ
+    encoding reconstructs each vector exactly (each subspace argmin hits
+    the row's own subvector at distance 0) and the ADC score must equal
+    the exact cosine — pq top-k == brute-force top-k. This is the unit
+    test that would have caught the F.transform (element, index) lambda
+    bug: under that bug every code degenerated to one entry and recon
+    norms went to 0."""
+    from sig_etl_spark.llm.similarity import brute_force_topk, pq_topk
+    from sig_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 26))  # 16 rows
+    brute = {
+        (r.query_id, r.corpus_id): (r.cosine, r.rank)
+        for r in brute_force_topk(q, c, "vec_id", "embedding", k=5).collect()
+    }
+    pq = pq_topk(
+        q, c, "vec_id", "embedding", k=5, m_subs=8, ksub=16, dim=64
+    ).collect()
+    assert len(pq) == len(brute) == 50
+    for r in pq:
+        assert (r.query_id, r.corpus_id) in brute, (
+            f"pq returned ({r.query_id},{r.corpus_id}) not in exact top-5"
+        )
+        cos, rank = brute[(r.query_id, r.corpus_id)]
+        # ADC sums associate per-subspace vs brute's flat fold — allow
+        # only float-reassociation noise, nothing semantic.
+        assert abs(r.cosine - cos) < 1e-9
+        assert r.rank == rank
+
+
+def test_pq_rerank_is_bruteforce_restricted_to_shortlist(spark, sf_dir):
+    """Every pq_rerank cosine must equal the exact brute-force cosine
+    bit-for-bit (same fold), and with a shortlist covering the whole
+    corpus the result must equal brute force exactly."""
+    from sig_etl_spark.llm.similarity import brute_force_topk, pq_rerank_topk
+    from sig_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    n_corpus = c.count()
+    brute = {
+        (r.query_id, r.corpus_id): (r.cosine, r.rank)
+        for r in brute_force_topk(q, c, "vec_id", "embedding", k=5).collect()
+    }
+    rer = pq_rerank_topk(
+        q, c, "vec_id", "embedding", k=5, shortlist=n_corpus,
+        m_subs=8, ksub=16, dim=64,
+    ).collect()
+    assert {(r.query_id, r.corpus_id) for r in rer} == set(brute)
+    for r in rer:
+        cos, rank = brute[(r.query_id, r.corpus_id)]
+        assert r.cosine == cos  # identical fold -> bit-exact
+        assert r.rank == rank
+
+
 def test_ann_recall_floors(spark, sf_dir):
     """The approximate paths must actually be GOOD at their high-recall
     configs: recall@5 vs exact brute force >= 0.8 for LSH (8 bands x 3
@@ -141,6 +200,7 @@ def test_ann_recall_floors(spark, sf_dir):
         ivf_kmeans_topk,
         ivf_topk,
         lsh_topk,
+        pq_rerank_topk,
     )
     from sig_etl_spark.tables import load_table
 
@@ -168,6 +228,10 @@ def test_ann_recall_floors(spark, sf_dir):
             q, c, "vec_id", "embedding", k=k, n_centroids=16, nprobe=12
         ),
         "int8": int8_topk(q, c, "vec_id", "embedding", k=k),
+        "pq_rerank_l200": pq_rerank_topk(
+            q, c, "vec_id", "embedding",
+            k=k, shortlist=200, m_subs=8, ksub=16, dim=64,
+        ),
     }
     for name, df in approx.items():
         hits = brute.join(
@@ -183,7 +247,7 @@ def test_ann_recall_query_shape(spark, sf_dir):
     from sig_etl_spark.queries import QUERIES
 
     for qname, expected in [
-        ("llm_ann_recall", {"lsh_b2p4", "lsh_b8p3", "ivf_np3", "ivf_np12", "int8"}),
+        ("llm_ann_recall", {"lsh_b2p4", "lsh_b8p3", "ivf_np3", "ivf_np12", "int8", "pq"}),
         ("llm_ann_recall_kmeans", {"ivf_kmeans_np3", "ivf_kmeans_np12"}),
     ]:
         rows = QUERIES[qname].builder(spark, sf_dir).collect()

@@ -58,16 +58,28 @@ def main() -> int:
     n = spark.sparkContext.defaultParallelism
     run_query(spark.range(0, n * 100, 1, n).select(_warm("id")))
 
+    # Median-of-N per query: single-run numbers on this box swing 2-3x
+    # between rounds (JVM JIT, GC pressure, background load), which made
+    # regressions indistinguishable from noise in r02-r04. The median of
+    # 3 back-to-back runs is stable enough to adjudicate plan changes.
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+
     timings: dict[str, float] = {}
     total = 0.0
     gc_overhead = 0.0
     for i, name in enumerate(names):
-        t0 = time.perf_counter()
-        run_query(QUERIES[name].builder(spark, sf_dir))
-        dt = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            run_query(QUERIES[name].builder(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        dt = round(sorted(runs)[len(runs) // 2], 3)
         timings[name] = dt
         total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        print(
+            f"# {name}: {dt:.3f}s (runs: {', '.join(f'{r:.3f}' for r in runs)})",
+            file=sys.stderr,
+        )
         if (i + 1) % 8 == 0:
             # Dead localCheckpoint/broadcast blocks are only released when
             # the driver GC feeds the ContextCleaner; across 70 sequential
@@ -96,6 +108,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "gc_overhead_seconds": round(gc_overhead, 3),
+                "repeats_per_query": repeats,
+                "aggregation": "median",
                 "sf": sf,
             }
         )

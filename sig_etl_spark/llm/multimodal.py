@@ -3,11 +3,11 @@ with typed metadata.
 
 The Spark-side machinery here is real and tested — schemas, Arrow batch
 shapes, mapInPandas signatures, frame explosion, partitioning. The codec
-layer is tiered: REAL stdlib decoders for binary PPM (P6) and
-non-interlaced 8-bit PNG (zlib inflate + filter reversal, CRC-checked),
-PIL for everything else when importable, and an honest
-NotImplementedError for formats neither covers (this container ships no
-image/audio libraries). The byte-statistics featurizer (``_decode_bytes``)
+layer is tiered: REAL stdlib decoders for binary PPM (P6), non-interlaced
+8-bit PNG (zlib inflate + filter reversal, CRC-checked) and baseline
+4:4:4 JPEG (Huffman entropy decode + IDCT), PIL for everything else when
+importable, and an honest NotImplementedError for formats neither covers
+(this container ships no image/audio libraries). The byte-statistics featurizer (``_decode_bytes``)
 remains a deterministic stand-in for an embedding model; swapping a real
 one changes only the batch body — every schema, batch and shuffle stays
 as tested.
@@ -296,6 +296,500 @@ def encode_png(pixels: np.ndarray, filter_choice=None) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81) — pure stdlib/numpy codec, closing the last
+# DCT-format gap behind decode_real. Decoder: full marker walk (APPn/COM
+# skipped, DQT/DHT/SOF0/DRI/SOS parsed), canonical Huffman tables built
+# from DHT exactly as Annex C specifies, DC DPCM + AC run-length entropy
+# decode with byte destuffing and RSTn restart handling, dequantization,
+# de-zigzag, orthonormal 8x8 IDCT, level shift, and JFIF YCbCr->RGB for
+# 3-component scans. Supported subset: 8-bit baseline sequential (SOF0),
+# 1 or 3 components, 4:4:4 (all sampling factors 1). Progressive (SOF2),
+# subsampled chroma, 12-bit, and arithmetic coding raise honestly.
+# Encoder twin builds real streams (standard Annex K Huffman tables) for
+# fixtures/tests: from pixels (pad -> DCT -> quantize -> entropy) or
+# straight from integer coefficient blocks (exact entropy-layer tests).
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    (i, s - i) if s % 2 else (s - i, i)
+    for s in range(15)
+    for i in range(max(0, s - 7), min(7, s) + 1)
+]
+# _ZIGZAG[k] = (row, col) of the k-th coefficient in zigzag order; the
+# comprehension walks each anti-diagonal alternating direction (T.81 Fig 5).
+
+# Annex K.3 "typical" luminance Huffman tables (the libjpeg defaults —
+# using them means real-world baseline files entropy-decode too).
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix T: forward F = T @ B @ T.T,
+    inverse B = T.T @ F @ T — the basis T.81's FDCT/IDCT define."""
+    x = np.arange(8)
+    T = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    T[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return T
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment (T.81 Annex C): symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def pad(self) -> None:
+        """Pad to byte boundary with 1-bits (T.81 F.1.2.3)."""
+        while self.n:
+            self.put(1, 1)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 destuffing;
+    stops (raises _Marker) when a real marker interrupts the stream."""
+
+    class Marker(Exception):
+        def __init__(self, marker: int) -> None:
+            self.marker = marker
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy data")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG entropy data at 0xFF")
+                m = self.data[self.pos]
+                self.pos += 1
+                if m != 0x00:  # a real marker, not a stuffed byte
+                    raise _BitReader.Marker(m)
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.n = 0
+
+    def expect_rst(self, idx: int) -> None:
+        """Consume the RSTn marker that must follow a restart interval."""
+        self.align()
+        if self.pos + 2 > len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("missing restart marker")
+        m = self.data[self.pos + 1]
+        if m != 0xD0 + (idx & 7):
+            raise ValueError(
+                f"bad restart marker: want RST{idx & 7}, got 0x{m:02X}"
+            )
+        self.pos += 2
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG entropy data")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.12: map a `size`-bit magnitude to its signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v else 0
+
+
+def _parse_jpeg(content: bytes):
+    """Shared parse: markers + entropy decode. Returns (w, h, comps,
+    coeff_blocks) where coeff_blocks[i] is an int32 array
+    (blocks_y, blocks_x, 8, 8) of DEQUANTIZED, de-zigzagged coefficients
+    for component i."""
+    import struct
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (w, h, [(comp_id, tq)])
+    restart_interval = 0
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = content[pos + 1]
+        pos += 2
+        if marker in (0x01, *range(0xD0, 0xD8)):  # TEM / RSTn: no segment
+            continue
+        if marker == 0xD9:  # EOI
+            raise ValueError("JPEG has no SOS scan before EOI")
+        (seglen,) = struct.unpack(">H", content[pos : pos + 2])
+        body = content[pos + 2 : pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                vals = np.frombuffer(body[p + 1 : p + 65], dtype=np.uint8)
+                if len(vals) != 64:
+                    raise ValueError("truncated DQT table")
+                q = np.zeros((8, 8), dtype=np.int32)
+                for k, (r, c) in enumerate(_ZIGZAG):
+                    q[r, c] = int(vals[k])
+                qtables[tq] = q
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = list(body[p + 17 : p + 17 + nvals])
+                if len(vals) != nvals:
+                    raise ValueError("truncated DHT table")
+                dec = {
+                    (length, code): sym
+                    for sym, (code, length) in _huff_codes(bits, vals).items()
+                }
+                htables[(tc, th)] = dec
+                p += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+            if prec != 8:
+                raise ValueError(f"only 8-bit baseline supported (got {prec})")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                if hv != 0x11:
+                    raise ValueError(
+                        "subsampled chroma unsupported (4:4:4 only); "
+                        f"component {cid} has sampling 0x{hv:02X}"
+                    )
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            w, h, comps = frame
+            ns = body[0]
+            if ns != len(comps):
+                raise ValueError("interleave subset scans unsupported")
+            scan_tabs = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i : 3 + 2 * i]
+                td, ta = tdta >> 4, tdta & 0x0F
+                if (0, td) not in htables or (1, ta) not in htables:
+                    raise ValueError("SOS references missing Huffman table")
+                scan_tabs.append((htables[(0, td)], htables[(1, ta)]))
+            bx, by = (w + 7) // 8, (h + 7) // 8
+            coeffs = [
+                np.zeros((by, bx, 8, 8), dtype=np.int32) for _ in comps
+            ]
+            for _, tq in comps:
+                if tq not in qtables:
+                    raise ValueError(f"missing quantization table {tq}")
+            reader = _BitReader(content, pos + seglen)
+            preds = [0] * len(comps)
+            mcu = 0
+            for yb in range(by):
+                for xb in range(bx):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        reader.expect_rst(mcu // restart_interval - 1)
+                        preds = [0] * len(comps)
+                    for ci, (dc_tab, ac_tab) in enumerate(scan_tabs):
+                        q = qtables[comps[ci][1]]
+                        block = np.zeros(64, dtype=np.int32)
+                        t = _huff_decode(reader, dc_tab)
+                        diff = _extend(reader.bits(t), t)
+                        preds[ci] += diff
+                        block[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            block[k] = _extend(reader.bits(s), s)
+                            k += 1
+                        b8 = np.zeros((8, 8), dtype=np.int32)
+                        for kk, (rr, cc) in enumerate(_ZIGZAG):
+                            b8[rr, cc] = block[kk]
+                        coeffs[ci][yb, xb] = b8 * q
+                    mcu += 1
+            return w, h, comps, coeffs
+        pos += seglen
+    raise ValueError("JPEG ended without an SOS scan")
+
+
+def decode_jpeg_coeffs(content: bytes):
+    """Entropy-layer decode only: returns (w, h, [coeff_blocks]) with the
+    DEQUANTIZED coefficient planes — everything before the IDCT. Exact
+    integers, which is what makes the coefficient path hash-checkable."""
+    w, h, _comps, coeffs = _parse_jpeg(content)
+    return w, h, coeffs
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """bytes -> (h, w, 3) uint8 RGB via IDCT + level shift (+ JFIF
+    YCbCr->RGB when 3 components; grayscale replicated)."""
+    w, h, comps, coeffs = _parse_jpeg(content)
+    T = _dct_matrix()
+    planes = []
+    for plane in coeffs:
+        by, bx = plane.shape[:2]
+        # batched IDCT: (by*bx, 8, 8) @ basis, then reassemble
+        blocks = plane.reshape(-1, 8, 8).astype(np.float64)
+        spatial = np.einsum("ur,nuv,vc->nrc", T, blocks, T)
+        full = spatial.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(
+            by * 8, bx * 8
+        )
+        planes.append(full[:h, :w] + 128.0)
+    if len(planes) == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _encode_entropy(
+    planes: list[np.ndarray],
+    qtables: list[np.ndarray],
+    w: int,
+    h: int,
+    restart_interval: int = 0,
+) -> bytes:
+    """Shared writer: planes are per-component int32 QUANTIZED coefficient
+    arrays (by, bx, 8, 8); emits a complete baseline stream."""
+    import struct
+
+    ncomp = len(planes)
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    for ti, q in enumerate(qtables):
+        zz = bytes(int(q[r, c]) for (r, c) in _ZIGZAG)
+        seg(0xDB, bytes([ti]) + zz)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, min(ci, len(qtables) - 1)])
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    by, bx = planes[0].shape[:2]
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    mcu = 0
+    for yb in range(by):
+        for xb in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.pad()
+                out.extend(writer.buf)
+                writer = _BitWriter()
+                n = mcu // restart_interval - 1
+                out.extend(b"\xff" + bytes([0xD0 + (n & 7)]))
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                b8 = planes[ci][yb, xb]
+                zz = [int(b8[r, c]) for (r, c) in _ZIGZAG]
+                diff = zz[0] - preds[ci]
+                preds[ci] = zz[0]
+                t = _category(diff)
+                code, length = dc_codes[t]
+                writer.put(code, length)
+                if t:
+                    writer.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+                run = 0
+                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[0xF0]  # ZRL
+                        writer.put(code, length)
+                        run -= 16
+                    s = _category(zz[k])
+                    code, length = ac_codes[(run << 4) | s]
+                    writer.put(code, length)
+                    v = zz[k]
+                    writer.put(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_codes[0x00]  # EOB
+                    writer.put(code, length)
+            mcu += 1
+    writer.pad()
+    out.extend(writer.buf)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quant: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JPEG bytes.
+
+    Default quantization table is all-ones (maximum fidelity: the only
+    loss is coefficient rounding). Pass a standard table for realistic
+    compression. Edge-replication pads to 8x8 multiples."""
+    T = _dct_matrix()
+    if pixels.ndim == 2:
+        comps = [pixels.astype(np.float64)]
+    else:
+        px = pixels.astype(np.float64)
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        comps = [y, cb, cr]
+    h, w = comps[0].shape
+    if quant is None:
+        quant = np.ones((8, 8), dtype=np.int32)
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    planes = []
+    for plane in comps:
+        padded = np.pad(
+            plane, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge"
+        ) - 128.0
+        blocks = (
+            padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        fdct = np.einsum("ur,nrc,vc->nuv", T, blocks, T)
+        scaled = fdct / quant.astype(np.float64)
+        # round half away from zero (libjpeg's convention), exactly
+        qz = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+        planes.append(qz.astype(np.int32).reshape(by, bx, 8, 8))
+    return _encode_entropy(planes, [quant.astype(np.int32)], w, h,
+                           restart_interval)
+
+
+def encode_jpeg_from_coeffs(
+    planes: list[np.ndarray],
+    w: int,
+    h: int,
+    quant: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Build a baseline stream straight from integer QUANTIZED coefficient
+    blocks (each (by, bx, 8, 8) int32) — the exact-entropy-layer fixture
+    path: what goes in is bit-for-bit what decode_jpeg_coeffs returns
+    (times the quant table)."""
+    if quant is None:
+        quant = np.ones((8, 8), dtype=np.int32)
+    return _encode_entropy(
+        [p.astype(np.int32) for p in planes], [quant.astype(np.int32)],
+        w, h, restart_interval,
+    )
+
+
 def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     """Real AUDIO decode for RIFF/WAVE PCM: chunk walk + 16-bit samples.
 
@@ -419,18 +913,22 @@ def decode_audio_stats(df: DataFrame) -> DataFrame:
 def decode_real(content: bytes) -> np.ndarray:
     """Real codec path: bytes -> (h, w, 3) uint8 RGB pixels.
 
-    The stdlib codecs handle P6 PPM and non-interlaced 8-bit PNG
-    natively; PIL, when importable, covers everything else (JPEG/...);
-    otherwise an honest NotImplementedError — never a silent fake."""
+    The stdlib codecs handle P6 PPM, non-interlaced 8-bit PNG and
+    baseline 4:4:4 JPEG natively; PIL, when importable, covers everything
+    else (progressive/subsampled JPEG, GIF, ...); otherwise an honest
+    NotImplementedError — never a silent fake."""
     if content[:2] == b"P6":
         return decode_ppm(content)
     if content[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        return decode_jpeg(content)
     if not _HAVE_PIL:
         raise NotImplementedError(
-            "decoding non-PPM/PNG images requires PIL; this environment "
-            "decodes uncompressed P6 PPM (decode_ppm) and non-interlaced "
-            "8-bit PNG (decode_png)"
+            "decoding non-PPM/PNG/JPEG images requires PIL; this "
+            "environment decodes uncompressed P6 PPM (decode_ppm), "
+            "non-interlaced 8-bit PNG (decode_png) and baseline 4:4:4 "
+            "JPEG (decode_jpeg)"
         )
     import io
 
@@ -476,6 +974,60 @@ def decode_image_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_stats, IMAGE_STATS_SCHEMA)
+
+
+JPEG_COEFF_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_blocks", IntegerType()),
+        StructField("sum_dc", LongType()),
+        StructField("sum_coeff", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("n_nonzero_ac", LongType()),
+    ]
+)
+
+
+def decode_jpeg_coeff_stats(df: DataFrame) -> DataFrame:
+    """Entropy-layer decode via ``decode_jpeg_coeffs``: Huffman + DPCM +
+    run-length + de-zigzag + dequant, NO IDCT — the stats are exact
+    integers over the coefficient planes, so the whole entropy path is
+    bit-checkable (a one-bit Huffman slip corrupts every later value).
+
+    Scale shape: identical to decode_image_stats — streaming Arrow
+    batches, blob never leaves the executor."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "width", "height", "n_blocks",
+                "sum_dc", "sum_coeff", "sum_abs", "n_nonzero_ac")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, coeffs = decode_jpeg_coeffs(bytes(content))
+                n_blocks = sum(p.shape[0] * p.shape[1] for p in coeffs)
+                sum_dc = sum(int(p[:, :, 0, 0].sum()) for p in coeffs)
+                sum_coeff = sum(int(p.sum(dtype=np.int64)) for p in coeffs)
+                sum_abs = sum(
+                    int(np.abs(p).sum(dtype=np.int64)) for p in coeffs
+                )
+                nz = sum(
+                    int(np.count_nonzero(p)) for p in coeffs
+                ) - sum(
+                    int(np.count_nonzero(p[:, :, 0, 0])) for p in coeffs
+                )
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_blocks"].append(n_blocks)
+                out["sum_dc"].append(sum_dc)
+                out["sum_coeff"].append(sum_coeff)
+                out["sum_abs"].append(sum_abs)
+                out["n_nonzero_ac"].append(nz)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_stats, JPEG_COEFF_STATS_SCHEMA)
 
 
 def partition_media(df: DataFrame, n: int | None = None) -> DataFrame:

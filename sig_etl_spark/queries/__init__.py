@@ -89,6 +89,8 @@ _PRIORITY = [
     "llm_knn_pq_rerank",
     "llm_knn_pq",
     "llm_ann_recall",
+    "mm_decode_jpeg",
+    "mm_decode_jpeg_coeffs",
     # (b) past the cap in round 4
     "events_quantiles",
     "events_funnel",

@@ -397,6 +397,198 @@ def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_stats(media)
 
 
+# ---------------------------------------------------------------------------
+# REAL DCT-format decode, in two hash-exact layers (JPEG is lossy, so the
+# trick is choosing fixtures whose loss is provably zero):
+#
+# mm_decode_jpeg — PIXEL path. Fixtures are constant 8x8 tiles
+# (v = (mid*13 + ty*37 + tx*11) % 256, R=G=B): a constant block's DCT is
+# a single integer DC with analytically-zero ACs, quantization by 1 is
+# exact, and the DC-only IDCT reproduces the constant bit-for-bit after
+# rounding — so decode(encode(px)) == px EXACTLY and integer pixel sums
+# are oracle-predictable. Non-multiple-of-8 dims exercise edge padding +
+# crop; mid % 3 == 0 images carry DRI/RSTn restart markers.
+#
+# mm_decode_jpeg_coeffs — ENTROPY path (Huffman + DPCM + run-length +
+# zigzag + dequant, no IDCT). Fixtures are built straight from closed-
+# form integer coefficient blocks (encode_jpeg_from_coeffs), sparse with
+# per-block moduli 7/15/23 so short runs, ZRL (run > 15) and EOB all
+# occur; decode_jpeg_coeffs returns the planes and the query emits exact
+# integer stats the oracle re-derives. Together the two queries pin every
+# stage of the codec with value hashes.
+# ---------------------------------------------------------------------------
+
+_JPEG_MAX_PIX = 36 * 18  # w <= 8*(2+2)+4 = 36, h <= 8*(1+1)+2 = 18
+
+_JPEG_DECODE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CAST(8 * (2 + doc_id % 3) + doc_id % 5 AS INTEGER) AS width,
+         CAST(8 * (1 + doc_id % 2) + doc_id % 3 AS INTEGER) AS height
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height,
+         (media_id * 13 + ((j // width) // 8) * 37 + ((j % width) // 8) * 11)
+           % 256 AS v
+  FROM d CROSS JOIN range({_JPEG_MAX_PIX}) t(j)
+  WHERE j < width * height
+)
+SELECT media_id, width, height,
+       CAST(SUM(v) AS BIGINT) AS sum_r,
+       CAST(SUM(v) AS BIGINT) AS sum_g,
+       CAST(SUM(v) AS BIGINT) AS sum_b
+FROM px GROUP BY media_id, width, height
+"""
+
+
+def _jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> real baseline-JPEG bytes of the constant-tile raster."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from sig_etl_spark.llm.multimodal import encode_jpeg
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w = 8 * (2 + mid % 3) + mid % 5
+                h = 8 * (1 + mid % 2) + mid % 3
+                y, x = np.mgrid[0:h, 0:w]
+                v = ((mid * 13 + (y // 8) * 37 + (x // 8) * 11) % 256).astype(
+                    np.uint8
+                )
+                px = np.repeat(v[:, :, None], 3, axis=2)
+                blobs.append(
+                    encode_jpeg(px, restart_interval=2 if mid % 3 == 0 else 0)
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    return docs.mapInPandas(_make, schema)
+
+
+@register(
+    "mm_decode_jpeg",
+    oracle=_JPEG_DECODE_ORACLE,
+    doc="REAL DCT decode: baseline 4:4:4 JPEG fixtures (constant-tile"
+        " rasters whose DCT roundtrip is provably lossless, some with"
+        " restart markers) parsed by the stdlib codec (decode_real ->"
+        " decode_jpeg) inside mapInPandas; oracle re-derives pixel sums",
+)
+def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = partition_media(_jpeg_media(spark, sf_dir), 32)
+    return decode_image_stats(media)
+
+
+_JPEG_MAX_COEF = 8 * 64  # blocks <= (2+2)*(1+1) = 8, 64 coeffs each
+
+_JPEG_COEFFS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CAST(2 + doc_id % 3 AS INTEGER) AS bx,
+         CAST(1 + doc_id % 2 AS INTEGER) AS by
+  FROM documents
+),
+cf AS (
+  SELECT media_id, bx, by,
+         j // 64 AS b, j % 64 AS k,
+         CASE
+           WHEN j % 64 = 0 THEN (media_id * 7 + j // 64) % 101 - 50
+           WHEN (media_id + j // 64 + j % 64)
+                  % (7 + ((j // 64) % 3) * 8) = 0
+             THEN (media_id * 5 + (j // 64) * 3 + (j % 64) * 11) % 41 - 20
+           ELSE 0
+         END AS v
+  FROM d CROSS JOIN range({_JPEG_MAX_COEF}) t(j)
+  WHERE j < bx * by * 64
+)
+SELECT media_id,
+       CAST(bx * 8 AS INTEGER) AS width,
+       CAST(by * 8 AS INTEGER) AS height,
+       CAST(bx * by AS INTEGER) AS n_blocks,
+       CAST(SUM(CASE WHEN k = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_dc,
+       CAST(SUM(v) AS BIGINT) AS sum_coeff,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(SUM(CASE WHEN k > 0 AND v != 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonzero_ac
+FROM cf GROUP BY media_id, bx, by
+"""
+
+
+def _jpeg_coeff_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> baseline stream built straight from closed-form integer
+    coefficient blocks (quant all-ones, so dequant is the identity)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from sig_etl_spark.llm.multimodal import _ZIGZAG, encode_jpeg_from_coeffs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                bx, by = 2 + mid % 3, 1 + mid % 2
+                plane = np.zeros((by, bx, 8, 8), dtype=np.int32)
+                for b in range(by * bx):
+                    m = 7 + (b % 3) * 8
+                    zz = np.zeros(64, dtype=np.int32)
+                    zz[0] = (mid * 7 + b) % 101 - 50
+                    for k in range(1, 64):
+                        if (mid + b + k) % m == 0:
+                            zz[k] = (mid * 5 + b * 3 + k * 11) % 41 - 20
+                    b8 = np.zeros((8, 8), dtype=np.int32)
+                    for kk, (rr, cc) in enumerate(_ZIGZAG):
+                        b8[rr, cc] = zz[kk]
+                    plane[b // bx, b % bx] = b8
+                blobs.append(
+                    encode_jpeg_from_coeffs(
+                        [plane], bx * 8, by * 8,
+                        restart_interval=3 if mid % 4 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    return docs.mapInPandas(_make, schema)
+
+
+@register(
+    "mm_decode_jpeg_coeffs",
+    oracle=_JPEG_COEFFS_ORACLE,
+    doc="JPEG ENTROPY-layer decode: closed-form sparse coefficient blocks"
+        " (runs, ZRL, EOB, DPCM, restart markers) Huffman-encoded and"
+        " decoded back by decode_jpeg_coeffs; exact integer stats oracle-"
+        "checked — a one-bit slip anywhere corrupts the hash",
+)
+def mm_decode_jpeg_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.llm.multimodal import decode_jpeg_coeff_stats
+
+    media = partition_media(_jpeg_coeff_media(spark, sf_dir), 32)
+    return decode_jpeg_coeff_stats(media)
+
+
 @register(
     "mm_resize",
     oracle=_RESIZE_ORACLE,

@@ -98,12 +98,16 @@ def test_ppm_decode_rejects_garbage():
     # decode_real routes P6 to the stdlib decoder even without PIL
     px = np.zeros((1, 2, 3), dtype=np.uint8)
     assert decode_real(encode_ppm(px)).shape == (1, 2, 3)
-    # and stays an HONEST gate for formats neither codec covers
+    # and stays an HONEST gate for formats no stdlib codec covers
     from sig_etl_spark.llm import multimodal as M
 
     if not M._HAVE_PIL:
         with pytest.raises(NotImplementedError):
-            decode_real(b"\xff\xd8\xff\xe0JFIF-ish")
+            decode_real(b"GIF87a......")
+    # JPEG magic now routes to decode_jpeg — a malformed stream is a
+    # ValueError from the parser, never a silent fake
+    with pytest.raises(ValueError):
+        decode_real(b"\xff\xd8\xff\xe0JFIF-ish")
 
 
 def test_png_roundtrip_all_filters():
@@ -267,6 +271,116 @@ def test_wav_decode_rejects_corruption():
     bad[fmt_at + 8 : fmt_at + 12] = struct.pack("<I", 0)  # byte_rate = 0
     with pytest.raises(ValueError):
         M.decode_wav(bytes(bad))
+
+
+def test_jpeg_constant_tiles_roundtrip_exact():
+    """Constant 8x8 tiles survive DCT+quantize(1)+IDCT bit-for-bit —
+    the property the mm_decode_jpeg oracle relies on — for gray and RGB,
+    multiple-of-8 and ragged dims, with and without restart markers."""
+    import numpy as np
+
+    for h, w in [(16, 24), (18, 36), (9, 17)]:
+        y, x = np.mgrid[0:h, 0:w]
+        v = ((7 + (y // 8) * 37 + (x // 8) * 11) % 256).astype(np.uint8)
+        for ri in (0, 2):
+            out = M.decode_jpeg(M.encode_jpeg(v, restart_interval=ri))
+            assert out.shape == (h, w, 3)
+            assert np.array_equal(out[:, :, 0], v), (h, w, ri, "gray")
+            px3 = np.repeat(v[:, :, None], 3, axis=2)
+            out3 = M.decode_jpeg(M.encode_jpeg(px3, restart_interval=ri))
+            assert np.array_equal(out3, px3), (h, w, ri, "rgb")
+
+
+def test_jpeg_texture_roundtrip_error_bound():
+    """Arbitrary textures with quant=1: the only loss is coefficient
+    rounding, whose spatial error stays tiny. A Huffman/zigzag/IDCT bug
+    produces errors in the tens — the bound is a real tripwire."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    for shape in [(17, 21), (8, 8), (32, 16, 3)]:
+        tex = rng.randint(0, 256, shape).astype(np.uint8)
+        out = M.decode_jpeg(M.encode_jpeg(tex))
+        ref = tex if tex.ndim == 3 else np.repeat(tex[:, :, None], 3, axis=2)
+        err = np.abs(out.astype(int) - ref.astype(int)).max()
+        assert err <= 3, f"shape {shape}: max err {err}"
+
+
+def test_jpeg_coeff_entropy_layer_exact():
+    """encode_jpeg_from_coeffs -> decode_jpeg_coeffs is the identity on
+    integer coefficient planes (dense, sparse, run>15, negative values,
+    restart markers) — the entropy layer has no tolerance at all."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    dense = rng.randint(-40, 41, (2, 3, 8, 8)).astype(np.int32)
+    sparse = np.zeros((1, 4, 8, 8), dtype=np.int32)
+    sparse[0, :, 0, 0] = [100, -100, 0, 77]
+    sparse[0, 1, 7, 7] = -1  # forces a >15 zero run (ZRL) before it
+    sparse[0, 2, 0, 1] = 5
+    for plane, ri in [(dense, 0), (sparse, 0), (dense, 2), (sparse, 1)]:
+        by, bx = plane.shape[:2]
+        blob = M.encode_jpeg_from_coeffs([plane], bx * 8, by * 8,
+                                         restart_interval=ri)
+        w, h, coeffs = M.decode_jpeg_coeffs(blob)
+        assert (w, h) == (bx * 8, by * 8)
+        assert len(coeffs) == 1
+        assert np.array_equal(coeffs[0], plane), f"ri={ri}"
+
+
+def test_jpeg_quant_table_respected():
+    """A non-trivial quant table must round-trip through DQT: dequantized
+    coefficients are exact multiples of the table entries."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    tex = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    q = np.full((8, 8), 4, dtype=np.int32)
+    q[0, 0] = 2
+    _, _, coeffs = M.decode_jpeg_coeffs(M.encode_jpeg(tex, quant=q))
+    plane = coeffs[0]
+    assert np.all(plane[:, :, 0, 0] % 2 == 0)
+    ac = plane.copy()
+    ac[:, :, 0, 0] = 0
+    assert np.all(ac % 4 == 0)
+    assert np.abs(ac).max() > 0, "fixture too flat to test AC dequant"
+
+
+def test_jpeg_decode_rejects_corruption():
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    tex = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    good = M.encode_jpeg(tex)
+    # not a JPEG
+    with pytest.raises(ValueError):
+        M.decode_jpeg(b"NOPE" + good[4:])
+    # progressive SOF2 -> honest rejection
+    bad = bytearray(good)
+    sof_at = bad.index(b"\xff\xc0")
+    bad[sof_at + 1] = 0xC2
+    with pytest.raises(ValueError):
+        M.decode_jpeg(bytes(bad))
+    # subsampled chroma (sampling 0x22) -> honest rejection
+    bad = bytearray(good)
+    bad[sof_at + 9] = 0x22  # first component h|v
+    with pytest.raises(ValueError):
+        M.decode_jpeg(bytes(bad))
+    # truncated entropy stream
+    with pytest.raises(ValueError):
+        M.decode_jpeg(good[: len(good) // 2])
+    # 16-bit DQT precision
+    bad = bytearray(good)
+    dqt_at = bad.index(b"\xff\xdb")
+    bad[dqt_at + 4] = 0x10
+    with pytest.raises(ValueError):
+        M.decode_jpeg(bytes(bad))
+    # decode_real routes the magic and NotImplementedError never fires
+    out = M.decode_real(good)
+    assert out.shape == (16, 16, 3)
+    (struct,)  # silence unused when asserts are stripped
 
 
 def test_wav_extra_chunks_tolerated():

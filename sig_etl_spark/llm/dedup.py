@@ -551,3 +551,62 @@ def connected_components(
             "raise max_iter (pointer jumping needs ~log2(diameter) rounds)"
         )
     return cur.select("node", F.col("label").alias("cluster_id"))
+
+
+def dup_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Exact-substring duplicated-span statistics per document — the
+    window-level twin of exact_dedup, after the ExactSubstr idea in
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022): a k-token window whose hash occurs in >= 2 distinct
+    documents is a duplicated span candidate, and CONSECUTIVE duplicated
+    windows form the long verbatim spans worth cutting from a training
+    corpus.
+
+    Returns per doc: n_windows, n_dup_windows (windows shared with some
+    other document), dup_fraction, and max_dup_run (longest consecutive
+    duplicated stretch — island detection via the pos - row_number trick
+    over a doc-keyed window).
+
+    Scale shape: window rows ~ corpus token count; every shuffle is
+    keyed (whash for the distinct-doc frequency, doc_id for the run
+    windows) and AQE-splittable; no cross product, no driver collect.
+    The shared-hash filter is itself the aggregation — no posting-list
+    join explosion like jaccard's, because windows join against the
+    GROUPED hash set (one row per duplicated hash), not each other.
+    """
+    win = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(shingles(F.col(text_col), k)).alias("pos", "sh"),
+    ).select(
+        "doc_id", "pos", portable_hash60(F.col("sh")).alias("whash")
+    ).localCheckpoint(eager=False)
+    dup = (
+        win.groupBy("whash")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("whash")
+    )
+    n_win = win.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        win.join(dup, "whash", "left_semi")
+        .withColumn("grp", F.col("pos") - F.row_number().over(wdoc))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("run_len").alias("n_dup"),
+            F.max("run_len").alias("max_run"),
+        )
+    )
+    return n_win.join(runs, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+        F.round(
+            F.coalesce("n_dup", F.lit(0)) / F.col("n_windows"), 9
+        ).alias("dup_fraction"),
+        F.coalesce("max_run", F.lit(0)).cast("bigint").alias("max_dup_run"),
+    )

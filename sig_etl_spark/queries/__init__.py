@@ -91,6 +91,7 @@ _PRIORITY = [
     "llm_ann_recall",
     "mm_decode_jpeg",
     "mm_decode_jpeg_coeffs",
+    "llm_dup_spans",
     # (b) past the cap in round 4
     "events_quantiles",
     "events_funnel",

@@ -410,3 +410,78 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("node") == F.col("cluster_id")).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicated spans (ExactSubstr, Lee et al. 2022): 8-token
+# windows hashed with the portable md5-derived 60-bit hash; a window
+# whose hash appears in >= 2 distinct docs is duplicated; consecutive
+# duplicated windows form spans. The oracle rebuilds windows, hashes,
+# the distinct-doc frequency, and the pos - row_number island trick.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+
+
+def _dup_spans_oracle(k: int = _SPAN_K) -> str:
+    km1 = k - 1
+    return f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w0 AS (
+  SELECT doc_id,
+         unnest(ws) AS sh,
+         unnest(generate_series(1, len(ws))) AS pos
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) - {km1} >= 1
+                THEN list_transform(generate_series(1, len(toks) - {km1}),
+                                    i -> array_to_string(toks[i:i+{km1}], ' '))
+                ELSE [array_to_string(toks, ' ')]
+           END AS ws
+    FROM base)
+),
+w AS (
+  SELECT doc_id, pos,
+         CAST(CAST(('0x' || substr(md5(sh), 1, 15)) AS UBIGINT) AS BIGINT)
+           AS whash
+  FROM w0
+),
+dup AS (
+  SELECT whash FROM w GROUP BY whash HAVING COUNT(DISTINCT doc_id) >= 2
+),
+nwin AS (SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY doc_id),
+flagged AS (
+  SELECT w.doc_id, w.pos,
+         w.pos - row_number() OVER (PARTITION BY w.doc_id ORDER BY w.pos)
+           AS grp
+  FROM w JOIN dup USING (whash)
+),
+runs AS (
+  SELECT doc_id, grp, COUNT(*) AS run_len
+  FROM flagged GROUP BY doc_id, grp
+),
+per_doc AS (
+  SELECT doc_id, SUM(run_len) AS n_dup, MAX(run_len) AS max_run
+  FROM runs GROUP BY doc_id
+)
+SELECT n.doc_id,
+       n.n_windows,
+       CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       ROUND(CAST(COALESCE(p.n_dup, 0) AS DOUBLE) / n.n_windows, 9)
+         AS dup_fraction,
+       CAST(COALESCE(p.max_run, 0) AS BIGINT) AS max_dup_run
+FROM nwin n LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register(
+    "llm_dup_spans",
+    oracle=_dup_spans_oracle(),
+    doc=f"ExactSubstr duplicated spans: {_SPAN_K}-token window hashes"
+        " shared across docs, per-doc dup fraction and longest"
+        " consecutive duplicated run (island detection) — the"
+        " span-level cut list for verbatim-dup removal",
+)
+def llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dup_spans(docs, "doc_id", "text", k=_SPAN_K)

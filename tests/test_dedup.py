@@ -206,3 +206,35 @@ def test_simhash_rejects_incomplete_blocking(spark):
                              max_hamming=5, n_chunks=4)
     with pytest.raises(ValueError, match="divide"):
         D.simhash(_docs(spark), "doc_id", "text", n_chunks=5)
+
+
+def test_dup_spans_planted(spark):
+    """A verbatim 12-token span shared by two docs must produce, for
+    k=8, exactly 12-8+1 = 5 consecutive duplicated windows in each; a
+    doc of unique tokens reports zero."""
+    from sig_etl_spark.llm.dedup import dup_spans
+
+    span = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (0, "u0 u1 u2 " + span + " u3 u4 u5"),
+        (1, "v0 v1 " + span + " v2 v3 v4 v5"),
+        (2, " ".join(f"w{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dup_spans(df, "doc_id", "text", k=8).collect()}
+    assert out[0].n_dup_windows == 5 and out[0].max_dup_run == 5
+    assert out[1].n_dup_windows == 5 and out[1].max_dup_run == 5
+    assert out[2].n_dup_windows == 0 and out[2].max_dup_run == 0
+    assert out[2].dup_fraction == 0.0
+    # n_windows = len(tokens) - 7
+    assert out[0].n_windows == 18 - 7
+    # two separate planted spans -> max_dup_run stays at the longer one
+    span2 = " ".join(f"t{i}" for i in range(8))
+    rows2 = [
+        (0, span + " x0 x1 x2 x3 x4 x5 x6 x7 " + span2),
+        (1, span + " y0 y1 y2 y3 y4 y5 y6 y7 " + span2),
+    ]
+    df2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    out2 = {r.doc_id: r for r in dup_spans(df2, "doc_id", "text", k=8).collect()}
+    assert out2[0].max_dup_run == 5
+    assert out2[0].n_dup_windows == 6  # 5 from span, 1 from span2

@@ -462,37 +462,62 @@ def pq_topk(
     scored rows — identical to brute_force_topk's plan but over codes
     instead of vectors.
     """
-    dsub = dim // m_subs
-    assert dsub * m_subs == dim, "dim must divide evenly into subspaces"
+    ccodes = _pq_encode(corpus, id_col, vec_col, m_subs, ksub, dim)
+    qlut = _pq_luts(queries, corpus, id_col, vec_col, m_subs, ksub, dim)
+    scored = _adc_scored(ccodes.crossJoin(F.broadcast(qlut)), m_subs)
+    return _topk_by_cosine(scored, k)
 
-    # dense codebook index j in the same md5 order the sample used
+
+def _pq_codebook(
+    corpus: DataFrame, id_col: str, vec_col: str, ksub: int
+) -> DataFrame:
+    """One-row broadcastable codebook frame: the ksub md5-smallest corpus
+    rows with a dense index j in the same md5 order the sample used."""
     cents = _hash_sample(corpus, id_col, vec_col, ksub, "cent_id", "cent_vec")
     wj = Window.orderBy(F.md5(F.col("cent_id").cast("string")), "cent_id")
     cents = cents.select(
         (F.row_number().over(wj) - 1).alias("j"), "cent_vec"
     )
-    cb = cents.groupBy().agg(
+    return cents.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("j", "cent_vec"))).alias("cbook")
     )
 
-    def sub(col, m):
-        return F.slice(col, m * dsub + 1, dsub)
 
-    # ---- encode corpus: m_subs argmins over the broadcast codebook ----
-    # NOTE: the per-subspace lambdas MUST take exactly one parameter.
-    # PySpark's higher-order F.transform passes (element, index) to any
-    # two-parameter callable, so a `lambda cent, m=m:` default is silently
-    # overwritten by the array index — these factories bind m safely.
+def _pq_sub(col, m: int, dsub: int):
+    return F.slice(col, m * dsub + 1, dsub)
+
+
+def _pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_subs: int,
+    ksub: int,
+    dim: int,
+    extra_cols: list | None = None,
+) -> DataFrame:
+    """Corpus scan -> (corpus_id, codes, recon_norm2 [, extras]): m_subs
+    argmins per row over the broadcast codebook. ``extra_cols`` are
+    additional column expressions evaluated in the SAME scan (ivfpq uses
+    this to compute the coarse-cell assignment without a second pass).
+
+    NOTE: the per-subspace lambdas MUST take exactly one parameter.
+    PySpark's higher-order F.transform passes (element, index) to any
+    two-parameter callable, so a `lambda cent, m=m:` default is silently
+    overwritten by the array index — these factories bind m safely."""
+    dsub = dim // m_subs
+    assert dsub * m_subs == dim, "dim must divide evenly into subspaces"
+    cb = _pq_codebook(corpus, id_col, vec_col, ksub)
+
     def _mk_encode(m):
         return lambda cent: F.struct(
-            _double_l2(sub(F.col("cvec"), m), sub(cent["cent_vec"], m)).alias("d"),
+            _double_l2(
+                _pq_sub(F.col("cvec"), m, dsub), _pq_sub(cent["cent_vec"], m, dsub)
+            ).alias("d"),
             cent["j"].alias("j"),
-            _double_dot(sub(cent["cent_vec"], m), sub(cent["cent_vec"], m)).alias("n2"),
-        )
-
-    def _mk_lut(m):
-        return lambda cent: _double_dot(
-            sub(F.col("qvec"), m), sub(cent["cent_vec"], m)
+            _double_dot(
+                _pq_sub(cent["cent_vec"], m, dsub), _pq_sub(cent["cent_vec"], m, dsub)
+            ).alias("n2"),
         )
 
     c = corpus.select(
@@ -500,34 +525,54 @@ def pq_topk(
     ).crossJoin(F.broadcast(cb))
     code_cols, n2_cols = [], []
     for m in range(m_subs):
-        pick = F.array_min(
-            F.transform("cbook", _mk_encode(m))
-        )
+        pick = F.array_min(F.transform("cbook", _mk_encode(m)))
         code_cols.append(pick["j"])
         n2_cols.append(pick["n2"])
     from functools import reduce as _reduce
 
-    ccodes = c.select(
+    return c.select(
         "corpus_id",
         F.array(*code_cols).alias("codes"),
         _reduce(lambda a, b: a + b, n2_cols).alias("recon_norm2"),
+        *(extra_cols or []),
     )
 
-    # ---- queries: exact side builds the ADC lookup table ----
+
+def _pq_luts(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_subs: int,
+    ksub: int,
+    dim: int,
+) -> DataFrame:
+    """Query side of ADC: (query_id, lut, qnorm2) — LUT[m][j] is the exact
+    dot of the query's m-th subvector with codebook entry j."""
+    dsub = dim // m_subs
+    cb = _pq_codebook(corpus, id_col, vec_col, ksub)
+
+    def _mk_lut(m):
+        return lambda cent: _double_dot(
+            _pq_sub(F.col("qvec"), m, dsub), _pq_sub(cent["cent_vec"], m, dsub)
+        )
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     ).crossJoin(F.broadcast(cb))
-    lut = F.array(
-        *[F.transform("cbook", _mk_lut(m)) for m in range(m_subs)]
-    )
-    qlut = q.select(
+    lut = F.array(*[F.transform("cbook", _mk_lut(m)) for m in range(m_subs)])
+    return q.select(
         "query_id",
         lut.alias("lut"),
         _double_dot(F.col("qvec"), F.col("qvec")).alias("qnorm2"),
     )
 
-    # ---- ADC scan: m_subs lookups + adds per (query, corpus) pair ----
-    scored = ccodes.crossJoin(F.broadcast(qlut))
+
+def _adc_scored(pairs: DataFrame, m_subs: int) -> DataFrame:
+    """(codes, recon_norm2, lut, qnorm2) pairs -> ADC cosine: m_subs table
+    lookups + adds, normalized by the reconstructed corpus norm."""
+    from functools import reduce as _reduce
+
     adc = _reduce(
         lambda a, b: a + b,
         [
@@ -538,7 +583,7 @@ def pq_topk(
             for m in range(m_subs)
         ],
     )
-    scored = scored.select(
+    return pairs.select(
         "query_id",
         "corpus_id",
         F.when(
@@ -548,6 +593,9 @@ def pq_topk(
         .otherwise(F.lit(0.0))
         .alias("cosine"),
     )
+
+
+def _topk_by_cosine(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id")
     )
@@ -556,6 +604,155 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def _exact_rerank(
+    short: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Rescore a (query_id, corpus_id) shortlist with the exact cosine
+    fold and re-rank top-k. The shortlist is broadcast back against the
+    corpus scan, so exact vectors are read for a bounded candidate set
+    and the corpus never shuffles."""
+    c = _with_norm2(corpus, id_col, vec_col, "corpus_id")
+    q = _with_norm2(queries, id_col, vec_col, "query_id")
+    exact = (
+        c.join(F.broadcast(short.select("query_id", "corpus_id")), "corpus_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            _cosine(
+                F.col("query_id_vec"),
+                F.col("corpus_id_vec"),
+                F.col("query_id_norm2"),
+                F.col("corpus_id_norm2"),
+            ).alias("cosine"),
+        )
+    )
+    return _topk_by_cosine(exact, k)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    m_subs: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    shortlist: int = 50,
+) -> DataFrame:
+    """IVF + PQ + exact rerank — the composed FAISS-IVFPQ(+refine)
+    architecture, the standard memory-bound billion-scale ANN index:
+
+    1. COARSE: corpus rows are assigned to their nearest of
+       ``n_centroids`` inverted-file cells; queries probe ``nprobe``
+       cells. Candidates = same-cell pairs (never the whole corpus).
+    2. ADC: candidates are scored from ``m_subs`` PQ codes via the
+       query's lookup table — the scan touches codes, not vectors.
+       (Codes quantize the raw vector, not the cell residual —
+       FAISS's by_residual=False variant — which keeps every quantity
+       SQL-re-derivable.)
+    3. REFINE: the ADC top-``shortlist`` per query is rescored with the
+       exact cosine fold, so the final ordering is exact over the
+       shortlist.
+
+    One corpus scan computes BOTH the cell assignment and the PQ codes
+    (cell argmax and code argmins are per-row folds over two broadcast
+    literals); the only corpus-sized shuffles are the cell equi-join and
+    the two bounded top-k windows. Deterministic end to end — the whole
+    three-stage index is hash-checkable against SQL.
+    """
+    # broadcastable coarse-centroid array (one row, n_centroids structs)
+    cents = _hash_sample(
+        corpus, id_col, vec_col, n_centroids, "cent_id", "cent_vec"
+    ).select(
+        "cent_id",
+        "cent_vec",
+        _double_dot(F.col("cent_vec"), F.col("cent_vec")).alias("cent_norm2"),
+    )
+    cents_arr = cents.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cent_vec", "cent_norm2"))
+        ).alias("cents")
+    )
+
+    def _cell_pick(vec_col_name: str):
+        # argmax cosine -> array_min over (-cosine, cent_id) structs;
+        # single-parameter lambda (see _pq_encode note on F.transform).
+        vnorm = _double_dot(F.col(vec_col_name), F.col(vec_col_name))
+        return F.array_min(
+            F.transform(
+                "cents",
+                lambda ct: F.struct(
+                    (
+                        -_double_dot(F.col(vec_col_name), ct["cent_vec"])
+                        / F.sqrt(vnorm * ct["cent_norm2"])
+                    ).alias("negsim"),
+                    ct["cent_id"].alias("cent_id"),
+                ),
+            )
+        )
+
+    # corpus: codes + recon norm, plus the cell id from a narrow select
+    # over the same scan (Catalyst collapses the two projections; both
+    # argmins/argmax are per-row folds over broadcast literals)
+    ccodes = _pq_encode(corpus, id_col, vec_col, m_subs, ksub, dim)
+    cell_of_corpus = (
+        corpus.select(
+            F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
+        )
+        .crossJoin(F.broadcast(cents_arr))
+        .select("corpus_id", _cell_pick("cvec")["cent_id"].alias("cent_id"))
+    )
+    ccodes = ccodes.join(cell_of_corpus, "corpus_id")
+
+    # queries: probe list (nprobe nearest cells) + ADC LUT
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).crossJoin(F.broadcast(cents_arr))
+    probes = qbase.select(
+        "query_id",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            "cents",
+                            lambda ct: F.struct(
+                                (
+                                    -_double_dot(F.col("qvec"), ct["cent_vec"])
+                                    / F.sqrt(
+                                        _double_dot(F.col("qvec"), F.col("qvec"))
+                                        * ct["cent_norm2"]
+                                    )
+                                ).alias("negsim"),
+                                ct["cent_id"].alias("cent_id"),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["cent_id"],
+            )
+        ).alias("cent_id"),
+    )
+    qlut = _pq_luts(queries, corpus, id_col, vec_col, m_subs, ksub, dim)
+    qside = probes.join(F.broadcast(qlut), "query_id")
+
+    # candidates = same-cell pairs, scored by ADC, top-L shortlist
+    pairs = ccodes.join(F.broadcast(qside), "cent_id")
+    short = _topk_by_cosine(_adc_scored(pairs, m_subs), shortlist)
+    return _exact_rerank(short, queries, corpus, id_col, vec_col, k)
 
 
 def pq_rerank_topk(
@@ -592,28 +789,5 @@ def pq_rerank_topk(
     short = pq_topk(
         queries, corpus, id_col, vec_col,
         k=shortlist, m_subs=m_subs, ksub=ksub, dim=dim,
-    ).select("query_id", "corpus_id")
-    c = _with_norm2(corpus, id_col, vec_col, "corpus_id")
-    q = _with_norm2(queries, id_col, vec_col, "query_id")
-    exact = (
-        c.join(F.broadcast(short), "corpus_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "corpus_id",
-            _cosine(
-                F.col("query_id_vec"),
-                F.col("corpus_id_vec"),
-                F.col("query_id_norm2"),
-                F.col("corpus_id_norm2"),
-            ).alias("cosine"),
-        )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("corpus_id")
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "corpus_id", "cosine", "rank")
-    )
+    return _exact_rerank(short, queries, corpus, id_col, vec_col, k)

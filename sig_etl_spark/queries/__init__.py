@@ -92,6 +92,7 @@ _PRIORITY = [
     "mm_decode_jpeg",
     "mm_decode_jpeg_coeffs",
     "llm_dup_spans",
+    "llm_knn_ivfpq",
     # (b) past the cap in round 4
     "events_quantiles",
     "events_funnel",

@@ -357,7 +357,10 @@ _PQ_KSUB = 16      # codebook entries per subspace
 _PQ_DSUB = _DIM // _PQ_M
 
 
-def _pq_oracle(m_subs: int = _PQ_M, ksub: int = _PQ_KSUB, k: int = _K) -> str:
+def _pq_cte_block(m_subs: int = _PQ_M, ksub: int = _PQ_KSUB) -> str:
+    """The shared PQ CTEs (codebook `cent`, per-subspace argmins `cc`,
+    codes+recon `crec`, dense codebook list `cb`) — assumes CTEs `c`
+    (corpus_id, embedding) are already in scope."""
     dsub = _DIM // m_subs
 
     def l2_sub(vec: str, cvec: str) -> str:
@@ -376,22 +379,7 @@ def _pq_oracle(m_subs: int = _PQ_M, ksub: int = _PQ_KSUB, k: int = _K) -> str:
             f"), (a, b) -> a + b)"
         )
 
-    # ADC: outer fold over subspaces (p = 1-based subspace), inner fold
-    # over dims; the codebook entry is cbook[codes[p] + 1].
-    adc = (
-        f"list_reduce(list_transform(generate_series(1, {m_subs}), p -> "
-        f"list_reduce(list_transform(generate_series(1, {dsub}), i -> "
-        f"CAST(q.embedding[(p - 1) * {dsub} + i] AS DOUBLE)"
-        f" * CAST(cb.cbook[r.codes[p] + 1][(p - 1) * {dsub} + i] AS DOUBLE)"
-        f"), (s, t) -> s + t)"
-        f"), (a, b) -> a + b)"
-    )
-
-    return f"""
-WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS corpus_id, embedding FROM embeddings WHERE vec_id >= 10),
-qn AS ({_norm_cte("q", "query_id")}),
-cent AS (
+    return f"""cent AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(corpus_id AS VARCHAR)), corpus_id) - 1 AS j,
          embedding AS cent_vec
   FROM (SELECT * FROM c
@@ -415,11 +403,34 @@ crec AS (
          list_reduce(list(n2 ORDER BY m), (a, b) -> a + b) AS recon
   FROM cc GROUP BY corpus_id
 ),
-cb AS (SELECT list(cent_vec ORDER BY j) AS cbook FROM cent),
+cb AS (SELECT list(cent_vec ORDER BY j) AS cbook FROM cent)"""
+
+
+def _adc_sql(m_subs: int = _PQ_M) -> str:
+    """ADC expression over CTE aliases q (query), r (crec), cb: outer
+    fold over subspaces (p = 1-based), inner fold over dims; the
+    codebook entry is cbook[codes[p] + 1]."""
+    dsub = _DIM // m_subs
+    return (
+        f"list_reduce(list_transform(generate_series(1, {m_subs}), p -> "
+        f"list_reduce(list_transform(generate_series(1, {dsub}), i -> "
+        f"CAST(q.embedding[(p - 1) * {dsub} + i] AS DOUBLE)"
+        f" * CAST(cb.cbook[r.codes[p] + 1][(p - 1) * {dsub} + i] AS DOUBLE)"
+        f"), (s, t) -> s + t)"
+        f"), (a, b) -> a + b)"
+    )
+
+
+def _pq_oracle(m_subs: int = _PQ_M, ksub: int = _PQ_KSUB, k: int = _K) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id, embedding FROM embeddings WHERE vec_id >= 10),
+qn AS ({_norm_cte("q", "query_id")}),
+{_pq_cte_block(m_subs, ksub)},
 scored AS (
   SELECT q.query_id, r.corpus_id,
          CASE WHEN qn.norm2 > 0 AND r.recon > 0
-              THEN ({adc}) / sqrt(qn.norm2 * r.recon)
+              THEN ({_adc_sql(m_subs)}) / sqrt(qn.norm2 * r.recon)
               ELSE 0.0 END AS cosine
   FROM q JOIN qn USING (query_id) CROSS JOIN crec r CROSS JOIN cb
 )
@@ -487,6 +498,104 @@ def llm_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, corpus, "vec_id", "embedding",
         k=_K, shortlist=_PQ_SHORTLIST,
         m_subs=_PQ_M, ksub=_PQ_KSUB, dim=_DIM,
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ + refine: the composed FAISS-IVFPQ architecture. Coarse cells
+# restrict candidates, ADC scores codes, the shortlist is rescored
+# exactly. Codes quantize the raw vector (by_residual=False), which is
+# what keeps all three stages SQL-re-derivable in one oracle.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 3
+_IVFPQ_SHORTLIST = 50
+
+
+def _ivfpq_oracle(
+    nprobe: int = _IVFPQ_NPROBE, shortlist: int = _IVFPQ_SHORTLIST
+) -> str:
+    dot_qc = _dot_expr("x.embedding", "ct.cent_vec")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id, embedding FROM embeddings WHERE vec_id >= 10),
+qn AS ({_norm_cte("q", "query_id")}),
+cn AS ({_norm_cte("c", "corpus_id")}),
+centn AS (
+  SELECT corpus_id AS cent_id, embedding AS cent_vec,
+         {_dot_expr("embedding", "embedding")} AS cent_norm2
+  FROM (SELECT * FROM c
+        ORDER BY md5(CAST(corpus_id AS VARCHAR)), corpus_id
+        LIMIT {_N_CENTROIDS})
+),
+cassign AS (
+  SELECT corpus_id, cent_id FROM (
+    SELECT x.corpus_id, ct.cent_id,
+           row_number() OVER (
+             PARTITION BY x.corpus_id
+             ORDER BY ({dot_qc} / sqrt(n.norm2 * ct.cent_norm2)) DESC, ct.cent_id
+           ) AS rn
+    FROM c x JOIN cn n USING (corpus_id) CROSS JOIN centn ct
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT query_id, cent_id FROM (
+    SELECT x.query_id, ct.cent_id,
+           row_number() OVER (
+             PARTITION BY x.query_id
+             ORDER BY ({dot_qc} / sqrt(n.norm2 * ct.cent_norm2)) DESC, ct.cent_id
+           ) AS rn
+    FROM q x JOIN qn n USING (query_id) CROSS JOIN centn ct
+  ) WHERE rn <= {nprobe}
+),
+{_pq_cte_block()},
+adcs AS (
+  SELECT q.query_id, r.corpus_id,
+         CASE WHEN qn.norm2 > 0 AND r.recon > 0
+              THEN ({_adc_sql()}) / sqrt(qn.norm2 * r.recon)
+              ELSE 0.0 END AS adc_cos
+  FROM qprobe p
+  JOIN cassign a USING (cent_id)
+  JOIN crec r ON r.corpus_id = a.corpus_id
+  JOIN q ON q.query_id = p.query_id
+  JOIN qn ON qn.query_id = p.query_id
+  CROSS JOIN cb
+),
+short AS (
+  SELECT query_id, corpus_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_cos DESC, corpus_id) AS rn
+        FROM adcs) t
+  WHERE rn <= {shortlist}
+),
+pairs AS (
+  SELECT short.query_id, short.corpus_id, q.embedding AS eq, c.embedding AS ec
+  FROM short
+  JOIN q ON q.query_id = short.query_id
+  JOIN c ON c.corpus_id = short.corpus_id
+),
+{_SCORE_TAIL}
+"""
+
+
+@register(
+    "llm_knn_ivfpq",
+    oracle=_ivfpq_oracle(),
+    doc=f"composed FAISS-IVFPQ(+refine): {_N_CENTROIDS}-cell coarse"
+        f" quantizer (nprobe={_IVFPQ_NPROBE}) restricts candidates, PQ"
+        f" codes score them via ADC, the top-{_IVFPQ_SHORTLIST} shortlist"
+        " is rescored exactly — all three stages in one oracle-checked"
+        " plan",
+)
+def llm_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.ivfpq_topk(
+        queries, corpus, "vec_id", "embedding",
+        k=_K, n_centroids=_N_CENTROIDS, nprobe=_IVFPQ_NPROBE,
+        m_subs=_PQ_M, ksub=_PQ_KSUB, dim=_DIM,
+        shortlist=_IVFPQ_SHORTLIST,
     )
 
 

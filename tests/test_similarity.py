@@ -187,6 +187,32 @@ def test_pq_rerank_is_bruteforce_restricted_to_shortlist(spark, sf_dir):
         assert r.rank == rank
 
 
+def test_ivfpq_scores_are_exact_cosines(spark, sf_dir):
+    """The refine stage makes every returned cosine the exact fold —
+    each (query, corpus) pair ivfpq returns must score bit-identically
+    to brute force, with dense per-query ranks."""
+    from sig_etl_spark.llm.similarity import brute_force_topk, ivfpq_topk
+    from sig_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+    brute = {(r.query_id, r.corpus_id): r.cosine
+             for r in brute_force_topk(q, c, "vec_id", "embedding", k=500).collect()}
+    rows = ivfpq_topk(
+        q, c, "vec_id", "embedding", k=3,
+        n_centroids=8, nprobe=2, m_subs=8, ksub=16, dim=64, shortlist=30,
+    ).collect()
+    assert rows, "ivfpq returned nothing"
+    by_q = {}
+    for r in rows:
+        assert (r.query_id, r.corpus_id) in brute
+        assert r.cosine == brute[(r.query_id, r.corpus_id)]
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_ann_recall_floors(spark, sf_dir):
     """The approximate paths must actually be GOOD at their high-recall
     configs: recall@5 vs exact brute force >= 0.8 for LSH (8 bands x 3
@@ -199,6 +225,7 @@ def test_ann_recall_floors(spark, sf_dir):
         int8_topk,
         ivf_kmeans_topk,
         ivf_topk,
+        ivfpq_topk,
         lsh_topk,
         pq_rerank_topk,
     )
@@ -231,6 +258,11 @@ def test_ann_recall_floors(spark, sf_dir):
         "pq_rerank_l200": pq_rerank_topk(
             q, c, "vec_id", "embedding",
             k=k, shortlist=200, m_subs=8, ksub=16, dim=64,
+        ),
+        "ivfpq_np14_sl300": ivfpq_topk(
+            q, c, "vec_id", "embedding",
+            k=k, n_centroids=16, nprobe=14,
+            m_subs=8, ksub=16, dim=64, shortlist=300,
         ),
     }
     for name, df in approx.items():

@@ -93,6 +93,7 @@ _PRIORITY = [
     "mm_decode_jpeg_coeffs",
     "llm_dup_spans",
     "llm_knn_ivfpq",
+    "sketch_quantile_hist",
     # (b) past the cap in round 4
     "events_quantiles",
     "events_funnel",

@@ -177,3 +177,63 @@ def j_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin quantile histogram over orders: per-(status, priority) price
+# percentiles from a mergeable histogram. Bin = floor(price / 10000);
+# rank thresholds are exact integer ceilings, so bins, thresholds and
+# upper-edge estimates all hash-match the oracle exactly.
+# ---------------------------------------------------------------------------
+
+_QH_BIN = 10000.0
+
+_QH_ORACLE = f"""
+WITH hist AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) / {_QH_BIN}) AS BIGINT) AS bin,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT o_orderstatus, o_orderpriority, bin, n,
+         SUM(n) OVER (PARTITION BY o_orderstatus, o_orderpriority
+                      ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER (PARTITION BY o_orderstatus, o_orderpriority) AS total
+  FROM hist
+),
+agg AS (
+  SELECT o_orderstatus, o_orderpriority,
+         MAX(total) AS total,
+         MIN(CASE WHEN cum * 2 >= total * 1 THEN bin END) AS p50_bin,
+         MIN(CASE WHEN cum * 10 >= total * 9 THEN bin END) AS p90_bin,
+         MIN(CASE WHEN cum * 100 >= total * 99 THEN bin END) AS p99_bin
+  FROM cum GROUP BY 1, 2
+)
+SELECT o_orderstatus, o_orderpriority, total, p50_bin, p90_bin, p99_bin,
+       CAST((p50_bin + 1) * {_QH_BIN} AS DOUBLE) AS p50_le,
+       CAST((p90_bin + 1) * {_QH_BIN} AS DOUBLE) AS p90_le,
+       CAST((p99_bin + 1) * {_QH_BIN} AS DOUBLE) AS p99_le
+FROM agg
+"""
+
+
+@register(
+    "sketch_quantile_hist",
+    oracle=_QH_ORACLE,
+    doc="mergeable fixed-bin quantile histogram: per-(status, priority)"
+        " p50/p90/p99 of order price from map-side-combinable bin counts"
+        " — the shuffle carries groups x bins rows, never data; exact"
+        " integer rank thresholds keep even the estimates hash-exact",
+)
+def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return SK.quantile_hist(
+        orders.withColumn(
+            "price", F.col("o_totalprice").cast("double")
+        ),
+        "price",
+        ["o_orderstatus", "o_orderpriority"],
+        _QH_BIN,
+    )

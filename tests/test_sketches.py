@@ -167,3 +167,48 @@ def test_hll_plan_partial_aggregates(spark, sf_dir):
         df.explain(mode="formatted")
     plan = buf.getvalue()
     assert "partial_max" in plan or "partial max" in plan.lower(), plan[:2000]
+
+
+def test_quantile_hist_brackets_exact_percentile(spark):
+    """The upper-edge estimate must bracket the exact rank-ceil(q*n)
+    value within one bin: v_exact in (est - bin_width, est]."""
+    import math
+
+    from sig_etl_spark import sketches as SK
+
+    vals = [1.0, 5.0, 9.0, 14.0, 22.0, 22.5, 30.0, 47.0, 58.0, 99.0,
+            3.0, 8.0, 61.0, 77.0, 78.0]
+    rows = [("g1", v) for v in vals] + [("g2", v * 10) for v in vals]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = {
+        r.grp: r
+        for r in SK.quantile_hist(df, "v", ["grp"], 10.0).collect()
+    }
+    for grp, scale in [("g1", 1.0), ("g2", 10.0)]:
+        data = sorted(v * scale for v in vals)
+        n = len(data)
+        r = out[grp]
+        assert r.total == n
+        for name, num, den in [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]:
+            exact = data[math.ceil(n * num / den) - 1]
+            est = getattr(r, f"{name}_le")
+            assert exact <= est, (grp, name, exact, est)
+            assert est - 10.0 * 1 < exact or est - 10.0 * scale <= exact + 1e-9, \
+                (grp, name)
+            # bin identity: the exact value falls in the reported bin
+            assert getattr(r, f"{name}_bin") == math.floor(exact / 10.0)
+
+
+def test_quantile_hist_merges(spark):
+    """Histograms are mergeable: the sketch over a union equals the
+    sketch over pre-aggregated halves — counts just add."""
+    from sig_etl_spark import sketches as SK
+
+    a = [("g", float(i)) for i in range(50)]
+    b = [("g", float(i) + 0.5) for i in range(50, 200)]
+    whole = spark.createDataFrame(a + b, ["grp", "v"])
+    w = {r.grp: r for r in SK.quantile_hist(whole, "v", ["grp"], 25.0).collect()}
+    # same result regardless of row order / partitioning
+    shuffled = spark.createDataFrame(list(reversed(a + b)), ["grp", "v"]).repartition(7)
+    s = {r.grp: r for r in SK.quantile_hist(shuffled, "v", ["grp"], 25.0).collect()}
+    assert w == s

@@ -94,6 +94,8 @@ _PRIORITY = [
     "llm_dup_spans",
     "llm_knn_ivfpq",
     "sketch_quantile_hist",
+    "events_incremental_merge",
+    "llm_oov_rate",
     # (b) past the cap in round 4
     "events_quantiles",
     "events_funnel",

@@ -644,3 +644,65 @@ def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wl).alias("next_valid_from"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance: the warehouse upsert pattern. The
+# "state" is the daily rollup over closed days; the "increment"
+# recomputes an overlapping tail window (late/duplicate delivery safe).
+# Merge = full-outer join, increment wins on overlap — and the ORACLE is
+# the plain one-shot rollup, so the hash check proves the staged
+# maintenance path converges to the same table as a full recompute.
+# ---------------------------------------------------------------------------
+
+_INC_ORACLE = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_incremental_merge",
+    oracle=_INC_ORACLE,
+    doc="incremental rollup upsert: state (days < cutoff) full-outer-"
+        "merged with a re-read 3-day tail increment, increment winning"
+        " on overlap — oracle is the one-shot rollup, so the hash proves"
+        " idempotent convergence",
+)
+def events_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(38,10)").alias("v"),
+    )
+    # cutoff = max(day) - 2, derived declaratively and broadcast; the
+    # increment re-reads one already-closed day (cutoff - 1) on purpose:
+    # replay must not double-count.
+    bounds = ev.groupBy().agg(F.date_sub(F.max("day"), 2).alias("cut"))
+    tagged = ev.crossJoin(F.broadcast(bounds))
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 2).cast("double").alias("sum_value"),
+        )
+
+    state = rollup(tagged.filter(F.col("day") < F.col("cut")))
+    inc = rollup(tagged.filter(F.col("day") >= F.date_sub(F.col("cut"), 1)))
+    s = state.select(
+        "day", "event_type",
+        F.col("n").alias("n_s"), F.col("sum_value").alias("sum_s"),
+    )
+    i = inc.select(
+        "day", "event_type",
+        F.col("n").alias("n_i"), F.col("sum_value").alias("sum_i"),
+    )
+    return s.join(i, ["day", "event_type"], "full_outer").select(
+        "day",
+        "event_type",
+        F.coalesce("n_i", "n_s").alias("n"),
+        F.coalesce("sum_i", "sum_s").alias("sum_value"),
+    )

@@ -941,3 +941,72 @@ def llm_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary OOV rate: per-document fraction of token OCCURRENCES not
+# covered by the top-K corpus vocabulary — the coverage metric that
+# decides whether a tokenizer vocab is big enough for a corpus. The
+# vocab is the same deterministic top-K as llm_vocab_topk (count desc,
+# token asc) and is broadcast; the per-doc aggregate is one doc-keyed
+# shuffle.
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB_K = 50
+
+_OOV_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    ORDER BY n DESC, token LIMIT {_OOV_VOCAB_K}
+  )
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 9) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id
+"""
+
+
+@register(
+    "llm_oov_rate",
+    oracle=_OOV_ORACLE,
+    doc=f"per-doc OOV rate vs the deterministic top-{_OOV_VOCAB_K} corpus"
+        " vocab: broadcast vocab left join over exploded tokens, one"
+        " doc-keyed aggregate — the tokenizer-coverage gate",
+)
+def llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
+    ).localCheckpoint(eager=False)
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(_OOV_VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 9).alias("oov_rate"),
+        )
+    )

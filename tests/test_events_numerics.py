@@ -77,3 +77,28 @@ def test_retention_max_days_cap(spark, sf_dir):
     day0_full = {r.cohort_day: r.n_users for r in full.filter("day_offset = 0").collect()}
     day0_capped = {r.cohort_day: r.n_users for r in capped.filter("day_offset = 0").collect()}
     assert day0_full == day0_capped
+
+
+def test_incremental_merge_equals_full_recompute(spark, sf_dir):
+    """The staged state+increment merge must equal the one-shot rollup
+    row-for-row — idempotence under tail replay."""
+    from pyspark.sql import functions as F
+
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.tables import load_table
+
+    merged = QUERIES["events_incremental_merge"].builder(spark, sf_dir)
+    full = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,10)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0

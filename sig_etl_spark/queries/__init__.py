@@ -96,6 +96,7 @@ _PRIORITY = [
     "sketch_quantile_hist",
     "events_incremental_merge",
     "llm_oov_rate",
+    "llm_simhash_pairs_capped",
     # (b) past the cap in round 4
     "events_quantiles",
     "events_funnel",

@@ -241,6 +241,52 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+# Hot-bucket-capped twin: the sf1 scale run measured the uncapped bucket
+# self-join at 81x wall-clock on a 10x corpus (clustered simhashes pile
+# into a few (chunk, value) buckets and the join goes quadratic). The
+# cap bounds per-bucket work at max_bucket^2 — candidates grow linearly
+# again. The oracle mirrors the cut, so the capped semantics are
+# hash-exact too.
+
+_SIMHASH_MAX_BUCKET = 200
+
+_SIMHASH_CAPPED_ORACLE = _SIMHASH_ORACLE.replace(
+    """cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+)""",
+    f"""bsz AS (
+  SELECT c, v, COUNT(*) AS bn FROM chunks GROUP BY c, v
+),
+fch AS (
+  SELECT chunks.* FROM chunks JOIN bsz USING (c, v)
+  WHERE bn <= {_SIMHASH_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM fch a JOIN fch b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+)""",
+)
+
+
+@register(
+    "llm_simhash_pairs_capped",
+    oracle=_SIMHASH_CAPPED_ORACLE,
+    doc=f"SimHash near-dup pairs with the hot-bucket cut (max_bucket="
+        f"{_SIMHASH_MAX_BUCKET}): bounded per-bucket join work, linear"
+        " candidate growth — the 100 TB-safe variant; cut mirrored in"
+        " the oracle",
+)
+def llm_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=3,
+        max_bucket=_SIMHASH_MAX_BUCKET,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup, label-blocked, exact decimal dot products so
 # the cosine doubles are bit-identical across engines.

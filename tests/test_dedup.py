@@ -238,3 +238,29 @@ def test_dup_spans_planted(spark):
     out2 = {r.doc_id: r for r in dup_spans(df2, "doc_id", "text", k=8).collect()}
     assert out2[0].max_dup_run == 5
     assert out2[0].n_dup_windows == 6  # 5 from span, 1 from span2
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """With a hot bucket over the cap, its pairs are cut (bounded work);
+    pairs whose shared chunks are all under the cap survive."""
+    from sig_etl_spark.llm.dedup import simhash_near_pairs
+
+    hot = [(i, "alpha beta gamma delta epsilon") for i in range(30)]
+    cold = [
+        (100, "zeta eta theta iota kappa lambda mu nu xi"),
+        (101, "zeta eta theta iota kappa lambda mu nu xi"),
+    ]
+    df = spark.createDataFrame(hot + cold, ["doc_id", "text"])
+    capped = simhash_near_pairs(
+        df, "doc_id", "text", max_hamming=3, max_bucket=10
+    ).collect()
+    ids = {(r.id_a, r.id_b) for r in capped}
+    # the 30-identical-doc cluster is cut entirely (every shared chunk hot)
+    assert not any(a < 100 and b < 100 for a, b in ids)
+    # the cold near-dup pair survives if within hamming 3
+    uncapped = simhash_near_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    un_ids = {(r.id_a, r.id_b) for r in uncapped}
+    assert (100, 101) in un_ids
+    assert (100, 101) in ids
+    # uncapped finds the hot cluster's pairs — the cap is the only delta
+    assert any(a < 100 and b < 100 for a, b in un_ids)

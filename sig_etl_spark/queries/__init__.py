@@ -86,6 +86,11 @@ def _load_all() -> None:
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # (a) new / changed in round 5
+    "events_transition_matrix",
+    "events_session_paths",
+    "llm_lexical_diversity",
+    "llm_bigram_coverage",
+    "llm_temperature_mix",
     "llm_knn_pq_rerank",
     "llm_knn_pq",
     "llm_ann_recall",

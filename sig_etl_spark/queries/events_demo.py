@@ -706,3 +706,120 @@ def events_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_i", "n_s").alias("n"),
         F.coalesce("sum_i", "sum_s").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over the event stream: for every ordered pair
+# (event_type -> next event_type within the same user), the transition
+# count and probability. The per-user lead() and the pair groupBy reuse
+# ONE hash shuffle shape (user_id, then pair); at 100 TB the state is
+# |event_type|^2 rows — trivially collectable — while the heavy stage is
+# a single windowed pass over the raw stream. Probability is emitted as
+# BIGINT/BIGINT double division (a single IEEE-754 op, so bit-identical
+# between Spark and the DuckDB oracle — no rounding fudge needed).
+# Covers the reference's sequential-dependency analyses (session-grouped
+# scans, SURVEY §2.1 S11) as a first-class statistical operator.
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH nxt AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM nxt WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, next_type, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+         AS p
+FROM pairs
+"""
+
+
+@register(
+    "events_transition_matrix",
+    oracle=_TRANSITION_ORACLE,
+    doc="Markov event-type transition counts + probabilities: one "
+        "user-keyed windowed pass, then a pair groupBy over "
+        "|types|^2-bounded state",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(order))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_from = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(per_from).cast("double")).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top session-opening paths: each user's first 5 events (by event time)
+# joined into a '>'-delimited path string, then the 20 most common paths.
+# The per-user prefix cap (rank <= 5) bounds the path aggregation state at
+# 5 rows/user regardless of how long a user's history is — the property
+# that keeps the collect_list from becoming the unbounded-array OOM at
+# 100 TB. Two shuffles total (user window -> path groupBy); the final
+# top-20 is a TakeOrdered, not a global sort. Tie-break on the path
+# string keeps the limit deterministic for the oracle hash.
+# ---------------------------------------------------------------------------
+
+_PATHS_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 5 GROUP BY user_id
+)
+SELECT path, COUNT(*) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT 20
+"""
+
+
+@register(
+    "events_session_paths",
+    oracle=_PATHS_ORACLE,
+    doc="top-20 first-5-event user paths: per-user prefix cap bounds "
+        "aggregation state, TakeOrdered final",
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(order)).filter(F.col("rn") <= 5)
+    paths = (
+        ranked.groupBy("user_id")
+        .agg(
+            F.array_join(
+                # sort_array on (rn, event_type) structs pins in-path order
+                # without relying on collect_list's arrival order.
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )

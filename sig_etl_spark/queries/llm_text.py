@@ -1010,3 +1010,200 @@ def llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_oov") / F.col("n_tokens"), 9).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity: per-document type/token ratio and hapax-legomenon
+# rate — the classic "is this text natural language or key-mashing"
+# curation gate alongside llm_repetition. One shuffle on (doc_id, token)
+# with full map-side combine, then a doc-keyed re-aggregate whose input
+# is already distinct-token-sized. All counts are integers; the two
+# ratios are single BIGINT/BIGINT IEEE divisions, so they hash exactly.
+# Docs with zero tokens drop out of explode/unnest on both engines.
+# ---------------------------------------------------------------------------
+
+_LEXDIV_ORACLE = rf"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM base),
+tc AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(c) AS DOUBLE) AS hapax_rate
+FROM tc GROUP BY doc_id
+"""
+
+
+@register(
+    "llm_lexical_diversity",
+    oracle=_LEXDIV_ORACLE,
+    doc="type/token ratio + hapax rate per doc: (doc,token) combine then"
+        " doc re-aggregate, integer counts, exact-division ratios",
+)
+def llm_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        hapax.alias("n_hapax"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")).alias("ttr"),
+        (hapax.cast("double") / F.sum("c").cast("double")).alias("hapax_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM coverage: build the corpus top-500 bigram table, then score
+# every document by the fraction of its bigram occurrences that fall in
+# that table — the integer-exact skeleton of an n-gram language-model
+# quality filter (a real LM swaps the membership test for a log-prob
+# lookup over the SAME broadcast join; counts were chosen here so the
+# oracle hash is bit-exact, with no cross-engine transcendental math).
+# Scale shape: bigram groupBy is map-side combinable; the top-500 model
+# is a TakeOrdered (count desc, bigram asc — deterministic under ties)
+# and is broadcast, so the scoring pass is shuffle-free on the corpus
+# side except the final doc re-aggregate.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_K = 500
+
+_BIGRAM_ORACLE = rf"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                                       i -> array_to_string(toks[i:i+1], ' ')))
+           AS bigram
+  FROM base WHERE len(toks) >= 2
+),
+model AS (
+  SELECT bigram FROM (
+    SELECT bigram, row_number() OVER (ORDER BY COUNT(*) DESC, bigram) AS rn
+    FROM bg GROUP BY bigram
+  ) WHERE rn <= {_BIGRAM_K}
+)
+SELECT bg.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CASE WHEN model.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_model,
+       CAST(SUM(CASE WHEN model.bigram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS coverage
+FROM bg LEFT JOIN model ON bg.bigram = model.bigram
+GROUP BY bg.doc_id
+"""
+
+
+@register(
+    "llm_bigram_coverage",
+    oracle=_BIGRAM_ORACLE,
+    doc="top-500 corpus bigram model coverage per doc: broadcast model"
+        " membership join, integer-exact scoring",
+)
+def llm_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    bg = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
+                )
+            ).alias("bigram"),
+        )
+    )
+    model = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(_BIGRAM_K)
+        .select("bigram", F.lit(1).alias("hit"))
+    )
+    scored = bg.join(broadcast(model), "bigram", "left")
+    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        hits.cast("bigint").alias("n_in_model"),
+        (hits.cast("double") / F.count(F.lit(1)).cast("double")).alias("coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-damped source mixing: sample each source at a rate
+# proportional to n^(alpha-1) with alpha=0.5 — the standard upweight-the-
+# tail mixing rule for multi-source training corpora — by taking
+# min(n_s, floor(C * sqrt(n_s))) docs per source, chosen by md5(doc_id)
+# order so the draw is deterministic and portable. sqrt of a BIGINT is a
+# single correctly-rounded IEEE op on both engines, and the per-source
+# take is computed WITHOUT cross-source float summation (no normalization
+# term), so the floor() boundary cannot be perturbed by addition order —
+# the property that keeps this hash-exact where a softmax-style mix would
+# not be. Scale shape: counts groupBy is tiny (|sources| rows) and
+# broadcast back; the draw is one window rank per source over the md5
+# key. With C=8: a 64-doc source keeps all 64, a 1M-doc source keeps 8k.
+# ---------------------------------------------------------------------------
+
+_TEMP_C = 8
+
+_TEMPMIX_ORACLE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_source FROM documents GROUP BY source
+),
+take AS (
+  SELECT source, n_source,
+         LEAST(n_source, CAST(FLOOR({_TEMP_C} * sqrt(CAST(n_source AS DOUBLE)))
+                              AS BIGINT)) AS k
+  FROM counts
+),
+ranked AS (
+  SELECT d.doc_id, d.source, t.n_source, t.k,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           AS rn
+  FROM documents d JOIN take t USING (source)
+)
+SELECT doc_id, source, n_source, k AS n_sampled
+FROM ranked WHERE rn <= k
+"""
+
+
+@register(
+    "llm_temperature_mix",
+    oracle=_TEMPMIX_ORACLE,
+    doc="alpha=0.5 temperature source mixing: floor(C*sqrt(n)) per-source"
+        " take by md5 order — deterministic, no cross-source float sums",
+)
+def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    take = counts.select(
+        "source",
+        "n_source",
+        F.least(
+            F.col("n_source"),
+            F.floor(F.lit(_TEMP_C) * F.sqrt(F.col("n_source").cast("double"))),
+        ).alias("k"),
+    )
+    joined = docs.select("doc_id", "source").join(broadcast(take), "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("doc_id", "source", "n_source", F.col("k").alias("n_sampled"))
+    )

@@ -1,0 +1,126 @@
+"""Invariant tests for the sequence/mixing operators added in round 5:
+events_transition_matrix, events_session_paths, llm_lexical_diversity,
+llm_bigram_coverage, llm_temperature_mix. Each is also oracle-checked;
+these tests pin the semantic invariants the hash alone doesn't name."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _q(name):
+    from sig_etl_spark.queries import QUERIES
+
+    return QUERIES[name].builder
+
+
+def test_transition_probabilities_sum_to_one(spark, sf_dir):
+    df = _q("events_transition_matrix")(spark, sf_dir)
+    sums = (
+        df.groupBy("event_type")
+        .agg(F.sum("p").alias("psum"), F.sum("n").alias("nsum"))
+        .collect()
+    )
+    assert sums, "no transitions found"
+    for r in sums:
+        assert abs(r["psum"] - 1.0) < 1e-9, r
+        assert r["nsum"] > 0
+
+
+def test_transition_matrix_matches_manual_lead(spark, sf_dir):
+    # Independent recomputation via a self-join on per-user sequence rank.
+    from sig_etl_spark.tables import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w))
+    a = r.select("user_id", "rn", F.col("event_type").alias("event_type"))
+    b = r.select(
+        "user_id",
+        (F.col("rn") - 1).alias("rn"),
+        F.col("event_type").alias("next_type"),
+    )
+    manual = (
+        a.join(b, ["user_id", "rn"])
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_manual"))
+    )
+    got = _q("events_transition_matrix")(spark, sf_dir).select(
+        "event_type", "next_type", "n"
+    )
+    diff = got.join(manual, ["event_type", "next_type"], "full_outer").filter(
+        (F.col("n").isNull())
+        | (F.col("n_manual").isNull())
+        | (F.col("n") != F.col("n_manual"))
+    )
+    assert diff.count() == 0
+
+
+def test_session_paths_capped_and_ranked(spark, sf_dir):
+    rows = _q("events_session_paths")(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert 1 <= len(r["path"].split(">")) <= 5
+
+
+def test_lexical_diversity_bounds(spark, sf_dir):
+    rows = _q("llm_lexical_diversity")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_distinct"] <= r["n_tokens"]
+        assert 0 <= r["n_hapax"] <= r["n_distinct"]
+        assert 0.0 < r["ttr"] <= 1.0
+        assert r["ttr"] == r["n_distinct"] / r["n_tokens"]
+        assert r["hapax_rate"] == r["n_hapax"] / r["n_tokens"]
+
+
+def test_bigram_coverage_bounds(spark, sf_dir):
+    rows = _q("llm_bigram_coverage")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_in_model"] <= r["n_bigrams"]
+        assert r["coverage"] == r["n_in_model"] / r["n_bigrams"]
+
+
+def test_temperature_mix_take_rule(spark, sf_dir):
+    from sig_etl_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    true_counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = (
+        _q("llm_temperature_mix")(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("taken"), F.first("n_source").alias("n_source"))
+        .collect()
+    )
+    assert got
+    for r in got:
+        n = true_counts[r["source"]]
+        assert r["n_source"] == n
+        assert r["taken"] == min(n, math.floor(8 * math.sqrt(n)))
+
+
+def test_temperature_mix_upweights_tail(spark, sf_dir):
+    # The sampled share of a small source must be >= that of a larger one.
+    got = (
+        _q("llm_temperature_mix")(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("taken"), F.first("n_source").alias("n_source"))
+        .collect()
+    )
+    if len(got) < 2:
+        return
+    by_n = sorted(got, key=lambda r: r["n_source"])
+    shares = [r["taken"] / r["n_source"] for r in by_n]
+    for small, big in zip(shares, shares[1:]):
+        assert small >= big - 1e-12

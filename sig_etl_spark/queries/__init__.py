@@ -86,6 +86,9 @@ def _load_all() -> None:
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # (a) new / changed in round 5
+    "agg_group_ols",
+    "orders_pareto_share",
+    "events_sliding_window_avg",
     "events_transition_matrix",
     "events_session_paths",
     "llm_lexical_diversity",

@@ -823,3 +823,69 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing 3-day sliding average per event type — the RANGE-frame window
+# (value-based frame, not row-count), which none of the other window
+# queries exercise. Scale shape: the raw stream is first collapsed to
+# per-(type, day) partial aggregates (map-side combinable; the window
+# then runs over |types| x |days| rows, not events), and the range frame
+# is keyed on integer epoch-day so both engines bound the frame with
+# exact integer comparisons. Decimal day-sums make the 3-day numerator
+# exact; the average is one double division.
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE))
+           AS dayno,
+         COUNT(*) AS n_day,
+         SUM(CAST(value AS DECIMAL(38,10))) AS v_day
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, day, n_day,
+       CAST(SUM(n_day) OVER w AS BIGINT) AS n_3d,
+       CAST(SUM(v_day) OVER w AS DOUBLE)
+         / CAST(CAST(SUM(n_day) OVER w AS BIGINT) AS DOUBLE) AS avg_3d
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY dayno
+             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "events_sliding_window_avg",
+    oracle=_SLIDING_ORACLE,
+    doc="trailing 3-day RANGE-frame average per event type over "
+        "pre-collapsed daily partials — window input is |types|x|days|, "
+        "never raw events",
+)
+def events_sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("value").cast("decimal(38,10)").alias("v"),
+        )
+        .withColumn("dayno", F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .groupBy("event_type", "day", "dayno")
+        .agg(F.count(F.lit(1)).alias("n_day"), F.sum("v").alias("v_day"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dayno")
+        .rangeBetween(-2, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_day",
+        F.sum("n_day").over(w).alias("n_3d"),
+        (
+            F.sum("v_day").over(w).cast("double")
+            / F.sum("n_day").over(w).cast("double")
+        ).alias("avg_3d"),
+    )

@@ -504,3 +504,159 @@ def w_latest_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("o_orderpriority").alias("session"), "n_orders", "max_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS regression (slope/intercept/r2) from sufficient statistics:
+# the distributed form of a regression is five exact sums
+# (n, Σx, Σy, Σxx, Σxy, Σyy) — one map-side-combinable groupBy, no second
+# pass, no residual join. DETERMINISM: the 2-decimal measures are
+# quantized to integer cents first, so every sum is an exact integer
+# (summed as DECIMAL(38,0) for 100 TB headroom); the slope/r2 formulas
+# are scale-invariant (cov(100x,100y)/var(100x) = cov(x,y)/var(x)), and
+# the only descaling (intercept's /100) divides by an exactly-
+# representable power of ten — so both engines run identical IEEE ops on
+# identical inputs and the hash is exact. Converting the wide DECIMAL
+# sums to double directly (the first cut) differed at 1 ulp between
+# engines (>17 significant digits round differently); integers don't.
+# Reference parity: the score-index derivations (billtrack50_app/
+# extract.py:59-79) are the same Σ,Σ·expr,ratio shape; this generalizes
+# them to the standard least-squares kernel a stats layer needs.
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS xi,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS yi
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(xi) AS sx, SUM(yi) AS sy,
+         SUM(xi * xi) AS sxx, SUM(xi * yi) AS sxy, SUM(yi * yi) AS syy
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         AS slope,
+       (CAST(sy AS DOUBLE) / 100.0
+          - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(sx AS DOUBLE) / 100.0))
+         / CAST(n AS DOUBLE) AS intercept,
+       ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+         / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS r2
+FROM s
+"""
+
+
+@register(
+    "agg_group_ols",
+    oracle=_OLS_ORACLE,
+    doc="per-group OLS slope/intercept/r2 from integer-cent sufficient"
+        " statistics: one combinable groupBy, double math only at the end",
+)
+def agg_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    xi = F.round(F.col("l_quantity") * 100).cast("bigint")
+    yi = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    d38 = "decimal(38,0)"
+    s = li.select("l_returnflag", xi.alias("xi"), yi.alias("yi")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xi").cast(d38)).alias("sx"),
+        F.sum(F.col("yi").cast(d38)).alias("sy"),
+        F.sum((F.col("xi") * F.col("xi")).cast(d38)).alias("sxx"),
+        F.sum((F.col("xi") * F.col("yi")).cast(d38)).alias("sxy"),
+        F.sum((F.col("yi") * F.col("yi")).cast(d38)).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy, syy = (
+        F.col("sxx").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov_n = nd * sxy - sx * sy
+    var_n = nd * sxx - sx * sx
+    vary_n = nd * syy - sy * sy
+    slope = cov_n / var_n
+    return s.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((sy / F.lit(100.0) - slope * (sx / F.lit(100.0))) / nd).alias("intercept"),
+        ((cov_n * cov_n) / (var_n * vary_n)).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration: the top-100 customers by lifetime revenue with
+# their cumulative share of TOTAL revenue. Scale shape: revenue per
+# customer is one combinable groupBy; the global "sort" is a TakeOrdered
+# of 100 rows (never a full sort); the cumulative window then runs over
+# those 100 rows only, with the grand total joined in as a broadcast
+# 1-row aggregate — so nothing driver-side or unbounded depends on
+# customer count. DETERMINISM: revenue is summed in exact integer cents
+# (DECIMAL(38,0) for headroom); cents -> dollars divides an exactly-
+# converted integer double by 100.0, and the share is one division of
+# two such doubles — identical IEEE ops on identical inputs, hash-exact
+# (wide fractional DECIMAL -> DOUBLE conversion is NOT cross-engine
+# stable; integer cents are).
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+total AS (SELECT SUM(cents) AS tot FROM rev),
+top AS (
+  SELECT o_custkey, cents,
+         row_number() OVER (ORDER BY cents DESC, o_custkey) AS rnk
+  FROM rev QUALIFY rnk <= 100
+)
+SELECT t.o_custkey, t.rnk,
+       CAST(t.cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(SUM(t.cents) OVER (ORDER BY t.rnk ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / CAST(total.tot AS DOUBLE) AS cum_share
+FROM top t, total
+"""
+
+
+@register(
+    "orders_pareto_share",
+    oracle=_PARETO_ORACLE,
+    doc="top-100 customer revenue concentration: TakeOrdered head, "
+        "100-row cumulative window, broadcast grand total — no global sort",
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint").cast("decimal(38,0)")
+    rev = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    total = rev.groupBy().agg(F.sum("cents").alias("tot"))
+    top = (
+        rev.orderBy(F.desc("cents"), "o_custkey")
+        .limit(100)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("cents"), "o_custkey")),
+        )
+    )
+    cum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    return top.crossJoin(F.broadcast(total)).select(
+        "o_custkey",
+        "rnk",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (F.sum("cents").over(cum).cast("double") / F.col("tot").cast("double")).alias(
+            "cum_share"
+        ),
+    )

@@ -124,3 +124,54 @@ def test_temperature_mix_upweights_tail(spark, sf_dir):
     shares = [r["taken"] / r["n_source"] for r in by_n]
     for small, big in zip(shares, shares[1:]):
         assert small >= big - 1e-12
+
+
+def test_group_ols_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from sig_etl_spark.tables import load_table
+
+    got = {r["l_returnflag"]: r for r in _q("agg_group_ols")(spark, sf_dir).collect()}
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    for flag, grp in pdf.groupby("l_returnflag"):
+        slope, intercept = np.polyfit(grp["l_quantity"], grp["l_extendedprice"], 1)
+        r = got[flag]
+        assert r["n"] == len(grp)
+        assert abs(r["slope"] - slope) < 1e-6 * max(1.0, abs(slope))
+        assert abs(r["intercept"] - intercept) < 1e-6 * max(1.0, abs(intercept))
+        assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_pareto_share_monotone_and_bounded(spark, sf_dir):
+    rows = _q("orders_pareto_share")(spark, sf_dir).orderBy("rnk").collect()
+    assert rows and rows[0]["rnk"] == 1
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    shares = [r["cum_share"] for r in rows]
+    assert all(b >= a for a, b in zip(shares, shares[1:]))
+    assert 0.0 < shares[-1] <= 1.0
+
+
+def test_sliding_window_avg_matches_brute_filter(spark, sf_dir):
+    import datetime
+
+    from sig_etl_spark.tables import load_table
+
+    rows = _q("events_sliding_window_avg")(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value").toPandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    # spot-check 5 rows against a brute-force trailing filter
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["day"]))[:: max(1, len(rows) // 5)]:
+        lo = r["day"] - datetime.timedelta(days=2)
+        sel = ev[
+            (ev["event_type"] == r["event_type"])
+            & (ev["day"] >= lo)
+            & (ev["day"] <= r["day"])
+        ]
+        assert r["n_3d"] == len(sel)
+        assert abs(r["avg_3d"] - sel["value"].mean()) < 1e-9

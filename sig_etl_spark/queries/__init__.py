@@ -86,6 +86,8 @@ def _load_all() -> None:
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # (a) new / changed in round 5
+    "llm_minhash_calibration",
+    "events_anomaly_mad",
     "agg_group_ols",
     "orders_pareto_share",
     "events_sliding_window_avg",

@@ -889,3 +889,59 @@ def events_sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_day").over(w).cast("double")
         ).alias("avg_3d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly gate: per event type, the median, the MAD (median
+# absolute deviation — the robust sigma), and how many points sit
+# outside median +- 3 * 1.4826 * MAD. Two grouped exact-percentile
+# passes (same engine-portable percentile() the green events_quantiles
+# uses) with a broadcast of the |types|-row center table between them —
+# the raw stream is scanned twice but never joined to itself. The
+# z-threshold comparison is pure IEEE arithmetic on identical inputs.
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, ANY_VALUE(med) AS med, median(adev) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, m.med, m.mad,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN ABS(d.value - m.med) > 3 * 1.4826 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=_MAD_ORACLE,
+    doc="median/MAD robust outlier counts per event type: two exact-"
+        "percentile passes with a broadcast |types|-row center table",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"), F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    out = dev.select("event_type", "value").join(F.broadcast(mad), "event_type")
+    thresh = F.lit(3) * F.lit(1.4826) * F.col("mad")
+    return out.groupBy("event_type", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.abs(F.col("value") - F.col("med")) > thresh, 1).otherwise(0)
+        ).cast("bigint").alias("n_outliers"),
+    )

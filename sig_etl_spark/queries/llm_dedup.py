@@ -531,3 +531,105 @@ FROM nwin n LEFT JOIN per_doc p USING (doc_id)
 def llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.dup_spans(docs, "doc_id", "text", k=_SPAN_K)
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration: for every LSH candidate pair, the signature-
+# agreement ESTIMATE next to the TRUE shingle-set Jaccard and the
+# absolute error — the measurement that tells you whether 64 hashes /
+# 16 bands is enough before trusting the sketch at corpus scale. Scale
+# shape: the exact side is computed ONLY for the candidate pairs the
+# LSH join surfaced (posting-list join semi-bounded by candidates), so
+# the verify cost scales with candidate count, never corpus^2. All
+# numerators/denominators are integers; both ratios and the error are
+# plain IEEE ops on identical inputs, so the hash is exact.
+# ---------------------------------------------------------------------------
+
+_CALIBRATION_ORACLE = rf"""
+WITH {_shingle_ctes()},
+hx AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
+              % 2147483647 AS BIGINT) AS x
+  FROM sh0
+),
+perms(i, a, b) AS (VALUES {_PERM_VALUES}),
+mh AS (
+  SELECT doc_id, i, MIN((a * x + b) % 2147483647) AS v
+  FROM hx CROSS JOIN perms GROUP BY 1, 2
+),
+sigs AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, sig, band, list_slice(sig, band*4+1, band*4+4) AS bucket
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0,15)) AS band) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                             AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT * FROM (
+    SELECT id_a, id_b,
+           len(list_filter(generate_series(1,64), k -> sa[k] = sb[k])) / 64.0
+             AS est_jaccard
+    FROM cand
+  ) WHERE est_jaccard >= 0.5
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh0 GROUP BY doc_id),
+co AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS co
+  FROM pairs p
+  JOIN sh0 a ON a.doc_id = p.id_a
+  JOIN sh0 b ON b.doc_id = p.id_b AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, p.est_jaccard,
+       COALESCE(co.co, 0) / (sa.n + sb.n - COALESCE(co.co, 0)) AS exact_jaccard,
+       ABS(p.est_jaccard
+           - COALESCE(co.co, 0) / (sa.n + sb.n - COALESCE(co.co, 0))) AS abs_err
+FROM pairs p
+LEFT JOIN co ON co.id_a = p.id_a AND co.id_b = p.id_b
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+"""
+
+
+@register(
+    "llm_minhash_calibration",
+    oracle=_CALIBRATION_ORACLE,
+    doc="MinHash estimate vs true Jaccard + abs error per LSH candidate"
+        " pair: exact verify bounded by candidate count, never corpus^2",
+)
+def llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.5
+    )
+    sh = D.shingle_postings(docs, "doc_id", "text", k=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    co = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    coal = F.coalesce(F.col("co"), F.lit(0))
+    exact = coal / (F.col("n_a") + F.col("n_b") - coal)
+    return (
+        pairs.join(co, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
+        )
+    )

@@ -175,3 +175,49 @@ def test_sliding_window_avg_matches_brute_filter(spark, sf_dir):
         ]
         assert r["n_3d"] == len(sel)
         assert abs(r["avg_3d"] - sel["value"].mean()) < 1e-9
+
+
+def test_minhash_calibration_error_bounds(spark, sf_dir):
+    rows = _q("llm_minhash_calibration")(spark, sf_dir).collect()
+    assert rows, "no LSH candidate pairs at this sf"
+    for r in rows:
+        assert 0.5 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 1e-15
+    # 64-hash signatures: mean |estimate - truth| should be well under
+    # the ~1/sqrt(64)=0.125 sampling sigma on the high-similarity pairs
+    # the LSH gate admits.
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err < 0.2, mean_err
+
+
+def test_minhash_calibration_covers_lsh_pairs(spark, sf_dir):
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in _q("llm_minhash_lsh")(spark, sf_dir).collect()
+    }
+    cal = {
+        (r["id_a"], r["id_b"])
+        for r in _q("llm_minhash_calibration")(spark, sf_dir).collect()
+    }
+    assert cal == lsh
+
+
+def test_anomaly_mad_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from sig_etl_spark.tables import load_table
+
+    got = {r["event_type"]: r for r in _q("events_anomaly_mad")(spark, sf_dir).collect()}
+    pdf = load_table(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    assert got
+    for etype, grp in pdf.groupby("event_type"):
+        v = grp["value"].to_numpy()
+        med = np.median(v)
+        mad = np.median(np.abs(v - med))
+        r = got[etype]
+        assert abs(r["med"] - med) < 1e-9
+        assert abs(r["mad"] - mad) < 1e-9
+        assert r["n"] == len(v)
+        assert r["n_outliers"] == int((np.abs(v - med) > 3 * 1.4826 * mad).sum())
+        assert r["n_outliers"] <= r["n"]

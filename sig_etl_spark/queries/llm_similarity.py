@@ -755,3 +755,96 @@ def llm_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, corpus, "vec_id", "embedding",
         k=_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster cohesion: cosine of every vector to its label's centroid — the
+# k-means E-step / cluster-quality scan as a pure DataFrame op. Scale
+# shape: the centroid build is one (label, dim) map-side-combinable
+# groupBy over posexploded dims (shuffle carries |labels| x dims rows);
+# centroids are reassembled with a sort_array(collect_list) over that
+# bounded frame and broadcast to the scoring pass, which is shuffle-free
+# on the corpus side. DETERMINISM: dims are quantized to 1/256 steps
+# (ROUND(x*256) -> BIGINT) so the centroid sums are exact integers and
+# the centroid components are BIGINT/BIGINT-style IEEE divisions —
+# converting wide fractional DECIMAL sums to double differs across
+# engines at 1 ulp; integer sums do not. The per-vec cosine is the same
+# strict left-to-right double fold llm_embedding_near_dup already proved
+# bit-identical cross-engine (dedup.py:_double_dot).
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+
+_COHESION_ORACLE = rf"""
+WITH q AS (
+  SELECT label, i AS dim,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 256) AS BIGINT) AS qi
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t
+),
+sums AS (
+  SELECT label, dim, SUM(qi) AS s, COUNT(*) AS n
+  FROM q GROUP BY label, dim
+),
+cent AS (
+  SELECT label,
+         list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 256.0) ORDER BY dim)
+           AS cvec
+  FROM sums GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       {_DOT_SQL.format(a="e.embedding", b="cent.cvec")}
+         / sqrt({_DOT_SQL.format(a="e.embedding", b="e.embedding")}
+                * {_DOT_SQL.format(a="cent.cvec", b="cent.cvec")})
+         AS cos_centroid
+FROM embeddings e JOIN cent USING (label)
+"""
+
+
+@register(
+    "llm_cluster_cohesion",
+    oracle=_COHESION_ORACLE,
+    doc="cosine of every vector to its label centroid (k-means E-step):"
+        " quantized integer centroid sums, broadcast centroids,"
+        " shuffle-free scoring pass",
+)
+def llm_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.llm.dedup import _double_dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double") * 256).cast("bigint").alias("qi"),
+    )
+    sums = q.groupBy("label", "dim").agg(
+        F.sum("qi").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cent = (
+        sums.select(
+            "label",
+            "dim",
+            (
+                F.col("s").cast("double")
+                / (F.col("n").cast("double") * F.lit(256.0))
+            ).alias("c"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+    )
+    scored = emb.join(F.broadcast(cent), "label")
+    num = _double_dot(F.col("embedding"), F.col("cvec"))
+    den = F.sqrt(
+        _double_dot(F.col("embedding"), F.col("embedding"))
+        * _double_dot(F.col("cvec"), F.col("cvec"))
+    )
+    return scored.select("vec_id", "label", (num / den).alias("cos_centroid"))

@@ -287,3 +287,29 @@ def test_ann_recall_query_shape(spark, sf_dir):
         for r in rows:
             assert 0.0 <= r.recall <= 1.0
             assert r.hits == round(r.recall * 50)
+
+
+def test_cluster_cohesion_bounds_and_centroid_quality(spark, sf_dir):
+    import numpy as np
+
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.tables import load_table
+
+    rows = QUERIES["llm_cluster_cohesion"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-12 <= r["cos_centroid"] <= 1.0 + 1e-12
+    # numpy cross-check: quantized centroid cosine for one label
+    pdf = load_table(spark, sf_dir, "embeddings").toPandas()
+    lab = pdf["label"].iloc[0]
+    grp = np.array([np.asarray(v, dtype=np.float64) for v in pdf[pdf["label"] == lab]["embedding"]])
+    cent = np.round(grp * 256).sum(axis=0) / (len(grp) * 256.0)
+    want = {}
+    for vid, v in zip(pdf[pdf["label"] == lab]["vec_id"], grp):
+        want[vid] = float(v @ cent / np.sqrt((v @ v) * (cent @ cent)))
+    got = {r["vec_id"]: r["cos_centroid"] for r in rows if r["label"] == lab}
+    assert set(got) == set(want)
+    for vid in want:
+        assert abs(got[vid] - want[vid]) < 1e-9
+    # vectors should on average point toward their own centroid
+    assert np.mean([r["cos_centroid"] for r in rows]) > 0.1

@@ -341,3 +341,22 @@ def test_skewed_fixture_salted_equivalence(spark):
     assert unsalted == run(8), "salting changed linkage results on skew"
     statuses = {s for *_rest, s in unsalted}
     assert "matched" in statuses
+
+
+def test_subblocked_preserves_matches(spark, sf_dir):
+    """The secondary name-initial block must not lose any match the
+    block-only matcher finds: the skew fixture's perturbation (trailing
+    typo) preserves the initial, so every true pair survives the cut —
+    and each x row searches no more candidates than before."""
+    from sig_etl_spark.queries import QUERIES
+
+    full = QUERIES["linkage_fuzzy_match_skew"].builder(spark, sf_dir).collect()
+    sub = QUERIES["linkage_fuzzy_match_subblocked"].builder(spark, sf_dir).collect()
+    fm = {r["x_id"]: r["candidate_id"] for r in full if r["match_status"] == "matched"}
+    sm = {r["x_id"]: r["candidate_id"] for r in sub if r["match_status"] == "matched"}
+    assert fm, "skew fixture produced no matches"
+    for x_id, cand in fm.items():
+        assert sm.get(x_id) == cand, (x_id, cand, sm.get(x_id))
+    fc = {r["x_id"]: r["n_candidates"] for r in full}
+    sc = {r["x_id"]: r["n_candidates"] for r in sub}
+    assert all(sc[x] <= fc[x] for x in sc)

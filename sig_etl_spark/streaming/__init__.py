@@ -15,5 +15,7 @@ from sig_etl_spark.streaming.pipeline import (  # noqa: F401
     running_user_totals,
     session_windows,
     stream_dedup,
+    stream_enrich,
+    stream_stream_join,
     windowed_counts,
 )

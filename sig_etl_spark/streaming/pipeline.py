@@ -178,3 +178,56 @@ def stream_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def stream_enrich(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment join (the S13 reference-map lookup shape
+    in continuous form): each micro-batch of the stream is joined
+    against a static dimension. Spark re-plans the static side per
+    batch, so a small dim stays a BROADCAST hash join — no state store,
+    no watermark, no shuffle of the stream side.
+    """
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "30 minutes",
+    click_watermark: str = "1 hour",
+    purchase_watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase pairs with
+    the clicks of the SAME user in the (purchase_ts - max_gap,
+    purchase_ts] window — the streaming twin of the batch as-of/range
+    join family (temporal.py). Both sides are watermarked so the state
+    store holds only (watermark + gap)-bounded click history per key;
+    the join condition's time bounds are what lets Spark evict state —
+    an unbounded-time equi-join would grow state forever.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", click_watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", purchase_watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}"))
+    )
+    return p.join(c, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        "purchase_value",
+    )

@@ -163,3 +163,58 @@ def test_stream_dedup_across_redelivery(spark, landing):
     assert n1 + n2 == seen["event_id"].nunique(), "emitted a duplicate event_id"
     # the redelivered half was fully suppressed: batch 2 emitted only the rest
     assert n2 == seen["event_id"].nunique() - n1
+
+
+def test_stream_enrich_broadcast_join(spark, landing):
+    from sig_etl_spark.streaming import stream_enrich
+
+    land, extra, ckpt = landing
+    _deliver(extra, land)
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("seg"), (F.col("id") % 3).cast("string")).alias("segment"),
+    )
+    enriched = stream_enrich(read_event_stream(spark, land), dim)
+    batches = run_available_now(enriched, ckpt, "enrich", output_mode="append")
+    out = pd.concat(batches, ignore_index=True)
+    truth = spark.read.parquet(land).count()
+    assert len(out) == truth
+    # every user in the dim range got its segment; the join is 1:1
+    assert (out["segment"].notna() | (out["user_id"] >= 1000)).all()
+    seg = out[out["user_id"] < 1000]
+    assert (seg["segment"] == "seg" + (seg["user_id"] % 3).astype(str)).all()
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark, landing):
+    from sig_etl_spark.streaming import stream_stream_join
+
+    land, extra, ckpt = landing
+    _deliver(extra, land)
+    ev = read_event_stream(spark, land)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_join(clicks, purchases, max_gap="30 minutes",
+                                click_watermark="400 days",
+                                purchase_watermark="400 days")
+    batches = run_available_now(joined, ckpt, "ssj", output_mode="append")
+    got = pd.concat(batches, ignore_index=True) if batches else pd.DataFrame()
+
+    raw = spark.read.parquet(land)
+    c = raw.filter(F.col("event_type") == "click").selectExpr(
+        "user_id AS cu", "ts AS click_ts", "event_id AS click_id"
+    )
+    p = raw.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id AS pu", "ts AS purchase_ts", "event_id AS purchase_id"
+    )
+    truth = (
+        p.join(
+            c,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 minutes")),
+        )
+        .count()
+    )
+    assert len(got) == truth
+    if truth:
+        assert (got["click_ts"] <= got["purchase_ts"]).all()

@@ -86,6 +86,7 @@ def _load_all() -> None:
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # (a) new / changed in round 5
+    "llm_source_drift",
     "linkage_fuzzy_match_subblocked",
     "llm_cluster_cohesion",
     "llm_minhash_calibration",

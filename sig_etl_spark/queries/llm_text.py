@@ -1207,3 +1207,100 @@ def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("k"))
         .select("doc_id", "source", "n_source", F.col("k").alias("n_sampled"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Source drift: chi-square distance between each source's document-length
+# distribution and the corpus-wide distribution — the distribution-shift
+# alarm a mixing pipeline checks before re-weighting sources. Scale
+# shape: one (source, bucket) map-side-combinable groupBy (the shuffle
+# carries |sources| x 8 rows), corpus bucket totals re-aggregated from
+# that tiny frame and broadcast back. DETERMINISM: observed/expected
+# come from exact integer counts; the expected value and each chi-square
+# term are IEEE ops on identical inputs; the SUM over the 8 buckets is
+# an order-fixed list fold (sort by bucket, then left-to-right reduce —
+# the same _double_dot discipline the embedding ops use), never a
+# groupBy float sum whose addition order could flap the hash.
+# ---------------------------------------------------------------------------
+
+_DRIFT_BUCKET = "LEAST(CAST(FLOOR(n_chars / 100) AS BIGINT), 7)"
+
+_DRIFT_ORACLE = f"""
+WITH obs AS (
+  SELECT source, {_DRIFT_BUCKET} AS bucket, COUNT(*) AS n
+  FROM documents GROUP BY 1, 2
+),
+tot AS (
+  SELECT bucket, SUM(n) AS bucket_total FROM obs GROUP BY bucket
+),
+grand AS (
+  SELECT SUM(n) AS n_total FROM obs
+),
+src AS (
+  SELECT source, SUM(n) AS n_source FROM obs GROUP BY source
+),
+terms AS (
+  SELECT o.source, o.bucket,
+         POWER(CAST(o.n AS DOUBLE)
+               - CAST(t.bucket_total * s.n_source AS DOUBLE)
+                 / CAST(g.n_total AS DOUBLE), 2)
+           / (CAST(t.bucket_total * s.n_source AS DOUBLE)
+              / CAST(g.n_total AS DOUBLE)) AS term
+  FROM obs o
+  JOIN tot t USING (bucket)
+  JOIN src s USING (source)
+  CROSS JOIN grand g
+)
+SELECT s.source, s.n_source,
+       list_reduce(list_prepend(0.0, list(term ORDER BY bucket)),
+                   (acc, x) -> acc + x) AS chi2
+FROM terms t JOIN src s USING (source)
+GROUP BY s.source, s.n_source
+"""
+
+
+@register(
+    "llm_source_drift",
+    oracle=_DRIFT_ORACLE,
+    doc="per-source chi-square drift vs the corpus length distribution:"
+        " integer counts, broadcast totals, order-fixed fold for the"
+        " 8-bucket sum",
+)
+def llm_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.select(
+        "source",
+        F.least(F.floor(F.col("n_chars") / 100), F.lit(7).cast("bigint")).alias("bucket"),
+    ).groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.groupBy("bucket").agg(F.sum("n").alias("bucket_total"))
+    grand = obs.groupBy().agg(F.sum("n").alias("n_total"))
+    src = obs.groupBy("source").agg(F.sum("n").alias("n_source"))
+    exp = (
+        F.col("bucket_total").cast("double")
+        * F.col("n_source").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    terms = (
+        obs.join(F.broadcast(tot), "bucket")
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "bucket",
+            "n_source",
+            (F.pow(F.col("n").cast("double") - exp, F.lit(2.0)) / exp).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("source", "n_source")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("bucket", "term"))),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("chi2")
+        )
+    )

@@ -256,3 +256,29 @@ def test_boilerplate_scrub_removes_common_segments_only(spark, sf_dir):
         assert (r.clean_text.split(" ") if r.clean_text else []) == " ".join(
             expect
         ).split()
+
+
+def test_source_drift_matches_scipy_style_chi2(spark, sf_dir):
+    """Recompute the chi-square statistic with numpy from raw counts."""
+    import numpy as np
+
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.tables import load_table
+
+    got = {r["source"]: r for r in QUERIES["llm_source_drift"].builder(spark, sf_dir).collect()}
+    pdf = load_table(spark, sf_dir, "documents").select("source", "n_chars").toPandas()
+    pdf["bucket"] = np.minimum(pdf["n_chars"] // 100, 7)
+    obs = pdf.groupby(["source", "bucket"]).size()
+    bucket_tot = pdf.groupby("bucket").size()
+    n_total = len(pdf)
+    assert got
+    for src, grp in pdf.groupby("source"):
+        n_src = len(grp)
+        chi2 = 0.0
+        for b, cnt in obs[src].items():
+            e = bucket_tot[b] * n_src / n_total
+            chi2 += (cnt - e) ** 2 / e
+        r = got[src]
+        assert r["n_source"] == n_src
+        assert abs(r["chi2"] - chi2) < 1e-9 * max(1.0, chi2)
+        assert r["chi2"] >= 0.0

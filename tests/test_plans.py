@@ -217,3 +217,60 @@ def test_zorder_actually_prunes(spark, sf_dir):
         # z-order: the 16-wide band keeps one tile row of 16 -> ~15/16 prunable
         assert z.prunable_buckets >= z.n_buckets * 0.8
         assert z.rows_skipped > 0
+
+
+def test_transition_matrix_shuffle_budget(spark, sf_dir):
+    """Three exchanges by design (user window, pair groupBy, per-from
+    window); no broadcast nor cartesian anywhere — the stream is scanned
+    once."""
+    plan = _plan(spark, sf_dir, "events_transition_matrix")
+    assert _count_op(plan, "Exchange") <= 3, plan
+    assert _count_op(plan, "CartesianProduct") == 0
+    assert _count_op(plan, "Scan parquet") == 1
+
+
+def test_bigram_model_join_broadcasts(spark, sf_dir):
+    """The top-500 bigram model must reach the scoring join as a
+    broadcast — a shuffle join here would re-shuffle the whole exploded
+    bigram stream at corpus scale."""
+    plan = _plan(spark, sf_dir, "llm_bigram_coverage")
+    assert _count_op(plan, "BroadcastHashJoin") >= 1, plan
+    assert _count_op(plan, "SortMergeJoin") == 0
+    assert _count_op(plan, "CartesianProduct") == 0
+
+
+def test_temperature_mix_broadcasts_take_table(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_temperature_mix")
+    assert _count_op(plan, "BroadcastHashJoin") >= 1, plan
+    assert _count_op(plan, "SortMergeJoin") == 0
+
+
+def test_pareto_no_global_sort(spark, sf_dir):
+    """The top-100 head must compile to TakeOrdered, never a full sort
+    of the per-customer revenue frame; the grand total must broadcast."""
+    plan = _plan(spark, sf_dir, "orders_pareto_share")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _count_op(plan, "BroadcastNestedLoopJoin") >= 1  # 1-row total
+    # the only Sorts allowed are inside the 100-row window stage
+    assert _count_op(plan, "Sort") <= 2
+
+
+def test_cluster_cohesion_broadcasts_centroids(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_cluster_cohesion")
+    assert _count_op(plan, "BroadcastHashJoin") >= 1, plan
+    assert _count_op(plan, "SortMergeJoin") == 0
+
+
+def test_sliding_window_input_is_daily_partials(spark, sf_dir):
+    """The RANGE window must consume the pre-collapsed daily aggregate
+    (partial+final HashAggregate before Window), never raw events."""
+    plan = _plan(spark, sf_dir, "events_sliding_window_avg")
+    assert _count_op(plan, "Window") == 1
+    win_pos = plan.index("Window")
+    agg_positions = [m.start() for m in re.finditer(r"^\(\d+\) HashAggregate", plan, re.M)]
+    assert agg_positions, plan
+    # formatted-plan detail lists children (the aggregate) before the
+    # window consumes them in the tree section; assert the aggregate
+    # exists and the window's sort is on the tiny daily frame by checking
+    # there are exactly the partial+final pair.
+    assert _count_op(plan, "HashAggregate") == 2, plan

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -1130,3 +1131,43 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.filter(F.col("kind") == "video").mapInPandas(_sample, FRAMES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("energy", LongType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def decode_audio_features(df: DataFrame) -> DataFrame:
+    """Signal features over REAL-decoded PCM (channel 0): zero-crossing
+    count (strict sign flips, zeros break a run), total energy Σv² as an
+    exact integer, and RMS = sqrt(energy / n_frames). The first two are
+    integer-exact across engines; RMS is one division of exact integers
+    plus one sqrt — both correctly-rounded IEEE ops, so it hashes too.
+    Same Arrow mapInPandas shape as decode_audio_stats: the decode cost
+    is per-batch vectorized numpy, no per-row Python in the stream."""
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "n_frames", "zero_crossings", "energy", "rms")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, _rate = decode_wav(bytes(content))
+                ch0 = samples[:, 0].astype(np.int64)
+                n = ch0.shape[0]
+                zc = int(((ch0[1:] * ch0[:-1]) < 0).sum()) if n > 1 else 0
+                energy = int((ch0 * ch0).sum())
+                out["media_id"].append(mid)
+                out["n_frames"].append(n)
+                out["zero_crossings"].append(zc)
+                out["energy"].append(energy)
+                out["rms"].append(float(np.sqrt(energy / n)) if n else 0.0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_feats, AUDIO_FEATURES_SCHEMA)

@@ -86,6 +86,7 @@ def _load_all() -> None:
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # (a) new / changed in round 5
+    "mm_audio_features",
     "llm_source_drift",
     "linkage_fuzzy_match_subblocked",
     "llm_cluster_cohesion",

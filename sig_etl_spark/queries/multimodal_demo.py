@@ -605,3 +605,52 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode("content", "UTF-8").alias("payload"),
         "format",
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio FEATURE extraction on top of the real decode: zero-crossing rate
+# and RMS energy over channel 0 — the fingerprint-grade signal features
+# an audio curation pipeline computes after decode. Oracle re-derives
+# the same integers from the closed-form PCM stream (lag self-comparison
+# for crossings, Σv² for energy); rms is one exact-integer division plus
+# one sqrt, both correctly-rounded IEEE ops, so the whole row hashes.
+# ---------------------------------------------------------------------------
+
+_WAV_FEATURES_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+         CAST(50 + doc_id % 64 AS BIGINT) AS n_frames
+  FROM documents
+),
+s AS (
+  SELECT media_id, n_frames, j // n_channels AS t,
+         (media_id * 31 + j * 57) % 4001 - 2000 AS v
+  FROM d CROSS JOIN range({_WAV_MAX_SAMPLES}) tt(j)
+  WHERE j < n_frames * n_channels AND j % n_channels = 0
+),
+lagged AS (
+  SELECT media_id, n_frames, v,
+         lag(v) OVER (PARTITION BY media_id ORDER BY t) AS pv
+  FROM s
+)
+SELECT media_id, n_frames,
+       CAST(SUM(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS zero_crossings,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       sqrt(CAST(SUM(v * v) AS BIGINT) / CAST(n_frames AS BIGINT)) AS rms
+FROM lagged GROUP BY media_id, n_frames
+"""
+
+
+@register(
+    "mm_audio_features",
+    oracle=_WAV_FEATURES_ORACLE,
+    doc="zero-crossing count + integer energy + RMS over real-decoded"
+        " PCM channel 0; oracle re-derives from the closed-form stream",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.llm.multimodal import decode_audio_features
+
+    media = partition_media(_wav_media(spark, sf_dir), 32)
+    return decode_audio_features(media)

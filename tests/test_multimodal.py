@@ -427,3 +427,28 @@ def test_decode_audio_stats_real_decode(spark):
     assert out[2].sample_rate == 44100
     assert (out[2].n_channels, out[2].n_frames) == (2, 2)
     assert (out[2].sum_ch0, out[2].sum_ch1, out[2].peak_abs) == (310, -310, 300)
+
+
+def test_audio_features_roundtrip_against_raw_pcm(spark, sf_dir):
+    """Recompute crossings/energy/rms from the same closed-form PCM the
+    fixture encodes, without going through the codec."""
+    import math
+
+    import numpy as np
+
+    from sig_etl_spark.queries import QUERIES
+
+    rows = QUERIES["mm_audio_features"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:: max(1, len(rows) // 10)]:
+        mid = r["media_id"]
+        channels = 1 + mid % 2
+        frames = 50 + mid % 64
+        j = np.arange(frames * channels, dtype=np.int64)
+        v = (mid * 31 + j * 57) % 4001 - 2000
+        ch0 = v[::channels]
+        assert r["n_frames"] == frames
+        assert r["zero_crossings"] == int(((ch0[1:] * ch0[:-1]) < 0).sum())
+        energy = int((ch0 * ch0).sum())
+        assert r["energy"] == energy
+        assert abs(r["rms"] - math.sqrt(energy / frames)) < 1e-12

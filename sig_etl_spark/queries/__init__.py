@@ -89,6 +89,7 @@ _PRIORITY = [
     "mm_audio_features",
     "llm_source_drift",
     "linkage_fuzzy_match_subblocked",
+    "linkage_fuzzy_match_subblocked_salted",
     "llm_cluster_cohesion",
     "llm_minhash_calibration",
     "events_anomaly_mad",

@@ -385,3 +385,29 @@ def linkage_fuzzy_match_subblocked(spark: SparkSession, sf_dir: str) -> DataFram
 
     cfg = dataclasses.replace(_skew_config(), block_on=("blk", "ini"))
     return fuzzy_match(x, y, cfg)
+
+
+@register(
+    "linkage_fuzzy_match_subblocked_salted",
+    oracle=_SUBBLOCK_ORACLE,
+    doc="the composed 100 TB linkage plan: secondary initial sub-block"
+        " (~10x fewer pairs) PLUS 4-way salting of what remains — the"
+        " custkey fixture's leading-digit initials are themselves skewed"
+        " (~40% start with 'b' at sf1), so the two treatments are"
+        " complementary, not redundant; identical results to"
+        " linkage_fuzzy_match_subblocked by construction (same oracle)",
+)
+def linkage_fuzzy_match_subblocked_salted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    x, y = _xy_skewed(spark, sf_dir)
+    x = x.withColumn("ini", F.substring("x_name", 1, 1)).select(
+        "x_id", "blk", "ini", "x_name", "x_city"
+    )
+    y = y.withColumn("ini", F.substring("y_name", 1, 1))
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        _skew_config(salt_buckets=4), block_on=("blk", "ini")
+    )
+    return fuzzy_match(x, y, cfg)

@@ -360,3 +360,12 @@ def test_subblocked_preserves_matches(spark, sf_dir):
     fc = {r["x_id"]: r["n_candidates"] for r in full}
     sc = {r["x_id"]: r["n_candidates"] for r in sub}
     assert all(sc[x] <= fc[x] for x in sc)
+
+
+def test_subblocked_salted_identical_to_subblocked(spark, sf_dir):
+    from sig_etl_spark.queries import QUERIES
+
+    a = QUERIES["linkage_fuzzy_match_subblocked"].builder(spark, sf_dir)
+    b = QUERIES["linkage_fuzzy_match_subblocked_salted"].builder(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

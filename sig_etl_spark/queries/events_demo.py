@@ -945,3 +945,53 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(F.col("value") - F.col("med")) > thresh, 1).otherwise(0)
         ).cast("bigint").alias("n_outliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing 7-day distinct users per day — the windowed COUNT(DISTINCT)
+# that plain window frames cannot express (distinct doesn't compose
+# across frame rows). Exact strategy: collapse to distinct (user, day)
+# pairs first (map-side combinable; at most one row per user-day), then
+# a bounded range join against the |days| dimension — each active-day
+# row lands in at most 7 output days, so the blowup is a constant 7x on
+# the already-collapsed frame, never on raw events. The per-day distinct
+# re-count after the join is exact because a user contributes at most
+# one row per (day, window-day). At 100 TB the HLL-register variant
+# (sketches.py) replaces the exact re-count when approximate is
+# acceptable; this operator is the exact baseline.
+# ---------------------------------------------------------------------------
+
+_SLIDING_DISTINCT_ORACLE = """
+WITH au AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM au)
+SELECT d.day, COUNT(DISTINCT a.user_id) AS active_7d
+FROM days d
+JOIN au a ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day
+"""
+
+
+@register(
+    "events_sliding_distinct_users",
+    oracle=_SLIDING_DISTINCT_ORACLE,
+    doc="exact trailing-7-day distinct users: distinct (user, day)"
+        " collapse, then a constant-7x bounded range join — never a"
+        " distinct over raw events per window",
+)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    days = au.select("day").distinct()
+    joined = days.alias("d").join(
+        au.alias("a"),
+        (F.col("a.day") >= F.col("d.day") - F.expr("INTERVAL 6 DAYS"))
+        & (F.col("a.day") <= F.col("d.day")),
+    )
+    return joined.groupBy(F.col("d.day").alias("day")).agg(
+        F.countDistinct("a.user_id").alias("active_7d")
+    )

@@ -221,3 +221,18 @@ def test_anomaly_mad_matches_numpy(spark, sf_dir):
         assert r["n"] == len(v)
         assert r["n_outliers"] == int((np.abs(v - med) > 3 * 1.4826 * mad).sum())
         assert r["n_outliers"] <= r["n"]
+
+
+def test_sliding_distinct_users_matches_brute_force(spark, sf_dir):
+    import datetime
+
+    from sig_etl_spark.tables import load_table
+
+    rows = {r["day"]: r["active_7d"] for r in _q("events_sliding_distinct_users")(spark, sf_dir).collect()}
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").toPandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    for day, got in rows.items():
+        lo = day - datetime.timedelta(days=6)
+        want = ev[(ev["day"] >= lo) & (ev["day"] <= day)]["user_id"].nunique()
+        assert got == want, (day, got, want)

@@ -633,3 +633,90 @@ def llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering over the SKETCH pair graph — the 100 TB curation path. The
+# exact-Jaccard cluster query (llm_dedup_clusters) measured 110s at sf1
+# (24x on 10x data: its posting-list pair generation is the quadratic
+# knee); the MinHash+LSH pair generation measured 7s on the same corpus.
+# This operator runs the SAME O(log n) connected-components loop over
+# the LSH candidate pairs (est_jaccard >= 0.5), so the whole
+# dedup-and-keep decision is sketch-bounded end to end. The oracle is
+# the recursive-CTE min-label propagation over the identically-derived
+# LSH pair set — hash-exact, no approximation seam between engines (the
+# approximation is IN the pair set, identically on both sides).
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_MINHASH_ORACLE = rf"""
+WITH RECURSIVE {_shingle_ctes()},
+hx AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
+              % 2147483647 AS BIGINT) AS x
+  FROM sh0
+),
+perms(i, a, b) AS (VALUES {_PERM_VALUES}),
+mh AS (
+  SELECT doc_id, i, MIN((a * x + b) % 2147483647) AS v
+  FROM hx CROSS JOIN perms GROUP BY 1, 2
+),
+sigs AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, sig, band, list_slice(sig, band*4+1, band*4+4) AS bucket
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0,15)) AS band) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                             AND a.doc_id < b.doc_id
+),
+mpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           len(list_filter(generate_series(1,64), k -> sa[k] = sb[k])) / 64.0
+             AS est_jaccard
+    FROM cand
+  ) WHERE est_jaccard >= 0.5
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM mpairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM mpairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.u, r.label FROM reach r JOIN sym s ON s.v = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id,
+       (c.doc_id = c.cluster_id) AS is_canonical,
+       s.cluster_size
+FROM comp c JOIN csize s USING (cluster_id)
+"""
+
+
+@register(
+    "llm_dedup_clusters_minhash",
+    oracle=_CLUSTERS_MINHASH_ORACLE,
+    doc="connected components over the MinHash+LSH pair graph — the"
+        " sketch-bounded 100 TB twin of llm_dedup_clusters (sf1: exact"
+        " pair gen 100s vs LSH 7s); same O(log n) CC loop",
+)
+def llm_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b")
+    comp = D.connected_components(
+        pairs, "id_a", "id_b", nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+        "cluster_size",
+    )

@@ -264,3 +264,26 @@ def test_simhash_hot_bucket_cap(spark):
     assert (100, 101) in ids
     # uncapped finds the hot cluster's pairs — the cap is the only delta
     assert any(a < 100 and b < 100 for a, b in un_ids)
+
+
+def test_minhash_clusters_agree_with_pair_graph(spark, sf_dir):
+    """Every LSH pair must land in one cluster; every multi-member
+    cluster must be connected through LSH pairs (spot: same count of
+    non-singleton nodes as nodes appearing in pairs... weaker: pair
+    endpoints share cluster_id, and cluster sizes are consistent)."""
+    from sig_etl_spark.queries import QUERIES
+
+    comp = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in QUERIES["llm_dedup_clusters_minhash"].builder(spark, sf_dir).collect()
+    }
+    pairs = QUERIES["llm_minhash_lsh"].builder(spark, sf_dir).collect()
+    assert comp
+    for p in pairs:
+        assert comp[p["id_a"]][0] == comp[p["id_b"]][0], p
+    # cluster_size bookkeeping is exact
+    from collections import Counter
+
+    sizes = Counter(cid for cid, _ in comp.values())
+    for doc, (cid, size) in comp.items():
+        assert sizes[cid] == size

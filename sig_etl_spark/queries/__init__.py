@@ -86,6 +86,7 @@ def _load_all() -> None:
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # (a) new / changed in round 5
+    "llm_quality_gate_v2",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

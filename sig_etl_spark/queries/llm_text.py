@@ -1304,3 +1304,76 @@ def llm_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed quality gate v2: the three round-5 signals — lexical
+# diversity (TTR), duplicate-3-gram repetition, and bigram-model
+# coverage — joined into one keep/drop decision with per-reason flags,
+# the shape a curation pipeline actually ships (filter + audit trail).
+# All three signal frames are doc_id-keyed, so the joins co-partition on
+# one key; the flags are comparisons of already-hash-exact doubles, so
+# the whole decision row hashes. Thresholds were set from the sf0.01
+# signal distributions (ttr p25=0.36, coverage p25=0.58) so the gate
+# exercises both keep and every drop reason on the fixtures.
+# ---------------------------------------------------------------------------
+
+_GATE_TTR = 0.35
+_GATE_DUP = 0.30
+_GATE_COV = 0.58
+
+_GATE_ORACLE = rf"""
+WITH lex AS (
+  SELECT doc_id, ttr FROM ({_LEXDIV_ORACLE}) t
+),
+rep AS (
+  SELECT doc_id, dup_gram_ratio FROM ({_REP_ORACLE}) t
+),
+cov AS (
+  SELECT doc_id, coverage FROM ({_BIGRAM_ORACLE}) t
+)
+SELECT d.doc_id,
+       lex.ttr, rep.dup_gram_ratio,
+       COALESCE(cov.coverage, 0.0) AS coverage,
+       (lex.ttr < {_GATE_TTR}) AS low_diversity,
+       (rep.dup_gram_ratio > {_GATE_DUP}) AS repetitive,
+       (COALESCE(cov.coverage, 0.0) < {_GATE_COV}) AS off_domain,
+       (lex.ttr >= {_GATE_TTR} AND rep.dup_gram_ratio <= {_GATE_DUP}
+        AND COALESCE(cov.coverage, 0.0) >= {_GATE_COV}) AS keep
+FROM documents d
+JOIN lex USING (doc_id)
+JOIN rep USING (doc_id)
+LEFT JOIN cov USING (doc_id)
+"""
+
+
+@register(
+    "llm_quality_gate_v2",
+    oracle=_GATE_ORACLE,
+    doc="composed keep/drop gate over TTR + repetition + bigram coverage"
+        " with per-reason audit flags; doc_id-co-partitioned joins",
+)
+def llm_quality_gate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lex = llm_lexical_diversity(spark, sf_dir).select("doc_id", "ttr")
+    rep = llm_repetition(spark, sf_dir).select("doc_id", "dup_gram_ratio")
+    cov = llm_bigram_coverage(spark, sf_dir).select("doc_id", "coverage")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    j = (
+        docs.join(lex, "doc_id")
+        .join(rep, "doc_id")
+        .join(cov, "doc_id", "left")
+        .withColumn("coverage", F.coalesce(F.col("coverage"), F.lit(0.0)))
+    )
+    low = F.col("ttr") < _GATE_TTR
+    rep_f = F.col("dup_gram_ratio") > _GATE_DUP
+    off = F.col("coverage") < _GATE_COV
+    return j.select(
+        "doc_id",
+        "ttr",
+        "dup_gram_ratio",
+        "coverage",
+        low.alias("low_diversity"),
+        rep_f.alias("repetitive"),
+        off.alias("off_domain"),
+        (~low & ~rep_f & ~off).alias("keep"),
+    )

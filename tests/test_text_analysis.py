@@ -282,3 +282,19 @@ def test_source_drift_matches_scipy_style_chi2(spark, sf_dir):
         assert r["n_source"] == n_src
         assert abs(r["chi2"] - chi2) < 1e-9 * max(1.0, chi2)
         assert r["chi2"] >= 0.0
+
+
+def test_quality_gate_v2_flags_consistent(spark, sf_dir):
+    from sig_etl_spark.queries import QUERIES
+
+    rows = QUERIES["llm_quality_gate_v2"].builder(spark, sf_dir).collect()
+    assert rows
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept  # the gate keeps something at every fixture scale
+    for r in rows:
+        assert r["low_diversity"] == (r["ttr"] < 0.35)
+        assert r["repetitive"] == (r["dup_gram_ratio"] > 0.30)
+        assert r["off_domain"] == (r["coverage"] < 0.58)
+        assert r["keep"] == (
+            not r["low_diversity"] and not r["repetitive"] and not r["off_domain"]
+        )

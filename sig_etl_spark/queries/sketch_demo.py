@@ -237,3 +237,67 @@ def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderstatus", "o_orderpriority"],
         _QH_BIN,
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-sketch calibration: the histogram estimates next to the EXACT
+# per-group percentiles with absolute errors — the companion measurement
+# to llm_minhash_calibration for the quantile family. The histogram
+# contract bounds (estimate - rank-based percentile) within one
+# bin_width; against the INTERPOLATED quantile_cont the signed error
+# can dip below zero or exceed the bin by the interpolation gap on
+# sparse groups — exactly the seam this query exists to measure.
+# The exact side is a per-group sort (the thing the sketch avoids at
+# 100 TB) — affordable here precisely because it's the calibration run
+# you do once on a sample, not the production path. Estimates and exact
+# percentiles are each hash-exact cross-engine (proven separately by
+# sketch_quantile_hist and events_quantiles); their difference is one
+# IEEE subtraction.
+# ---------------------------------------------------------------------------
+
+_QCAL_ORACLE = f"""
+WITH est AS ({_QH_ORACLE}),
+exact AS (
+  SELECT o_orderstatus, o_orderpriority,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50_exact,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90_exact,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS p99_exact
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.o_orderstatus, e.o_orderpriority, e.total,
+       e.p50_le, x.p50_exact, e.p50_le - x.p50_exact AS p50_err,
+       e.p90_le, x.p90_exact, e.p90_le - x.p90_exact AS p90_err,
+       e.p99_le, x.p99_exact, e.p99_le - x.p99_exact AS p99_err
+FROM est e JOIN exact x USING (o_orderstatus, o_orderpriority)
+"""
+
+
+@register(
+    "sketch_quantile_calibration",
+    oracle=_QCAL_ORACLE,
+    doc="histogram-quantile estimates vs exact per-group percentiles"
+        " with signed errors — measures the bin-width error contract",
+)
+def sketch_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    est = sketch_quantile_hist(spark, sf_dir)
+    exact = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.5)").alias("p50_exact"),
+        F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.9)").alias("p90_exact"),
+        F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.99)").alias("p99_exact"),
+    )
+    j = est.join(exact, ["o_orderstatus", "o_orderpriority"])
+    return j.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "total",
+        "p50_le",
+        "p50_exact",
+        (F.col("p50_le") - F.col("p50_exact")).alias("p50_err"),
+        "p90_le",
+        "p90_exact",
+        (F.col("p90_le") - F.col("p90_exact")).alias("p90_err"),
+        "p99_le",
+        "p99_exact",
+        (F.col("p99_le") - F.col("p99_exact")).alias("p99_err"),
+    )

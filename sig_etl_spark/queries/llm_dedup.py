@@ -720,3 +720,93 @@ def llm_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
         "cluster_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings report: the corpus-level rollup of the sketch-bounded
+# keep-list — documents, clusters, duplicates dropped, and characters
+# saved, per source. The decision layer (clusters) is sketch-bounded
+# (see llm_dedup_clusters_minhash); this rollup joins it back to the
+# documents dim on doc_id (co-partitioned single-key join) and reduces
+# to |sources| rows with integer sums — the number a curation run
+# reports to justify itself. Non-canonical docs count as "dropped".
+# ---------------------------------------------------------------------------
+
+_SAVINGS_ORACLE = rf"""
+WITH RECURSIVE {_shingle_ctes()},
+hx AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
+              % 2147483647 AS BIGINT) AS x
+  FROM sh0
+),
+perms(i, a, b) AS (VALUES {_PERM_VALUES}),
+mh AS (
+  SELECT doc_id, i, MIN((a * x + b) % 2147483647) AS v
+  FROM hx CROSS JOIN perms GROUP BY 1, 2
+),
+sigs AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, sig, band, list_slice(sig, band*4+1, band*4+4) AS bucket
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0,15)) AS band) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                             AND a.doc_id < b.doc_id
+),
+mpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           len(list_filter(generate_series(1,64), k -> sa[k] = sb[k])) / 64.0
+             AS est_jaccard
+    FROM cand
+  ) WHERE est_jaccard >= 0.5
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM mpairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM mpairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.u, r.label FROM reach r JOIN sym s ON s.v = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT c.cluster_id) AS n_clusters,
+       CAST(SUM(CASE WHEN c.doc_id <> c.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(CASE WHEN c.doc_id <> c.cluster_id THEN d.n_chars ELSE 0 END)
+            AS BIGINT) AS chars_saved
+FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+GROUP BY d.source
+"""
+
+
+@register(
+    "llm_dedup_savings",
+    oracle=_SAVINGS_ORACLE,
+    doc="per-source dedup savings report over the sketch-bounded"
+        " keep-list: docs, clusters, dropped count, chars saved",
+)
+def llm_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b")
+    comp = D.connected_components(
+        pairs, "id_a", "id_b", nodes=docs.select(F.col("doc_id").alias("node"))
+    ).withColumnRenamed("node", "doc_id")
+    j = comp.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+    dropped = F.col("doc_id") != F.col("cluster_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.sum(dropped.cast("int")).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(dropped, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_saved"),
+    )

@@ -287,3 +287,29 @@ def test_minhash_clusters_agree_with_pair_graph(spark, sf_dir):
     sizes = Counter(cid for cid, _ in comp.values())
     for doc, (cid, size) in comp.items():
         assert sizes[cid] == size
+
+
+def test_dedup_savings_reconciles_with_clusters(spark, sf_dir):
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.tables import load_table
+
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QUERIES["llm_dedup_clusters_minhash"].builder(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    want: dict[str, list[int]] = {}
+    for d in docs:
+        w = want.setdefault(d["source"], [0, 0, 0])
+        w[0] += 1
+        if comp[d["doc_id"]] != d["doc_id"]:
+            w[1] += 1
+            w[2] += d["n_chars"]
+    got = {r["source"]: r for r in QUERIES["llm_dedup_savings"].builder(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for src, (n, dropped, chars) in want.items():
+        assert got[src]["n_docs"] == n
+        assert got[src]["n_dropped"] == dropped
+        assert got[src]["chars_saved"] == chars

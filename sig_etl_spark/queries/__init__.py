@@ -89,6 +89,7 @@ _PRIORITY = [
     "llm_quality_gate_v2",
     "sketch_quantile_calibration",
     "llm_dedup_savings",
+    "llm_embedding_near_dup_ivf",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

@@ -848,3 +848,91 @@ def llm_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         * _double_dot(F.col("cvec"), F.col("cvec"))
     )
     return scored.select("vec_id", "label", (num / den).alias("cos_centroid"))
+
+
+# Embedding near-dup via IVF cell blocking — the 100 TB fix for the
+# label-blocked exact twin (llm_embedding_near_dup measured 43x on 10x
+# data at sf1: label blocks grow with the corpus). Cells come from the
+# same fixed-size hash-ordered centroid sample the IVF top-k uses; each
+# vector is assigned to its 3 nearest cells, pairs are generated only
+# within cells, and every candidate is verified by exact cosine
+# (precision 1). Config was swept against the all-pairs truth at
+# sf0.01: 8 cells x 3 assignments = 93.5% recall at the fixture's weak
+# cos>=0.3 threshold (the fixture has no stronger pairs; at production
+# near-dup thresholds >=0.8 pairs co-locate in their nearest cell and
+# recall approaches 1 with far fewer assignments). n_centroids scales
+# with corpus at a fixed cell size, so pair work is LINEAR — an SRP-LSH
+# variant was built and rejected on measurement (see
+# similarity.ivf_near_dup_pairs docstring). The oracle derives the
+# identical cells and pair set, so the approximation lives identically
+# on both engines and the hash stays exact.
+# ---------------------------------------------------------------------------
+
+_ND_ASSIGN, _ND_CELL = 3, 256
+
+
+def _nd_ivf_oracle() -> str:
+    dot_vc = _dot_expr("x.embedding", "ct.cent_vec")
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+en AS (
+  SELECT vec_id, {_dot_expr("embedding", "embedding")} AS norm2 FROM e
+),
+centn AS (
+  -- adaptive cell count: max(8, corpus // {_ND_CELL}) — the constant-
+  -- cell-population rule the linear-scaling claim depends on
+  SELECT vec_id AS cent_id, embedding AS cent_vec,
+         {_dot_expr("embedding", "embedding")} AS cent_norm2
+  FROM (
+    SELECT * FROM (
+      SELECT *, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS crn
+      FROM e
+    ) WHERE crn <= GREATEST(8, (SELECT COUNT(*) FROM e) // {_ND_CELL})
+  )
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT x.vec_id, ct.cent_id,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY ({dot_vc} / sqrt(n.norm2 * ct.cent_norm2)) DESC, ct.cent_id
+           ) AS rn
+    FROM e x JOIN en n USING (vec_id) CROSS JOIN centn ct
+  ) WHERE rn <= {_ND_ASSIGN}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b ON a.cent_id = b.cent_id
+                             AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT cand.id_a, cand.id_b, ea.embedding AS va, eb.embedding AS vb
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.id_a
+  JOIN e eb ON eb.vec_id = cand.id_b
+),
+scored AS (
+  SELECT id_a, id_b,
+         {_dot_expr("va", "vb")}
+           / sqrt({_dot_expr("va", "va")} * {_dot_expr("vb", "vb")}) AS cosine
+  FROM pairs
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
+"""
+
+
+@register(
+    "llm_embedding_near_dup_ivf",
+    oracle=_nd_ivf_oracle(),
+    doc="near-dup pairs via IVF cell blocking (adaptive cell count,"
+        " 3-nearest assignment; swept to 93.5%% recall at sf0.01) +"
+        " exact-cosine verify — constant cell population keeps pair"
+        " work linear in corpus",
+)
+def llm_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_near_dup_pairs(
+        emb, "vec_id", "embedding",
+        threshold=0.3, nassign=_ND_ASSIGN, target_cell=_ND_CELL,
+    )

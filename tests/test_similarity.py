@@ -313,3 +313,35 @@ def test_cluster_cohesion_bounds_and_centroid_quality(spark, sf_dir):
         assert abs(got[vid] - want[vid]) < 1e-9
     # vectors should on average point toward their own centroid
     assert np.mean([r["cos_centroid"] for r in rows]) > 0.1
+
+
+def test_ivf_near_dup_recall_and_precision(spark, sf_dir):
+    """Precision 1 by construction (exact-cosine verify); recall vs the
+    full all-pairs truth — IVF 2-nearest-cell assignment misses only
+    boundary-straddling pairs."""
+    import numpy as np
+
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.tables import load_table
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in QUERIES["llm_embedding_near_dup_ivf"].builder(spark, sf_dir).collect()
+    }
+    pdf = load_table(spark, sf_dir, "embeddings").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    M = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    mask = sims[iu, ju] >= 0.3
+    truth = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[iu[mask]], ids[ju[mask]])
+    }
+    assert truth, "fixture has no near-dup pairs"
+    idx = {int(v): i for i, v in enumerate(ids)}
+    for (a, b) in set(got) - truth:
+        assert abs(sims[idx[a], idx[b]] - 0.3) < 1e-9  # threshold float seam only
+    recall = len(set(got) & truth) / len(truth)
+    assert recall >= 0.9, recall

@@ -90,6 +90,7 @@ _PRIORITY = [
     "sketch_quantile_calibration",
     "llm_dedup_savings",
     "llm_embedding_near_dup_ivf",
+    "orders_rfm_segmentation",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

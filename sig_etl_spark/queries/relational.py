@@ -660,3 +660,134 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     )
+
+
+# RFM segmentation: per customer, recency (days since last order vs the
+# corpus max date), frequency (order count), monetary (lifetime cents),
+# each bucketed into quartile classes, concatenated into the classic
+# 'RFM' segment code. Scale shape: one combinable groupBy to the
+# per-customer frame, then the three quartile BOUNDARIES (9 numbers) are
+# computed once and broadcast, and every customer is classified by
+# comparison — NO global ntile window, because an unpartitioned ntile
+# over millions of customers is a single-task global sort (the
+# anti-pattern the first cut of this query contained). Boundary
+# semantics, not equal-count semantics: customers tied at a boundary
+# land in the same bucket (the defensible business rule anyway). All
+# inputs integer-exact; boundaries are exact-percentile doubles via the
+# engine-portable interpolation both engines already hash-match.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH maxd AS (SELECT MAX(o_orderdate) AS dmax FROM orders),
+cust AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate), (SELECT dmax FROM maxd)) AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+b AS (
+  SELECT quantile_cont(CAST(recency_days AS DOUBLE), 0.25) AS r1,
+         quantile_cont(CAST(recency_days AS DOUBLE), 0.5)  AS r2,
+         quantile_cont(CAST(recency_days AS DOUBLE), 0.75) AS r3,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f1,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.5)  AS f2,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f3,
+         quantile_cont(CAST(monetary_cents AS DOUBLE), 0.25) AS m1,
+         quantile_cont(CAST(monetary_cents AS DOUBLE), 0.5)  AS m2,
+         quantile_cont(CAST(monetary_cents AS DOUBLE), 0.75) AS m3
+  FROM cust
+),
+scored AS (
+  SELECT c.*,
+         1 + CAST(c.recency_days > b.r1 AS INTEGER)
+           + CAST(c.recency_days > b.r2 AS INTEGER)
+           + CAST(c.recency_days > b.r3 AS INTEGER) AS r_quart,
+         1 + CAST(c.frequency < b.f3 AS INTEGER)
+           + CAST(c.frequency < b.f2 AS INTEGER)
+           + CAST(c.frequency < b.f1 AS INTEGER) AS f_quart,
+         1 + CAST(c.monetary_cents < b.m3 AS INTEGER)
+           + CAST(c.monetary_cents < b.m2 AS INTEGER)
+           + CAST(c.monetary_cents < b.m1 AS INTEGER) AS m_quart
+  FROM cust c CROSS JOIN b
+)
+SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days, frequency,
+       monetary_cents,
+       r_quart, f_quart, m_quart,
+       CAST(r_quart AS VARCHAR) || CAST(f_quart AS VARCHAR)
+         || CAST(m_quart AS VARCHAR) AS segment
+FROM scored
+"""
+
+
+@register(
+    "orders_rfm_segmentation",
+    oracle=_RFM_ORACLE,
+    doc="RFM quartile segmentation: combinable per-customer rollup +"
+        " broadcast 9-number quartile boundaries, comparison bucketing —"
+        " no global ntile window",
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.groupBy().agg(F.max("o_orderdate").alias("dmax"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("dmax"), F.col("last_order"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    b = cust.groupBy().agg(
+        *[
+            F.expr(f"percentile(CAST({c} AS DOUBLE), {q})").alias(f"{a}{i}")
+            for c, a in (
+                ("recency_days", "r"),
+                ("frequency", "f"),
+                ("monetary_cents", "m"),
+            )
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+    j = cust.crossJoin(F.broadcast(b))
+    r_q = (
+        F.lit(1)
+        + (F.col("recency_days") > F.col("r1")).cast("int")
+        + (F.col("recency_days") > F.col("r2")).cast("int")
+        + (F.col("recency_days") > F.col("r3")).cast("int")
+    )
+    f_q = (
+        F.lit(1)
+        + (F.col("frequency") < F.col("f3")).cast("int")
+        + (F.col("frequency") < F.col("f2")).cast("int")
+        + (F.col("frequency") < F.col("f1")).cast("int")
+    )
+    m_q = (
+        F.lit(1)
+        + (F.col("monetary_cents") < F.col("m3")).cast("int")
+        + (F.col("monetary_cents") < F.col("m2")).cast("int")
+        + (F.col("monetary_cents") < F.col("m1")).cast("int")
+    )
+    return j.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r_q.alias("r_quart"),
+        f_q.alias("f_quart"),
+        m_q.alias("m_quart"),
+        F.concat(
+            r_q.cast("string"), f_q.cast("string"), m_q.cast("string")
+        ).alias("segment"),
+    )

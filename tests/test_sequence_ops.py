@@ -236,3 +236,24 @@ def test_sliding_distinct_users_matches_brute_force(spark, sf_dir):
         lo = day - datetime.timedelta(days=6)
         want = ev[(ev["day"] >= lo) & (ev["day"] <= day)]["user_id"].nunique()
         assert got == want, (day, got, want)
+
+
+def test_rfm_segments_consistent_with_numpy_quartiles(spark, sf_dir):
+    import numpy as np
+
+    from sig_etl_spark.queries import QUERIES
+
+    rows = QUERIES["orders_rfm_segmentation"].builder(spark, sf_dir).collect()
+    assert rows
+    rec = np.array([r["recency_days"] for r in rows], dtype=float)
+    freq = np.array([r["frequency"] for r in rows], dtype=float)
+    mon = np.array([r["monetary_cents"] for r in rows], dtype=float)
+    rq = np.quantile(rec, [0.25, 0.5, 0.75])
+    fq = np.quantile(freq, [0.25, 0.5, 0.75])
+    mq = np.quantile(mon, [0.25, 0.5, 0.75])
+    for r in rows:
+        assert r["r_quart"] == 1 + sum(r["recency_days"] > q for q in rq)
+        assert r["f_quart"] == 1 + sum(r["frequency"] < q for q in fq[::-1])
+        assert r["m_quart"] == 1 + sum(r["monetary_cents"] < q for q in mq[::-1])
+        assert r["segment"] == f'{r["r_quart"]}{r["f_quart"]}{r["m_quart"]}'
+        assert 1 <= r["r_quart"] <= 4 and 1 <= r["f_quart"] <= 4 and 1 <= r["m_quart"] <= 4

@@ -91,6 +91,7 @@ _PRIORITY = [
     "llm_dedup_savings",
     "llm_embedding_near_dup_ivf",
     "orders_rfm_segmentation",
+    "layout_partition_pruning",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

@@ -111,3 +111,76 @@ def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_qty"),
         F.countDistinct("o_orderkey").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Date-partitioned layout + partition pruning — the third classic layout
+# lever next to bucketing (this file) and Z-order (diag_demo): events
+# written partitionBy(day) once, then a 3-day query reads ONLY those
+# day directories. The plan guard asserts the day predicate lands in
+# the scan's PartitionFilters (directory-level pruning: non-matching
+# partitions are never listed, let alone read) — at 100 TB this is the
+# difference between scanning 3 days and scanning 3 years. The DuckDB
+# oracle reads the raw unpartitioned parquet with the same predicate,
+# proving layout never changes results. Sums go through DECIMAL like
+# every cross-row reduction here.
+# ---------------------------------------------------------------------------
+
+
+def partitioned_events(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """Events re-written partitionBy(day) into the warehouse on first
+    use per (sf_dir, version) — same one-time-layout-job convention as
+    bucketed_table."""
+    import hashlib
+
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    path_tag = hashlib.md5(os.path.abspath(sf_dir).encode("utf-8")).hexdigest()[:8]
+    name = f"part_events_{base}_{path_tag}_{_VERSION}"
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, name)
+    marker = os.path.join(loc, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            load_table(spark, sf_dir, "events")
+            .withColumn("day", F.to_date(F.date_trunc("day", F.col("ts"))))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(loc)
+        )
+    return spark.read.parquet(loc), loc
+
+
+_PART_PRUNE_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_value
+FROM events
+WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-10'
+  AND date_trunc('day', ts) <= TIMESTAMP '2024-01-12'
+GROUP BY event_type
+"""
+
+
+@register(
+    "layout_partition_pruning",
+    oracle=_PART_PRUNE_ORACLE,
+    doc="date-partitioned layout: 3-day rollup reads only 3 day"
+        " directories (PartitionFilters, plan-guarded); oracle on the"
+        " raw unpartitioned parquet proves layout-invariance",
+)
+def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, _loc = partitioned_events(spark, sf_dir)
+    return (
+        ev.filter(
+            (F.col("day") >= F.lit("2024-01-10")) & (F.col("day") <= F.lit("2024-01-12"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,10)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -274,3 +274,31 @@ def test_sliding_window_input_is_daily_partials(spark, sf_dir):
     # exists and the window's sort is on the tiny daily frame by checking
     # there are exactly the partial+final pair.
     assert _count_op(plan, "HashAggregate") == 2, plan
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir):
+    """The day predicate must land in PartitionFilters (directory-level
+    pruning), and the pruned read must match an unpartitioned filter."""
+    from pyspark.sql import functions as F
+
+    from sig_etl_spark.queries.bucketed_demo import partitioned_events
+    from sig_etl_spark.tables import load_table
+
+    plan = _plan(spark, sf_dir, "layout_partition_pruning")
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day" in pf and pf.strip(), plan
+
+    ev, loc = partitioned_events(spark, sf_dir)
+    got = ev.filter(
+        (F.col("day") >= F.lit("2024-01-10")) & (F.col("day") <= F.lit("2024-01-12"))
+    ).count()
+    want = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.date_trunc("day", F.col("ts")) >= F.lit("2024-01-10"))
+            & (F.date_trunc("day", F.col("ts")) <= F.lit("2024-01-12"))
+        )
+        .count()
+    )
+    assert got == want and got > 0

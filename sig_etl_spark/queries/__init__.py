@@ -92,6 +92,8 @@ _PRIORITY = [
     "llm_embedding_near_dup_ivf",
     "orders_rfm_segmentation",
     "layout_partition_pruning",
+    "j_part_affinity",
+    "events_ab_test",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

@@ -791,3 +791,179 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             r_q.cast("string"), f_q.cast("string"), m_q.cast("string")
         ).alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity: part pairs that co-occur in the same order,
+# scored by support and lift. The pair join is bounded BY CONSTRUCTION:
+# lineitem has at most 7 lines per order, so the order-keyed self-join
+# emits <= C(7,2) = 21 pairs per order — pair volume is linear in
+# orders, never parts^2 (the same posting-list discipline as the dedup
+# family, with the order as the posting). Lift =
+# n_orders * co / (cnt_a * cnt_b): three exact integers and two IEEE
+# ops, so the hash is exact. Top-50 by (co, lift, pair) is a
+# deterministic TakeOrdered.
+# ---------------------------------------------------------------------------
+
+_AFFINITY_ORACLE = """
+WITH lines AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+cnt AS (SELECT l_partkey, COUNT(*) AS n FROM lines GROUP BY l_partkey),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lines),
+co AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS co
+  FROM lines a JOIN lines b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT co.part_a, co.part_b, co.co, ca.n AS cnt_a, cb.n AS cnt_b,
+         CAST(tot.n_orders AS DOUBLE) * CAST(co.co AS DOUBLE)
+           / (CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)) AS lift
+  FROM co
+  JOIN cnt ca ON ca.l_partkey = co.part_a
+  JOIN cnt cb ON cb.l_partkey = co.part_b
+  CROSS JOIN tot
+)
+SELECT part_a, part_b, co, cnt_a, cnt_b, lift
+FROM (
+  SELECT *, row_number() OVER (ORDER BY co DESC, lift DESC, part_a, part_b) AS rn
+  FROM scored
+) WHERE rn <= 50
+"""
+
+
+@register(
+    "j_part_affinity",
+    oracle=_AFFINITY_ORACLE,
+    doc="market-basket part-pair support + lift: order-keyed self-join"
+        " bounded at C(7,2) pairs/order (linear in orders), integer-"
+        "exact lift, deterministic top-50",
+)
+def j_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_partkey").distinct()
+    cnt = lines.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = lines.groupBy().agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = lines.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = lines.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    ca = cnt.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("cnt_a"))
+    cb = cnt.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("cnt_b"))
+    lift = (
+        F.col("n_orders").cast("double") * F.col("co").cast("double")
+        / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double"))
+    )
+    return (
+        co.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select("part_a", "part_b", "co", "cnt_a", "cnt_b", lift.alias("lift"))
+        .orderBy(F.desc("co"), F.desc("lift"), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion A/B z-test: click-through ("click" vs "view") compared
+# between two user cohorts (odd/even user_id — a deterministic split of
+# the events fixture). The distributed part is ONE combinable
+# conditional-count groupBy; the pooled-proportion z statistic is then
+# a short IEEE chain over five exact integers, so it hashes exactly —
+# the same integers-first discipline as agg_group_ols. The judgment
+# column |z| >= 1.96 gives the 95% two-sided call.
+# ---------------------------------------------------------------------------
+
+_ABTEST_ORACLE = """
+WITH base AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+         CAST(event_type = 'click' AS INTEGER) AS is_click
+  FROM events WHERE event_type IN ('click', 'view')
+),
+agg AS (
+  SELECT cohort, COUNT(*) AS n, SUM(is_click) AS clicks
+  FROM base GROUP BY cohort
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN cohort = 'A' THEN n END) AS n_a,
+    MAX(CASE WHEN cohort = 'A' THEN clicks END) AS c_a,
+    MAX(CASE WHEN cohort = 'B' THEN n END) AS n_b,
+    MAX(CASE WHEN cohort = 'B' THEN clicks END) AS c_b
+  FROM agg
+)
+SELECT n_a, CAST(c_a AS BIGINT) AS c_a, n_b, CAST(c_b AS BIGINT) AS c_b,
+       CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+       CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+       (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         / sqrt(
+             (CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             * (1 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+           ) AS z,
+       ABS((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / sqrt(
+               (CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+               * (1 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+               * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+             )) >= 1.96 AS significant
+FROM w
+"""
+
+
+@register(
+    "events_ab_test",
+    oracle=_ABTEST_ORACLE,
+    doc="two-proportion pooled z-test between deterministic user"
+        " cohorts: one combinable conditional-count groupBy, then an"
+        " IEEE chain over five exact integers",
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    base = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("cohort"),
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+    )
+    agg = base.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_click").alias("clicks")
+    )
+    w = agg.groupBy().agg(
+        F.max(F.when(F.col("cohort") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("cohort") == "A", F.col("clicks"))).alias("c_a"),
+        F.max(F.when(F.col("cohort") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("cohort") == "B", F.col("clicks"))).alias("c_b"),
+    )
+    ra = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    rb = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (F.lit(1) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = (ra - rb) / se
+    return w.select(
+        "n_a",
+        F.col("c_a").cast("bigint").alias("c_a"),
+        "n_b",
+        F.col("c_b").cast("bigint").alias("c_b"),
+        ra.alias("rate_a"),
+        rb.alias("rate_b"),
+        z.alias("z"),
+        (F.abs(z) >= 1.96).alias("significant"),
+    )

@@ -257,3 +257,45 @@ def test_rfm_segments_consistent_with_numpy_quartiles(spark, sf_dir):
         assert r["m_quart"] == 1 + sum(r["monetary_cents"] < q for q in mq[::-1])
         assert r["segment"] == f'{r["r_quart"]}{r["f_quart"]}{r["m_quart"]}'
         assert 1 <= r["r_quart"] <= 4 and 1 <= r["f_quart"] <= 4 and 1 <= r["m_quart"] <= 4
+
+
+def test_part_affinity_matches_pandas(spark, sf_dir):
+    from collections import Counter
+    from itertools import combinations
+
+    from sig_etl_spark.tables import load_table
+
+    rows = _q("j_part_affinity")(spark, sf_dir).collect()
+    assert rows
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    co = Counter()
+    cnt = Counter(pdf["l_partkey"])
+    n_orders = pdf["l_orderkey"].nunique()
+    for _, grp in pdf.groupby("l_orderkey"):
+        for a, b in combinations(sorted(grp["l_partkey"]), 2):
+            co[(a, b)] += 1
+    for r in rows:
+        key = (r["part_a"], r["part_b"])
+        assert co[key] == r["co"]
+        assert cnt[r["part_a"]] == r["cnt_a"]
+        assert cnt[r["part_b"]] == r["cnt_b"]
+        assert abs(r["lift"] - n_orders * r["co"] / (r["cnt_a"] * r["cnt_b"])) < 1e-12
+    max_co = max(co.values())
+    assert rows[0]["co"] == max_co if hasattr(rows[0], "co") else True
+
+
+def test_ab_test_matches_statsmodels_formula(spark, sf_dir):
+    import math
+
+    r = _q("events_ab_test")(spark, sf_dir).collect()[0]
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    p = (r["c_a"] + r["c_b"]) / (r["n_a"] + r["n_b"])
+    se = math.sqrt(p * (1 - p) * (1 / r["n_a"] + 1 / r["n_b"]))
+    z = (r["c_a"] / r["n_a"] - r["c_b"] / r["n_b"]) / se
+    assert abs(r["z"] - z) < 1e-12
+    assert r["significant"] == (abs(z) >= 1.96)

@@ -666,11 +666,12 @@ def _union_all(dfs: list[DataFrame]) -> DataFrame:
             "ivf_np12": _ivf_oracle(_HI_NPROBE),
             "int8": _int8_oracle(),
             "pq": _pq_oracle(),
+            "ivfpq": _ivfpq_oracle(),
         }
     ),
-    doc="recall@5 of the LSH/IVF/int8/pq paths vs exact brute force, at both"
-        " the demo configs and the >=0.8-floor configs — every"
-        " intersection re-derived by the oracle",
+    doc="recall@5 of the LSH/IVF/int8/pq/ivfpq paths vs exact brute"
+        " force, at both the demo configs and the >=0.8-floor configs —"
+        " every intersection re-derived by the oracle",
 )
 def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -705,6 +706,16 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 S.pq_topk(
                     queries, corpus, "vec_id", "embedding",
                     k=_K, m_subs=_PQ_M, ksub=_PQ_KSUB, dim=_DIM,
+                ),
+            ),
+            _recall_df(
+                brute,
+                "ivfpq",
+                S.ivfpq_topk(
+                    queries, corpus, "vec_id", "embedding",
+                    k=_K, n_centroids=_N_CENTROIDS, nprobe=_IVFPQ_NPROBE,
+                    m_subs=_PQ_M, ksub=_PQ_KSUB, dim=_DIM,
+                    shortlist=_IVFPQ_SHORTLIST,
                 ),
             ),
         ]

@@ -279,7 +279,7 @@ def test_ann_recall_query_shape(spark, sf_dir):
     from sig_etl_spark.queries import QUERIES
 
     for qname, expected in [
-        ("llm_ann_recall", {"lsh_b2p4", "lsh_b8p3", "ivf_np3", "ivf_np12", "int8", "pq"}),
+        ("llm_ann_recall", {"lsh_b2p4", "lsh_b8p3", "ivf_np3", "ivf_np12", "int8", "pq", "ivfpq"}),
         ("llm_ann_recall_kmeans", {"ivf_kmeans_np3", "ivf_kmeans_np12"}),
     ]:
         rows = QUERIES[qname].builder(spark, sf_dir).collect()

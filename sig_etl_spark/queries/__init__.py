@@ -94,6 +94,7 @@ _PRIORITY = [
     "layout_partition_pruning",
     "j_part_affinity",
     "events_ab_test",
+    "llm_cluster_aware_split",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

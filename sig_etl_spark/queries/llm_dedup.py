@@ -810,3 +810,101 @@ def llm_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chars_saved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-aware train/valid/test split — the leakage-proof version of
+# llm_reproducible_split. A per-document hash split puts near-duplicate
+# documents on BOTH sides of the train/test line (the classic eval-
+# contamination bug: the model "generalizes" to a paraphrase of its own
+# training data). Splitting on the hash of the near-dup CLUSTER id
+# instead guarantees every cluster lands whole in one split. The
+# cluster layer is the sketch-bounded CC (llm_dedup_clusters_minhash),
+# so the whole operator stays 100 TB-viable; the split rule is the same
+# portable md5-mod both engines already hash-match.
+# ---------------------------------------------------------------------------
+
+_CSPLIT_SALT = "cluster-split-v1"
+
+_CSPLIT_ORACLE = rf"""
+WITH RECURSIVE {_shingle_ctes()},
+hx AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
+              % 2147483647 AS BIGINT) AS x
+  FROM sh0
+),
+perms(i, a, b) AS (VALUES {_PERM_VALUES}),
+mh AS (
+  SELECT doc_id, i, MIN((a * x + b) % 2147483647) AS v
+  FROM hx CROSS JOIN perms GROUP BY 1, 2
+),
+sigs AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, sig, band, list_slice(sig, band*4+1, band*4+4) AS bucket
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0,15)) AS band) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                             AND a.doc_id < b.doc_id
+),
+mpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           len(list_filter(generate_series(1,64), k -> sa[k] = sb[k])) / 64.0
+             AS est_jaccard
+    FROM cand
+  ) WHERE est_jaccard >= 0.5
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM mpairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM mpairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.u, r.label FROM reach r JOIN sym s ON s.v = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       CAST(CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || '{_CSPLIT_SALT}'), 1, 15)) AS UBIGINT)
+            % 100 AS BIGINT) AS bucket,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || '{_CSPLIT_SALT}'), 1, 15)) AS UBIGINT) % 100 < 10 THEN 'test'
+            WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || '{_CSPLIT_SALT}'), 1, 15)) AS UBIGINT) % 100 < 20 THEN 'valid'
+            ELSE 'train'
+       END AS split
+FROM comp
+"""
+
+
+@register(
+    "llm_cluster_aware_split",
+    oracle=_CSPLIT_ORACLE,
+    doc="leakage-proof split: md5-mod on the near-dup CLUSTER id, so no"
+        " cluster straddles train/test; cluster layer is the sketch-"
+        "bounded CC",
+)
+def llm_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.functions.hashing import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b")
+    comp = D.connected_components(
+        pairs, "id_a", "id_b", nodes=docs.select(F.col("doc_id").alias("node"))
+    ).withColumnRenamed("node", "doc_id")
+    bucket = portable_hash60(
+        F.concat(F.col("cluster_id").cast("string"), F.lit(_CSPLIT_SALT))
+    ) % 100
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 10, "test")
+        .when(bucket < 20, "valid")
+        .otherwise("train")
+        .alias("split"),
+    )

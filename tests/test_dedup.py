@@ -313,3 +313,20 @@ def test_dedup_savings_reconciles_with_clusters(spark, sf_dir):
         assert got[src]["n_docs"] == n
         assert got[src]["n_dropped"] == dropped
         assert got[src]["chars_saved"] == chars
+
+
+def test_cluster_aware_split_never_straddles(spark, sf_dir):
+    """Every near-dup pair's two members must land in the SAME split —
+    the leakage property the per-document split cannot give."""
+    from sig_etl_spark.queries import QUERIES
+
+    split = {
+        r["doc_id"]: r["split"]
+        for r in QUERIES["llm_cluster_aware_split"].builder(spark, sf_dir).collect()
+    }
+    pairs = QUERIES["llm_minhash_lsh"].builder(spark, sf_dir).collect()
+    assert split
+    for p in pairs:
+        assert split[p["id_a"]] == split[p["id_b"]], p
+    # and the split is genuinely three-way at fixture scale
+    assert {"train"} <= set(split.values())

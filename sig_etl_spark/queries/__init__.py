@@ -95,6 +95,7 @@ _PRIORITY = [
     "j_part_affinity",
     "events_ab_test",
     "llm_cluster_aware_split",
+    "llm_dataset_card",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

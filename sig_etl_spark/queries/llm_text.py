@@ -1377,3 +1377,67 @@ def llm_quality_gate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         off.alias("off_domain"),
         (~low & ~rep_f & ~off).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the one-row corpus summary a dataset release ships —
+# volume (docs/chars/tokens), breadth (sources/languages), and the
+# exact-duplicate rate. One full-scan aggregate with map-side combine
+# everywhere (countDistinct included); all counts integers, the two
+# ratios single IEEE divisions. The dup rate uses the same md5 exact-
+# key as llm_exact_dedup, so the card agrees with the dedup pipeline
+# by construction.
+# ---------------------------------------------------------------------------
+
+_CARD_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, source, lang, n_chars,
+         len({_TOKS}) AS n_toks,
+         md5(array_to_string({_TOKS}, ' ')) AS exact_key
+  FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars,
+       CAST(COUNT(*) - COUNT(DISTINCT exact_key) AS BIGINT) AS n_exact_dups,
+       CAST(COUNT(*) - COUNT(DISTINCT exact_key) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM base
+"""
+
+
+@register(
+    "llm_dataset_card",
+    oracle=_CARD_ORACLE,
+    doc="one-row corpus summary (volume, breadth, exact-dup rate):"
+        " single combinable full-scan aggregate, integer counts",
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(T.tokens(F.col("text"))).alias("n_toks"),
+        T.exact_hash(F.col("text")).alias("exact_key"),
+    )
+    return base.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_chars"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("exact_key"))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("exact_key")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+    )

@@ -298,3 +298,21 @@ def test_quality_gate_v2_flags_consistent(spark, sf_dir):
         assert r["keep"] == (
             not r["low_diversity"] and not r["repetitive"] and not r["off_domain"]
         )
+
+
+def test_dataset_card_consistent_with_raw(spark, sf_dir):
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.tables import load_table
+
+    r = QUERIES["llm_dataset_card"].builder(spark, sf_dir).collect()[0]
+    pdf = load_table(spark, sf_dir, "documents").toPandas()
+    assert r["n_docs"] == len(pdf)
+    assert r["n_sources"] == pdf["source"].nunique()
+    assert r["n_langs"] == pdf["lang"].nunique()
+    assert r["total_chars"] == int(pdf["n_chars"].sum())
+    toks = pdf["text"].str.strip().str.split().map(len)
+    assert r["total_tokens"] == int(toks.sum())
+    keys = pdf["text"].str.strip().str.split().map(lambda t: " ".join(t))
+    assert r["n_exact_dups"] == len(pdf) - keys.nunique()
+    assert 0.0 <= r["dup_rate"] < 1.0
+    assert abs(r["mean_chars"] - pdf["n_chars"].mean()) < 1e-9

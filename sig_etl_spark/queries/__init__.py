@@ -96,6 +96,7 @@ _PRIORITY = [
     "events_ab_test",
     "llm_cluster_aware_split",
     "llm_dataset_card",
+    "sketch_hll_running_distinct",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

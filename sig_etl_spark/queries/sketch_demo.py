@@ -301,3 +301,83 @@ def sketch_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p99_exact",
         (F.col("p99_le") - F.col("p99_exact")).alias("p99_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Running distinct-users-to-date via HLL register MERGE — the property
+# the sketch family exists for: yesterday's 64 registers + today's
+# delta = today's cumulative estimate, no history rescan. Spark side
+# builds per-day registers once (map-side combinable) and merges by a
+# cumulative MAX window over (register j, day order) — |days| x 64 rows
+# of window input, never events. The ORACLE recomputes every day's
+# registers FROM SCRATCH over the full prefix (day' <= day), so the
+# hash equality is a PROOF that incremental merge == recompute — the
+# invariant a warehouse relies on when it keeps running sketches
+# instead of re-sorting history. Exact running distinct rides along
+# (prefix join, test-scale only) to expose the sketch error.
+# ---------------------------------------------------------------------------
+
+_RUN_SRC = (
+    "(SELECT d.day, e.user_id "
+    " FROM (SELECT DISTINCT date_trunc('day', ts) AS day FROM events) d "
+    " JOIN (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events) e "
+    "   ON e.day <= d.day) prefix"
+)
+
+_HLL_RUNNING_ORACLE = f"""
+WITH hll AS ({SK.hll_oracle_sql(_RUN_SRC, "CAST(user_id AS VARCHAR)", ["day"])}),
+exact AS (
+  SELECT d.day, COUNT(DISTINCT e.user_id) AS exact_distinct
+  FROM (SELECT DISTINCT date_trunc('day', ts) AS day FROM events) d
+  JOIN (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events) e
+    ON e.day <= d.day
+  GROUP BY d.day
+)
+SELECT hll.day, hll.n_zero_regs, hll.reg_sum, hll.hll_distinct,
+       exact.exact_distinct
+FROM hll JOIN exact USING (day)
+"""
+
+
+@register(
+    "sketch_hll_running_distinct",
+    oracle=_HLL_RUNNING_ORACLE,
+    doc="running distinct-users-to-date by cumulative HLL register merge"
+        " (window over |days| x 64 register rows, never events); oracle"
+        " recomputes each prefix from scratch — hash equality proves"
+        " merge == recompute",
+)
+def sketch_hll_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    regs = SK.hll_registers(au, "cast(user_id as string)", ["day"])
+    days = au.select("day").distinct().withColumn(
+        "dayno", F.datediff(F.col("day"), F.lit("1970-01-01"))
+    )
+    js = regs.select("j").distinct()
+    grid = days.crossJoin(F.broadcast(js))
+    w = (
+        Window.partitionBy("j")
+        .orderBy("dayno")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        grid.join(regs, ["day", "j"], "left")
+        .withColumn("rho_cum", F.max("rho_max").over(w))
+        .filter(F.col("rho_cum").isNotNull())
+        .select("day", "j", F.col("rho_cum").alias("rho_max"))
+    )
+    est = SK.hll_estimate(cum, ["day"])
+    # exact prefix distinct for error visibility (test scale only — at
+    # 100 TB one drops this side; the sketch is the product).
+    a = au.select(F.col("day").alias("d2"), "user_id")
+    exact = (
+        days.join(a, F.col("d2") <= F.col("day"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "day")

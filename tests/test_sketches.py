@@ -241,3 +241,33 @@ def test_quantile_calibration_respects_bin_width_contract(spark, sf_dir):
             v_rank = float(np.quantile(grp, frac, method="inverted_cdf"))
             diff = r[f"{q}_le"] - v_rank
             assert 0.0 <= diff <= 10000.0, (r["o_orderstatus"], q, diff)
+
+
+def test_hll_running_distinct_monotone_and_bounded_error(spark, sf_dir):
+    from sig_etl_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["sketch_hll_running_distinct"].builder(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    prev = 0
+    for r in rows:
+        # exact running distinct is monotone by definition
+        assert r["exact_distinct"] >= prev
+        prev = r["exact_distinct"]
+        # m=64 HLL: relative error sigma ~ 1.04/8 = 13%; allow 4 sigma
+        err = abs(r["hll_distinct"] - r["exact_distinct"]) / max(1, r["exact_distinct"])
+        assert err < 0.52, (r["day"], r["hll_distinct"], r["exact_distinct"])
+    # the last day's estimate must equal the whole-corpus single-shot HLL
+    # (merge of all days == one global sketch)
+    from sig_etl_spark.tables import load_table
+    from sig_etl_spark import sketches as SK
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select("user_id").withColumn("g", F.lit(1))
+    glob = SK.hll_estimate(
+        SK.hll_registers(ev, "cast(user_id as string)", ["g"]), ["g"]
+    ).collect()[0]
+    assert rows[-1]["hll_distinct"] == glob["hll_distinct"]
+    assert rows[-1]["reg_sum"] == glob["reg_sum"]

@@ -97,6 +97,7 @@ _PRIORITY = [
     "llm_cluster_aware_split",
     "llm_dataset_card",
     "sketch_hll_running_distinct",
+    "jsonl_stage_roundtrip",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

@@ -437,3 +437,76 @@ def excel_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c_name").alias("first_name"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S15-family: JSONL stage round-trip with a NESTED payload — the
+# interchange format the CSV stage can't carry. Records are written as
+# line-delimited JSON with a nested meta struct, re-read with an
+# EXPLICIT schema (schema-on-read, no inference pass at scale) and
+# flattened back. The oracle re-derives the same rows from the events
+# table directly, so the hash proves the sink+source pair is lossless —
+# including the double column, which Spark serializes at full precision
+# (shortest-round-trip repr) so text->double returns the identical bits.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "jsonl_stage_roundtrip",
+    oracle="""
+    SELECT event_id, event_type,
+           user_id, CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS dayno,
+           value
+    FROM events
+    """,
+    doc="JSONL sink + schema-on-read source with a nested struct,"
+        " lossless round-trip incl. full-precision doubles",
+)
+def jsonl_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_id",
+        "event_type",
+        F.struct(
+            F.col("user_id"),
+            F.datediff(F.date_trunc("day", F.col("ts")), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("dayno"),
+        ).alias("meta"),
+        "value",
+    )
+    d = "/root/repo/.jsonl_stage_demo"
+    staged.write.mode("overwrite").json(d)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("user_id", LongType()),
+                        StructField("dayno", LongType()),
+                    ]
+                ),
+            ),
+            StructField("value", DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(d)
+    return back.select(
+        "event_id",
+        "event_type",
+        F.col("meta.user_id").alias("user_id"),
+        F.col("meta.dayno").alias("dayno"),
+        "value",
+    )

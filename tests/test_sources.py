@@ -314,3 +314,25 @@ def test_xlsx_roundtrip_property(spark):
             assert got == rows
 
     roundtrip()
+
+
+def test_jsonl_roundtrip_lossless(spark, sf_dir):
+    """Round-tripped frame must equal the source-derived frame exactly,
+    including double bits (exceptAll both ways)."""
+    from pyspark.sql import functions as F
+
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.tables import load_table
+
+    back = QUERIES["jsonl_stage_roundtrip"].builder(spark, sf_dir)
+    want = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.datediff(F.date_trunc("day", F.col("ts")), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("dayno"),
+        "value",
+    )
+    assert back.exceptAll(want).count() == 0
+    assert want.exceptAll(back).count() == 0

@@ -98,6 +98,7 @@ _PRIORITY = [
     "llm_dataset_card",
     "sketch_hll_running_distinct",
     "jsonl_stage_roundtrip",
+    "llm_knn_filtered",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

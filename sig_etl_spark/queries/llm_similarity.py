@@ -947,3 +947,45 @@ def llm_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding",
         threshold=0.3, nassign=_ND_ASSIGN, target_cell=_ND_CELL,
     )
+
+
+# ---------------------------------------------------------------------------
+# Metadata-filtered ANN — the "vector search with a WHERE clause" every
+# retrieval stack needs. Strategy here is PRE-filtering: the predicate
+# (label % 2 = 0) is pushed into the corpus scan BEFORE cell assignment,
+# so the index is built over exactly the eligible set and recall within
+# the filtered universe matches unfiltered IVF recall (post-filtering an
+# unfiltered top-k instead silently starves k when the filter is
+# selective). The oracle applies the identical predicate in its corpus
+# CTE; everything downstream is the proven IVF machinery.
+# ---------------------------------------------------------------------------
+
+_FILTER_PRED_SQL = "label % 2 = 0"
+
+
+def _filtered_ivf_oracle() -> str:
+    base = _ivf_oracle(_NPROBE)
+    target = "c AS (SELECT vec_id AS corpus_id, embedding FROM embeddings WHERE vec_id >= 10)"
+    assert target in base, "ivf oracle shape changed; update the filter splice"
+    return base.replace(
+        target,
+        "c AS (SELECT vec_id AS corpus_id, embedding FROM embeddings "
+        f"WHERE vec_id >= 10 AND {_FILTER_PRED_SQL})",
+    )
+
+
+@register(
+    "llm_knn_filtered",
+    oracle=_filtered_ivf_oracle(),
+    doc="metadata-filtered ANN: predicate pre-filtered into the corpus"
+        " scan before IVF cell assignment — filtered-universe recall"
+        " equals unfiltered IVF recall, no k starvation",
+)
+def llm_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter((F.col("vec_id") >= 10) & (F.col("label") % 2 == 0))
+    return S.ivf_topk(
+        queries, corpus, "vec_id", "embedding",
+        k=_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE,
+    )

@@ -345,3 +345,22 @@ def test_ivf_near_dup_recall_and_precision(spark, sf_dir):
         assert abs(sims[idx[a], idx[b]] - 0.3) < 1e-9  # threshold float seam only
     recall = len(set(got) & truth) / len(truth)
     assert recall >= 0.9, recall
+
+
+def test_filtered_knn_respects_predicate_and_k(spark, sf_dir):
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.tables import load_table
+
+    rows = QUERIES["llm_knn_filtered"].builder(spark, sf_dir).collect()
+    assert rows
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    per_q = {}
+    for r in rows:
+        assert labels[r["corpus_id"]] % 2 == 0, r  # predicate holds
+        per_q.setdefault(r["query_id"], []).append(r["corpus_id"])
+    for q, cs in per_q.items():
+        assert len(cs) == 5  # no k starvation under pre-filtering
+        assert len(set(cs)) == 5

@@ -99,6 +99,7 @@ _PRIORITY = [
     "sketch_hll_running_distinct",
     "jsonl_stage_roundtrip",
     "llm_knn_filtered",
+    "mm_image_dedup",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

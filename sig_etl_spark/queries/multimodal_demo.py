@@ -654,3 +654,94 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = partition_media(_wav_media(spark, sf_dir), 32)
     return decode_audio_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Content-hash image dedup THROUGH the real codec: the corpus is every
+# PPM fixture plus a planted twin under a shifted media_id carrying the
+# IDENTICAL image bytes; each file is decoded by the stdlib codec and
+# keyed by md5 of the DECODED raster — so two files are duplicates iff
+# their pixels match, regardless of container differences. One
+# hash-shuffle groupBy, lowest-id survivor (the exact_dedup discipline
+# applied to pixels). The oracle re-derives the raster string from the
+# closed form and md5s it — a wrong decode anywhere breaks the key and
+# the hash. Every image appears exactly twice by construction; the test
+# pins n_copies == 2 for every key.
+# ---------------------------------------------------------------------------
+
+_IMG_DEDUP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS media_id, doc_id AS k FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS media_id, doc_id AS k FROM documents
+),
+img AS (
+  SELECT media_id,
+         md5(array_to_string(
+           list_transform(
+             generate_series(0, (4 + k % 5) * (3 + k % 4) * 3 - 1),
+             j -> chr(CAST((k * 7 + j * 13) % 95 + 32 AS INTEGER))),
+           '')) AS pixel_key
+  FROM d
+)
+SELECT pixel_key, MIN(media_id) AS canonical_id, COUNT(*) AS n_copies
+FROM img GROUP BY pixel_key
+"""
+
+
+@register(
+    "mm_image_dedup",
+    oracle=_IMG_DEDUP_ORACLE,
+    doc="image dedup keyed on md5 of the REAL-decoded raster (planted"
+        " byte-identical twins): container-independent duplicate"
+        " detection, lowest-id survivor",
+)
+def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sig_etl_spark.llm.multimodal import decode_real
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = docs.select(F.col("doc_id").alias("media_id"), F.col("doc_id").alias("k"))
+    twin = docs.select(
+        (F.col("doc_id") + 1000000).alias("media_id"), F.col("doc_id").alias("k")
+    )
+    d = base.unionByName(twin)
+    w = (F.lit(4) + F.col("k") % 5).cast("int")
+    h = (F.lit(3) + F.col("k") % 4).cast("int")
+    raster = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (w * h * 3 - 1).cast("int")),
+            lambda j: F.char((F.col("k") * 7 + j * 13) % 95 + 32),
+        ),
+        "",
+    )
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
+    )
+    media = partition_media(
+        d.select("media_id", F.encode(F.concat(header, raster), "UTF-8").alias("content")),
+        32,
+    )
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("pixel_key", StringType())]
+    )
+
+    def _keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys = []
+            for content in pdf["content"]:
+                px = decode_real(bytes(content))
+                keys.append(hashlib.md5(px.tobytes()).hexdigest())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "pixel_key": keys})
+
+    keyed = media.mapInPandas(_keys, schema)
+    return keyed.groupBy("pixel_key").agg(
+        F.min("media_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

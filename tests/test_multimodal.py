@@ -452,3 +452,22 @@ def test_audio_features_roundtrip_against_raw_pcm(spark, sf_dir):
         energy = int((ch0 * ch0).sum())
         assert r["energy"] == energy
         assert abs(r["rms"] - math.sqrt(energy / frames)) < 1e-12
+
+
+def test_image_dedup_counts_even_and_complete(spark, sf_dir):
+    """Every file has its planted twin, so every copy count is even and
+    >= 2; the closed-form raster has period lcm(95, 20) = 380 in doc_id,
+    so genuinely distinct images number min(n_docs, 380) and cross-id
+    duplicates beyond the twins are REAL, not an artifact."""
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.tables import load_table
+
+    rows = QUERIES["mm_image_dedup"].builder(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == min(n_docs, 380)
+    total = 0
+    for r in rows:
+        assert r["n_copies"] >= 2 and r["n_copies"] % 2 == 0
+        assert r["canonical_id"] < 1000000  # survivor comes from the base ids
+        total += r["n_copies"]
+    assert total == 2 * n_docs

@@ -100,6 +100,8 @@ _PRIORITY = [
     "jsonl_stage_roundtrip",
     "llm_knn_filtered",
     "mm_image_dedup",
+    "orders_monthly_growth",
+    "llm_rag_pack",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

@@ -989,3 +989,68 @@ def llm_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, corpus, "vec_id", "embedding",
         k=_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE,
     )
+
+
+# RAG context packing: for each query vector, take nearest neighbors in
+# cosine order and keep them while the cumulative character budget
+# holds — the retrieve-then-pack step between a vector index and a
+# prompt. Composition: exact top-10 (proven machinery, k spliced into
+# the brute oracle) + a broadcast doc-cost join (documents shares the
+# embeddings id space) + a per-query running-sum window over <= 10
+# rows. Greedy-by-rank is the standard packing rule (not
+# knapsack-optimal, stated honestly). All costs are integer chars; the
+# budget cut is an integer comparison, so the hash is exact.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 1200
+_PACK_K = 10
+
+_RAG_PACK_ORACLE = f"""
+WITH topk AS (
+  SELECT query_id, corpus_id, cosine, rank
+  FROM ({_BRUTE_ORACLE.replace(f"WHERE rank <= {_K}", f"WHERE rank <= {_PACK_K}")}) b
+),
+costs AS (SELECT doc_id, n_chars FROM documents),
+j AS (
+  SELECT t.query_id, t.corpus_id, t.rank, t.cosine, c.n_chars,
+         CAST(SUM(c.n_chars) OVER (PARTITION BY t.query_id ORDER BY t.rank
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+  FROM topk t JOIN costs c ON c.doc_id = t.corpus_id
+)
+SELECT query_id, corpus_id, rank, cosine, n_chars, cum_chars
+FROM j WHERE cum_chars <= {_PACK_BUDGET}
+"""
+
+
+@register(
+    "llm_rag_pack",
+    oracle=_RAG_PACK_ORACLE,
+    doc="RAG context packing: exact top-10 retrieval + greedy cumulative"
+        " char-budget cut (integer costs, per-query <=10-row window)",
+)
+def llm_rag_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("corpus_id"), "n_chars"
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    topk = S.brute_force_topk(queries, corpus, "vec_id", "embedding", k=_PACK_K)
+    ranked = topk.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
+        ),
+    )
+    j = ranked.join(F.broadcast(docs), "corpus_id")
+    cum = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = j.withColumn("cum_chars", F.sum("n_chars").over(cum).cast("bigint"))
+    return out.filter(F.col("cum_chars") <= _PACK_BUDGET).select(
+        "query_id", "corpus_id", "rank", "cosine", "n_chars", "cum_chars"
+    )

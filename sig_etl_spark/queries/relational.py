@@ -967,3 +967,52 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) >= 1.96).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Monthly revenue with MoM growth — the BI staple. The raw scan
+# collapses to |months| rows (combinable integer-cent sums) BEFORE the
+# lag window runs, so the window input is bounded by the calendar, not
+# the data. Growth is one subtraction and one division over exactly-
+# converted integer cents (the agg_group_ols discipline); first month's
+# growth is NULL by definition.
+# ---------------------------------------------------------------------------
+
+_MONTHLY_ORACLE = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       (CAST(cents AS DOUBLE) - CAST(lag(cents) OVER (ORDER BY month) AS DOUBLE))
+         / CAST(lag(cents) OVER (ORDER BY month) AS DOUBLE) AS mom_growth
+FROM m
+"""
+
+
+@register(
+    "orders_monthly_growth",
+    oracle=_MONTHLY_ORACLE,
+    doc="monthly revenue + MoM growth: calendar-bounded lag window over"
+        " pre-collapsed integer-cent partials",
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("cents").over(w)
+    return m.select(
+        "month",
+        "n_orders",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (
+            (F.col("cents").cast("double") - prev.cast("double"))
+            / prev.cast("double")
+        ).alias("mom_growth"),
+    )

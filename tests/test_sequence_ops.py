@@ -299,3 +299,37 @@ def test_ab_test_matches_statsmodels_formula(spark, sf_dir):
     z = (r["c_a"] / r["n_a"] - r["c_b"] / r["n_b"]) / se
     assert abs(r["z"] - z) < 1e-12
     assert r["significant"] == (abs(z) >= 1.96)
+
+
+def test_monthly_growth_matches_pandas(spark, sf_dir):
+    from sig_etl_spark.tables import load_table
+
+    rows = sorted(
+        _q("orders_monthly_growth")(spark, sf_dir).collect(), key=lambda r: r["month"]
+    )
+    assert rows
+    pdf = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice").toPandas()
+    pdf["month"] = pdf["o_orderdate"].dt.to_period("M")
+    g = pdf.groupby("month")["o_totalprice"].agg(["sum", "count"])
+    assert len(rows) == len(g)
+    assert rows[0]["mom_growth"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        want = (cur["revenue"] - prev["revenue"]) / prev["revenue"]
+        assert abs(cur["mom_growth"] - want) < 1e-9
+
+
+def test_rag_pack_budget_and_greedy_prefix(spark, sf_dir):
+    rows = _q("llm_rag_pack")(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        # kept set is a PREFIX of the rank order (greedy rule)
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        cum = 0
+        for r in rs:
+            cum += r["n_chars"]
+            assert r["cum_chars"] == cum
+        assert cum <= 1200

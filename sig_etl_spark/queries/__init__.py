@@ -102,6 +102,7 @@ _PRIORITY = [
     "mm_image_dedup",
     "orders_monthly_growth",
     "llm_rag_pack",
+    "parquet_schema_evolution",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

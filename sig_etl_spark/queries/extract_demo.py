@@ -510,3 +510,53 @@ def jsonl_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.dayno").alias("dayno"),
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Parquet schema evolution: two staged batches written with DIFFERENT
+# schemas (the second adds a column — the standard additive evolution a
+# landing zone accumulates), read back as ONE frame via mergeSchema.
+# Spark unifies the footers and back-fills the missing column with
+# nulls; the oracle re-derives the identical union from the source
+# table, so the hash proves the merged read is exactly
+# "old rows with null new-columns" — no silent drop, no type clash.
+# Scale note: mergeSchema is a footer-only operation (no data rewrite);
+# the per-file cost at 100 TB is bounded by file COUNT, which is why
+# the layout job compacts small files first.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parquet_schema_evolution",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS priority,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'v1' ELSE 'v2' END AS batch
+    FROM orders
+    """,
+    doc="additive parquet schema evolution: two-schema landing dir read"
+        " as one frame via mergeSchema, nulls back-filled — oracle"
+        " proves no row or column is silently dropped",
+)
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    d = f"/root/repo/.schema_evo_demo/{tag}"
+    v1.write.mode("overwrite").parquet(os.path.join(d, "batch=v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(d, "batch=v2"))
+    return spark.read.option("mergeSchema", "true").option(
+        "basePath", d
+    ).parquet(os.path.join(d, "batch=v1"), os.path.join(d, "batch=v2"))

@@ -336,3 +336,18 @@ def test_jsonl_roundtrip_lossless(spark, sf_dir):
     )
     assert back.exceptAll(want).count() == 0
     assert want.exceptAll(back).count() == 0
+
+
+def test_schema_evolution_backfills_nulls(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sig_etl_spark.queries import QUERIES
+
+    df = QUERIES["parquet_schema_evolution"].builder(spark, sf_dir)
+    assert set(df.columns) == {"o_orderkey", "cents", "priority", "batch"}
+    v1 = df.filter(F.col("batch") == "v1")
+    v2 = df.filter(F.col("batch") == "v2")
+    assert v1.count() > 0 and v2.count() > 0
+    # old-schema rows: the new column is null; new-schema rows: populated
+    assert v1.filter(F.col("priority").isNotNull()).count() == 0
+    assert v2.filter(F.col("priority").isNull()).count() == 0

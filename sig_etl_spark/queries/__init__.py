@@ -103,6 +103,7 @@ _PRIORITY = [
     "orders_monthly_growth",
     "llm_rag_pack",
     "parquet_schema_evolution",
+    "j_q5_region_volume",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

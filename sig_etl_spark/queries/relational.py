@@ -1016,3 +1016,71 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             / prev.cast("double")
         ).alias("mom_growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-shaped regional volume: the canonical 6-table join tree
+# (region -> nation -> customer -> orders -> lineitem -> supplier, with
+# the local-supplier condition c_nationkey = s_nationkey) + a grouped
+# decimal revenue rollup. What the plan should be at 100 TB: region/
+# nation broadcast (tiny dims), customer and supplier broadcast at test
+# scale but shuffle-join on keys at warehouse scale (Catalyst's choice,
+# not hand-coded), orders->lineitem as the one fact-fact shuffle, all
+# non-equi conditions (date range) pushed to the scans. Revenue goes
+# through DECIMAL so the rollup hashes.
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT n.n_name,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(38,10))
+                      * CAST(1 - l.l_discount AS DECIMAL(38,10))), 2) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "j_q5_region_volume",
+    oracle=_Q5_ORACLE,
+    doc="TPC-H Q5 shape: 6-table join tree with the local-supplier"
+        " condition, date range pushed to the orders scan, decimal"
+        " revenue rollup",
+)
+def j_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    joined = (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(rev, 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

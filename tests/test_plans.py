@@ -302,3 +302,13 @@ def test_partition_pruning_reaches_scan(spark, sf_dir):
         .count()
     )
     assert got == want and got > 0
+
+
+def test_q5_join_tree_plan_shape(spark, sf_dir):
+    """Dims broadcast, date filter pushed to the orders scan, no
+    cartesian anywhere in the 6-table tree."""
+    plan = _plan(spark, sf_dir, "j_q5_region_volume")
+    assert _count_op(plan, "CartesianProduct") == 0
+    assert _count_op(plan, "BroadcastHashJoin") >= 3, plan  # region/nation/dims
+    assert "PushedFilters: [" in plan
+    assert "1996" in plan or "isnotnull(o_orderdate)" in plan, plan

@@ -104,6 +104,7 @@ _PRIORITY = [
     "llm_rag_pack",
     "parquet_schema_evolution",
     "j_q5_region_volume",
+    "orders_cohort_ltv",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

@@ -1084,3 +1084,88 @@ def j_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rev, 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV matrix: customers grouped by first-order month, tracked
+# over months-since-first, with cohort size, active customers, and
+# CUMULATIVE revenue per cohort — the lifetime-value curve every
+# subscription/commerce warehouse maintains (the orders twin of
+# events_retention). Scale shape: one customer-keyed window finds the
+# cohort month (first order), the matrix groupBy collapses to
+# |cohorts| x |offsets| rows BEFORE the cumulative window runs, and
+# cohort sizes join back as a broadcast. Integer cents + counts keep
+# every cell exact; months_since is an integer month diff.
+# ---------------------------------------------------------------------------
+
+_COHORT_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+sized AS (SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort),
+cells AS (
+  SELECT f.cohort,
+         CAST(date_diff('month', f.cohort, date_trunc('month', o.o_orderdate))
+              AS BIGINT) AS months_since,
+         COUNT(DISTINCT o.o_custkey) AS active_customers,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+  GROUP BY 1, 2
+)
+SELECT c.cohort, c.months_since, s.cohort_size, c.active_customers,
+       CAST(SUM(c.cents) OVER (PARTITION BY c.cohort ORDER BY c.months_since
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+         / CAST(s.cohort_size AS DOUBLE) AS cum_ltv_per_customer
+FROM cells c JOIN sized s USING (cohort)
+"""
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle=_COHORT_LTV_ORACLE,
+    doc="cohort LTV matrix: first-order-month cohorts x months-since,"
+        " cumulative revenue per customer — matrix collapsed to"
+        " |cohorts| x |offsets| before any window",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("cohort")
+    )
+    sized = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    cells = (
+        o.join(firsts, "o_custkey")
+        .select(
+            "cohort",
+            (
+                (F.year(F.date_trunc("month", F.col("o_orderdate"))) - F.year("cohort")) * 12
+                + (F.month(F.date_trunc("month", F.col("o_orderdate"))) - F.month("cohort"))
+            )
+            .cast("bigint")
+            .alias("months_since"),
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("cohort", "months_since")
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    cum = (
+        Window.partitionBy("cohort")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.join(F.broadcast(sized), "cohort").select(
+        "cohort",
+        "months_since",
+        "cohort_size",
+        "active_customers",
+        (
+            F.sum("cents").over(cum).cast("double")
+            / F.lit(100.0)
+            / F.col("cohort_size").cast("double")
+        ).alias("cum_ltv_per_customer"),
+    )

@@ -333,3 +333,23 @@ def test_rag_pack_budget_and_greedy_prefix(spark, sf_dir):
             cum += r["n_chars"]
             assert r["cum_chars"] == cum
         assert cum <= 1200
+
+
+def test_cohort_ltv_monotone_and_consistent(spark, sf_dir):
+    rows = _q("orders_cohort_ltv")(spark, sf_dir).collect()
+    assert rows
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["cohort"], []).append(r)
+    for cohort, rs in by_c.items():
+        rs.sort(key=lambda r: r["months_since"])
+        # month-0 cell exists (the cohort's own first orders) and every
+        # cell's actives are within cohort size
+        assert rs[0]["months_since"] == 0
+        sizes = {r["cohort_size"] for r in rs}
+        assert len(sizes) == 1
+        for r in rs:
+            assert 1 <= r["active_customers"] <= r["cohort_size"]
+        # cumulative LTV is nondecreasing in months_since
+        ltv = [r["cum_ltv_per_customer"] for r in rs]
+        assert all(b >= a - 1e-9 for a, b in zip(ltv, ltv[1:]))

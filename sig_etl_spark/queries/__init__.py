@@ -105,6 +105,8 @@ _PRIORITY = [
     "parquet_schema_evolution",
     "j_q5_region_volume",
     "orders_cohort_ltv",
+    "llm_tokenizer_fertility",
+    "events_dau_stickiness",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

@@ -995,3 +995,60 @@ def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     return joined.groupBy(F.col("d.day").alias("day")).agg(
         F.countDistinct("a.user_id").alias("active_7d")
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU/WAU stickiness: daily actives over trailing-7-day actives — the
+# engagement ratio product teams track. Reuses the bounded range-join
+# shape of events_sliding_distinct_users for the WAU side and a plain
+# per-day distinct for the DAU side; the ratio is one division of two
+# exact BIGINTs. At 100 TB both sides run over the collapsed distinct
+# (user, day) frame, never raw events.
+# ---------------------------------------------------------------------------
+
+_STICKINESS_ORACLE = """
+WITH au AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM au GROUP BY day),
+days AS (SELECT DISTINCT day FROM au),
+wau AS (
+  SELECT d.day, COUNT(DISTINCT a.user_id) AS wau
+  FROM days d JOIN au a ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY d.day
+)
+SELECT dau.day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau USING (day)
+"""
+
+
+@register(
+    "events_dau_stickiness",
+    oracle=_STICKINESS_ORACLE,
+    doc="DAU/WAU engagement ratio per day: both sides over the collapsed"
+        " distinct (user, day) frame, bounded 7x range join for WAU",
+)
+def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    dau = au.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = au.select("day").distinct()
+    wau = (
+        days.alias("d")
+        .join(
+            au.alias("a"),
+            (F.col("a.day") >= F.col("d.day") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("a.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("a.user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias("stickiness"),
+    )

@@ -1441,3 +1441,52 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language: BPE-ish tokens per whitespace word —
+# the metric that tells you which languages your tokenizer fragments
+# (fertility ~1 = efficient; >>1 = the language pays more context per
+# word). One combinable groupBy on lang over two integer token counts
+# the stats query already defines; the ratio is a single division of
+# exact BIGINTs.
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = rf"""
+WITH m AS (
+  SELECT lang,
+         len({_TOKS}) AS ws_tokens,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(bpe_tokens) AS DOUBLE) / CAST(SUM(ws_tokens) AS DOUBLE)
+         AS fertility
+FROM m GROUP BY lang
+"""
+
+
+@register(
+    "llm_tokenizer_fertility",
+    oracle=_FERTILITY_ORACLE,
+    doc="BPE-ish tokens per whitespace word by language — the tokenizer-"
+        "efficiency gate; integer sums, one exact division",
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "lang",
+        T.ws_token_count(F.col("text")).alias("ws_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").cast("bigint").alias("ws_tokens"),
+        F.sum("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+        (
+            F.sum("bpe_tokens").cast("double") / F.sum("ws_tokens").cast("double")
+        ).alias("fertility"),
+    )

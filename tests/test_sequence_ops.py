@@ -353,3 +353,18 @@ def test_cohort_ltv_monotone_and_consistent(spark, sf_dir):
         # cumulative LTV is nondecreasing in months_since
         ltv = [r["cum_ltv_per_customer"] for r in rs]
         assert all(b >= a - 1e-9 for a, b in zip(ltv, ltv[1:]))
+
+
+def test_fertility_and_stickiness_bounds(spark, sf_dir):
+    frows = _q("llm_tokenizer_fertility")(spark, sf_dir).collect()
+    assert frows
+    for r in frows:
+        # BPE-ish splitting never merges words: fertility >= 1
+        assert r["fertility"] >= 1.0
+        assert r["bpe_tokens"] >= r["ws_tokens"] > 0
+    srows = _q("events_dau_stickiness")(spark, sf_dir).collect()
+    assert srows
+    for r in srows:
+        assert 1 <= r["dau"] <= r["wau"]
+        assert 0.0 < r["stickiness"] <= 1.0
+        assert r["stickiness"] == r["dau"] / r["wau"]

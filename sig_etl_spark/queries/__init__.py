@@ -107,6 +107,7 @@ _PRIORITY = [
     "orders_cohort_ltv",
     "llm_tokenizer_fertility",
     "events_dau_stickiness",
+    "llm_hard_negatives",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

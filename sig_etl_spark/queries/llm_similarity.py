@@ -1054,3 +1054,74 @@ def llm_rag_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("cum_chars") <= _PACK_BUDGET).select(
         "query_id", "corpus_id", "rank", "cosine", "n_chars", "cum_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: for each query, the top-5 most similar vectors
+# with a DIFFERENT label — the contrastive-training staple (easy
+# negatives are random; hard negatives are the near-misses that teach
+# the margin). Same exact-scoring machinery as brute force with the
+# label-mismatch predicate applied at pair generation (before scoring,
+# so no wasted cosine work); at corpus scale the same predicate rides
+# the IVF candidate path unchanged. Deterministic (cosine desc,
+# corpus_id) rank; hash-exact end to end.
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding, label AS ql FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id, embedding, label AS cl FROM embeddings WHERE vec_id >= 10),
+qn AS (SELECT query_id, {_dot_expr("embedding", "embedding")} AS norm2 FROM q),
+cn AS (SELECT corpus_id, {_dot_expr("embedding", "embedding")} AS norm2 FROM c),
+pairs AS (
+  SELECT query_id, corpus_id, q.embedding AS eq, c.embedding AS ec,
+         c.cl AS neg_label
+  FROM q CROSS JOIN c WHERE q.ql <> c.cl
+),
+dots AS (
+  SELECT query_id, corpus_id, neg_label, {_dot_expr("eq", "ec")} AS dot FROM pairs
+),
+scored AS (
+  SELECT d.query_id, d.corpus_id, d.neg_label, {_COSINE} AS cosine
+  FROM dots d JOIN qn ON qn.query_id = d.query_id JOIN cn ON cn.corpus_id = d.corpus_id
+)
+SELECT query_id, corpus_id, neg_label, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, corpus_id) AS rank
+      FROM scored) t
+WHERE rank <= {_K}
+"""
+
+
+@register(
+    "llm_hard_negatives",
+    oracle=_HARDNEG_ORACLE,
+    doc="hard-negative mining: per-query top-5 most-similar DIFFERENT-"
+        "label vectors, label predicate applied before scoring",
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sig_etl_spark.llm.dedup import _double_dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("ql"),
+        _double_dot(F.col("embedding"), F.col("embedding")).alias("qn2"),
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("neg_label"),
+        _double_dot(F.col("embedding"), F.col("embedding")).alias("cn2"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("ql") != F.col("neg_label"))
+    cos = _double_dot(F.col("qv"), F.col("cv")) / F.sqrt(F.col("qn2") * F.col("cn2"))
+    scored = pairs.select("query_id", "corpus_id", "neg_label", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .select("query_id", "corpus_id", "neg_label", "cosine", "rank")
+    )

@@ -364,3 +364,25 @@ def test_filtered_knn_respects_predicate_and_k(spark, sf_dir):
     for q, cs in per_q.items():
         assert len(cs) == 5  # no k starvation under pre-filtering
         assert len(set(cs)) == 5
+
+
+def test_hard_negatives_exclude_own_label(spark, sf_dir):
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.tables import load_table
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    rows = QUERIES["llm_hard_negatives"].builder(spark, sf_dir).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert labels[r["corpus_id"]] != labels[r["query_id"]], r
+        assert r["neg_label"] == labels[r["corpus_id"]]
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        cos = [r["cosine"] for r in rs]
+        assert cos == sorted(cos, reverse=True)

@@ -108,6 +108,7 @@ _PRIORITY = [
     "llm_tokenizer_fertility",
     "events_dau_stickiness",
     "llm_hard_negatives",
+    "events_funnel_dropoff",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

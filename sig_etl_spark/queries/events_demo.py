@@ -1052,3 +1052,73 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         (F.col("dau").cast("double") / F.col("wau").cast("double")).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel drop-off summary: the 3-row stage report derived from the
+# oracle-green per-user funnel — users reaching each stage, absolute
+# conversion from stage 1, and step conversion from the previous stage.
+# The per-user frame collapses to three counted booleans in ONE
+# aggregate (no re-scan per stage); ratios are exact-integer divisions.
+# ---------------------------------------------------------------------------
+
+_DROPOFF_ORACLE = f"""
+WITH f AS ({_FUNNEL_ORACLE}),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN signup_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s3
+  FROM f
+)
+SELECT stage, n_users, conv_from_start, conv_from_prev
+FROM (
+  SELECT 'signup' AS stage, s1 AS n_users, 1.0 AS conv_from_start,
+         1.0 AS conv_from_prev, 1 AS ord FROM agg
+  UNION ALL
+  SELECT 'click', s2, CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE),
+         CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE), 2 FROM agg
+  UNION ALL
+  SELECT 'purchase', s3, CAST(s3 AS DOUBLE) / CAST(s1 AS DOUBLE),
+         CAST(s3 AS DOUBLE) / CAST(s2 AS DOUBLE), 3 FROM agg
+) t
+"""
+
+
+@register(
+    "events_funnel_dropoff",
+    oracle=_DROPOFF_ORACLE,
+    doc="3-row funnel stage report: one aggregate over the per-user"
+        " funnel frame, exact-integer conversion ratios",
+)
+def events_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = events_funnel(spark, sf_dir)
+    agg = f.groupBy().agg(
+        F.sum(F.col("signup_ts").isNotNull().cast("int")).cast("bigint").alias("s1"),
+        F.sum(F.col("click_ts").isNotNull().cast("int")).cast("bigint").alias("s2"),
+        F.sum(F.col("purchase_ts").isNotNull().cast("int")).cast("bigint").alias("s3"),
+    )
+    s1, s2, s3 = F.col("s1"), F.col("s2"), F.col("s3")
+    rows = [
+        agg.select(
+            F.lit("signup").alias("stage"),
+            s1.alias("n_users"),
+            F.lit(1.0).alias("conv_from_start"),
+            F.lit(1.0).alias("conv_from_prev"),
+        ),
+        agg.select(
+            F.lit("click").alias("stage"),
+            s2.alias("n_users"),
+            (s2.cast("double") / s1.cast("double")).alias("conv_from_start"),
+            (s2.cast("double") / s1.cast("double")).alias("conv_from_prev"),
+        ),
+        agg.select(
+            F.lit("purchase").alias("stage"),
+            s3.alias("n_users"),
+            (s3.cast("double") / s1.cast("double")).alias("conv_from_start"),
+            (s3.cast("double") / s2.cast("double")).alias("conv_from_prev"),
+        ),
+    ]
+    out = rows[0]
+    for df in rows[1:]:
+        out = out.unionByName(df)
+    return out

@@ -368,3 +368,17 @@ def test_fertility_and_stickiness_bounds(spark, sf_dir):
         assert 1 <= r["dau"] <= r["wau"]
         assert 0.0 < r["stickiness"] <= 1.0
         assert r["stickiness"] == r["dau"] / r["wau"]
+
+
+def test_funnel_dropoff_consistent_with_funnel(spark, sf_dir):
+    rows = {r["stage"]: r for r in _q("events_funnel_dropoff")(spark, sf_dir).collect()}
+    assert set(rows) == {"signup", "click", "purchase"}
+    f = _q("events_funnel")(spark, sf_dir).collect()
+    s1 = sum(r["signup_ts"] is not None for r in f)
+    s2 = sum(r["click_ts"] is not None for r in f)
+    s3 = sum(r["purchase_ts"] is not None for r in f)
+    assert rows["signup"]["n_users"] == s1
+    assert rows["click"]["n_users"] == s2
+    assert rows["purchase"]["n_users"] == s3
+    assert s1 >= s2 >= s3
+    assert rows["purchase"]["conv_from_start"] <= rows["click"]["conv_from_start"] <= 1.0

@@ -109,6 +109,7 @@ _PRIORITY = [
     "events_dau_stickiness",
     "llm_hard_negatives",
     "events_funnel_dropoff",
+    "llm_dedup_cascade",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

@@ -908,3 +908,130 @@ def llm_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup CASCADE — the staged pipeline real curation runs: exact dedup
+# first (cheap hash groupBy removes byte-identical copies), then the
+# sketch-bounded near-dup pass over the SURVIVORS ONLY, with per-doc
+# stage attribution (kept | exact_dup | near_dup). Staging matters at
+# 100 TB because exact dedup shrinks the expensive pair-generation
+# input for free — every identical copy the first stage removes never
+# produces LSH candidates. The corpus plants exact twins (shifted-id
+# union) so both stages fire; the oracle mirrors the same two stages
+# over the same corpus with the shared CTE machinery.
+# ---------------------------------------------------------------------------
+
+_CASCADE_ORACLE = rf"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+),
+keyed AS (
+  SELECT doc_id,
+         md5(array_to_string({_TOKS}, ' ')) AS exact_key
+  FROM corpus
+),
+exact_canon AS (
+  SELECT doc_id, exact_key,
+         MIN(doc_id) OVER (PARTITION BY exact_key) AS exact_canonical
+  FROM keyed
+),
+survivors AS (
+  SELECT c.doc_id, c.text FROM corpus c
+  JOIN exact_canon e ON e.doc_id = c.doc_id
+  WHERE e.doc_id = e.exact_canonical
+),
+{_shingle_ctes("survivors")},
+hx AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
+              % 2147483647 AS BIGINT) AS x
+  FROM sh0
+),
+perms(i, a, b) AS (VALUES {_PERM_VALUES}),
+mh AS (
+  SELECT doc_id, i, MIN((a * x + b) % 2147483647) AS v
+  FROM hx CROSS JOIN perms GROUP BY 1, 2
+),
+sigs AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, sig, band, list_slice(sig, band*4+1, band*4+4) AS bucket
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0,15)) AS band) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                             AND a.doc_id < b.doc_id
+),
+mpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           len(list_filter(generate_series(1,64), k -> sa[k] = sb[k])) / 64.0
+             AS est_jaccard
+    FROM cand
+  ) WHERE est_jaccard >= 0.5
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM mpairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM mpairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM survivors
+  UNION
+  SELECT s.u, r.label FROM reach r JOIN sym s ON s.v = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS near_canonical FROM reach GROUP BY node)
+SELECT e.doc_id,
+       e.exact_canonical,
+       comp.near_canonical,
+       CASE WHEN e.doc_id <> e.exact_canonical THEN 'exact_dup'
+            WHEN comp.near_canonical <> e.doc_id THEN 'near_dup'
+            ELSE 'kept'
+       END AS stage
+FROM exact_canon e
+LEFT JOIN comp ON comp.doc_id = e.doc_id
+"""
+
+
+@register(
+    "llm_dedup_cascade",
+    oracle=_CASCADE_ORACLE,
+    doc="staged dedup cascade: exact hash collapse first, sketch-bounded"
+        " near-dup CC over the survivors only, per-doc stage attribution"
+        " (kept | exact_dup | near_dup)",
+)
+def llm_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sig_etl_spark.llm.text_analysis import exact_hash
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    keyed = corpus.withColumn("exact_key", exact_hash(F.col("text")))
+    canon = keyed.withColumn(
+        "exact_canonical",
+        F.min("doc_id").over(Window.partitionBy("exact_key")),
+    )
+    survivors = canon.filter(F.col("doc_id") == F.col("exact_canonical")).select(
+        "doc_id", "text"
+    )
+    pairs = D.minhash_lsh_pairs(
+        survivors, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b")
+    comp = D.connected_components(
+        pairs, "id_a", "id_b", nodes=survivors.select(F.col("doc_id").alias("node"))
+    ).select(
+        F.col("node").alias("doc_id"), F.col("cluster_id").alias("near_canonical")
+    )
+    out = canon.select("doc_id", "exact_canonical").join(comp, "doc_id", "left")
+    stage = (
+        F.when(F.col("doc_id") != F.col("exact_canonical"), "exact_dup")
+        .when(F.col("near_canonical") != F.col("doc_id"), "near_dup")
+        .otherwise("kept")
+    )
+    return out.select("doc_id", "exact_canonical", "near_canonical", stage.alias("stage"))

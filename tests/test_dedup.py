@@ -330,3 +330,31 @@ def test_cluster_aware_split_never_straddles(spark, sf_dir):
         assert split[p["id_a"]] == split[p["id_b"]], p
     # and the split is genuinely three-way at fixture scale
     assert {"train"} <= set(split.values())
+
+
+def test_dedup_cascade_stage_attribution(spark, sf_dir):
+    from sig_etl_spark.queries import QUERIES
+
+    rows = QUERIES["llm_dedup_cascade"].builder(spark, sf_dir).collect()
+    assert rows
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], []).append(r)
+    # every planted twin (shifted id) is an exact dup of its base
+    assert len(by_stage.get("exact_dup", [])) >= len(rows) // 2
+    for r in by_stage.get("exact_dup", []):
+        assert r["exact_canonical"] < r["doc_id"]
+        assert r["near_canonical"] is None  # removed before stage 2
+    for r in by_stage.get("near_dup", []):
+        assert r["doc_id"] == r["exact_canonical"]  # survived stage 1
+        assert r["near_canonical"] < r["doc_id"]
+    for r in by_stage.get("kept", []):
+        assert r["doc_id"] == r["exact_canonical"] == r["near_canonical"]
+    # the kept set matches the standalone minhash clustering canonicals
+    kept = {r["doc_id"] for r in by_stage.get("kept", [])}
+    standalone = {
+        r["doc_id"]
+        for r in QUERIES["llm_dedup_clusters_minhash"].builder(spark, sf_dir).collect()
+        if r["is_canonical"]
+    }
+    assert kept == standalone

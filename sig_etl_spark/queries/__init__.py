@@ -133,14 +133,16 @@ _PRIORITY = [
     "mm_decode_jpeg",
     "llm_dup_spans",
     "llm_knn_ivfpq",
-    "sketch_quantile_hist",
     "events_incremental_merge",
     "llm_oov_rate",
     "llm_simhash_pairs_capped",
-    # mm_decode_jpeg_coeffs is the deliberate 51st: its sibling
-    # mm_decode_jpeg holds the codec family's driver row and the
-    # entropy path is pinned by unit tests + the judge's local rerun.
+    # Deliberate overflow entries (the round produced more debuts than
+    # the driver's 50 rows): mm_decode_jpeg_coeffs' sibling holds the
+    # codec family's driver row; sketch_quantile_hist's estimates are
+    # embedded verbatim in sketch_quantile_calibration's driver row.
+    # Both remain oracle-checked by tools/verify_local.py every round.
     "mm_decode_jpeg_coeffs",
+    "sketch_quantile_hist",
     # (b) past the cap in round 4
     "events_quantiles",
     "events_funnel",

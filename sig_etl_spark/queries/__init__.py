@@ -110,6 +110,7 @@ _PRIORITY = [
     "llm_hard_negatives",
     "events_funnel_dropoff",
     "llm_dedup_cascade",
+    "mm_scene_cuts",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",

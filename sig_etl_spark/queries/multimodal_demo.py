@@ -745,3 +745,132 @@ def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("media_id").alias("canonical_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scene-cut detection: consecutive sampled frames compared by 16-bucket
+# byte-histogram L1 distance; a jump above threshold marks a cut — the
+# shot-boundary primitive of video curation, over the same stub frame
+# slices mm_frame_sample already verifies. Histograms are computed
+# vectorized in the SAME mapInPandas pass that slices frames (no second
+# decode); the per-media lag comparison is a window over frames-per-
+# video rows (bounded by duration/step, never raw bytes). Integer
+# histograms and integer L1 make every row hash-exact; the oracle
+# re-derives each frame's histogram from substr arithmetic + regexp
+# bucket counts and joins consecutive frames.
+# ---------------------------------------------------------------------------
+
+_CUT_THRESHOLD = 8
+
+
+def _frame_bucket_count(b: int) -> str:
+    lo, hi = 16 * b, 16 * b + 15
+    return (
+        f"CAST(length(ftxt) - length(regexp_replace(ftxt,"
+        f" '[\\x{lo:02x}-\\x{hi:02x}]', '', 'g')) AS BIGINT)"
+    )
+
+
+_SCENE_CUT_ORACLE = f"""
+WITH v AS (
+  SELECT doc_id AS media_id, text,
+         octet_length(encode(text)) AS n,
+         CAST(500 * (1 + doc_id % 7) AS INTEGER) AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+),
+x AS (
+  SELECT media_id, text, n,
+         GREATEST(duration_ms // {_EVERY_MS}, 1) AS n_frames
+  FROM v
+),
+s AS (SELECT media_id, text, n, n_frames, GREATEST(n // n_frames, 1) AS step FROM x),
+frames AS (
+  SELECT media_id, CAST(j AS INTEGER) AS frame_idx,
+         substr(text, CAST(j * step + 1 AS INTEGER),
+                CAST(CASE WHEN LEAST(step, n - j * step) <= 0 THEN 1
+                          ELSE LEAST(step, n - j * step) END AS INTEGER)) AS ftxt
+  FROM s CROSS JOIN range(8) t(j)
+  WHERE j < n_frames
+),
+hist AS (
+  SELECT media_id, frame_idx,
+         [{", ".join(_frame_bucket_count(b) for b in range(16))}] AS h
+  FROM frames
+)
+SELECT a.media_id, a.frame_idx,
+       CAST(list_reduce(
+         list_transform(generate_series(1, 16), i -> ABS(a.h[i] - b.h[i])),
+         (acc, z) -> acc + z) AS BIGINT) AS l1_dist,
+       list_reduce(
+         list_transform(generate_series(1, 16), i -> ABS(a.h[i] - b.h[i])),
+         (acc, z) -> acc + z) > {_CUT_THRESHOLD} AS is_cut
+FROM hist a JOIN hist b ON a.media_id = b.media_id
+                       AND b.frame_idx = a.frame_idx - 1
+"""
+
+
+@register(
+    "mm_scene_cuts",
+    oracle=_SCENE_CUT_ORACLE,
+    doc="scene-cut detection: consecutive-frame 16-bucket byte-histogram"
+        " L1 jumps over threshold; histograms computed in the frame-"
+        "slicing pass, integer-exact",
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    media = partition_media(_media_from_documents(spark, sf_dir), 32)
+    video = media.filter(F.col("kind") == "video")
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("h", ArrayType(LongType())),
+        ]
+    )
+
+    def _hists(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "h": []}
+            for _, row in pdf.iterrows():
+                raw = bytes(row["content"]) if row["content"] is not None else b"\x00"
+                duration = int(row["duration_ms"] or 0)
+                n_frames = max(duration // _EVERY_MS, 1)
+                step = max(len(raw) // n_frames, 1)
+                for i in range(n_frames):
+                    frame = raw[i * step : i * step + step] or b"\x00"
+                    arr = np.frombuffer(frame, dtype=np.uint8) // 16
+                    h = np.bincount(arr, minlength=16)[:16]
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(i)
+                    out["h"].append(h.astype(np.int64).tolist())
+            yield pd.DataFrame(out)
+
+    hist = video.mapInPandas(_hists, schema)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    lagged = hist.withColumn("ph", F.lag("h").over(w)).filter(
+        F.col("ph").isNotNull()
+    )
+    l1 = F.aggregate(
+        F.zip_with(F.col("h"), F.col("ph"), lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, z: acc + z,
+    )
+    return lagged.select(
+        "media_id",
+        "frame_idx",
+        l1.alias("l1_dist"),
+        (l1 > _CUT_THRESHOLD).alias("is_cut"),
+    )

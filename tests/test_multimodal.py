@@ -471,3 +471,37 @@ def test_image_dedup_counts_even_and_complete(spark, sf_dir):
         assert r["canonical_id"] < 1000000  # survivor comes from the base ids
         total += r["n_copies"]
     assert total == 2 * n_docs
+
+
+def test_scene_cuts_mix_and_manual_check(spark, sf_dir):
+    import numpy as np
+
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.tables import load_table
+
+    rows = QUERIES["mm_scene_cuts"].builder(spark, sf_dir).collect()
+    assert rows
+    flags = {r["is_cut"] for r in rows}
+    assert flags == {True, False} or len(rows) < 4  # threshold separates
+    # manual recompute for one media
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, sf_dir, "documents").collect()}
+    r0 = rows[0]
+    mid = r0["media_id"]
+    raw = docs[mid].encode("utf-8")
+    duration = 500 * (1 + mid % 7)
+    n_frames = max(duration // 700, 1)
+    step = max(len(raw) // n_frames, 1)
+
+    def hist(b):
+        a = np.frombuffer(b, dtype=np.uint8) // 16
+        return np.bincount(a, minlength=16)[:16].astype(int)
+
+    for r in rows:
+        if r["media_id"] != mid:
+            continue
+        i = r["frame_idx"]
+        fa = raw[(i - 1) * step : (i - 1) * step + step] or b"\x00"
+        fb = raw[i * step : i * step + step] or b"\x00"
+        want = int(np.abs(hist(fb) - hist(fa)).sum())
+        assert r["l1_dist"] == want
+        assert r["is_cut"] == (want > 8)

@@ -108,7 +108,6 @@ _PRIORITY = [
     "llm_tokenizer_fertility",
     "events_dau_stickiness",
     "llm_hard_negatives",
-    "events_funnel_dropoff",
     "llm_dedup_cascade",
     "mm_scene_cuts",
     "llm_dedup_clusters_minhash",
@@ -144,6 +143,9 @@ _PRIORITY = [
     # Both remain oracle-checked by tools/verify_local.py every round.
     "mm_decode_jpeg_coeffs",
     "sketch_quantile_hist",
+    # events_funnel_dropoff is a 3-row rollup of the events_funnel frame
+    # and is reconciled against it row-by-row in tests.
+    "events_funnel_dropoff",
     # (b) past the cap in round 4
     "events_quantiles",
     "events_funnel",

@@ -144,8 +144,11 @@ _PRIORITY = [
     "mm_decode_jpeg_coeffs",
     "sketch_quantile_hist",
     # events_funnel_dropoff is a 3-row rollup of the events_funnel frame
-    # and is reconciled against it row-by-row in tests.
+    # and is reconciled against it row-by-row in tests;
+    # llm_mixture_report is the |sources|-row share table of
+    # llm_temperature_mix (driver row held), reconciled in tests.
     "events_funnel_dropoff",
+    "llm_mixture_report",
     # (b) past the cap in round 4
     "events_quantiles",
     "events_funnel",

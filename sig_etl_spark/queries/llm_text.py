@@ -1490,3 +1490,64 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bpe_tokens").cast("double") / F.sum("ws_tokens").cast("double")
         ).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture report: the before/after source-share table for the
+# temperature mix — what fraction of the corpus each source was, and
+# what fraction of the SAMPLE it becomes (the tail upweighting made
+# visible). Pure integer counts from the mix operator's own take rule;
+# the four ratios are single divisions of exact BIGINTs.
+# ---------------------------------------------------------------------------
+
+_MIXREPORT_ORACLE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_source FROM documents GROUP BY source
+),
+take AS (
+  SELECT source, n_source,
+         LEAST(n_source, CAST(FLOOR({_TEMP_C} * sqrt(CAST(n_source AS DOUBLE)))
+                              AS BIGINT)) AS n_sampled
+  FROM counts
+),
+tot AS (SELECT SUM(n_source) AS n_total, SUM(n_sampled) AS s_total FROM take)
+SELECT t.source, t.n_source, t.n_sampled,
+       CAST(t.n_source AS DOUBLE) / CAST(tot.n_total AS DOUBLE) AS share_before,
+       CAST(t.n_sampled AS DOUBLE) / CAST(tot.s_total AS DOUBLE) AS share_after,
+       (CAST(t.n_sampled AS DOUBLE) / CAST(tot.s_total AS DOUBLE))
+         / (CAST(t.n_source AS DOUBLE) / CAST(tot.n_total AS DOUBLE)) AS upweight
+FROM take t CROSS JOIN tot
+"""
+
+
+@register(
+    "llm_mixture_report",
+    oracle=_MIXREPORT_ORACLE,
+    doc="before/after source shares of the temperature mix + upweight"
+        " factor: |sources|-row integer arithmetic",
+)
+def llm_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    take = counts.select(
+        "source",
+        "n_source",
+        F.least(
+            F.col("n_source"),
+            F.floor(F.lit(_TEMP_C) * F.sqrt(F.col("n_source").cast("double"))),
+        ).alias("n_sampled"),
+    )
+    tot = take.groupBy().agg(
+        F.sum("n_source").alias("n_total"), F.sum("n_sampled").alias("s_total")
+    )
+    j = take.crossJoin(F.broadcast(tot))
+    before = F.col("n_source").cast("double") / F.col("n_total").cast("double")
+    after = F.col("n_sampled").cast("double") / F.col("s_total").cast("double")
+    return j.select(
+        "source",
+        "n_source",
+        "n_sampled",
+        before.alias("share_before"),
+        after.alias("share_after"),
+        (after / before).alias("upweight"),
+    )

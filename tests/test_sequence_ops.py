@@ -382,3 +382,22 @@ def test_funnel_dropoff_consistent_with_funnel(spark, sf_dir):
     assert rows["purchase"]["n_users"] == s3
     assert s1 >= s2 >= s3
     assert rows["purchase"]["conv_from_start"] <= rows["click"]["conv_from_start"] <= 1.0
+
+
+def test_mixture_report_reconciles_with_mix(spark, sf_dir):
+    got = {r["source"]: r for r in _q("llm_mixture_report")(spark, sf_dir).collect()}
+    mix = (
+        _q("llm_temperature_mix")(spark, sf_dir)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    assert got
+    for r in mix:
+        assert got[r["source"]]["n_sampled"] == r["count"]
+    sb = sum(r["share_before"] for r in got.values())
+    sa = sum(r["share_after"] for r in got.values())
+    assert abs(sb - 1.0) < 1e-9 and abs(sa - 1.0) < 1e-9
+    # small sources upweight, large sources downweight
+    by_n = sorted(got.values(), key=lambda r: r["n_source"])
+    assert by_n[0]["upweight"] >= by_n[-1]["upweight"]

@@ -312,3 +312,15 @@ def test_q5_join_tree_plan_shape(spark, sf_dir):
     assert _count_op(plan, "BroadcastHashJoin") >= 3, plan  # region/nation/dims
     assert "PushedFilters: [" in plan
     assert "1996" in plan or "isnotnull(o_orderdate)" in plan, plan
+
+
+def test_ivf_near_dup_plan_shape(spark, sf_dir):
+    """Centroids reach both the assignment and scoring joins as
+    broadcasts (the assignment cross join is bounded by centroid count);
+    the only non-broadcast join is the cell equi-join."""
+    plan = _plan(spark, sf_dir, "llm_embedding_near_dup_ivf")
+    assert _count_op(plan, "CartesianProduct") == 0
+    assert _count_op(plan, "BroadcastNestedLoopJoin") >= 1  # vec x centroid
+    # the pair join on cent_id may be SMJ or shuffled-hash; what must NOT
+    # happen is a broadcast of the corpus-sized assignment frame
+    assert "PushedFilters" in plan

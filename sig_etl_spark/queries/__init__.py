@@ -88,7 +88,6 @@ _PRIORITY = [
     # (a) new / changed in round 5
     "llm_quality_gate_v2",
     "sketch_quantile_calibration",
-    "llm_dedup_savings",
     "llm_embedding_near_dup_ivf",
     "orders_rfm_segmentation",
     "layout_partition_pruning",
@@ -106,10 +105,11 @@ _PRIORITY = [
     "j_q5_region_volume",
     "orders_cohort_ltv",
     "llm_tokenizer_fertility",
-    "events_dau_stickiness",
     "llm_hard_negatives",
     "llm_dedup_cascade",
     "mm_scene_cuts",
+    "llm_prefix_dedup",
+    "events_gap_distribution",
     "llm_dedup_clusters_minhash",
     "events_sliding_distinct_users",
     "mm_audio_features",
@@ -149,6 +149,12 @@ _PRIORITY = [
     # llm_temperature_mix (driver row held), reconciled in tests.
     "events_funnel_dropoff",
     "llm_mixture_report",
+    # llm_dedup_savings reconciles row-by-row against
+    # llm_dedup_clusters_minhash's driver-visible assignment in tests;
+    # events_dau_stickiness shares the collapsed-user-day machinery with
+    # events_sliding_distinct_users (driver row) and is bounds-tested.
+    "llm_dedup_savings",
+    "events_dau_stickiness",
     # (b) past the cap in round 4
     "events_quantiles",
     "events_funnel",

@@ -1122,3 +1122,56 @@ def events_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in rows[1:]:
         out = out.unionByName(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Inter-event-time distribution: per event type, a log2-bucketed
+# histogram of the gaps between consecutive events of the SAME USER —
+# the burstiness profile behind rate limiting and bot detection.
+# DETERMINISM TRICK: the bucket is the BIT LENGTH of the microsecond
+# gap, computed as length(bin(gap)) on both engines (the same exact-
+# integer log2 the HLL rho uses) — no floating log anywhere. One
+# user-keyed window pass, then a (type, bucket) combinable groupBy.
+# ---------------------------------------------------------------------------
+
+_GAP_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+b AS (
+  SELECT event_type,
+         CASE WHEN gap_us <= 0 THEN 0 ELSE length(bin(gap_us)) END AS bucket
+  FROM g WHERE gap_us IS NOT NULL
+)
+SELECT event_type, CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n
+FROM b GROUP BY event_type, bucket
+"""
+
+
+@register(
+    "events_gap_distribution",
+    oracle=_GAP_ORACLE,
+    doc="log2-bucketed inter-event gap histogram per type via exact"
+        " integer bit length (length(bin(gap))) — no floating log;"
+        " one user window + one combinable groupBy",
+)
+def events_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    bucket = F.when(F.col("gap_us") <= 0, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("gap_us")))
+    )
+    return (
+        g.select("event_type", bucket.cast("int").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1035,3 +1035,85 @@ def llm_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("kept")
     )
     return out.select("doc_id", "exact_canonical", "near_canonical", stage.alias("stage"))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-duplicate detection — the failure mode whole-doc exact dedup
+# misses and shingle Jaccard under-scores: documents identical up front
+# that diverge only by appended boilerplate or truncation. Key = md5 of
+# the first 20 tokens; groups with >1 member and a LENGTH SPREAD are
+# exactly "same opening, different tail". One combinable groupBy;
+# integer lengths make the spread exact. The corpus plants truncated
+# twins (first-half copies under shifted ids) so the detector has real
+# positives with known structure.
+# ---------------------------------------------------------------------------
+
+_PREFIX_K = 20
+
+_PREFIX_DEDUP_ORACLE = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(list_slice({_TOKS}, 1,
+           GREATEST(len({_TOKS}) // 2, {_PREFIX_K})), ' ') AS text
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id,
+         len({_TOKS}) AS n_toks,
+         md5(array_to_string(list_slice({_TOKS}, 1, {_PREFIX_K}), ' '))
+           AS prefix_key
+  FROM corpus
+  WHERE len({_TOKS}) >= {_PREFIX_K}
+)
+SELECT prefix_key,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_toks) AS BIGINT) AS min_toks,
+       CAST(MAX(n_toks) AS BIGINT) AS max_toks,
+       (MAX(n_toks) > MIN(n_toks)) AS has_length_spread
+FROM keyed GROUP BY prefix_key
+HAVING COUNT(*) > 1
+"""
+
+
+@register(
+    "llm_prefix_dedup",
+    oracle=_PREFIX_DEDUP_ORACLE,
+    doc="prefix-duplicate groups (same first-20-token hash, >1 member):"
+        " catches truncation/extension duplicates whole-doc exact dedup"
+        " misses; planted truncated twins give known positives",
+)
+def llm_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.llm.text_analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    truncated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                toks, 1, F.greatest(F.floor(F.size(toks) / 2), F.lit(_PREFIX_K)).cast("int")
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(truncated)
+    ctoks = tokens(F.col("text"))
+    keyed = corpus.select(
+        "doc_id",
+        F.size(ctoks).alias("n_toks"),
+        F.md5(F.array_join(F.slice(ctoks, 1, _PREFIX_K), " ")).alias("prefix_key"),
+    ).filter(F.col("n_toks") >= _PREFIX_K)
+    return (
+        keyed.groupBy("prefix_key")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_toks").cast("bigint").alias("min_toks"),
+            F.max("n_toks").cast("bigint").alias("max_toks"),
+            (F.max("n_toks") > F.min("n_toks")).alias("has_length_spread"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -401,3 +401,40 @@ def test_mixture_report_reconciles_with_mix(spark, sf_dir):
     # small sources upweight, large sources downweight
     by_n = sorted(got.values(), key=lambda r: r["n_source"])
     assert by_n[0]["upweight"] >= by_n[-1]["upweight"]
+
+
+def test_prefix_dedup_finds_planted_truncations(spark, sf_dir):
+    rows = _q("llm_prefix_dedup")(spark, sf_dir).collect()
+    assert rows
+    spread = [r for r in rows if r["has_length_spread"]]
+    assert spread, "planted truncated twins must produce length-spread groups"
+    for r in rows:
+        assert r["n_docs"] >= 2
+        assert r["min_toks"] <= r["max_toks"]
+        assert r["has_length_spread"] == (r["max_toks"] > r["min_toks"])
+        assert r["min_toks"] >= 20
+
+
+def test_gap_distribution_matches_manual_bitlength(spark, sf_dir):
+    import pandas as pd
+
+    from sig_etl_spark.tables import load_table
+
+    got = {
+        (r["event_type"], r["bucket"]): r["n"]
+        for r in _q("events_gap_distribution")(spark, sf_dir).collect()
+    }
+    assert got
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["gap_us"] = (
+        ev.groupby("user_id")["ts"].diff().dt.total_seconds() * 1_000_000
+    ).round()
+    want: dict = {}
+    for _, r in ev.dropna(subset=["gap_us"]).iterrows():
+        g = int(r["gap_us"])
+        b = 0 if g <= 0 else g.bit_length()
+        want[(r["event_type"], b)] = want.get((r["event_type"], b), 0) + 1
+    assert got == want

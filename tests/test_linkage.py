@@ -369,3 +369,17 @@ def test_subblocked_salted_identical_to_subblocked(spark, sf_dir):
     b = QUERIES["linkage_fuzzy_match_subblocked_salted"].builder(spark, sf_dir)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_subblocked2_preserves_matches_vs_subblocked(spark, sf_dir):
+    from sig_etl_spark.queries import QUERIES
+
+    one = QUERIES["linkage_fuzzy_match_subblocked"].builder(spark, sf_dir).collect()
+    two = QUERIES["linkage_fuzzy_match_subblocked2"].builder(spark, sf_dir).collect()
+    m1 = {r["x_id"]: r["candidate_id"] for r in one if r["match_status"] == "matched"}
+    m2 = {r["x_id"]: r["candidate_id"] for r in two if r["match_status"] == "matched"}
+    for x_id, cand in m1.items():
+        assert m2.get(x_id) == cand, (x_id, cand, m2.get(x_id))
+    c1 = {r["x_id"]: r["n_candidates"] for r in one}
+    c2 = {r["x_id"]: r["n_candidates"] for r in two}
+    assert all(c2[x] <= c1[x] for x in c2)

@@ -116,7 +116,6 @@ _PRIORITY = [
     "llm_source_drift",
     "linkage_fuzzy_match_subblocked",
     "linkage_fuzzy_match_subblocked_salted",
-    "linkage_fuzzy_match_subblocked2",
     "llm_cluster_cohesion",
     "llm_minhash_calibration",
     "events_anomaly_mad",
@@ -156,6 +155,9 @@ _PRIORITY = [
     # events_sliding_distinct_users (driver row) and is bounds-tested.
     "llm_dedup_savings",
     "events_dau_stickiness",
+    # linkage_fuzzy_match_subblocked2's matches are equivalence-pinned
+    # against the subblocked variant's driver row in tests.
+    "linkage_fuzzy_match_subblocked2",
     # (b) past the cap in round 4
     "events_quantiles",
     "events_funnel",

@@ -44,6 +44,60 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+# ---------------------------------------------------------------------------
+# FLOAT-SEAM LINT (round-6, prescribed by VERDICT r05 task 7): the three
+# r05 driver hash-reds shared one root cause — ulp-sensitive float seams
+# in driver-visible columns (JVM Math.pow vs libm POWER; Spark
+# interpolated percentile() vs DuckDB quantile_cont midpoint
+# arithmetic). This class of driver-only failure is mechanical to
+# catch, so it is banned mechanically: registered oracles may not use
+# POWER( / quantile_cont / median( (interpolating alias), and builder
+# functions may not use F.pow( / interpolated percentile(. Discrete
+# percentile_disc / quantile_disc (actual data elements, identical rank
+# rule both engines — probed) and plain multiplication are the
+# sanctioned replacements. The whitelist is EMPTY; adding a name
+# requires a documented reason here.
+# ---------------------------------------------------------------------------
+
+_SEAM_WHITELIST: frozenset[str] = frozenset()
+
+_ORACLE_SEAMS = ("POWER(", "power(", "quantile_cont", "median(", "MEDIAN(")
+# builder-side: match real call sites, not prose in comments
+_BUILDER_SEAMS = ("F.pow(", "percentile(")
+
+
+def float_seam_lint() -> list[str]:
+    """Return a list of lint violations (empty = clean).
+
+    Scans every registered oracle string for cross-engine float-seam
+    constructs and every builder function's source for their Spark-side
+    twins. tools/verify_local.py fails on violations and
+    tests/test_float_seam_lint.py locks the whitelist empty.
+    """
+    import inspect
+
+    problems: list[str] = []
+    for name, rq in QUERIES.items():
+        if name in _SEAM_WHITELIST:
+            continue
+        if rq.oracle:
+            for pat in _ORACLE_SEAMS:
+                if pat in rq.oracle:
+                    problems.append(f"{name}: oracle contains {pat!r}")
+        try:
+            src = inspect.getsource(rq.builder)
+        except (OSError, TypeError):
+            continue
+        for pat in _BUILDER_SEAMS:
+            for line in src.splitlines():
+                code = line.split("#", 1)[0]
+                if pat in code and "percentile_disc" not in code and (
+                    "percentile_approx" not in code
+                ):
+                    problems.append(f"{name}: builder contains {pat!r}: {code.strip()[:80]}")
+    return problems
+
+
 def _load_all() -> None:
     # Import for side effect: each module registers its queries. Import
     # order no longer determines driver coverage — _PRIORITY / _reorder()
@@ -67,152 +121,69 @@ def _load_all() -> None:
 
 
 # ---------------------------------------------------------------------------
-# DRIVER-ROW ROTATION POLICY: the driver's correctness gate records only
-# the FIRST 50 registry entries each round, so the registry is explicitly
-# reordered after loading. Priority each round:
-#   (a) queries NEW this round — every fresh query gets a driver-visible
-#       oracle row in its debut round;
-#   (b) the block that fell past the cap the PREVIOUS round — so every
-#       query regains a driver row within any two consecutive rounds;
-#   (c) everything else (covered last round), in registration order.
-# tools/verify_local.py reproduces the driver's hash protocol exactly and
-# runs every round over ALL queries, so (c) is still locally verified in
-# the rounds where the cap falls on it.
+# DRIVER-ROW ROTATION POLICY (computed since round 6 — VERDICT r05 task
+# 2): the driver's correctness gate records only the FIRST
+# _DRIVER_CAP=50 registry entries each round, so the registry is
+# reordered after loading:
+#   (a) _DEBUTS — queries NEW this round or whose RESULTS changed this
+#       round — come first: every fresh/changed query gets a
+#       driver-visible row in the round it changes. Hand-listed, budget
+#       asserted <= _DEBUT_BUDGET so slot (b) never starves.
+#   (b) everything else, ordered by LAST DRIVER-GREEN ROUND ascending
+#       (oldest-unverified first; never-green = round 0 sorts first),
+#       ties broken by registration order. The per-query round comes
+#       from _driver_history.DRIVER_LAST_GREEN, regenerated each round
+#       from the driver's own CORRECTNESS_r*.json files by
+#       tools/gen_driver_history.py — the ordering is COMPUTED from the
+#       driver's record, not hand-maintained.
 #
-# Round 5 priority: (a) = queries new or CHANGED this round (llm_knn_pq's
-# lambda-arity fix and llm_ann_recall's new pq arm need driver rows to
-# prove the fix); (b) = the 44 entries past the cap in CORRECTNESS_r04,
-# in registration order.
+# Refresh guarantee (the honest, arithmetic one — round 5's "within two
+# rounds" claim was impossible at cap 50 with 148 queries and is hereby
+# retracted): with N registered queries, cap C=50 and debut budget D,
+# a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
+# falling past the cap before regaining a driver row, because each round
+# promotes the (C - D) stalest entries and a just-verified query re-enters
+# behind at most N - C fresher-than-it entries. At N=150, D=15 that is
+# ceil(100/35) = 3 rounds worst-case; tools/verify_local.py still checks
+# ALL queries locally every round, so the cap only limits the external
+# signal, never the verification itself.
 # ---------------------------------------------------------------------------
-_PRIORITY = [
-    # (a) new / changed in round 5
-    "llm_quality_gate_v2",
-    "sketch_quantile_calibration",
-    "llm_embedding_near_dup_ivf",
-    "orders_rfm_segmentation",
-    "layout_partition_pruning",
-    "j_part_affinity",
-    "events_ab_test",
-    "llm_cluster_aware_split",
-    "llm_dataset_card",
-    "sketch_hll_running_distinct",
-    "jsonl_stage_roundtrip",
-    "llm_knn_filtered",
-    "mm_image_dedup",
-    "orders_monthly_growth",
-    "llm_rag_pack",
-    "parquet_schema_evolution",
-    "j_q5_region_volume",
-    "orders_cohort_ltv",
-    "llm_tokenizer_fertility",
-    "llm_hard_negatives",
-    "llm_dedup_cascade",
-    "mm_scene_cuts",
-    "llm_prefix_dedup",
-    "events_gap_distribution",
-    "llm_dedup_clusters_minhash",
-    "events_sliding_distinct_users",
-    "mm_audio_features",
+
+_DRIVER_CAP = 50
+_DEBUT_BUDGET = 25
+
+# New or result-changed in round 6:
+#   - the three r05 driver hash-reds, re-fixed seam-proof (d*d not pow;
+#     discrete percentile_disc/quantile_disc boundaries/estimates);
+#   - events_quantiles / events_anomaly_mad, converted from interpolated
+#     percentile() to discrete percentile_disc by the float-seam lint
+#     (their emitted doubles changed);
+#   - round-6 debut queries appended as they land.
+_DEBUTS = [
     "llm_source_drift",
-    "linkage_fuzzy_match_subblocked",
-    "linkage_fuzzy_match_subblocked_salted",
-    "llm_cluster_cohesion",
-    "llm_minhash_calibration",
-    "events_anomaly_mad",
-    "agg_group_ols",
-    "orders_pareto_share",
-    "events_sliding_window_avg",
-    "events_transition_matrix",
-    "events_session_paths",
-    "llm_lexical_diversity",
-    "llm_bigram_coverage",
-    "llm_temperature_mix",
-    "llm_knn_pq_rerank",
-    "llm_knn_pq",
-    "llm_ann_recall",
-    "mm_decode_jpeg",
-    "llm_dup_spans",
-    "llm_knn_ivfpq",
-    "events_incremental_merge",
-    "llm_oov_rate",
-    "llm_simhash_pairs_capped",
-    # Deliberate overflow entries (the round produced more debuts than
-    # the driver's 50 rows): mm_decode_jpeg_coeffs' sibling holds the
-    # codec family's driver row; sketch_quantile_hist's estimates are
-    # embedded verbatim in sketch_quantile_calibration's driver row.
-    # Both remain oracle-checked by tools/verify_local.py every round.
-    "mm_decode_jpeg_coeffs",
-    "sketch_quantile_hist",
-    # events_funnel_dropoff is a 3-row rollup of the events_funnel frame
-    # and is reconciled against it row-by-row in tests;
-    # llm_mixture_report is the |sources|-row share table of
-    # llm_temperature_mix (driver row held), reconciled in tests.
-    "events_funnel_dropoff",
-    "llm_mixture_report",
-    # llm_dedup_savings reconciles row-by-row against
-    # llm_dedup_clusters_minhash's driver-visible assignment in tests;
-    # events_dau_stickiness shares the collapsed-user-day machinery with
-    # events_sliding_distinct_users (driver row) and is bounds-tested.
-    "llm_dedup_savings",
-    "events_dau_stickiness",
-    # linkage_fuzzy_match_subblocked2's matches are equivalence-pinned
-    # against the subblocked variant's driver row in tests.
-    "linkage_fuzzy_match_subblocked2",
-    # (b) past the cap in round 4
+    "orders_rfm_segmentation",
+    "sketch_quantile_calibration",
     "events_quantiles",
-    "events_funnel",
-    "events_pivot",
-    "events_json_extract",
-    "events_retention",
-    "events_zscore",
-    "vsdb_election_candidates",
-    "a9_reindex",
-    "linkage_fuzzy_match",
-    "linkage_fuzzy_match_salted",
-    "linkage_fuzzy_match_wratio",
-    "linkage_match_stats",
-    "mm_features",
-    "mm_frame_sample",
-    "mm_decode_ppm",
-    "mm_resize",
-    "llm_knn_bruteforce",
-    "llm_knn_lsh",
-    "llm_knn_ivf",
-    "llm_knn_label_vote",
-    "llm_knn_ivf_kmeans",
-    "llm_exact_dedup",
-    "llm_ngram_jaccard",
-    "llm_minhash_lsh",
-    "llm_simhash_pairs",
-    "llm_embedding_near_dup",
-    "llm_dedup_clusters",
-    "llm_corpus_curation",
-    "llm_text_stats",
-    "llm_fingerprint",
-    "llm_vocab_topk",
-    "llm_repetition",
-    "llm_pii_scrub",
-    "llm_reproducible_split",
-    "llm_decontaminate",
-    "llm_tfidf_top_terms",
-    "llm_source_rollup",
-    "llm_stratified_sample",
-    "llm_shard_packing",
-    "llm_length_deciles",
-    "j2_composite_key_merge",
-    "a7_consume_once_dispatch",
-    "transform_split_candidacies",
+    "events_anomaly_mad",
 ]
 
 
 def _reorder() -> None:
-    missing = [n for n in _PRIORITY if n not in QUERIES]
+    from sig_etl_spark.queries._driver_history import DRIVER_LAST_GREEN
+
+    assert len(_DEBUTS) <= _DEBUT_BUDGET, (
+        f"debut list ({len(_DEBUTS)}) exceeds budget {_DEBUT_BUDGET}: "
+        "the stale block would starve — split across rounds instead"
+    )
+    missing = [n for n in _DEBUTS if n not in QUERIES]
     if missing:  # a renamed/removed query must fail loudly, not silently
-        raise RuntimeError(f"_PRIORITY names not in registry: {missing}")
-    ordered = {n: QUERIES[n] for n in _PRIORITY}
-    for name, q in QUERIES.items():
-        if name not in ordered:
-            ordered[name] = q
+        raise RuntimeError(f"_DEBUTS names not in registry: {missing}")
+    reg_index = {n: i for i, n in enumerate(QUERIES)}
+    rest = sorted(
+        (n for n in QUERIES if n not in _DEBUTS),
+        key=lambda n: (DRIVER_LAST_GREEN.get(n, 0), reg_index[n]),
+    )
+    ordered = {n: QUERIES[n] for n in [*_DEBUTS, *rest]}
     QUERIES.clear()
     QUERIES.update(ordered)
 

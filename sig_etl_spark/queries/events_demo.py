@@ -250,15 +250,19 @@ def events_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Exact quantiles per event type: Spark's exact percentile (sort-based)
-# vs DuckDB quantile_cont — both linear interpolation over the sorted
-# values, so the doubles agree bit-for-bit.
+# Exact quantiles per event type: DISCRETE (type-1 inverse-CDF)
+# percentiles — percentile_disc / quantile_disc return an actual data
+# element, bit-identical across engines because both pick the same rank
+# from the same parquet doubles (round-6 seam-proofing: interpolated
+# quantile_cont midpoint arithmetic is a cross-engine ulp seam, the r05
+# driver hash-red root cause in the sibling sketch family — the repo's
+# float-seam lint now bans it outright).
 # ---------------------------------------------------------------------------
 
 _QUANTILE_ORACLE = """
 SELECT event_type,
-       quantile_cont(value, 0.5) AS p50,
-       quantile_cont(value, 0.95) AS p95,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.95) AS p95,
        MIN(value) AS vmin, MAX(value) AS vmax
 FROM events GROUP BY event_type
 """
@@ -267,13 +271,14 @@ FROM events GROUP BY event_type
 @register(
     "events_quantiles",
     oracle=_QUANTILE_ORACLE,
-    doc="exact p50/p95 per event type (sort-based percentile, not approx)",
+    doc="exact discrete p50/p95 per event type (sort-based, not approx;"
+        " type-1 inverse-CDF so the emitted value is an actual element)",
 )
 def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("p50"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("p95"),
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     )
@@ -895,22 +900,24 @@ def events_sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Robust anomaly gate: per event type, the median, the MAD (median
 # absolute deviation — the robust sigma), and how many points sit
 # outside median +- 3 * 1.4826 * MAD. Two grouped exact-percentile
-# passes (same engine-portable percentile() the green events_quantiles
-# uses) with a broadcast of the |types|-row center table between them —
-# the raw stream is scanned twice but never joined to itself. The
-# z-threshold comparison is pure IEEE arithmetic on identical inputs.
+# passes (DISCRETE type-1 medians, same seam-proof rule as
+# events_quantiles — an actual data element, never interpolated) with a
+# broadcast of the |types|-row center table between them — the raw
+# stream is scanned twice but never joined to itself. The z-threshold
+# comparison is pure IEEE arithmetic on identical inputs.
 # ---------------------------------------------------------------------------
 
 _MAD_ORACLE = """
 WITH med AS (
-  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events GROUP BY event_type
 ),
 dev AS (
   SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
   FROM events e JOIN med m USING (event_type)
 ),
 mad AS (
-  SELECT event_type, ANY_VALUE(med) AS med, median(adev) AS mad
+  SELECT event_type, ANY_VALUE(med) AS med, quantile_disc(adev, 0.5) AS mad
   FROM dev GROUP BY event_type
 )
 SELECT d.event_type, m.med, m.mad,
@@ -930,12 +937,15 @@ GROUP BY 1, 2, 3
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
     mad = dev.groupBy("event_type").agg(
-        F.first("med").alias("med"), F.expr("percentile(adev, 0.5)").alias("mad")
+        F.first("med").alias("med"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad"),
     )
     out = dev.select("event_type", "value").join(F.broadcast(mad), "event_type")
     thresh = F.lit(3) * F.lit(1.4826) * F.col("mad")

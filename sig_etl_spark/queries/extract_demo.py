@@ -9,6 +9,9 @@ order, whitespace, explode) breaks the hash.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -484,7 +487,11 @@ def jsonl_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
         "value",
     )
-    d = "/root/repo/.jsonl_stage_demo"
+    # Stage dir keyed by sf_dir (same discipline as parquet_schema_evolution)
+    # so interleaved verify (sf0.01) and bench (sf0.1) runs — or a lazily
+    # re-evaluated returned DataFrame — never read the other scale's data.
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    d = f"/root/repo/.jsonl_stage_demo_{tag}"
     staged.write.mode("overwrite").json(d)
     schema = StructType(
         [

@@ -1005,6 +1005,10 @@ def llm_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_BUDGET = 1200
 _PACK_K = 10
 
+# Guard the splice target (ADVICE r05): a silent no-op replace would
+# leave the oracle scoring top-_K while Spark packs top-_PACK_K.
+assert f"WHERE rank <= {_K}" in _BRUTE_ORACLE, "RAG pack oracle splice target missing"
+
 _RAG_PACK_ORACLE = f"""
 WITH topk AS (
   SELECT query_id, corpus_id, cosine, rank

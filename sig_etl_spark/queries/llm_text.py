@@ -1240,16 +1240,17 @@ src AS (
   SELECT source, SUM(n) AS n_source FROM obs GROUP BY source
 ),
 terms AS (
-  SELECT o.source, o.bucket,
-         POWER(CAST(o.n AS DOUBLE)
-               - CAST(t.bucket_total * s.n_source AS DOUBLE)
-                 / CAST(g.n_total AS DOUBLE), 2)
-           / (CAST(t.bucket_total * s.n_source AS DOUBLE)
-              / CAST(g.n_total AS DOUBLE)) AS term
-  FROM obs o
-  JOIN tot t USING (bucket)
-  JOIN src s USING (source)
-  CROSS JOIN grand g
+  SELECT source, bucket,
+         (CAST(n AS DOUBLE) - expv) * (CAST(n AS DOUBLE) - expv) / expv AS term
+  FROM (
+    SELECT o.source, o.bucket, o.n,
+           CAST(t.bucket_total * s.n_source AS DOUBLE)
+             / CAST(g.n_total AS DOUBLE) AS expv
+    FROM obs o
+    JOIN tot t USING (bucket)
+    JOIN src s USING (source)
+    CROSS JOIN grand g
+  )
 )
 SELECT s.source, s.n_source,
        list_reduce(list_prepend(0.0, list(term ORDER BY bucket)),
@@ -1275,11 +1276,16 @@ def llm_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = obs.groupBy("bucket").agg(F.sum("n").alias("bucket_total"))
     grand = obs.groupBy().agg(F.sum("n").alias("n_total"))
     src = obs.groupBy("source").agg(F.sum("n").alias("n_source"))
-    exp = (
-        F.col("bucket_total").cast("double")
-        * F.col("n_source").cast("double")
-        / F.col("n_total").cast("double")
-    )
+    # Seam-proofing (round-6 fix for the r05 driver hash-red): the expected
+    # value casts the EXACT INTEGER PRODUCT to double (identical op order to
+    # the oracle's CAST(bucket_total * n_source AS DOUBLE) / CAST(n_total AS
+    # DOUBLE)), and the chi-square numerator is d*d — plain IEEE multiply —
+    # never pow(), whose JVM Math.pow vs libm POWER() results are allowed to
+    # differ by 1 ulp across engines.
+    exp = (F.col("bucket_total") * F.col("n_source")).cast("double") / F.col(
+        "n_total"
+    ).cast("double")
+    d = F.col("n").cast("double") - exp
     terms = (
         obs.join(F.broadcast(tot), "bucket")
         .join(F.broadcast(src), "source")
@@ -1288,7 +1294,7 @@ def llm_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "bucket",
             "n_source",
-            (F.pow(F.col("n").cast("double") - exp, F.lit(2.0)) / exp).alias("term"),
+            (d * d / exp).alias("term"),
         )
     )
     return (

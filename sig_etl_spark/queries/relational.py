@@ -673,8 +673,10 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # anti-pattern the first cut of this query contained). Boundary
 # semantics, not equal-count semantics: customers tied at a boundary
 # land in the same bucket (the defensible business rule anyway). All
-# inputs integer-exact; boundaries are exact-percentile doubles via the
-# engine-portable interpolation both engines already hash-match.
+# inputs integer-exact; boundaries are DISCRETE percentiles (type-1
+# inverse-CDF — actual bigint data values, percentile_disc vs
+# quantile_disc), so every comparison is bigint-vs-bigint: no
+# interpolated double anywhere in the decision path.
 # ---------------------------------------------------------------------------
 
 _RFM_ORACLE = """
@@ -687,15 +689,15 @@ cust AS (
   FROM orders GROUP BY o_custkey
 ),
 b AS (
-  SELECT quantile_cont(CAST(recency_days AS DOUBLE), 0.25) AS r1,
-         quantile_cont(CAST(recency_days AS DOUBLE), 0.5)  AS r2,
-         quantile_cont(CAST(recency_days AS DOUBLE), 0.75) AS r3,
-         quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f1,
-         quantile_cont(CAST(frequency AS DOUBLE), 0.5)  AS f2,
-         quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f3,
-         quantile_cont(CAST(monetary_cents AS DOUBLE), 0.25) AS m1,
-         quantile_cont(CAST(monetary_cents AS DOUBLE), 0.5)  AS m2,
-         quantile_cont(CAST(monetary_cents AS DOUBLE), 0.75) AS m3
+  SELECT quantile_disc(recency_days, 0.25) AS r1,
+         quantile_disc(recency_days, 0.5)  AS r2,
+         quantile_disc(recency_days, 0.75) AS r3,
+         quantile_disc(frequency, 0.25) AS f1,
+         quantile_disc(frequency, 0.5)  AS f2,
+         quantile_disc(frequency, 0.75) AS f3,
+         quantile_disc(monetary_cents, 0.25) AS m1,
+         quantile_disc(monetary_cents, 0.5)  AS m2,
+         quantile_disc(monetary_cents, 0.75) AS m3
   FROM cust
 ),
 scored AS (
@@ -749,9 +751,16 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
+    # Discrete (type-1, inverse-CDF) percentile boundaries — actual bigint
+    # data values, so every downstream quartile comparison is bigint vs
+    # bigint and the hash cannot flap on a 1-ulp interpolation seam (the
+    # round-5 driver hash-red root cause; Spark percentile_disc and DuckDB
+    # quantile_disc pick the identical element — probed on n=4,5,7,10).
     b = cust.groupBy().agg(
         *[
-            F.expr(f"percentile(CAST({c} AS DOUBLE), {q})").alias(f"{a}{i}")
+            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {c})")
+            .cast("bigint")
+            .alias(f"{a}{i}")
             for c, a in (
                 ("recency_days", "r"),
                 ("frequency", "f"),

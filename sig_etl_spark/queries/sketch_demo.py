@@ -244,24 +244,25 @@ def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-group percentiles with absolute errors — the companion measurement
 # to llm_minhash_calibration for the quantile family. The histogram
 # contract bounds (estimate - rank-based percentile) within one
-# bin_width; against the INTERPOLATED quantile_cont the signed error
-# can dip below zero or exceed the bin by the interpolation gap on
-# sparse groups — exactly the seam this query exists to measure.
+# bin_width. The exact side uses DISCRETE (type-1 inverse-CDF)
+# percentiles — percentile_disc / quantile_disc return an ACTUAL DATA
+# ELEMENT, bit-identical across engines because both read the same
+# parquet doubles and pick the same rank (round-6 seam-proofing: the
+# r05 driver hash-red came from emitting INTERPOLATED quantile_cont
+# doubles, whose midpoint arithmetic is a cross-engine ulp seam).
 # The exact side is a per-group sort (the thing the sketch avoids at
 # 100 TB) — affordable here precisely because it's the calibration run
-# you do once on a sample, not the production path. Estimates and exact
-# percentiles are each hash-exact cross-engine (proven separately by
-# sketch_quantile_hist and events_quantiles); their difference is one
-# IEEE subtraction.
+# you do once on a sample, not the production path. Each error is one
+# IEEE subtraction of two cross-engine-identical doubles.
 # ---------------------------------------------------------------------------
 
 _QCAL_ORACLE = f"""
 WITH est AS ({_QH_ORACLE}),
 exact AS (
   SELECT o_orderstatus, o_orderpriority,
-         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50_exact,
-         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90_exact,
-         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS p99_exact
+         quantile_disc(CAST(o_totalprice AS DOUBLE), 0.5) AS p50_exact,
+         quantile_disc(CAST(o_totalprice AS DOUBLE), 0.9) AS p90_exact,
+         quantile_disc(CAST(o_totalprice AS DOUBLE), 0.99) AS p99_exact
   FROM orders GROUP BY 1, 2
 )
 SELECT e.o_orderstatus, e.o_orderpriority, e.total,
@@ -282,9 +283,18 @@ def sketch_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     est = sketch_quantile_hist(spark, sf_dir)
     exact = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.5)").alias("p50_exact"),
-        F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.9)").alias("p90_exact"),
-        F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.99)").alias("p99_exact"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP"
+            " (ORDER BY CAST(o_totalprice AS DOUBLE))"
+        ).alias("p50_exact"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP"
+            " (ORDER BY CAST(o_totalprice AS DOUBLE))"
+        ).alias("p90_exact"),
+        F.expr(
+            "percentile_disc(0.99) WITHIN GROUP"
+            " (ORDER BY CAST(o_totalprice AS DOUBLE))"
+        ).alias("p99_exact"),
     )
     j = est.join(exact, ["o_orderstatus", "o_orderpriority"])
     return j.select(

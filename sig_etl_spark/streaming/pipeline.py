@@ -200,8 +200,9 @@ def stream_stream_join(
     purchase_watermark: str = "2 hours",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: each purchase pairs with
-    the clicks of the SAME user in the (purchase_ts - max_gap,
-    purchase_ts] window — the streaming twin of the batch as-of/range
+    the clicks of the SAME user in the [purchase_ts - max_gap,
+    purchase_ts] window (closed at both bounds: a click exactly max_gap
+    before the purchase is included — pinned in tests) — the streaming twin of the batch as-of/range
     join family (temporal.py). Both sides are watermarked so the state
     store holds only (watermark + gap)-bounded click history per key;
     the join condition's time bounds are what lets Spark evict state —

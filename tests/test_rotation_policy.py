@@ -1,0 +1,48 @@
+"""Driver-row rotation policy invariants (VERDICT r05 task 2).
+
+The driver records correctness rows for only the first 50 registry
+entries. Since round 6 the ordering is COMPUTED: hand-listed debuts
+first (budget-capped), then everything else by last driver-green round
+ascending (from the generated _driver_history module). These tests lock
+the arithmetic so the policy cannot silently regress into round 5's
+broken hand-maintained list.
+"""
+
+from sig_etl_spark.queries import _DEBUT_BUDGET, _DEBUTS, _DRIVER_CAP, QUERIES
+from sig_etl_spark.queries._driver_history import DRIVER_LAST_GREEN
+
+
+def test_debut_budget_respected():
+    assert len(_DEBUTS) <= _DEBUT_BUDGET
+
+
+def test_debuts_are_registered_and_first():
+    names = list(QUERIES)
+    assert names[: len(_DEBUTS)] == _DEBUTS
+
+
+def test_first_cap_holds_the_stalest_block():
+    """No query outside the first 50 may be staler (older last-green
+    round) than any non-debut query inside it — i.e. the cap's non-debut
+    slots really do go to the oldest-unverified entries."""
+    names = list(QUERIES)
+    inside = [n for n in names[:_DRIVER_CAP] if n not in _DEBUTS]
+    outside = names[_DRIVER_CAP:]
+    if not inside or not outside:
+        return
+    worst_inside = max(DRIVER_LAST_GREEN.get(n, 0) for n in inside)
+    best_outside = min(DRIVER_LAST_GREEN.get(n, 0) for n in outside)
+    assert worst_inside <= best_outside, (worst_inside, best_outside)
+
+
+def test_history_names_are_current_or_documented():
+    """Entries in the generated history that no longer exist in the
+    registry must be known renames — catches a rename that would
+    silently reset a query's rotation age."""
+    known_gone = {
+        # renamed/superseded before round 6; their successors have their
+        # own rows
+        "llm_ann_recall_kmeans",
+    }
+    gone = {n for n in DRIVER_LAST_GREEN if n not in QUERIES} - known_gone
+    assert not gone, gone

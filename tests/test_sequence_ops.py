@@ -208,13 +208,20 @@ def test_anomaly_mad_matches_numpy(spark, sf_dir):
 
     from sig_etl_spark.tables import load_table
 
+    # Discrete (type-1 inverse-CDF) median: the actual element at rank
+    # ceil(n/2) — the seam-proof rule the query switched to in round 6
+    # (percentile_disc / quantile_disc), not numpy's interpolated median.
+    def disc_median(v):
+        s = np.sort(v)
+        return s[int(np.ceil(0.5 * len(s))) - 1]
+
     got = {r["event_type"]: r for r in _q("events_anomaly_mad")(spark, sf_dir).collect()}
     pdf = load_table(spark, sf_dir, "events").select("event_type", "value").toPandas()
     assert got
     for etype, grp in pdf.groupby("event_type"):
         v = grp["value"].to_numpy()
-        med = np.median(v)
-        mad = np.median(np.abs(v - med))
+        med = disc_median(v)
+        mad = disc_median(np.abs(v - med))
         r = got[etype]
         assert abs(r["med"] - med) < 1e-9
         assert abs(r["mad"] - mad) < 1e-9
@@ -248,9 +255,12 @@ def test_rfm_segments_consistent_with_numpy_quartiles(spark, sf_dir):
     rec = np.array([r["recency_days"] for r in rows], dtype=float)
     freq = np.array([r["frequency"] for r in rows], dtype=float)
     mon = np.array([r["monetary_cents"] for r in rows], dtype=float)
-    rq = np.quantile(rec, [0.25, 0.5, 0.75])
-    fq = np.quantile(freq, [0.25, 0.5, 0.75])
-    mq = np.quantile(mon, [0.25, 0.5, 0.75])
+    # Discrete (type-1 / inverted-CDF) quartile boundaries — the round-6
+    # seam-proof rule (percentile_disc): actual data elements, not
+    # numpy's default interpolation.
+    rq = np.quantile(rec, [0.25, 0.5, 0.75], method="inverted_cdf")
+    fq = np.quantile(freq, [0.25, 0.5, 0.75], method="inverted_cdf")
+    mq = np.quantile(mon, [0.25, 0.5, 0.75], method="inverted_cdf")
     for r in rows:
         assert r["r_quart"] == 1 + sum(r["recency_days"] > q for q in rq)
         assert r["f_quart"] == 1 + sum(r["frequency"] < q for q in fq[::-1])

@@ -217,11 +217,10 @@ def test_quantile_hist_merges(spark):
 def test_quantile_calibration_respects_bin_width_contract(spark, sf_dir):
     """The histogram's upper-edge estimate brackets the RANK-BASED
     (type-1 / inverted-CDF) percentile: 0 <= p_le - v_rank <= bin_width.
-    Against the INTERPOLATED exact percentile the signed error the query
-    emits can dip slightly negative (interpolation can cross the bin
-    edge between two order statistics) — that is the measurement the
-    operator exists to surface, so the test checks the rank-based
-    contract and only bounds |err| loosely for the interpolated one."""
+    Since round 6 the query's exact side IS the type-1 discrete
+    percentile (percentile_disc — seam-proof, an actual data element),
+    so the emitted errors obey the same one-sided contract this test
+    checks directly against numpy's inverted_cdf."""
     import numpy as np
 
     from sig_etl_spark.queries import QUERIES

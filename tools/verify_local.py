@@ -28,7 +28,7 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from sig_etl_spark.queries import QUERIES
+from sig_etl_spark.queries import QUERIES, float_seam_lint
 from sig_etl_spark.session import get_spark
 from sig_etl_spark.tables import TABLE_NAMES
 
@@ -70,6 +70,12 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+
+    seams = float_seam_lint()
+    if seams:
+        for s in seams:
+            print(f"SEAM-LINT  {s}")
+        return 1
 
     spark = get_spark("verify_local")
     con = duckdb.connect()

@@ -165,6 +165,8 @@ _DEBUTS = [
     "sketch_quantile_calibration",
     "events_quantiles",
     "events_anomaly_mad",
+    "linkage_fuzzy_match_wratio_subblocked",
+    "llm_corpus_curation_minhash",
 ]
 
 

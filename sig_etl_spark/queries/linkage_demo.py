@@ -262,6 +262,46 @@ def linkage_fuzzy_match_wratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sub-blocked WRatio tier (VERDICT r05 task 3) — the measured >19x
+# secondary-block pair cut (linkage_fuzzy_match_subblocked below)
+# applied to the pandas-scorer path that mirrors the reference's actual
+# rapidfuzz semantics (/root/reference/votervoice/match.py:51). This
+# tier was round 5's biggest unfixed scale-killer: nation-blocked
+# all-pairs WRatio scoring grows quadratically (201s at sf1, 75x on 10x
+# data) AND every pair crosses the Arrow boundary into Python — so
+# cutting pairs pays ~double here vs the JVM levenshtein tier: fewer
+# pairs scored AND fewer rows serialized. Same secondary key (name
+# initial — the fixture's trailing-typo perturbation preserves it, as
+# the reference's surname initial survives scraping noise), same
+# MatchConfig surface (block_on=("nk","ini") over precomputed columns).
+# Rows-only like its base (WRatio has no SQL oracle); match-set
+# equivalence vs the base tier is pinned in tests/test_linkage.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "linkage_fuzzy_match_wratio_subblocked",
+    oracle=None,
+    doc="J4 WRatio pandas-scorer tier with the secondary name-initial"
+        " block: the >19x pair cut applied to the Arrow-boundary-bound"
+        " scorer path where it pays double (fewer pairs scored AND"
+        " serialized); rows-only, equivalence-pinned in tests",
+)
+def linkage_fuzzy_match_wratio_subblocked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import dataclasses
+
+    x, y = _xy(spark, sf_dir)
+    x = x.withColumn("ini", F.substring("x_name", 1, 1)).select(
+        "x_id", "nk", "ini", "x_name", "x_city"
+    )
+    y = y.withColumn("ini", F.substring("y_name", 1, 1))
+    cfg = dataclasses.replace(_config("wratio"), block_on=("nk", "ini"))
+    return fuzzy_match(x, y, cfg)
+
+
+# ---------------------------------------------------------------------------
 # A8: match statistics — counts by match_status over the full linkage
 # output (votervoice/match.py:81-86 prints exactly this summary).
 # ---------------------------------------------------------------------------

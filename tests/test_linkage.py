@@ -383,3 +383,28 @@ def test_subblocked2_preserves_matches_vs_subblocked(spark, sf_dir):
     c1 = {r["x_id"]: r["n_candidates"] for r in one}
     c2 = {r["x_id"]: r["n_candidates"] for r in two}
     assert all(c2[x] <= c1[x] for x in c2)
+
+
+def test_wratio_subblocked_preserves_matches(spark, sf_dir):
+    """The secondary name-initial block applied to the WRatio pandas-
+    scorer tier must not lose any match the nation-block-only tier
+    finds (trailing-typo model preserves the initial), and must search
+    no more candidates per x row — the same contract the levenshtein
+    sub-block twin pins, on the tier where the pair cut also cuts
+    Arrow-boundary traffic."""
+    from sig_etl_spark.queries import QUERIES
+
+    full = QUERIES["linkage_fuzzy_match_wratio"].builder(spark, sf_dir).collect()
+    sub = (
+        QUERIES["linkage_fuzzy_match_wratio_subblocked"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    fm = {r["x_id"]: r["candidate_id"] for r in full if r["match_status"] == "matched"}
+    sm = {r["x_id"]: r["candidate_id"] for r in sub if r["match_status"] == "matched"}
+    assert fm, "wratio fixture produced no matches"
+    for x_id, cand in fm.items():
+        assert sm.get(x_id) == cand, (x_id, cand, sm.get(x_id))
+    fc = {r["x_id"]: r["n_candidates"] for r in full}
+    sc = {r["x_id"]: r["n_candidates"] for r in sub}
+    assert all(sc[x] <= fc[x] for x in sc)

@@ -138,7 +138,14 @@ def fuzzy_match(x: DataFrame, y: DataFrame, config: MatchConfig) -> DataFrame:
         xcol = F.col(r.x_column)
         raw = None
         for ycol in r.y_columns:
-            s = score_column(r.scorer, xcol, F.coalesce(_ycol(ycol), F.lit("")))
+            # gate=r.threshold lets the levenshtein tier use the BANDED
+            # distance (O(len*band) Ukkonen cut): sub-gate scores come
+            # back as 0 instead of their true value, which the gate
+            # below zeroes anyway — result-identical, ~7x fewer DP
+            # cells on ~110-char keys at gate 85.
+            s = score_column(
+                r.scorer, xcol, F.coalesce(_ycol(ycol), F.lit("")), gate=r.threshold
+            )
             raw = s if raw is None else F.greatest(raw, s)
         gated = F.when(raw >= F.lit(r.threshold), raw).otherwise(F.lit(0.0))
         participating = xcol.isNotNull() & (xcol != "")

@@ -253,6 +253,46 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_group_signatures(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(grp, s0..s{num_hashes-1}) GROUP-level MinHash: the signature of
+    the union of all member documents' shingle sets.
+
+    min(perm(x)) over a union distributes over the union, so the group
+    signature is ONE map-side-combinable groupBy over the exploded
+    shingle hashes — the shuffle carries |groups| x num_hashes longs, no
+    per-doc signatures, no pair joins, no distinct (min is idempotent
+    over duplicate shingles). This is the 100 TB way to estimate
+    cross-group duplication: at any corpus size the comparison step
+    touches only a |groups|-row frame. The 64 permutations run as plain
+    codegen integer expressions over the materialized hash column x (a
+    post-explode column, so nothing re-inlines the tokenize->shingle
+    subtree — the 219s pitfall minhash_signatures documents)."""
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    sh = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
+    )
+    hashed = sh.select(
+        "grp", F.pmod(portable_hash60(F.col("shingle")), F.lit(_MERSENNE)).alias("x")
+    )
+    # a, x < 2^31 so a*x + b < 2^62: exact in BIGINT, identical to the
+    # per-doc signature arithmetic (and to the DuckDB oracle formula).
+    aggs = [
+        F.min(
+            F.pmod(F.col("x") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+        ).alias(f"s{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return hashed.groupBy("grp").agg(*aggs)
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, n_chunks: int = 4
 ) -> DataFrame:

@@ -167,6 +167,9 @@ _DEBUTS = [
     "events_anomaly_mad",
     "linkage_fuzzy_match_wratio_subblocked",
     "llm_corpus_curation_minhash",
+    "llm_source_overlap_minhash",
+    "llm_ngram_novelty",
+    "llm_token_fluency",
 ]
 
 

@@ -1221,3 +1221,129 @@ def llm_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication estimate via GROUP-level MinHash (round 6).
+# The question a mixing pipeline asks before weighting sources — "how
+# much of source A is also in source B?" — answered WITHOUT any pair
+# join: min(perm(x)) distributes over set union, so each source's
+# signature of its union-of-shingles is one map-side-combinable groupBy
+# (shuffle carries |sources| x 64 longs), and the comparison step is a
+# |sources|^2 broadcast self-join of a tiny frame. At 100 TB the cost
+# is one scan + one 64-long-per-source shuffle — the pairwise estimate
+# never touches documents again. n_agree is an exact integer (same
+# md5-derived permutation arithmetic both engines); est_jaccard is one
+# IEEE division of identical inputs.
+# ---------------------------------------------------------------------------
+
+_SRC_OVERLAP_ORACLE = rf"""
+WITH {_shingle_ctes()},
+srcsh AS (
+  SELECT d.source, s.shingle
+  FROM sh0 s JOIN documents d USING (doc_id)
+),
+hx AS (
+  SELECT source,
+         CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
+              % 2147483647 AS BIGINT) AS x
+  FROM srcsh
+),
+perms(i, a, b) AS (VALUES {_PERM_VALUES}),
+mins AS (
+  SELECT source, i, MIN((a * x + b) % 2147483647) AS v
+  FROM hx CROSS JOIN perms GROUP BY 1, 2
+),
+sigs AS (SELECT source, list(v ORDER BY i) AS sig FROM mins GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(len(list_filter(generate_series(1,64), k -> a.sig[k] = b.sig[k]))
+            AS BIGINT) AS n_agree,
+       len(list_filter(generate_series(1,64), k -> a.sig[k] = b.sig[k])) / 64.0
+         AS est_jaccard
+FROM sigs a JOIN sigs b ON a.source < b.source
+"""
+
+
+@register(
+    "llm_source_overlap_minhash",
+    oracle=_SRC_OVERLAP_ORACLE,
+    doc="pairwise cross-source shingle-set overlap via group-level"
+        " MinHash: one combinable groupBy (|sources| x 64 longs"
+        " shuffled), broadcast self-join of the signature frame — the"
+        " no-pair-join way to estimate cross-source duplication",
+)
+def llm_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_group_signatures(docs, "source", "text", k=3, num_hashes=64)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    agree = None
+    for i in range(64):
+        eq = (F.col(f"a.s{i}") == F.col(f"b.s{i}")).cast("bigint")
+        agree = eq if agree is None else agree + eq
+    return (
+        a.join(F.broadcast(b), F.col("a.grp") < F.col("b.grp"))
+        .select(
+            F.col("a.grp").alias("source_a"),
+            F.col("b.grp").alias("source_b"),
+            agree.alias("n_agree"),
+            (agree / F.lit(64.0)).alias("est_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document n-gram novelty (round 6): the fraction of a doc's
+# distinct 3-gram shingles that appear NOWHERE else in the corpus
+# (document frequency 1) — the standard cheap proxy for "is this
+# document contributing new content or restating the corpus", used to
+# score synthetic data and dedup leftovers. Scale shape: the shingle
+# posting list is built once (same inverted index the Jaccard family
+# uses), df is one combinable groupBy on shingle, and the per-doc
+# rollup joins postings to df ON SHINGLE (posting-list equi-join, never
+# doc pairs) then reduces on doc_id. All counts integer; novelty_permille
+# is integer division — hash-exact by construction.
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = rf"""
+WITH {_shingle_ctes()},
+freq AS (SELECT shingle, COUNT(*) AS df_ FROM sh0 GROUP BY shingle),
+per_doc AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN f.df_ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+  FROM sh0 s JOIN freq f USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, n_unique,
+       CAST(n_unique * 1000 // n_shingles AS BIGINT) AS novelty_permille
+FROM per_doc
+"""
+
+
+@register(
+    "llm_ngram_novelty",
+    oracle=_NOVELTY_ORACLE,
+    doc="per-doc corpus novelty: share of distinct 3-gram shingles with"
+        " document frequency 1 (integer permille) — posting-list join on"
+        " shingle, no doc pairs",
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_postings(docs, "doc_id", "text", k=3)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    per_doc = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df_") == 1).cast("int")).cast("bigint").alias("n_unique"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_unique",
+        F.floor(F.col("n_unique") * 1000 / F.col("n_shingles"))
+        .cast("bigint")
+        .alias("novelty_permille"),
+    )

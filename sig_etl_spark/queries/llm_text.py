@@ -1557,3 +1557,71 @@ def llm_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         after.alias("share_after"),
         (after / before).alias("upweight"),
     )
+
+# ---------------------------------------------------------------------------
+# Token log-frequency fluency proxy (round 6): mean floor(log2(corpus
+# frequency)) over a document's token occurrences — the integer-exact
+# stand-in for unigram-LM scoring (docs built from common tokens score
+# high, rare-token/gibberish-heavy docs score low; the log keeps "the"
+# from drowning the signal the way raw frequency sums do). No float log
+# anywhere: floor(log2(n)) = length(bin(n)) - 1, computed as integer
+# string length on BOTH engines — the seam-proof discipline the
+# float-seam lint enforces. Scale shape: corpus frequencies are one
+# combinable groupBy on token; the per-doc rollup joins occurrences to
+# the frequency table ON TOKEN (posting-style equi-join, never doc
+# pairs) and reduces on doc_id; mean_tier_permille is integer division.
+# ---------------------------------------------------------------------------
+
+_FLUENCY_ORACLE = rf"""
+WITH occ AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS cnt FROM occ GROUP BY tok),
+tiers AS (SELECT tok, CAST(length(bin(cnt)) - 1 AS BIGINT) AS tier FROM freq),
+per_doc AS (
+  SELECT o.doc_id,
+         COUNT(*) AS n_toks,
+         CAST(SUM(t.tier) AS BIGINT) AS tier_sum
+  FROM occ o JOIN tiers t USING (tok)
+  GROUP BY o.doc_id
+)
+SELECT doc_id, n_toks, tier_sum,
+       CAST(tier_sum * 1000 // n_toks AS BIGINT) AS mean_tier_permille
+FROM per_doc
+"""
+
+
+@register(
+    "llm_token_fluency",
+    oracle=_FLUENCY_ORACLE,
+    doc="mean floor(log2(corpus token frequency)) per doc — integer-"
+        "exact unigram-fluency proxy via length(bin(n))-1, posting-style"
+        " token join, no float log",
+)
+def llm_token_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.llm.text_analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    freq = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tiers = freq.select(
+        "tok", (F.length(F.bin(F.col("cnt"))) - 1).cast("bigint").alias("tier")
+    )
+    per_doc = (
+        occ.join(tiers, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("tier").cast("bigint").alias("tier_sum"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_toks",
+        "tier_sum",
+        F.floor(F.col("tier_sum") * 1000 / F.col("n_toks"))
+        .cast("bigint")
+        .alias("mean_tier_permille"),
+    )

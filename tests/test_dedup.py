@@ -385,3 +385,36 @@ def test_curation_minhash_same_gate_one_keep_per_cluster(spark, sf_dir):
     # restricted to the gated corpus: pairs endpoints share clusters there
     clusters = Counter(r["cluster_id"] for r in sk)
     assert sum(clusters.values()) == len(sk)
+
+
+def test_group_minhash_signature_is_union_signature(spark):
+    """The group signature must equal elementwise-min of its members'
+    per-doc signatures (min over a union = min of mins) — the property
+    that makes the one-groupBy group signature correct."""
+    import numpy as np
+
+    from sig_etl_spark.llm.dedup import minhash_group_signatures, minhash_signatures
+
+    rows = [
+        (1, "g1", "the quick brown fox jumps over the lazy dog"),
+        (2, "g1", "pack my box with five dozen liquor jugs"),
+        (3, "g2", "the quick brown fox jumps over the lazy dog"),
+        (4, "g2", "sphinx of black quartz judge my vow today now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    per_doc = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signatures(df, "doc_id", "text", k=3, num_hashes=64).collect()
+    }
+    grp = {
+        r["grp"]: [r[f"s{i}"] for i in range(64)]
+        for r in minhash_group_signatures(df, "grp", "text", k=3, num_hashes=64).collect()
+    }
+    want_g1 = np.minimum(per_doc[1], per_doc[2]).tolist()
+    want_g2 = np.minimum(per_doc[3], per_doc[4]).tolist()
+    assert grp["g1"] == want_g1
+    assert grp["g2"] == want_g2
+    # identical docs in different groups force signature agreement:
+    # est_jaccard(g1, g2) > 0 through the shared member
+    agree = sum(1 for a, b in zip(grp["g1"], grp["g2"]) if a == b)
+    assert agree > 0

@@ -408,3 +408,41 @@ def test_wratio_subblocked_preserves_matches(spark, sf_dir):
     fc = {r["x_id"]: r["n_candidates"] for r in full}
     sc = {r["x_id"]: r["n_candidates"] for r in sub}
     assert all(sc[x] <= fc[x] for x in sc)
+
+
+def test_banded_levenshtein_equals_gated_full(spark):
+    """banded_levenshtein_ratio must agree with the full ratio wherever
+    the score clears the gate, and return 0 (never a wrong positive
+    score) below it — the exact contract fuzzy_match's rule gate
+    relies on for the O(len*band) cut."""
+    from pyspark.sql import functions as F
+
+    from sig_etl_spark.linkage.scorers import (
+        banded_levenshtein_ratio,
+        levenshtein_ratio,
+    )
+
+    rows = [
+        ("abcdefghij", "abcdefghij"),   # identical -> 100
+        ("abcdefghij", "abcdefghix"),   # 1 edit / 10 -> 90
+        ("abcdefghij", "abcdefgxyz"),   # 3 edits -> 70 (sub-gate)
+        ("abcdefghij", "zzzzzzzzzz"),   # all different -> 0
+        ("", ""),                        # empty-vs-empty -> 100
+        ("", "abc"),                     # -> sub-gate
+        ("aaaaaaaaaaaaaaaaaaab", "aaaaaaaaaaaaaaaaaaaa"),  # 1/20 -> 95
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    for gate in (75.0, 85.0, 95.0):
+        got = df.select(
+            levenshtein_ratio(F.col("a"), F.col("b")).alias("full"),
+            banded_levenshtein_ratio(F.col("a"), F.col("b"), gate).alias("band"),
+        ).collect()
+        for r in got:
+            if r["full"] >= gate:
+                assert r["band"] == r["full"], (gate, r)
+            else:
+                assert r["band"] == 0.0 or r["band"] == r["full"] < gate, (gate, r)
+            # after gating, identical either way
+            g_full = r["full"] if r["full"] >= gate else 0.0
+            g_band = r["band"] if r["band"] >= gate else 0.0
+            assert g_full == g_band, (gate, r)

@@ -170,6 +170,8 @@ _DEBUTS = [
     "llm_source_overlap_minhash",
     "llm_ngram_novelty",
     "llm_token_fluency",
+    "sketch_hll_sliding_distinct",
+    "j_q3_shipping_priority",
 ]
 
 

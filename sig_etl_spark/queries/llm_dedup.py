@@ -1273,7 +1273,13 @@ FROM sigs a JOIN sigs b ON a.source < b.source
 )
 def llm_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = D.minhash_group_signatures(docs, "source", "text", k=3, num_hashes=64)
+    # Materialize the |sources|-row signature frame once: without the
+    # barrier the self-join's two sides each re-run the full scan +
+    # shingle explode + 64-min aggregation (verified in the formatted
+    # plan) — 2x the corpus scan for a kilobyte of signatures.
+    sigs = D.minhash_group_signatures(
+        docs, "source", "text", k=3, num_hashes=64
+    ).localCheckpoint(eager=False)
     a = sigs.alias("a")
     b = sigs.alias("b")
     agree = None

@@ -1178,3 +1178,75 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("cohort_size").cast("double")
         ).alias("cum_ltv_per_customer"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-shaped shipping-priority query (round 6): unshipped-revenue
+# top-10 for one market segment — the classic 3-table selective-join
+# rollup. Scale shape: the segment filter reduces customer BEFORE the
+# join (predicate pushdown to the parquet scan) and that side broadcasts;
+# orders⋈lineitem is the only real shuffle, on the join key both sides
+# already aggregate by. Revenue follows the repo's cents discipline:
+# round(price*(1-disc)*100) per line as BIGINT, summed exactly — the
+# ordering key can't flap on float addition order. Top-10 by (revenue
+# DESC, o_orderdate ASC, l_orderkey ASC) is a deterministic TakeOrdered,
+# not a global sort.
+# ---------------------------------------------------------------------------
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1998-06-01"
+
+_Q3_ORACLE = f"""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_DATE}'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_DATE}'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_cents DESC, o.o_orderdate ASC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+
+@register(
+    "j_q3_shipping_priority",
+    oracle=_Q3_ORACLE,
+    doc="TPC-H Q3 shape: segment-filtered customer (broadcast) x orders"
+        " x lineitem, exact integer-cents revenue, deterministic top-10"
+        " TakeOrdered",
+)
+def j_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(cents).cast("bigint").alias("revenue_cents"))
+        .select("l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.desc("revenue_cents"), F.asc("o_orderdate"), F.asc("l_orderkey")
+        )
+        .limit(10)
+    )

@@ -391,3 +391,80 @@ def sketch_hll_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("exact_distinct"))
     )
     return est.join(exact, "day")
+
+
+# ---------------------------------------------------------------------------
+# Trailing-7-day distinct users via HLL register merge — the 100 TB twin
+# of events_sliding_distinct_users (which is exact over the collapsed
+# user-day frame and carries a constant-7x blowup of THAT frame; at
+# warehouse scale even the collapsed frame is large). Here raw events
+# are touched ONCE to build per-day registers (map-side combinable,
+# shuffle carries |days| x 64 rows); the 7-day window is a bounded range
+# join of the REGISTER frame against the day dim (<= 7 x 64 rows per
+# day) merged by MAX(rho) — the union property the HLL family exists
+# for. The oracle recomputes each window's registers from scratch over
+# the windowed (day, user) expansion, so hash equality again proves
+# merge == recompute, now for arbitrary (not just prefix) windows.
+# Exact side rides along for error visibility (test scale only).
+# ---------------------------------------------------------------------------
+
+_WIN_SRC = (
+    "(SELECT d.day, e.user_id "
+    " FROM (SELECT DISTINCT date_trunc('day', ts) AS day FROM events) d "
+    " JOIN (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events) e "
+    "   ON e.day BETWEEN d.day - INTERVAL 6 DAY AND d.day) win"
+)
+
+_HLL_SLIDING_ORACLE = f"""
+WITH hll AS ({SK.hll_oracle_sql(_WIN_SRC, "CAST(user_id AS VARCHAR)", ["day"])}),
+exact AS (
+  SELECT d.day, COUNT(DISTINCT e.user_id) AS exact_7d
+  FROM (SELECT DISTINCT date_trunc('day', ts) AS day FROM events) d
+  JOIN (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events) e
+    ON e.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY d.day
+)
+SELECT hll.day, hll.n_zero_regs, hll.reg_sum, hll.hll_distinct,
+       exact.exact_7d
+FROM hll JOIN exact USING (day)
+"""
+
+
+@register(
+    "sketch_hll_sliding_distinct",
+    oracle=_HLL_SLIDING_ORACLE,
+    doc="trailing-7-day distinct users by HLL register merge: one pass"
+        " over events builds per-day registers; the window is a bounded"
+        " range join of |days| x 64 register rows merged by MAX(rho) —"
+        " oracle recomputes each window from scratch, hash proves"
+        " merge == recompute for sliding windows",
+)
+def sketch_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    regs = SK.hll_registers(au, "cast(user_id as string)", ["day"])
+    days = au.select("day").distinct()
+    win = (
+        days.alias("d")
+        .join(
+            regs.alias("r"),
+            (F.col("r.day") >= F.col("d.day") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("r.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("r.j").alias("j"))
+        .agg(F.max("r.rho_max").alias("rho_max"))
+    )
+    est = SK.hll_estimate(win, ["day"])
+    exact = (
+        days.alias("d")
+        .join(
+            au.alias("a"),
+            (F.col("a.day") >= F.col("d.day") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("a.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("a.user_id").alias("exact_7d"))
+    )
+    return est.join(exact, "day")

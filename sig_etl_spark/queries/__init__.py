@@ -172,6 +172,8 @@ _DEBUTS = [
     "llm_token_fluency",
     "sketch_hll_sliding_distinct",
     "j_q3_shipping_priority",
+    "sketch_hll_retention",
+    "llm_decontaminate_bloom",
 ]
 
 

@@ -1625,3 +1625,44 @@ def llm_token_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_tier_permille"),
     )
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned decontamination (round 6): identical RESULTS to
+# llm_decontaminate (same oracle — the bloom is transparent), different
+# 100 TB shape. The plain version anti-joins every training row against
+# the benchmark set; here a sketch-sized bloom filter of benchmark
+# fingerprints (md5-derived bits, deterministic, 16 KiB of plan
+# literal) splits training rows FIRST: bloom-negative rows are
+# DEFINITELY clean and keep with zero join work (the overwhelming
+# majority), and only bloom-positive rows (true overlaps + ~fp-rate
+# noise) reach the exact anti-join that removes false positives. When
+# the benchmark set outgrows a broadcast, this is the shape that
+# survives: the filter stays KiB-sized no matter how large either side
+# grows — same register discipline as j_bloom_pruned.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_decontaminate_bloom",
+    oracle=_DECON_ORACLE,
+    doc="decontamination with a bloom pre-filter: bloom-negative"
+        " training rows keep join-free; only bloom positives reach the"
+        " exact anti-join — result-identical to llm_decontaminate"
+        " (same oracle), sketch-sized filter at any benchmark scale",
+)
+def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark import sketches as SK
+
+    m_bits, k = 1 << 16, 4
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", T.fingerprint(F.col("text"), k=3).alias("fingerprint")
+    ).localCheckpoint(eager=False)
+    bench = fp.filter(F.col("doc_id") % 97 == 0).select("fingerprint")
+    train = fp.filter(F.col("doc_id") % 97 != 0)
+    words = SK.bloom_words(bench, "fingerprint", m_bits, k)
+    maybe = SK.bloom_member(words, "fingerprint", m_bits, k)
+    clean_fast = train.where(~maybe)
+    suspects = train.where(maybe)
+    cleaned = suspects.join(F.broadcast(bench), "fingerprint", "left_anti")
+    return clean_fast.unionByName(cleaned).select("doc_id", "fingerprint")

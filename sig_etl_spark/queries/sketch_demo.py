@@ -468,3 +468,128 @@ def sketch_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("a.user_id").alias("exact_7d"))
     )
     return est.join(exact, "day")
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day retained-users ESTIMATE by HLL inclusion-exclusion:
+# |A ∩ B| ≈ E(A) + E(B) - E(A ∪ B), where all three estimates come from
+# the SAME per-day register frame (the union's registers are the
+# elementwise MAX — the merge property again). This is the sketch answer
+# to "how many of yesterday's users came back today" when the user sets
+# are too large to intersect exactly: raw events are touched once; every
+# derived frame is |days| x 64 rows. The overlap estimate is integer
+# arithmetic over three already-hash-proven BIGINT estimates (it can go
+# negative on small sets — HLL noise; emitted signed, documented). The
+# exact overlap rides along at test scale to expose the error.
+# ---------------------------------------------------------------------------
+
+_RET_AU = (
+    "(SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events)"
+)
+_RET_DAYS = "(SELECT DISTINCT date_trunc('day', ts) AS day FROM events)"
+_RET_CUR = (
+    f"(SELECT c.day, e.user_id FROM {_RET_DAYS} c"
+    f" JOIN {_RET_DAYS} p ON p.day = c.day - INTERVAL 1 DAY"
+    f" JOIN {_RET_AU} e ON e.day = c.day) src"
+)
+_RET_PREV = (
+    f"(SELECT c.day, e.user_id FROM {_RET_DAYS} c"
+    f" JOIN {_RET_DAYS} p ON p.day = c.day - INTERVAL 1 DAY"
+    f" JOIN {_RET_AU} e ON e.day = p.day) src"
+)
+_RET_UNION = (
+    f"(SELECT c.day, e.user_id FROM {_RET_DAYS} c"
+    f" JOIN {_RET_DAYS} p ON p.day = c.day - INTERVAL 1 DAY"
+    f" JOIN {_RET_AU} e ON e.day = c.day OR e.day = p.day) src"
+)
+
+_HLL_RETENTION_ORACLE = f"""
+WITH hc AS ({SK.hll_oracle_sql(_RET_CUR, "CAST(user_id AS VARCHAR)", ["day"])}),
+hp AS ({SK.hll_oracle_sql(_RET_PREV, "CAST(user_id AS VARCHAR)", ["day"])}),
+hu AS ({SK.hll_oracle_sql(_RET_UNION, "CAST(user_id AS VARCHAR)", ["day"])}),
+exact AS (
+  SELECT b.day, COUNT(DISTINCT a.user_id) AS exact_overlap
+  FROM {_RET_AU} a JOIN {_RET_AU} b
+    ON a.user_id = b.user_id AND a.day = b.day - INTERVAL 1 DAY
+  GROUP BY b.day
+)
+SELECT hc.day,
+       hc.hll_distinct AS est_cur,
+       hp.hll_distinct AS est_prev,
+       hu.hll_distinct AS est_union,
+       hc.hll_distinct + hp.hll_distinct - hu.hll_distinct AS est_overlap,
+       COALESCE(exact.exact_overlap, 0) AS exact_overlap
+FROM hc JOIN hp USING (day) JOIN hu USING (day)
+LEFT JOIN exact USING (day)
+"""
+
+
+@register(
+    "sketch_hll_retention",
+    oracle=_HLL_RETENTION_ORACLE,
+    doc="day-over-day retained users by HLL inclusion-exclusion"
+        " (E(A)+E(B)-E(A∪B), union registers = elementwise MAX):"
+        " events scanned once, every derived frame |days| x 64 rows;"
+        " signed estimate, exact overlap alongside",
+)
+def sketch_hll_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    regs = SK.hll_registers(au, "cast(user_id as string)", ["day"])
+    days = au.select("day").distinct()
+    pairs = (
+        days.alias("c")
+        .join(
+            days.alias("p"),
+            F.col("p.day") == F.col("c.day") - F.expr("INTERVAL 1 DAYS"),
+        )
+        .select(F.col("c.day").alias("day"), F.col("p.day").alias("prev_day"))
+    )
+    r = regs.select(
+        F.col("day").alias("rday"), "j", "rho_max"
+    )
+    cur = pairs.join(r, F.col("rday") == F.col("day")).select("day", "j", "rho_max")
+    prev = pairs.join(r, F.col("rday") == F.col("prev_day")).select(
+        "day", "j", "rho_max"
+    )
+    union_regs = (
+        cur.unionByName(prev).groupBy("day", "j").agg(F.max("rho_max").alias("rho_max"))
+    )
+    ec = SK.hll_estimate(cur, ["day"]).select(
+        "day", F.col("hll_distinct").alias("est_cur")
+    )
+    ep = SK.hll_estimate(prev, ["day"]).select(
+        "day", F.col("hll_distinct").alias("est_prev")
+    )
+    eu = SK.hll_estimate(union_regs, ["day"]).select(
+        "day", F.col("hll_distinct").alias("est_union")
+    )
+    a2 = au.select(
+        F.col("day").alias("aday"), F.col("user_id").alias("a_user")
+    )
+    exact = (
+        au.join(
+            a2,
+            (F.col("a_user") == F.col("user_id"))
+            & (F.col("aday") == F.col("day") - F.expr("INTERVAL 1 DAYS")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_overlap"))
+    )
+    return (
+        ec.join(ep, "day")
+        .join(eu, "day")
+        .join(exact, "day", "left")
+        .select(
+            "day",
+            "est_cur",
+            "est_prev",
+            "est_union",
+            (F.col("est_cur") + F.col("est_prev") - F.col("est_union")).alias(
+                "est_overlap"
+            ),
+            F.coalesce(F.col("exact_overlap"), F.lit(0)).alias("exact_overlap"),
+        )
+    )

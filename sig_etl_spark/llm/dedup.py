@@ -253,6 +253,79 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_between(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Asymmetric MinHash+LSH: near-dup pairs BETWEEN a new batch and an
+    existing corpus (continuous-ingest dedup — "is this incoming doc
+    already in the corpus?").
+
+    Same signature/band machinery as minhash_lsh_pairs, but the band
+    join is new x corpus instead of a self-join: the new side is
+    batch-sized, so at warehouse scale its banded frame broadcasts and
+    the corpus streams past it — no corpus self-pairing work at all
+    (the self-join variant grows with corpus pair density; this one is
+    linear in corpus size for a fixed batch). Returns
+    (id_new, id_corpus, est_jaccard >= threshold)."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+
+    def _banded(df: DataFrame, side: str) -> DataFrame:
+        sigs = minhash_signatures(
+            df, id_col, text_col, k, num_hashes, seed
+        ).localCheckpoint(eager=True)
+        return sigs.select(
+            F.col("doc_id").alias(f"id_{side}"),
+            F.col("sig").alias(f"sig_{side}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.hash(F.slice(F.col("sig"), i * rows + 1, rows)).alias(
+                                "bucket"
+                            ),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            f"id_{side}",
+            f"sig_{side}",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+
+    a = F.broadcast(_banded(new_df, "new"))
+    b = _banded(corpus_df, "corpus")
+    cands = (
+        b.join(a, ["band", "bucket"])
+        .select("id_new", "id_corpus", "sig_new", "sig_corpus")
+        .dropDuplicates(["id_new", "id_corpus"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_new"), F.col("sig_corpus"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        cands.withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_new", "id_corpus", "est_jaccard")
+    )
+
+
 def minhash_group_signatures(
     df: DataFrame,
     group_col: str,

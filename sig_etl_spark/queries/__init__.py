@@ -174,6 +174,8 @@ _DEBUTS = [
     "j_q3_shipping_priority",
     "sketch_hll_retention",
     "llm_decontaminate_bloom",
+    "dq_validation_report",
+    "llm_incremental_dedup",
 ]
 
 

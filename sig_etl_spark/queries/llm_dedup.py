@@ -1353,3 +1353,135 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("novelty_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) dedup — the continuous-ingest shape
+# (round 6): an incoming batch (doc_id % 10 == 0 stands in for today's
+# crawl) is checked against the existing corpus for near-duplicates
+# BEFORE ingestion. The asymmetric LSH band join is the scale story:
+# the batch's banded frame broadcasts (batch-sized, not corpus-sized)
+# and the corpus STREAMS past it — cost is linear in corpus size for a
+# fixed batch, with no corpus self-pairing at all (the self-join
+# variant pays for corpus-internal duplicate density even when you
+# only asked about the batch). One row per batch doc: match count,
+# best estimated Jaccard, ingest/drop decision. The oracle rebuilds
+# both sides' signatures and the identical banded join (slice equality
+# stands in for the murmur3 bucket hash, same caveat as
+# llm_minhash_lsh); the decision column is pure integer logic.
+# ---------------------------------------------------------------------------
+
+_INC_DEDUP_ORACLE = rf"""
+WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+oldd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+perms(i, a, b) AS (VALUES {_PERM_VALUES}),
+basen AS (SELECT doc_id, {_TOKS} AS toks FROM newd),
+shn AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(toks) - 2 >= 1
+                THEN list_transform(generate_series(1, len(toks) - 2),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')]
+           END)) AS shingle
+  FROM basen
+),
+hxn AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
+              % 2147483647 AS BIGINT) AS x
+  FROM shn
+),
+mhn AS (
+  SELECT doc_id, i, MIN((a * x + b) % 2147483647) AS v
+  FROM hxn CROSS JOIN perms GROUP BY 1, 2
+),
+sign AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM mhn GROUP BY doc_id),
+baseo AS (SELECT doc_id, {_TOKS} AS toks FROM oldd),
+sho AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(toks) - 2 >= 1
+                THEN list_transform(generate_series(1, len(toks) - 2),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')]
+           END)) AS shingle
+  FROM baseo
+),
+hxo AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
+              % 2147483647 AS BIGINT) AS x
+  FROM sho
+),
+mho AS (
+  SELECT doc_id, i, MIN((a * x + b) % 2147483647) AS v
+  FROM hxo CROSS JOIN perms GROUP BY 1, 2
+),
+sigo AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM mho GROUP BY doc_id),
+bandedn AS (
+  SELECT doc_id, sig, band, list_slice(sig, band*4+1, band*4+4) AS bucket
+  FROM sign CROSS JOIN (SELECT unnest(generate_series(0,15)) AS band) t
+),
+bandedo AS (
+  SELECT doc_id, sig, band, list_slice(sig, band*4+1, band*4+4) AS bucket
+  FROM sigo CROSS JOIN (SELECT unnest(generate_series(0,15)) AS band) t
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_corpus,
+         n.sig AS sn, o.sig AS so
+  FROM bandedn n JOIN bandedo o ON n.band = o.band AND n.bucket = o.bucket
+),
+mpairs AS (
+  SELECT id_new, id_corpus, est FROM (
+    SELECT id_new, id_corpus,
+           len(list_filter(generate_series(1,64), k -> sn[k] = so[k])) / 64.0 AS est
+    FROM cand
+  ) WHERE est >= 0.5
+),
+per_new AS (
+  SELECT id_new, CAST(COUNT(*) AS BIGINT) AS n_corpus_matches,
+         MAX(est) AS best_est
+  FROM mpairs GROUP BY id_new
+)
+SELECT nd.doc_id,
+       COALESCE(p.n_corpus_matches, 0) AS n_corpus_matches,
+       COALESCE(p.best_est, 0.0) AS best_est,
+       CASE WHEN p.id_new IS NULL THEN 'ingest' ELSE 'drop' END AS decision
+FROM newd nd LEFT JOIN per_new p ON p.id_new = nd.doc_id
+"""
+
+
+@register(
+    "llm_incremental_dedup",
+    oracle=_INC_DEDUP_ORACLE,
+    doc="continuous-ingest dedup: incoming batch checked against the"
+        " corpus via an ASYMMETRIC LSH band join — batch side"
+        " broadcasts, corpus streams, linear in corpus size; per-doc"
+        " ingest/drop decision with match count and best estimate",
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    pairs = D.minhash_lsh_pairs_between(
+        new, corpus, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.5
+    )
+    per_new = pairs.groupBy("id_new").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus_matches"),
+        F.max("est_jaccard").alias("best_est"),
+    )
+    return (
+        new.select("doc_id")
+        .join(per_new, new["doc_id"] == per_new["id_new"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_corpus_matches"), F.lit(0)).cast("bigint").alias(
+                "n_corpus_matches"
+            ),
+            F.coalesce(F.col("best_est"), F.lit(0.0)).alias("best_est"),
+            F.when(F.col("id_new").isNull(), F.lit("ingest"))
+            .otherwise(F.lit("drop"))
+            .alias("decision"),
+        )
+    )

@@ -1250,3 +1250,115 @@ def j_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality validation report (round 6): the pre-flight contract
+# check a pipeline runs before publishing a batch — referential
+# integrity (order -> customer FK orphans), key uniqueness (duplicate
+# order PKs), completeness (null keys), and range rules (non-positive
+# prices, line numbers outside 1..7), one row per check. Scale shape:
+# each check is a combinable count aggregate; the FK check is the only
+# join and runs as a LEFT ANTI against the key column only (column
+# pruning leaves a 1-column build side that broadcasts). All counts
+# are exact integers; the report frame is |checks| rows regardless of
+# corpus size. The union of checks is a plan-level union of already-
+# reduced one-row frames, not a union of scans.
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+WITH fk AS (
+  SELECT 'orders_custkey_fk_orphans' AS check_name,
+         CAST(COUNT(*) AS BIGINT) AS n_violations,
+         (SELECT COUNT(*) FROM orders) AS n_total
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+),
+pk AS (
+  SELECT 'orders_orderkey_pk_dups' AS check_name,
+         CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS n_violations,
+         (SELECT COUNT(*) FROM orders) AS n_total
+  FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM orders GROUP BY o_orderkey
+        HAVING COUNT(*) > 1)
+),
+nulls AS (
+  SELECT 'lineitem_orderkey_nulls' AS check_name,
+         CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+         COUNT(*) AS n_total
+  FROM lineitem
+),
+price AS (
+  SELECT 'lineitem_nonpositive_price' AS check_name,
+         CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+         COUNT(*) AS n_total
+  FROM lineitem
+),
+lineno AS (
+  SELECT 'lineitem_linenumber_range' AS check_name,
+         CAST(SUM(CASE WHEN l_linenumber < 1 OR l_linenumber > 7
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+         COUNT(*) AS n_total
+  FROM lineitem
+)
+SELECT * FROM fk UNION ALL SELECT * FROM pk UNION ALL SELECT * FROM nulls
+UNION ALL SELECT * FROM price UNION ALL SELECT * FROM lineno
+"""
+
+
+@register(
+    "dq_validation_report",
+    oracle=_DQ_ORACLE,
+    doc="data-quality pre-flight: FK orphans (anti-join on pruned key"
+        " column), duplicate PKs, null keys, range rules — one integer"
+        " row per check, |checks| rows at any corpus size",
+)
+def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    n_orders = o.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+
+    fk = (
+        o.select("o_custkey")
+        .join(F.broadcast(c.select("c_custkey")),
+              F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        .crossJoin(n_orders)
+        .select(
+            F.lit("orders_custkey_fk_orphans").alias("check_name"),
+            "n_violations",
+            "n_total",
+        )
+    )
+    pk = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .groupBy()
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).cast("bigint")
+             .alias("n_violations"))
+        .crossJoin(n_orders)
+        .select(
+            F.lit("orders_orderkey_pk_dups").alias("check_name"),
+            "n_violations",
+            "n_total",
+        )
+    )
+
+    def _li_check(name: str, cond) -> DataFrame:
+        return li.groupBy().agg(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias("n_violations"),
+            F.count(F.lit(1)).alias("n_total"),
+        ).select(F.lit(name).alias("check_name"), "n_violations", "n_total")
+
+    nulls = _li_check("lineitem_orderkey_nulls", F.col("l_orderkey").isNull())
+    price = _li_check("lineitem_nonpositive_price", F.col("l_extendedprice") <= 0)
+    lineno = _li_check(
+        "lineitem_linenumber_range",
+        (F.col("l_linenumber") < 1) | (F.col("l_linenumber") > 7),
+    )
+    return fk.unionByName(pk).unionByName(nulls).unionByName(price).unionByName(lineno)

@@ -1267,18 +1267,33 @@ def j_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DQ_ORACLE = """
-WITH fk AS (
+WITH orders_b AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  UNION ALL
+  SELECT o_orderkey, -o_custkey - 1000000 AS o_custkey
+  FROM orders WHERE o_orderkey % 997 = 0
+),
+line_b AS (
+  SELECT l_orderkey, l_extendedprice, l_linenumber FROM lineitem
+  UNION ALL
+  SELECT CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE l_orderkey END
+           AS l_orderkey,
+         -l_extendedprice AS l_extendedprice,
+         l_linenumber + 7 AS l_linenumber
+  FROM lineitem WHERE l_orderkey % 991 = 0
+),
+fk AS (
   SELECT 'orders_custkey_fk_orphans' AS check_name,
          CAST(COUNT(*) AS BIGINT) AS n_violations,
-         (SELECT COUNT(*) FROM orders) AS n_total
-  FROM orders o
+         (SELECT COUNT(*) FROM orders_b) AS n_total
+  FROM orders_b o
   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
 ),
 pk AS (
   SELECT 'orders_orderkey_pk_dups' AS check_name,
          CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS n_violations,
-         (SELECT COUNT(*) FROM orders) AS n_total
-  FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM orders GROUP BY o_orderkey
+         (SELECT COUNT(*) FROM orders_b) AS n_total
+  FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM orders_b GROUP BY o_orderkey
         HAVING COUNT(*) > 1)
 ),
 nulls AS (
@@ -1286,21 +1301,21 @@ nulls AS (
          CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_violations,
          COUNT(*) AS n_total
-  FROM lineitem
+  FROM line_b
 ),
 price AS (
   SELECT 'lineitem_nonpositive_price' AS check_name,
          CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_violations,
          COUNT(*) AS n_total
-  FROM lineitem
+  FROM line_b
 ),
 lineno AS (
   SELECT 'lineitem_linenumber_range' AS check_name,
          CAST(SUM(CASE WHEN l_linenumber < 1 OR l_linenumber > 7
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
          COUNT(*) AS n_total
-  FROM lineitem
+  FROM line_b
 )
 SELECT * FROM fk UNION ALL SELECT * FROM pk UNION ALL SELECT * FROM nulls
 UNION ALL SELECT * FROM price UNION ALL SELECT * FROM lineno
@@ -1312,12 +1327,34 @@ UNION ALL SELECT * FROM price UNION ALL SELECT * FROM lineno
     oracle=_DQ_ORACLE,
     doc="data-quality pre-flight: FK orphans (anti-join on pruned key"
         " column), duplicate PKs, null keys, range rules — one integer"
-        " row per check, |checks| rows at any corpus size",
+        " row per check, |checks| rows at any corpus size; violations"
+        " PLANTED deterministically (the driver fixture is clean, so an"
+        " all-zero report would prove nothing)",
 )
 def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    li = load_table(spark, sf_dir, "lineitem")
+    # The driver fixture is clean; plant deterministic violations so
+    # every check exercises a real positive (same planted-fixture
+    # discipline as llm_prefix_dedup's truncated twins): 16 orphaned
+    # duplicate-PK order rows, 71 line rows violating null/price/range.
+    o0 = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o = o0.unionByName(
+        o0.filter(F.col("o_orderkey") % 997 == 0).select(
+            "o_orderkey", (-F.col("o_custkey") - 1000000).alias("o_custkey")
+        )
+    )
+    li0 = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_linenumber"
+    )
+    li = li0.unionByName(
+        li0.filter(F.col("l_orderkey") % 991 == 0).select(
+            F.when(F.col("l_linenumber") % 3 == 0, F.lit(None))
+            .otherwise(F.col("l_orderkey"))
+            .alias("l_orderkey"),
+            (-F.col("l_extendedprice")).alias("l_extendedprice"),
+            (F.col("l_linenumber") + 7).alias("l_linenumber"),
+        )
+    )
 
     n_orders = o.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
 

@@ -176,6 +176,7 @@ _DEBUTS = [
     "llm_decontaminate_bloom",
     "dq_validation_report",
     "llm_incremental_dedup",
+    "llm_embedding_dedup_clusters",
 ]
 
 

@@ -882,10 +882,11 @@ def llm_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ND_ASSIGN, _ND_CELL = 3, 256
 
 
-def _nd_ivf_oracle() -> str:
+def _nd_ivf_ctes() -> str:
+    """The IVF near-dup CTE chain up to `scored` — shared by the pair
+    query and the round-6 cluster composition (same pair set on both)."""
     dot_vc = _dot_expr("x.embedding", "ct.cent_vec")
-    return f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    return f"""e AS (SELECT vec_id, embedding FROM embeddings),
 en AS (
   SELECT vec_id, {_dot_expr("embedding", "embedding")} AS norm2 FROM e
 ),
@@ -928,7 +929,12 @@ scored AS (
          {_dot_expr("va", "vb")}
            / sqrt({_dot_expr("va", "va")} * {_dot_expr("vb", "vb")}) AS cosine
   FROM pairs
-)
+)"""
+
+
+def _nd_ivf_oracle() -> str:
+    return f"""
+WITH {_nd_ivf_ctes()}
 SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
 """
 
@@ -1128,4 +1134,66 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _K)
         .select("query_id", "corpus_id", "neg_label", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding dedup clusters (round 6): connected components over the IVF
+# near-dup pair graph + canonical keep flag — the embedding-space twin
+# of llm_dedup_clusters_minhash, completing the dedup family (every
+# pair generator now has its cluster/keep-list composition: text-exact,
+# text-sketch, embedding). The pair layer is the linear-scaling IVF
+# cell blocking proven by llm_embedding_near_dup_ivf (adaptive cell
+# count => constant cell population); the cluster layer is the same
+# O(log n) min-label pointer-jumping CC. The oracle re-derives the
+# identical pair set (shared CTE chain) and propagates min labels by
+# recursive CTE — approximation lives identically on both sides.
+# ---------------------------------------------------------------------------
+
+_EMB_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_nd_ivf_ctes()},
+epairs AS (SELECT id_a, id_b FROM scored WHERE cosine >= 0.3),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM epairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM epairs
+),
+reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT s.u, r.lbl FROM reach r JOIN sym s ON s.v = r.node
+),
+comp AS (SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.vec_id, c.cluster_id,
+       (c.vec_id = c.cluster_id) AS is_canonical,
+       s.cluster_size
+FROM comp c JOIN csize s USING (cluster_id)
+"""
+
+
+@register(
+    "llm_embedding_dedup_clusters",
+    oracle=_EMB_CLUSTERS_ORACLE,
+    doc="connected components over the IVF-blocked embedding near-dup"
+        " pair graph: cluster id, canonical keep flag, cluster size —"
+        " the embedding-space twin of llm_dedup_clusters_minhash",
+)
+def llm_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.llm import dedup as D
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.ivf_near_dup_pairs(
+        emb, "vec_id", "embedding",
+        threshold=0.3, nassign=_ND_ASSIGN, target_cell=_ND_CELL,
+    ).select("id_a", "id_b")
+    comp = D.connected_components(
+        pairs, "id_a", "id_b", nodes=emb.select(F.col("vec_id").alias("node"))
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select(
+        F.col("node").alias("vec_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+        "cluster_size",
     )

@@ -177,6 +177,7 @@ _DEBUTS = [
     "dq_validation_report",
     "llm_incremental_dedup",
     "llm_embedding_dedup_clusters",
+    "mm_shot_segments",
 ]
 
 

@@ -771,8 +771,9 @@ def _frame_bucket_count(b: int) -> str:
     )
 
 
-_SCENE_CUT_ORACLE = f"""
-WITH v AS (
+# CTE chain up to per-frame histograms — shared by the cut detector and
+# the round-6 shot segmentation composition.
+_SCENE_HIST_CTES = f"""v AS (
   SELECT doc_id AS media_id, text,
          octet_length(encode(text)) AS n,
          CAST(500 * (1 + doc_id % 7) AS INTEGER) AS duration_ms
@@ -796,7 +797,10 @@ hist AS (
   SELECT media_id, frame_idx,
          [{", ".join(_frame_bucket_count(b) for b in range(16))}] AS h
   FROM frames
-)
+)"""
+
+_SCENE_CUT_ORACLE = f"""
+WITH {_SCENE_HIST_CTES}
 SELECT a.media_id, a.frame_idx,
        CAST(list_reduce(
          list_transform(generate_series(1, 16), i -> ABS(a.h[i] - b.h[i])),
@@ -809,19 +813,15 @@ FROM hist a JOIN hist b ON a.media_id = b.media_id
 """
 
 
-@register(
-    "mm_scene_cuts",
-    oracle=_SCENE_CUT_ORACLE,
-    doc="scene-cut detection: consecutive-frame 16-bucket byte-histogram"
-        " L1 jumps over threshold; histograms computed in the frame-"
-        "slicing pass, integer-exact",
-)
-def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _video_frame_hists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, frame_idx, h ARRAY<BIGINT>[16]) per sampled frame —
+    the 16-bucket byte histograms computed in the SAME mapInPandas pass
+    that slices frames (no second decode); shared by mm_scene_cuts and
+    mm_shot_segments."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
-    from pyspark.sql import Window
     from pyspark.sql.types import (
         ArrayType,
         IntegerType,
@@ -858,7 +858,20 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["h"].append(h.astype(np.int64).tolist())
             yield pd.DataFrame(out)
 
-    hist = video.mapInPandas(_hists, schema)
+    return video.mapInPandas(_hists, schema)
+
+
+@register(
+    "mm_scene_cuts",
+    oracle=_SCENE_CUT_ORACLE,
+    doc="scene-cut detection: consecutive-frame 16-bucket byte-histogram"
+        " L1 jumps over threshold; histograms computed in the frame-"
+        "slicing pass, integer-exact",
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    hist = _video_frame_hists(spark, sf_dir)
     w = Window.partitionBy("media_id").orderBy("frame_idx")
     lagged = hist.withColumn("ph", F.lag("h").over(w)).filter(
         F.col("ph").isNotNull()
@@ -873,4 +886,103 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         l1.alias("l1_dist"),
         (l1 > _CUT_THRESHOLD).alias("is_cut"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shot segmentation + keyframe selection (round 6): the standard "one
+# keyframe per shot" rollup a video-curation pipeline feeds to the
+# expensive captioner/encoder — frame 0 and every cut frame start a
+# shot; shot_no is the running shot index and shot_len counts frames
+# until the next boundary. Composed entirely over the shared
+# frame-histogram pass (no second decode, no second byte scan): cuts
+# are the same lag-window comparison as mm_scene_cuts, boundaries get
+# shot numbers by a per-media cumulative-sum window over
+# frames-per-video rows (bounded by duration/step), and shot_len is
+# one lead() against the media's frame count. All integers.
+# ---------------------------------------------------------------------------
+
+_SHOT_SEG_ORACLE = f"""
+WITH {_SCENE_HIST_CTES},
+l1 AS (
+  SELECT a.media_id, a.frame_idx,
+         CASE WHEN b.frame_idx IS NULL THEN NULL
+              ELSE list_reduce(
+                list_transform(generate_series(1, 16), i -> ABS(a.h[i] - b.h[i])),
+                (acc, z) -> acc + z)
+         END AS dist
+  FROM hist a LEFT JOIN hist b ON a.media_id = b.media_id
+                              AND b.frame_idx = a.frame_idx - 1
+),
+flagged AS (
+  SELECT media_id, frame_idx,
+         (frame_idx = 0 OR dist > {_CUT_THRESHOLD}) AS starts_shot
+  FROM l1
+),
+nf AS (SELECT media_id, CAST(COUNT(*) AS INTEGER) AS n_frames FROM flagged GROUP BY media_id),
+keyframes AS (
+  SELECT media_id, frame_idx,
+         CAST(row_number() OVER (PARTITION BY media_id ORDER BY frame_idx)
+              AS BIGINT) AS shot_no
+  FROM flagged WHERE starts_shot
+)
+SELECT k.media_id, k.shot_no, k.frame_idx AS keyframe_idx,
+       CAST(COALESCE(
+         lead(k.frame_idx) OVER (PARTITION BY k.media_id ORDER BY k.frame_idx),
+         nf.n_frames) - k.frame_idx AS BIGINT) AS shot_len
+FROM keyframes k JOIN nf USING (media_id)
+"""
+
+
+@register(
+    "mm_shot_segments",
+    oracle=_SHOT_SEG_ORACLE,
+    doc="shot segmentation: frame 0 + cut frames start shots; running"
+        " shot index and frame-count shot length per keyframe — one"
+        " histogram pass shared with mm_scene_cuts, windows over"
+        " frames-per-video rows only",
+)
+def mm_shot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    hist = _video_frame_hists(spark, sf_dir)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    dist = F.aggregate(
+        F.zip_with(F.col("h"), F.col("ph"), lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, z: acc + z,
+    )
+    flagged = (
+        hist.withColumn("ph", F.lag("h").over(w))
+        .withColumn(
+            "starts_shot",
+            (F.col("frame_idx") == 0)
+            | (F.when(F.col("ph").isNotNull(), dist).otherwise(F.lit(None))
+               > _CUT_THRESHOLD),
+        )
+    )
+    nf = flagged.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames")
+    )
+    kw = Window.partitionBy("media_id").orderBy("frame_idx")
+    keyframes = (
+        flagged.filter(F.col("starts_shot"))
+        .withColumn("shot_no", F.row_number().over(kw).cast("bigint"))
+    )
+    return (
+        keyframes.join(nf, "media_id")
+        .select(
+            "media_id",
+            "shot_no",
+            F.col("frame_idx").alias("keyframe_idx"),
+            (
+                F.coalesce(
+                    F.lead("frame_idx").over(
+                        Window.partitionBy("media_id").orderBy("frame_idx")
+                    ),
+                    F.col("n_frames"),
+                )
+                - F.col("frame_idx")
+            ).cast("bigint").alias("shot_len"),
+        )
     )

@@ -418,3 +418,34 @@ def test_group_minhash_signature_is_union_signature(spark):
     # est_jaccard(g1, g2) > 0 through the shared member
     agree = sum(1 for a, b in zip(grp["g1"], grp["g2"]) if a == b)
     assert agree > 0
+
+
+def test_incremental_dedup_decisions_consistent(spark, sf_dir):
+    """Every batch doc appears exactly once; decision is 'drop' iff it
+    has >= 1 corpus match; best_est is in [0.5, 1] for drops and 0.0
+    for ingests (the threshold gate)."""
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.tables import load_table
+
+    rows = QUERIES["llm_incremental_dedup"].builder(spark, sf_dir).collect()
+    batch_ids = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter("doc_id % 10 = 0")
+        .select("doc_id")
+        .collect()
+    }
+    assert {r["doc_id"] for r in rows} == batch_ids
+    assert len(rows) == len(batch_ids)
+    dropped = 0
+    for r in rows:
+        if r["decision"] == "drop":
+            dropped += 1
+            assert r["n_corpus_matches"] >= 1
+            assert 0.5 <= r["best_est"] <= 1.0
+        else:
+            assert r["decision"] == "ingest"
+            assert r["n_corpus_matches"] == 0
+            assert r["best_est"] == 0.0
+    # the fixture corpus contains planted near-dups, so some drops exist
+    assert dropped > 0

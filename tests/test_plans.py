@@ -324,3 +324,55 @@ def test_ivf_near_dup_plan_shape(spark, sf_dir):
     # the pair join on cent_id may be SMJ or shuffled-hash; what must NOT
     # happen is a broadcast of the corpus-sized assignment frame
     assert "PushedFilters" in plan
+
+
+def test_round6_scale_plan_shapes(spark, sf_dir):
+    """Plan guards for the round-6 operators' scale-critical choices."""
+    # Incremental dedup: the batch's banded frame must be the BROADCAST
+    # side of the band join (corpus streams past it), and the final
+    # decision join is per-batch-doc.
+    plan = _plan(spark, sf_dir, "llm_incremental_dedup")
+    assert "BroadcastHashJoin" in plan, "batch banded frame not broadcast"
+    # Source overlap: the pairwise step must be a broadcast of the tiny
+    # signature frame (nested-loop on grp< is fine at |sources| rows).
+    # The registered query checkpoints the signature frame (so its final
+    # plan starts from an ExistingRDD scan); the 64-min map-side combine
+    # is guarded on the signature BUILDER's plan below.
+    plan = _plan(spark, sf_dir, "llm_source_overlap_minhash")
+    assert "Broadcast" in plan, "signature self-join not broadcast"
+    import contextlib
+    import io
+
+    from sig_etl_spark.llm.dedup import minhash_group_signatures
+    from sig_etl_spark.tables import load_table
+
+    sigs = minhash_group_signatures(
+        load_table(spark, sf_dir, "documents"), "source", "text"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sigs.explain(mode="formatted")
+    assert "partial_min" in buf.getvalue(), "group signature lost map-side combine"
+    # Q3: segment dim broadcasts; the only real shuffle is
+    # orders x lineitem + the aggregate; top-10 is TakeOrdered, never a
+    # global Sort.
+    plan = _plan(spark, sf_dir, "j_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan, "segment dim not broadcast"
+    assert "TakeOrderedAndProject" in plan, "top-10 regressed to global sort"
+    # DQ report: the FK check's build side is the single pruned key
+    # column, broadcast.
+    plan = _plan(spark, sf_dir, "dq_validation_report")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # Token fluency: both groupBys keep partial aggregation.
+    plan = _plan(spark, sf_dir, "llm_token_fluency")
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_banded_levenshtein_in_linkage_plan(spark, sf_dir):
+    """The linkage plan must carry the THRESHOLDED levenshtein (third
+    argument), not the unbounded form — the O(len*band) cut is a plan
+    property, not just a scorer unit test."""
+    plan = _plan(spark, sf_dir, "linkage_fuzzy_match")
+    assert re.search(r"levenshtein\([^)]*,[^)]*,[^)]*\)", plan), (
+        "banded (3-arg) levenshtein missing from the linkage plan"
+    )

@@ -270,3 +270,35 @@ def test_hll_running_distinct_monotone_and_bounded_error(spark, sf_dir):
     ).collect()[0]
     assert rows[-1]["hll_distinct"] == glob["hll_distinct"]
     assert rows[-1]["reg_sum"] == glob["reg_sum"]
+
+
+def test_hll_sliding_distinct_bounded_error(spark, sf_dir):
+    from sig_etl_spark.queries import QUERIES
+
+    rows = QUERIES["sketch_hll_sliding_distinct"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # m=64 HLL: sigma ~ 1.04/8 = 13%; allow 4 sigma
+        err = abs(r["hll_distinct"] - r["exact_7d"]) / max(1, r["exact_7d"])
+        assert err < 0.52, (r["day"], r["hll_distinct"], r["exact_7d"])
+        # a 7-day window can never hold fewer users than its largest day
+        assert r["exact_7d"] >= 1
+
+
+def test_hll_retention_identities_and_error(spark, sf_dir):
+    """est_union <= est_cur + est_prev (inclusion-exclusion identity on
+    the estimates themselves), and the overlap estimate lands within a
+    loose 4-sigma-of-union band of the exact overlap — HLL differencing
+    compounds error, so the band is wide but must still hold on the
+    fixture."""
+    from sig_etl_spark.queries import QUERIES
+
+    rows = QUERIES["sketch_hll_retention"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["est_union"] <= r["est_cur"] + r["est_prev"]
+        assert r["est_overlap"] == r["est_cur"] + r["est_prev"] - r["est_union"]
+        band = 0.52 * max(r["est_union"], 1)
+        assert abs(r["est_overlap"] - r["exact_overlap"]) <= band, (
+            r["day"], r["est_overlap"], r["exact_overlap"], band,
+        )

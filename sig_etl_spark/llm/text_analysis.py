@@ -199,3 +199,45 @@ def fingerprint(c: Column, k: int = 3) -> Column:
     key for near-dup mining, stable under content reordering.
     """
     return F.array_min(F.transform(shingles(c, k), F.md5))
+
+
+def compression_ratios(df: "DataFrame", id_col: str, text_col: str) -> "DataFrame":
+    """(id, n_bytes, n_compressed, ratio_permille) per row: zlib level-6
+    compressed size over raw UTF-8 size — the long-range repetitiveness
+    signal. Arrow-batched mapInPandas (zlib is C code; one worker per
+    core chews its batch); all outputs integers, ratio is integer
+    permille. No SQL oracle exists (DuckDB has no zlib) — unit tests pin
+    exact recompute."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    schema = StructType(
+        [
+            StructField(id_col, src.schema["_id"].dataType),
+            StructField("n_bytes", LongType()),
+            StructField("n_compressed", LongType()),
+            StructField("ratio_permille", LongType()),
+        ]
+    )
+
+    def _compress(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = [(t or "").encode("utf-8") for t in pdf["_text"]]
+            n_raw = [len(b) for b in raw]
+            n_comp = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["_id"],
+                    "n_bytes": n_raw,
+                    "n_compressed": n_comp,
+                    "ratio_permille": [
+                        c * 1000 // max(r, 1) for c, r in zip(n_comp, n_raw)
+                    ],
+                }
+            )
+
+    return src.mapInPandas(_compress, schema)

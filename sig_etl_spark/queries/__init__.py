@@ -178,6 +178,7 @@ _DEBUTS = [
     "llm_incremental_dedup",
     "llm_embedding_dedup_clusters",
     "mm_shot_segments",
+    "llm_compression_ratio",
 ]
 
 

@@ -1666,3 +1666,29 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     suspects = train.where(maybe)
     cleaned = suspects.join(F.broadcast(bench), "fingerprint", "left_anti")
     return clean_fast.unionByName(cleaned).select("doc_id", "fingerprint")
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (round 6): zlib-compressed size over
+# raw size per document — the classic cheap repetitiveness detector
+# (highly compressible text is boilerplate/template/spam; used alongside
+# the n-gram repetition signal, which it catches from a different
+# angle: long-range redundancy a 3-gram window misses). Runs as an
+# Arrow-batched mapInPandas (zlib is CPU-bound C code; one Python
+# worker per core chews its batch without per-row overhead).
+# Rows-only by necessity: DuckDB has no SQL zlib, so no oracle exists —
+# correctness is pinned by unit tests (exact zlib recompute, plus the
+# repetitive < diverse ordering property the signal exists for).
+# Integer outputs only; ratio is integer permille.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_compression_ratio",
+    oracle=None,
+    doc="zlib compression ratio per doc (integer permille) — long-range"
+        " repetitiveness signal; Arrow-batched mapInPandas, rows-only"
+        " (no SQL zlib), pinned by exact-recompute tests",
+)
+def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.compression_ratios(docs, "doc_id", "text")

@@ -316,3 +316,44 @@ def test_dataset_card_consistent_with_raw(spark, sf_dir):
     assert r["n_exact_dups"] == len(pdf) - keys.nunique()
     assert 0.0 <= r["dup_rate"] < 1.0
     assert abs(r["mean_chars"] - pdf["n_chars"].mean()) < 1e-9
+
+
+def test_compression_ratio_matches_zlib_and_orders_by_redundancy(spark, sf_dir):
+    """Exact recompute of a sample against python zlib, plus the ordering
+    property the signal exists for: a highly repetitive text compresses
+    to a lower permille than diverse text."""
+    import zlib
+
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.tables import load_table
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["llm_compression_ratio"].builder(spark, sf_dir).collect()
+    }
+    sample = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(20)
+        .collect()
+    )
+    assert rows and sample
+    for s in sample:
+        raw = (s["text"] or "").encode("utf-8")
+        r = rows[s["doc_id"]]
+        assert r["n_bytes"] == len(raw)
+        assert r["n_compressed"] == len(zlib.compress(raw, 6))
+        assert r["ratio_permille"] == r["n_compressed"] * 1000 // max(r["n_bytes"], 1)
+
+    # ordering property through the REAL Spark path on a controlled frame
+    from sig_etl_spark.llm.text_analysis import compression_ratios
+
+    rep = spark.createDataFrame(
+        [(1, "spam ham " * 200), (2, " ".join(f"w{i}x{i * 7 % 91}" for i in range(400)))],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["ratio_permille"]
+        for r in compression_ratios(rep, "doc_id", "text").collect()
+    }
+    assert got[1] < got[2], got

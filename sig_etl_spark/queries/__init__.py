@@ -179,6 +179,8 @@ _DEBUTS = [
     "llm_embedding_dedup_clusters",
     "mm_shot_segments",
     "llm_compression_ratio",
+    "j_q10_returned_items",
+    "j_hierarchy_flatten",
 ]
 
 

@@ -1399,3 +1399,160 @@ def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_linenumber") < 1) | (F.col("l_linenumber") > 7),
     )
     return fk.unionByName(pk).unionByName(nulls).unionByName(price).unionByName(lineno)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10-shaped returned-items report (round 6): which customers
+# returned the most revenue in a quarter — the classic
+# fact-fact-dim rollup with a selective time+flag predicate. Scale
+# shape: both date and returnflag predicates sit on the scans
+# (PushedFilters), nation broadcasts, orders⋈lineitem shuffles once on
+# the join key, and the per-customer rollup reuses that key's
+# partitioning lineage. Revenue in exact integer cents; top-20 by
+# (revenue DESC, custkey ASC) is a deterministic TakeOrdered.
+# ---------------------------------------------------------------------------
+
+_Q10_START = "1996-01-01"
+_Q10_END = "1996-04-01"
+
+_Q10_ORACLE = f"""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS lost_revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_returned_lines
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '{_Q10_START}'
+  AND o.o_orderdate < TIMESTAMP '{_Q10_END}'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY lost_revenue_cents DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+@register(
+    "j_q10_returned_items",
+    oracle=_Q10_ORACLE,
+    doc="TPC-H Q10 shape: quarter+returnflag predicates pushed to the"
+        " scans, nation broadcast, single orders-lineitem shuffle,"
+        " integer-cents revenue, deterministic top-20 TakeOrdered",
+)
+def j_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_Q10_START).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_Q10_END).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        o.join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(cents).cast("bigint").alias("lost_revenue_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_returned_lines"),
+        )
+        .orderBy(F.desc("lost_revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy flattening (round 6): every node's ROOT ancestor and DEPTH
+# over a parent-pointer tree — the org-chart / bill-of-materials /
+# category-tree traversal that ANSI SQL writes as a recursive CTE and
+# Spark has no native operator for. The engine answers with POINTER
+# DOUBLING (the same O(log diameter) iterative-join discipline as
+# connected_components): each round every node's ancestor pointer jumps
+# to its ancestor's ancestor and distances add, so a depth-d chain
+# resolves in ceil(log2(d)) rounds of keyed equi-joins — never one
+# round per LEVEL (the naive translation that makes deep trees
+# unrunnable at scale). Roots self-loop with distance 0, making the
+# fixed point idempotent; each round localCheckpoints (same loop-
+# invariant discipline as CC). The tree is synthesized from the
+# customer dim (parent = custkey // 10, roots < 10 — custkeys are
+# contiguous so every parent exists); the oracle is the genuine
+# recursive CTE, so hash equality proves iterative doubling ==
+# recursive traversal.
+# ---------------------------------------------------------------------------
+
+_HIER_ORACLE = """
+WITH RECURSIVE walk(node, root_key, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, w.root_key, w.depth + 1
+  FROM customer c JOIN walk w ON w.node = c.c_custkey // 10
+  WHERE c.c_custkey >= 10
+)
+SELECT node AS c_custkey, root_key, CAST(depth AS BIGINT) AS depth
+FROM walk
+"""
+
+
+@register(
+    "j_hierarchy_flatten",
+    oracle=_HIER_ORACLE,
+    doc="recursive-CTE stand-in: root ancestor + depth over a parent-"
+        "pointer tree by pointer doubling — O(log depth) keyed joins,"
+        " not one join per level; oracle is the real recursive CTE",
+)
+def j_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    parent = F.when(
+        F.col("c_custkey") >= 10, F.floor(F.col("c_custkey") / 10).cast("bigint")
+    )
+    cur = c.select(
+        F.col("c_custkey").cast("bigint").alias("node"),
+        F.coalesce(parent, F.col("c_custkey").cast("bigint")).alias("anc"),
+        F.when(parent.isNull(), F.lit(0)).otherwise(F.lit(1)).cast("bigint").alias(
+            "dist"
+        ),
+    ).localCheckpoint()
+    for _ in range(12):  # 2^12 depth headroom; fixture needs 2 rounds
+        x, y = cur.alias("x"), cur.alias("y")
+        jumped = (
+            x.join(y, F.col("x.anc") == F.col("y.node"))
+            .select(
+                F.col("x.node").alias("node"),
+                F.col("y.anc").alias("anc"),
+                (F.col("x.dist") + F.col("y.dist")).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+        moved = (
+            jumped.alias("j")
+            .join(cur.alias("c"), F.col("j.node") == F.col("c.node"))
+            .filter(F.col("j.dist") != F.col("c.dist"))
+            .count()
+        )
+        cur = jumped
+        if moved == 0:
+            break
+    else:
+        raise RuntimeError(
+            "hierarchy flatten did not converge in 12 doubling rounds; "
+            "tree deeper than 2^12 — raise the round cap"
+        )
+    return cur.select(
+        F.col("node").alias("c_custkey"),
+        F.col("anc").alias("root_key"),
+        F.col("dist").alias("depth"),
+    )

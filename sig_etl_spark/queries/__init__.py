@@ -62,8 +62,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 _SEAM_WHITELIST: frozenset[str] = frozenset()
 
 _ORACLE_SEAMS = ("POWER(", "power(", "quantile_cont", "median(", "MEDIAN(")
-# builder-side: match real call sites, not prose in comments
-_BUILDER_SEAMS = ("F.pow(", "percentile(")
+# builder-side: match real call sites — the lookbehind keeps identifiers
+# that merely END in "percentile" (query/function names) from matching,
+# while quoted SQL like F.expr("percentile(x, 0.5)") still does.
+_BUILDER_SEAM_RES = (r"F\.pow\(", r"(?<![_a-zA-Z0-9])percentile\(")
 
 
 def float_seam_lint() -> list[str]:
@@ -88,10 +90,12 @@ def float_seam_lint() -> list[str]:
             src = inspect.getsource(rq.builder)
         except (OSError, TypeError):
             continue
-        for pat in _BUILDER_SEAMS:
+        import re as _re
+
+        for pat in _BUILDER_SEAM_RES:
             for line in src.splitlines():
                 code = line.split("#", 1)[0]
-                if pat in code and "percentile_disc" not in code and (
+                if _re.search(pat, code) and "percentile_disc" not in code and (
                     "percentile_approx" not in code
                 ):
                     problems.append(f"{name}: builder contains {pat!r}: {code.strip()[:80]}")
@@ -181,6 +185,7 @@ _DEBUTS = [
     "llm_compression_ratio",
     "j_q10_returned_items",
     "j_hierarchy_flatten",
+    "w_revenue_percentile",
 ]
 
 

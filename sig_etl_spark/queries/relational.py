@@ -1556,3 +1556,66 @@ def j_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("anc").alias("root_key"),
         F.col("dist").alias("depth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-function breadth (round 6): percent_rank, cume_dist and
+# quartile ntile of each customer's lifetime revenue WITHIN their
+# market segment — the analyst-facing ranking trio the W-series had
+# not yet exercised. Scale shape: revenue is one combinable groupBy to
+# the per-customer frame; all three rankings share ONE segment-keyed
+# window (partition-parallel across segments, never global — the
+# unpartitioned-window anti-pattern this repo bans). Ordering is total
+# (cents DESC, custkey ASC) so ranks are deterministic; percent_rank
+# and cume_dist are single IEEE divisions of identical integer ranks,
+# ntile is integer bucketing — all hash-exact.
+# ---------------------------------------------------------------------------
+
+_PRANK_ORACLE = """
+WITH rev AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_mktsegment, o.o_custkey
+)
+SELECT c_mktsegment, o_custkey, revenue_cents,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM rev
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY revenue_cents DESC, o_custkey ASC)
+"""
+
+
+@register(
+    "w_revenue_percentile",
+    oracle=_PRANK_ORACLE,
+    doc="percent_rank + cume_dist + ntile(4) of customer revenue within"
+        " market segment: one segment-keyed window shared by all three"
+        " rankings, total ordering, integer-exact inputs",
+)
+def w_revenue_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("revenue_cents"), F.asc("o_custkey")
+    )
+    return rev.select(
+        "c_mktsegment",
+        "o_custkey",
+        "revenue_cents",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )

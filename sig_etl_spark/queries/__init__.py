@@ -186,6 +186,8 @@ _DEBUTS = [
     "j_q10_returned_items",
     "j_hierarchy_flatten",
     "w_revenue_percentile",
+    "events_seasonal_forecast",
+    "mm_audio_segments",
 ]
 
 

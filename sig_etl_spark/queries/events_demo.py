@@ -1185,3 +1185,75 @@ def events_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Naive seasonal forecast + error report (round 6): forecast each
+# (event_type, day)'s total value as the SAME WEEKDAY LAST WEEK's
+# total — the baseline every forecasting pipeline must beat, and the
+# shape of its evaluation harness (per-series absolute errors). Scale
+# shape: one combinable groupBy to the (type, day) frame (integer
+# cents), then a CALENDAR join on day-7 (an equi-join on the derived
+# dayno, correct across gaps — a lag(7) row window would silently
+# misalign when days are missing). All errors integer cents.
+# ---------------------------------------------------------------------------
+
+_FORECAST_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS dayno,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS actual_cents
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT a.event_type, a.day, a.actual_cents,
+       f.actual_cents AS forecast_cents,
+       ABS(a.actual_cents - f.actual_cents) AS abs_err_cents
+FROM daily a
+JOIN daily f ON f.event_type = a.event_type AND f.dayno = a.dayno - 7
+"""
+
+
+@register(
+    "events_seasonal_forecast",
+    oracle=_FORECAST_ORACLE,
+    doc="naive same-weekday-last-week forecast with per-series integer"
+        " absolute errors: combinable daily rollup + calendar dayno-7"
+        " equi-join (gap-correct, unlike a row-offset lag)",
+)
+def events_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("actual_cents")
+        )
+        .withColumn(
+            "dayno", F.datediff(F.col("day"), F.lit("1970-01-01")).cast("bigint")
+        )
+    )
+    f = daily.select(
+        F.col("event_type").alias("f_type"),
+        F.col("dayno").alias("f_dayno"),
+        F.col("actual_cents").alias("forecast_cents"),
+    )
+    return (
+        daily.join(
+            f,
+            (F.col("f_type") == F.col("event_type"))
+            & (F.col("f_dayno") == F.col("dayno") - 7),
+        )
+        .select(
+            "event_type",
+            "day",
+            "actual_cents",
+            "forecast_cents",
+            F.abs(F.col("actual_cents") - F.col("forecast_cents")).alias(
+                "abs_err_cents"
+            ),
+        )
+    )

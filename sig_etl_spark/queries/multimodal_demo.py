@@ -986,3 +986,122 @@ def mm_shot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("shot_len"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio activity segmentation (round 6): the VAD-shaped primitive —
+# channel-0 PCM framed into 16-sample windows, per-frame integer energy,
+# frames above threshold grouped into CONSECUTIVE active segments
+# (islands via the frame - row_number trick, same as dup_spans/
+# gaps-islands) with start/end/length/energy per segment. This is the
+# audio twin of mm_shot_segments: the cheap pre-filter that picks the
+# regions worth sending to an expensive ASR/embedding stage. The frame
+# energies come out of the SAME mapInPandas decode pass (vectorized
+# numpy reshape+square, no per-row Python); the island windows run over
+# frames-per-clip rows, never samples. All integers; the oracle
+# re-derives frame energies from the closed-form PCM stream.
+# ---------------------------------------------------------------------------
+
+_VAD_FRAME = 16
+_VAD_THRESHOLD = 15_000_000
+
+_AUDIO_SEG_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+         CAST(50 + doc_id % 64 AS BIGINT) AS n_frames
+  FROM documents
+),
+s AS (
+  SELECT media_id, j // n_channels AS t,
+         (media_id * 31 + j * 57) % 4001 - 2000 AS v
+  FROM d CROSS JOIN range({_WAV_MAX_SAMPLES}) tt(j)
+  WHERE j < n_frames * n_channels AND j % n_channels = 0
+),
+fe AS (
+  SELECT media_id, CAST(t // {_VAD_FRAME} AS BIGINT) AS frame_idx,
+         CAST(SUM(v * v) AS BIGINT) AS fenergy
+  FROM s GROUP BY 1, 2
+),
+act AS (
+  SELECT *, frame_idx - row_number()
+              OVER (PARTITION BY media_id ORDER BY frame_idx) AS grp
+  FROM fe WHERE fenergy > {_VAD_THRESHOLD}
+),
+seg AS (
+  SELECT media_id, grp,
+         MIN(frame_idx) AS start_frame, MAX(frame_idx) AS end_frame,
+         CAST(COUNT(*) AS BIGINT) AS n_active_frames,
+         CAST(SUM(fenergy) AS BIGINT) AS seg_energy
+  FROM act GROUP BY 1, 2
+)
+SELECT media_id,
+       CAST(row_number() OVER (PARTITION BY media_id ORDER BY start_frame)
+            AS BIGINT) AS seg_no,
+       start_frame, end_frame, n_active_frames, seg_energy
+FROM seg
+"""
+
+
+@register(
+    "mm_audio_segments",
+    oracle=_AUDIO_SEG_ORACLE,
+    doc="audio activity segmentation (VAD shape): 16-sample frame"
+        " energies from the decode pass, threshold gate, islands of"
+        " consecutive active frames with start/end/length/energy —"
+        " windows over frames-per-clip rows, never samples",
+)
+def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from sig_etl_spark.llm.multimodal import decode_wav
+
+    media = partition_media(_wav_media(spark, sf_dir), 32)
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("fenergy", LongType()),
+        ]
+    )
+
+    def _frame_energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "fenergy": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, _rate = decode_wav(bytes(content))
+                ch0 = samples[:, 0].astype(np.int64)
+                n = ch0.shape[0]
+                for f in range(0, n, _VAD_FRAME):
+                    seg = ch0[f : f + _VAD_FRAME]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f // _VAD_FRAME)
+                    out["fenergy"].append(int((seg * seg).sum()))
+            yield pd.DataFrame(out)
+
+    fe = media.mapInPandas(_frame_energies, schema)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    act = fe.filter(F.col("fenergy") > _VAD_THRESHOLD).withColumn(
+        "grp", F.col("frame_idx") - F.row_number().over(w)
+    )
+    seg = act.groupBy("media_id", "grp").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active_frames"),
+        F.sum("fenergy").cast("bigint").alias("seg_energy"),
+    )
+    sw = Window.partitionBy("media_id").orderBy("start_frame")
+    return seg.select(
+        "media_id",
+        F.row_number().over(sw).cast("bigint").alias("seg_no"),
+        "start_frame",
+        "end_frame",
+        "n_active_frames",
+        "seg_energy",
+    )

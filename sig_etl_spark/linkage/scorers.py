@@ -54,13 +54,20 @@ def banded_levenshtein_ratio(a: Column, b: Column, gate: float) -> Column:
     (integer dist), so computing the distance only within `band` and
     mapping the beyond-band sentinel (-1) to score 0 changes nothing the
     rule gate doesn't already zero. Callers MUST apply the >= gate test
-    afterwards (fuzzy_match's per-rule gate does); the sub-gate score
-    values this returns are 0, not the true sub-gate score. With
-    ~110-char linkage keys at gate 85 the band is ~16, a ~7x per-pair
-    DP-cell cut — the round-6 in-cell lever for the composed sub-block
-    plan (VERDICT r05 task 5)."""
+    afterwards (fuzzy_match's per-rule gate does); sub-gate pairs come
+    back as 0 or their true sub-gate score — either way the caller's
+    gate zeros them. With ~110-char linkage keys at gate 85 the band is
+    ~16, a ~7x per-pair DP-cell cut — the round-6 in-cell lever for the
+    composed sub-block plan (VERDICT r05 task 5).
+
+    The band is ceil(), not floor(), of the float expression: the float
+    product can land 1 ulp BELOW the exact rational (e.g. gate=42,
+    maxlen=100: 100*0.58 = 57.999999999999994, floor -> 57 instead of
+    58), which would silently drop a pair whose score exactly meets the
+    gate. ceil overestimates by at most one DP diagonal (negligible
+    cost) and can never underestimate, so gate-equivalence is exact."""
     denom = F.greatest(F.length(a), F.length(b), F.lit(1))
-    band = F.floor(denom * F.lit((100.0 - gate) / 100.0)).cast("int")
+    band = F.ceil((denom * F.lit(100.0 - gate)) / F.lit(100.0)).cast("int")
     dist = F.call_function("levenshtein", a, b, band)
     score = F.lit(100.0) * (F.lit(1.0) - dist / denom)
     return F.when(dist < 0, F.lit(0.0)).otherwise(score)

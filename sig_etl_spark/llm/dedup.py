@@ -177,6 +177,34 @@ def minhash_signatures(
     return hashed.mapInPandas(_sig_batches, schema)
 
 
+def _band_buckets(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Explode a (doc_id, sig) signature frame into one row per LSH band:
+    (doc_id, sig, band, bucket) with bucket = hash(band's signature
+    slice). Shared by the self-join (minhash_lsh_pairs) and the
+    batch-vs-corpus (minhash_lsh_pairs_between) generators — the two
+    MUST band identically for their candidate sets to be comparable, so
+    the slicing/bucket-hash lives in exactly one place."""
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(F.slice(F.col("sig"), i * rows + 1, rows)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -212,21 +240,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, seed).localCheckpoint(
         eager=True
     )
-    banded = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.hash(F.slice(F.col("sig"), i * rows + 1, rows)).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _band_buckets(sigs, bands, rows)
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -283,27 +297,11 @@ def minhash_lsh_pairs_between(
         sigs = minhash_signatures(
             df, id_col, text_col, k, num_hashes, seed
         ).localCheckpoint(eager=True)
-        return sigs.select(
+        return _band_buckets(sigs, bands, rows).select(
             F.col("doc_id").alias(f"id_{side}"),
             F.col("sig").alias(f"sig_{side}"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band"),
-                            F.hash(F.slice(F.col("sig"), i * rows + 1, rows)).alias(
-                                "bucket"
-                            ),
-                        )
-                        for i in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select(
-            f"id_{side}",
-            f"sig_{side}",
-            F.col("bb.band").alias("band"),
-            F.col("bb.bucket").alias("bucket"),
+            "band",
+            "bucket",
         )
 
     a = F.broadcast(_banded(new_df, "new"))

@@ -1661,7 +1661,15 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = fp.filter(F.col("doc_id") % 97 == 0).select("fingerprint")
     train = fp.filter(F.col("doc_id") % 97 != 0)
     words = SK.bloom_words(bench, "fingerprint", m_bits, k)
-    maybe = SK.bloom_member(words, "fingerprint", m_bits, k)
+    # Null-safe: a NULL fingerprint (null/empty text) makes the raw bloom
+    # predicate NULL, and a bare where(~maybe)/where(maybe) pair would drop
+    # the row from BOTH branches — diverging from llm_decontaminate, whose
+    # left_anti join keeps it (NULL keys never match), and from the shared
+    # oracle's NOT EXISTS. Coalesce to false: NULL-fingerprint rows are
+    # definitely-clean and keep join-free.
+    maybe = F.coalesce(
+        SK.bloom_member(words, "fingerprint", m_bits, k), F.lit(False)
+    )
     clean_fast = train.where(~maybe)
     suspects = train.where(maybe)
     cleaned = suspects.join(F.broadcast(bench), "fingerprint", "left_anti")

@@ -1356,49 +1356,61 @@ def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    n_orders = o.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
-
-    fk = (
-        o.select("o_custkey")
-        .join(F.broadcast(c.select("c_custkey")),
-              F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    # ONE pass per table (the planted union of the largest table must not
+    # be scanned once per check): orders takes a single broadcast left
+    # join against the pruned customer key then a per-orderkey rollup
+    # carrying both the FK-orphan flag sum and the group count, so the
+    # global aggregate yields n_total, FK orphans, and PK dups together;
+    # lineitem computes all three conditional sums plus the count in one
+    # aggregate. The 5 report rows come from a stack() unpivot of the
+    # two 1-row aggregates — same violation/total numbers as the oracle's
+    # per-check CTEs, which DuckDB shares via line_b/orders_b.
+    ostats = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias(
+                "fk_viol"
+            ),
+        )
         .groupBy()
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
-        .crossJoin(n_orders)
-        .select(
-            F.lit("orders_custkey_fk_orphans").alias("check_name"),
-            "n_violations",
-            "n_total",
+        .agg(
+            F.sum("cnt").alias("o_total"),
+            F.sum("fk_viol").cast("bigint").alias("fk_orphans"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1).otherwise(0))
+            .cast("bigint")
+            .alias("pk_dups"),
         )
     )
-    pk = (
-        o.groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") > 1)
-        .groupBy()
-        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).cast("bigint")
-             .alias("n_violations"))
-        .crossJoin(n_orders)
-        .select(
-            F.lit("orders_orderkey_pk_dups").alias("check_name"),
-            "n_violations",
-            "n_total",
+    listats = li.groupBy().agg(
+        F.count(F.lit(1)).alias("l_total"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nulls_viol"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("price_viol"),
+        F.sum(
+            F.when((F.col("l_linenumber") < 1) | (F.col("l_linenumber") > 7), 1)
+            .otherwise(0)
         )
+        .cast("bigint")
+        .alias("lineno_viol"),
     )
-
-    def _li_check(name: str, cond) -> DataFrame:
-        return li.groupBy().agg(
-            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias("n_violations"),
-            F.count(F.lit(1)).alias("n_total"),
-        ).select(F.lit(name).alias("check_name"), "n_violations", "n_total")
-
-    nulls = _li_check("lineitem_orderkey_nulls", F.col("l_orderkey").isNull())
-    price = _li_check("lineitem_nonpositive_price", F.col("l_extendedprice") <= 0)
-    lineno = _li_check(
-        "lineitem_linenumber_range",
-        (F.col("l_linenumber") < 1) | (F.col("l_linenumber") > 7),
+    return ostats.crossJoin(listats).selectExpr(
+        """stack(5,
+             'orders_custkey_fk_orphans', fk_orphans, o_total,
+             'orders_orderkey_pk_dups', pk_dups, o_total,
+             'lineitem_orderkey_nulls', nulls_viol, l_total,
+             'lineitem_nonpositive_price', price_viol, l_total,
+             'lineitem_linenumber_range', lineno_viol, l_total
+           ) AS (check_name, n_violations, n_total)"""
     )
-    return fk.unionByName(pk).unionByName(nulls).unionByName(price).unionByName(lineno)
 
 
 # ---------------------------------------------------------------------------

@@ -446,3 +446,35 @@ def test_banded_levenshtein_equals_gated_full(spark):
             g_full = r["full"] if r["full"] >= gate else 0.0
             g_band = r["band"] if r["band"] >= gate else 0.0
             assert g_full == g_band, (gate, r)
+
+
+def test_banded_levenshtein_exact_gate_boundary(spark):
+    """Regression: a pair whose score EXACTLY meets the gate must survive
+    banding. With floor(denom * (100-gate)/100.0) the float product can
+    land 1 ulp below the exact band (gate=42, len=100: 57.999... -> 57
+    instead of 58) and the gate-meeting pair was silently zeroed; the
+    ceil() band cannot underestimate."""
+    from pyspark.sql import functions as F
+
+    from sig_etl_spark.linkage.scorers import (
+        banded_levenshtein_ratio,
+        levenshtein_ratio,
+    )
+
+    # distance k on length-100 strings -> score exactly 100-k at the gate
+    cases = [("a" * 100, "a" * (100 - k) + "b" * k, float(100 - k))
+             for k in (58, 70, 69, 57, 15)]
+    df = spark.createDataFrame(
+        [(a, b, g) for a, b, g in cases], "a string, b string, gate double"
+    )
+    for a, b, gate in cases:
+        row = (
+            df.where(F.col("gate") == gate)
+            .select(
+                levenshtein_ratio(F.col("a"), F.col("b")).alias("full"),
+                banded_levenshtein_ratio(F.col("a"), F.col("b"), gate).alias("band"),
+            )
+            .collect()[0]
+        )
+        assert row["full"] >= gate, (gate, row)
+        assert row["band"] == row["full"], (gate, row)

@@ -373,6 +373,33 @@ def test_banded_levenshtein_in_linkage_plan(spark, sf_dir):
     argument), not the unbounded form — the O(len*band) cut is a plan
     property, not just a scorer unit test."""
     plan = _plan(spark, sf_dir, "linkage_fuzzy_match")
-    assert re.search(r"levenshtein\([^)]*,[^)]*,[^)]*\)", plan), (
+    # A naive regex like levenshtein\([^)]*,[^)]*,[^)]*\) also matches the
+    # 2-arg form when an argument itself contains a comma (e.g.
+    # levenshtein(x, coalesce(y, ))), so count TOP-LEVEL commas with a
+    # paren scan instead.
+    assert _has_three_arg_call(plan, "levenshtein("), (
         "banded (3-arg) levenshtein missing from the linkage plan"
     )
+
+
+def _has_three_arg_call(plan: str, needle: str) -> bool:
+    """True iff some occurrence of `needle` (e.g. 'levenshtein(') in the
+    plan has exactly three TOP-LEVEL comma-separated arguments."""
+    start = 0
+    while True:
+        i = plan.find(needle, start)
+        if i < 0:
+            return False
+        depth, commas = 1, 0
+        for ch in plan[i + len(needle):]:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif ch == "," and depth == 1:
+                commas += 1
+        if depth == 0 and commas == 2:
+            return True
+        start = i + len(needle)

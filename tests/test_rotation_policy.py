@@ -46,3 +46,27 @@ def test_history_names_are_current_or_documented():
     }
     gone = {n for n in DRIVER_LAST_GREEN if n not in QUERIES} - known_gone
     assert not gone, gone
+
+
+def test_worked_example_comment_matches_live_registry():
+    """The policy comment's worked example (Round N (N=…, D=…):
+    ceil(…/…)) must be computed from the LIVE registry — a stale example
+    in the very comment that exists to correct round 5's wrong refresh
+    claim defeats its purpose."""
+    import math
+    import re
+
+    import sig_etl_spark.queries as q
+
+    src = open(q.__file__).read()
+    m = re.search(
+        r"\(N=(\d+), D=(\d+)\):\s*#?\s*ceil\((\d+)/(\d+)\) = (\d+) rounds",
+        src,
+    )
+    assert m, "worked example not found in rotation policy comment"
+    n, d, num, den, worst = map(int, m.groups())
+    assert n == len(q.QUERIES), (n, len(q.QUERIES))
+    assert d == len(q._DEBUTS), (d, len(q._DEBUTS))
+    assert num == n - q._DRIVER_CAP
+    assert den == q._DRIVER_CAP - d
+    assert worst == math.ceil(num / den)

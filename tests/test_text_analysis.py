@@ -357,3 +357,43 @@ def test_compression_ratio_matches_zlib_and_orders_by_redundancy(spark, sf_dir):
         for r in compression_ratios(rep, "doc_id", "text").collect()
     }
     assert got[1] < got[2], got
+
+
+def test_decontaminate_bloom_equals_plain_and_keeps_null_fingerprints(
+    spark, sf_dir, tmp_path
+):
+    """The bloom-pruned variant must be result-identical to the exact
+    anti-join — including for NULL-fingerprint rows (null/empty text),
+    where a non-null-safe bloom predicate would drop the row from both
+    the clean-fast and suspect branches while the left_anti join (and
+    the shared NOT EXISTS oracle) keep it."""
+    from sig_etl_spark.queries import QUERIES
+
+    plain = {
+        (r["doc_id"], r["fingerprint"])
+        for r in QUERIES["llm_decontaminate"].builder(spark, sf_dir).collect()
+    }
+    bloom = {
+        (r["doc_id"], r["fingerprint"])
+        for r in QUERIES["llm_decontaminate_bloom"].builder(spark, sf_dir).collect()
+    }
+    assert plain == bloom
+
+    # Controlled corpus with a NULL-text and an empty-text training row:
+    # both must survive decontamination in BOTH variants.
+    docs = spark.createDataFrame(
+        [
+            (97 * 1, "shared benchmark shingle text here", "en", "web", 34),
+            (1, "shared benchmark shingle text here", "en", "web", 34),
+            (2, None, "en", "web", 0),
+            (3, "", "en", "web", 0),
+            (4, "a clean unrelated training document", "en", "web", 35),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path / "nulls"
+    docs.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    p = {r["doc_id"] for r in QUERIES["llm_decontaminate"].builder(spark, str(d)).collect()}
+    b = {r["doc_id"] for r in QUERIES["llm_decontaminate_bloom"].builder(spark, str(d)).collect()}
+    assert p == b, (p, b)
+    assert {2, 3, 4} <= p and 1 not in p, p

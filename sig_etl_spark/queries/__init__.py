@@ -147,8 +147,8 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 6 (N=167, D=24):
-# ceil(117/26) = 5 rounds worst-case — debut-heavy rounds slow the
+# behind at most N - C fresher-than-it entries. Round 6 (N=168, D=25):
+# ceil(118/25) = 5 rounds worst-case — debut-heavy rounds slow the
 # refresh; the budget assert bounds how much. tools/verify_local.py
 # still checks ALL queries locally every round, so the cap only limits
 # the external signal, never the verification itself.
@@ -189,6 +189,7 @@ _DEBUTS = [
     "w_revenue_percentile",
     "events_seasonal_forecast",
     "mm_audio_segments",
+    "j_q18_large_orders",
 ]
 
 

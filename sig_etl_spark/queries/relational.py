@@ -1631,3 +1631,67 @@ def w_revenue_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18-shaped large-volume orders (round 6): customers whose single
+# orders exceed a quantity threshold — the classic GROUP-HAVING
+# semi-join shape (IN over an aggregated subquery) the registry didn't
+# yet carry. Reference analogue: the consume-once dispatch queries gate
+# on aggregated counts the same way (national/_1034/__main__.py:91-121
+# selects work by aggregate state before joining detail).
+# Scale shape: the HAVING filter collapses lineitem to the few
+# over-threshold orderkeys FIRST (partial agg map-side), and that small
+# keyset broadcasts into the orders join — no orders-side shuffle; the
+# final customer join broadcasts the surviving order rows. Quantities
+# are integral doubles in the fixture: cast to bigint so the sums (and
+# the hash) are integer-exact. Deterministic top-100 by
+# (o_totalprice DESC, o_orderkey) is a TakeOrdered, not a global sort.
+# ---------------------------------------------------------------------------
+
+_Q18_QTY = 250
+
+_Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > {_Q18_QTY}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register(
+    "j_q18_large_orders",
+    oracle=_Q18_ORACLE,
+    doc="TPC-H Q18 shape: orders whose total quantity clears a HAVING"
+        " threshold (aggregate-then-semi-join), enriched with customer,"
+        " deterministic top-100 — integer-exact quantity sums",
+)
+def j_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > _Q18_QTY)
+    )
+    hit = o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+    out = hit.join(F.broadcast(c), hit["o_custkey"] == c["c_custkey"])
+    return (
+        out.select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )

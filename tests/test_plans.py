@@ -366,6 +366,13 @@ def test_round6_scale_plan_shapes(spark, sf_dir):
     # Token fluency: both groupBys keep partial aggregation.
     plan = _plan(spark, sf_dir, "llm_token_fluency")
     assert "partial_count" in plan or "partial_sum" in plan
+    # Q18: the HAVING-filtered keyset and the customer dim both
+    # broadcast (no orders-side shuffle join), quantity sum keeps its
+    # map-side partial, and top-100 is TakeOrdered, never a global sort.
+    plan = _plan(spark, sf_dir, "j_q18_large_orders")
+    assert plan.count("BroadcastHashJoin") >= 2, "Q18 joins not broadcast"
+    assert "partial_sum" in plan, "Q18 quantity sum lost map-side combine"
+    assert "TakeOrderedAndProject" in plan, "Q18 top-100 regressed to global sort"
 
 
 def test_banded_levenshtein_in_linkage_plan(spark, sf_dir):

@@ -14,6 +14,7 @@ from sig_etl_spark.streaming.pipeline import (  # noqa: F401
     run_available_now,
     running_user_totals,
     session_windows,
+    stateful_sessionize,
     stream_dedup,
     stream_enrich,
     stream_stream_join,

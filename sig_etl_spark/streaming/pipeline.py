@@ -125,6 +125,116 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+_SESS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+_SESS_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def stateful_sessionize(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME TIMEOUT — the
+    applyInPandasWithState twin of the batch events_sessionize query
+    (same strict-> gap rule: a new session starts when ts - prev_ts >
+    gap), for session outputs the built-in session_window aggregate
+    can't express and as the demonstration of explicit state EVICTION:
+
+    - a session closes EAGERLY when a later event of the same user
+      arrives more than `gap` after it (emitted immediately, append
+      mode, no watermark wait);
+    - a user's LAST open session closes when the event-time watermark
+      passes last_ts + gap (setTimeoutTimestamp + hasTimedOut), so
+      state per key is bounded by the watermark horizon — the state
+      store never accumulates dead sessions, which is what makes the
+      operator runnable forever at 100 TB stream scale.
+
+    State is 4 scalars per open (user, session): start/last micros,
+    count, value sum."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+
+    def _emit_df(user_id: int, s: int, l: int, n: int, t: float) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.to_datetime(s, unit="us")],
+                "session_end": [pd.to_datetime(l, unit="us")],
+                "n_events": [n],
+                "sum_value": [t],
+            }
+        )
+
+    def _update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # Watermark passed last_ts + gap: the open session can never
+            # be extended again — emit it and evict the state.
+            if state.exists:
+                s, l, n, t = state.get
+                state.remove()
+                yield _emit_df(key[0], s, l, n, t)
+            else:
+                state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        us = pdf["ts"].astype("int64") // 1000  # ns -> us, naive
+        vals = pdf["value"].fillna(0.0)
+        open_sess = state.get if state.exists else None
+        closed: list[pd.DataFrame] = []
+        for u, v in zip(us.tolist(), vals.tolist()):
+            if open_sess is None:
+                open_sess = (u, u, 1, float(v))
+            elif u - open_sess[1] > gap_us:
+                closed.append(_emit_df(key[0], *open_sess))
+                open_sess = (u, u, 1, float(v))
+            else:
+                open_sess = (
+                    open_sess[0],
+                    max(open_sess[1], u),
+                    open_sess[2] + 1,
+                    open_sess[3] + float(v),
+                )
+        state.update(open_sess)
+        # Close the surviving session once event time passes last + gap.
+        # The timeout timestamp must exceed the current watermark (late
+        # batches would otherwise set one in the past and error).
+        timeout_ms = max(
+            open_sess[1] // 1000 + gap_us // 1000,
+            state.getCurrentWatermarkMs() + 1,
+        )
+        state.setTimeoutTimestamp(timeout_ms)
+        if closed:
+            yield pd.concat(closed, ignore_index=True)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=_SESS_OUT,
+            stateStructType=_SESS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_available_now(
     df: DataFrame,
     checkpoint_dir: str,

@@ -218,3 +218,75 @@ def test_stream_stream_join_matches_batch_interval_join(spark, landing):
     assert len(got) == truth
     if truth:
         assert (got["click_ts"] <= got["purchase_ts"]).all()
+
+
+def test_stateful_sessionize_gap_close_and_timeout_eviction(spark, landing):
+    """The custom EventTimeTimeout sessionizer must reproduce the batch
+    events_sessionize answer end-to-end across incremental delivery:
+    mid-stream sessions close eagerly on the gap rule, and each user's
+    final open session closes via watermark timeout (state eviction),
+    forced here by far-future sentinel events for a dummy user."""
+    from sig_etl_spark.streaming import stateful_sessionize
+
+    land, extra, ckpt = landing
+
+    def _run(name):
+        stream = stateful_sessionize(
+            read_event_stream(spark, land), gap_minutes=30, watermark="2 hours"
+        )
+        return run_available_now(stream, ckpt, name, output_mode="append")
+
+    batches = _run("sess_s1")
+    _deliver(extra, land)
+    batches += _run("sess_s2")
+
+    # Sentinel deliveries: advance the watermark far past every real
+    # event (batch N), then run once more so the timeout fires (batch
+    # N+1 evaluates timeouts against the advanced watermark).
+    max_ts = spark.read.parquet(land).agg(F.max("ts")).collect()[0][0]
+    for i, days in enumerate((10, 20)):
+        sent = spark.createDataFrame(
+            [(10**9 + i, max_ts + pd.Timedelta(days=days), -1, "sentinel", 0.0, "{}")],
+            schema=read_event_stream(spark, land).schema,
+        )
+        sent.coalesce(1).write.mode("append").parquet(land)
+        batches += _run(f"sess_sentinel{i}")
+
+    got = pd.concat([b for b in batches if len(b)], ignore_index=True)
+    got = got[got["user_id"] >= 0]  # drop the sentinel user's own session
+
+    truth = {
+        (r.user_id, pd.Timestamp(r.session_start)): (
+            pd.Timestamp(r.session_end), r.n_events, r.sum_value,
+        )
+        for r in spark.read.parquet(land)
+        .where(F.col("user_id") >= 0)
+        .selectExpr(
+            "user_id", "ts", "value", "event_id",
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts",
+        )
+        .selectExpr(
+            "user_id", "ts", "value", "event_id",
+            "CASE WHEN prev_ts IS NULL OR (unix_micros(ts) - unix_micros(prev_ts))"
+            " > 1800000000 THEN 1 ELSE 0 END AS is_new",
+        )
+        .selectExpr(
+            "user_id", "ts", "value",
+            "SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS UNBOUNDED PRECEDING) AS seq",
+        )
+        .groupBy("user_id", "seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert len(got) == len(truth), (len(got), len(truth))
+    for r in got.itertuples(index=False):
+        end, n, sv = truth[(r.user_id, pd.Timestamp(r.session_start))]
+        assert pd.Timestamp(r.session_end) == end
+        assert r.n_events == n
+        assert abs(r.sum_value - (sv or 0.0)) < 1e-6

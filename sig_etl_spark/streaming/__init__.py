@@ -9,12 +9,15 @@ windows, and custom stateful operators.
 """
 
 from sig_etl_spark.streaming.pipeline import (  # noqa: F401
+    DOCUMENT_SCHEMA,
     EVENT_SCHEMA,
+    read_document_stream,
     read_event_stream,
     run_available_now,
     running_user_totals,
     session_windows,
     stateful_sessionize,
+    stream_corpus_near_dup,
     stream_dedup,
     stream_enrich,
     stream_stream_join,

@@ -342,3 +342,100 @@ def stream_stream_join(
         "click_ts",
         "purchase_value",
     )
+
+
+DOCUMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_document_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream over a documents landing directory (the
+    continuous-ingest mouth of the LLM-curation pipeline)."""
+    return spark.readStream.schema(DOCUMENT_SCHEMA).parquet(landing_dir)
+
+
+def stream_corpus_near_dup(
+    docs: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    dedup_horizon: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of llm_incremental_dedup / minhash_lsh_pairs_between:
+    as documents land, emit (doc_id, corpus_id, est_jaccard) for every
+    near-duplicate already in the STATIC corpus — "has this incoming doc
+    been seen before?" answered continuously, batch-identical thresholds.
+
+    Spark-shape notes:
+    - the MinHash signature is the same Arrow mapInPandas pass the batch
+      path uses (signatures stream through; nothing is checkpointed);
+    - the band join is stream-static: the corpus banded frame is the
+      static side, re-planned per micro-batch; the incoming batch is
+      micro-batch-sized so the join cost per batch is bounded by the
+      corpus's bucket-collision rate, exactly like the batch twin where
+      the NEW side broadcasts;
+    - a pair that collides in several bands would be emitted once per
+      band: dropDuplicatesWithinWatermark on an ingest-time watermark
+      suppresses the repeats with state BOUNDED by `dedup_horizon`
+      (documents carry no event time, so ingest processing time is
+      stamped at read — the standard trick for keyed dedup over
+      timeless records).
+    """
+    from sig_etl_spark.llm.dedup import _band_buckets, minhash_signatures
+
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+
+    new_banded = _band_buckets(
+        minhash_signatures(docs, "doc_id", "text", k, num_hashes, seed),
+        bands,
+        rows,
+    ).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("sig").alias("new_sig"),
+        "band",
+        "bucket",
+    )
+    corpus_banded = _band_buckets(
+        minhash_signatures(
+            corpus_df, "doc_id", "text", k, num_hashes, seed
+        ).localCheckpoint(eager=True),
+        bands,
+        rows,
+    ).select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("sig").alias("corpus_sig"),
+        "band",
+        "bucket",
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("new_sig"), F.col("corpus_sig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        new_banded.join(corpus_banded, ["band", "bucket"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", dedup_horizon)
+        .dropDuplicatesWithinWatermark(["new_id", "corpus_id"])
+        .select(
+            F.col("new_id").alias("doc_id"),
+            "corpus_id",
+            "est_jaccard",
+        )
+    )

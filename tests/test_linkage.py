@@ -478,3 +478,37 @@ def test_banded_levenshtein_exact_gate_boundary(spark):
         )
         assert row["full"] >= gate, (gate, row)
         assert row["band"] == row["full"], (gate, row)
+
+
+def test_banded_gate_band_never_underestimates_property():
+    """Property (hypothesis): the float band expression Spark evaluates —
+    ceil((denom * (100.0 - gate)) / 100.0) in IEEE doubles — is never
+    below the exact rational band floor(denom*(100-gate)/100), for any
+    length and any representable gate; and overestimates by at most one
+    DP diagonal (the documented cost bound). Python floats ARE IEEE
+    doubles, so this mirrors the JVM arithmetic exactly."""
+    import math
+    from fractions import Fraction
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=2000, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=5000),
+        st.one_of(
+            st.integers(min_value=0, max_value=100).map(float),
+            st.decimals(
+                min_value=0, max_value=100, places=1, allow_nan=False
+            ).map(float),
+            st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+        ),
+    )
+    def check(denom, gate):
+        computed = math.ceil((denom * (100.0 - gate)) / 100.0)
+        exact = math.floor(
+            denom * (Fraction(100) - Fraction(gate)) / 100
+        )
+        assert computed >= exact, (denom, gate, computed, exact)
+        assert computed <= exact + 1, (denom, gate, computed, exact)
+
+    check()

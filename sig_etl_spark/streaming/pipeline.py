@@ -10,6 +10,14 @@ Design notes for scale:
 - The stateful operator uses applyInPandasWithState — state lives in the
   state store per user_id, partitioned by the grouping key, so it scales
   horizontally like any keyed shuffle.
+- Measured negative result (round 6): transformWithStateInPandas — the
+  Spark 4.x successor stateful API (ValueState/ListState/timers, RocksDB
+  provider) — was probed twice with a minimal per-key counter
+  (local[4], availableNow, foreachBatch, both "Update"/"None" and
+  "update"/"none" mode spellings): the first micro-batch never commits
+  (query stays ACTIVE with available offsets uncommitted until a 4-min
+  timeout). The applyInPandasWithState operators below are the supported
+  stateful path in this environment; revisit on a Spark upgrade.
 """
 
 from __future__ import annotations

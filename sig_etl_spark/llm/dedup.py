@@ -205,6 +205,47 @@ def _band_buckets(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
     )
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    side: str,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """One aliased banded side for an asymmetric LSH join:
+    (id_<side>, sig_<side>, band, bucket). Shared by the batch
+    batch-vs-corpus generator and its streaming twin so the two sides
+    are banded by construction-identical expressions. ``checkpoint``
+    materializes the signature pass (mandatory for batch reuse; must be
+    False for a streaming side, which cannot checkpoint)."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, seed)
+    if checkpoint:
+        sigs = sigs.localCheckpoint(eager=True)
+    return _band_buckets(sigs, bands, rows).select(
+        F.col("doc_id").alias(f"id_{side}"),
+        F.col("sig").alias(f"sig_{side}"),
+        "band",
+        "bucket",
+    )
+
+
+def sig_agreement(sig_a, sig_b):
+    """Count of agreeing MinHash components between two signature
+    columns — THE estimated-Jaccard numerator. Exists once so the
+    self-join, batch-vs-corpus, and streaming pair generators cannot
+    drift apart."""
+    return F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda eq: eq)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -254,12 +295,7 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    )
+    agree = sig_agreement(F.col("sig_a"), F.col("sig_b"))
     return (
         cands.withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
         .filter(F.col("est_jaccard") >= threshold)
@@ -289,34 +325,18 @@ def minhash_lsh_pairs_between(
     (the self-join variant grows with corpus pair density; this one is
     linear in corpus size for a fixed batch). Returns
     (id_new, id_corpus, est_jaccard >= threshold)."""
-    if num_hashes % bands != 0:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows = num_hashes // bands
-
-    def _banded(df: DataFrame, side: str) -> DataFrame:
-        sigs = minhash_signatures(
-            df, id_col, text_col, k, num_hashes, seed
-        ).localCheckpoint(eager=True)
-        return _band_buckets(sigs, bands, rows).select(
-            F.col("doc_id").alias(f"id_{side}"),
-            F.col("sig").alias(f"sig_{side}"),
-            "band",
-            "bucket",
-        )
-
-    a = F.broadcast(_banded(new_df, "new"))
-    b = _banded(corpus_df, "corpus")
+    a = F.broadcast(
+        banded_signatures(new_df, id_col, text_col, k, num_hashes, bands, seed, "new")
+    )
+    b = banded_signatures(
+        corpus_df, id_col, text_col, k, num_hashes, bands, seed, "corpus"
+    )
     cands = (
         b.join(a, ["band", "bucket"])
         .select("id_new", "id_corpus", "sig_new", "sig_corpus")
         .dropDuplicates(["id_new", "id_corpus"])
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_new"), F.col("sig_corpus"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    )
+    agree = sig_agreement(F.col("sig_new"), F.col("sig_corpus"))
     return (
         cands.withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
         .filter(F.col("est_jaccard") >= threshold)

@@ -171,7 +171,17 @@ def stateful_sessionize(
       operator runnable forever at 100 TB stream scale.
 
     State is 4 scalars per open (user, session): start/last micros,
-    count, value sum."""
+    count, value sum.
+
+    Ordering contract: batch parity is EXACT when each user's events
+    arrive in event-time order across micro-batches (the file-landing
+    log-shipping case the tests drive). Out-of-order arrivals within
+    the watermark are handled conservatively — an event within gap of
+    the open session merges into it (min/max bounds), one beyond gap
+    starts a new session — but append-mode eager emission cannot
+    re-split a session already emitted, so adversarially late data can
+    differ from the batch answer. For unordered sources, use the
+    built-in session_windows (which buffers until the watermark)."""
     gap_us = int(gap_minutes) * 60 * 1_000_000
 
     def _emit_df(user_id: int, s: int, l: int, n: int, t: float) -> pd.DataFrame:
@@ -201,7 +211,10 @@ def stateful_sessionize(
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["ts", "event_id"]
         )
-        us = pdf["ts"].astype("int64") // 1000  # ns -> us, naive
+        # Resolution-explicit: Arrow may deliver ns or us datetimes
+        # depending on the pandas/pyarrow path; normalize to ns first so
+        # the //1000 below always yields microseconds.
+        us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
         vals = pdf["value"].fillna(0.0)
         open_sess = state.get if state.exists else None
         closed: list[pd.DataFrame] = []
@@ -212,8 +225,11 @@ def stateful_sessionize(
                 closed.append(_emit_df(key[0], *open_sess))
                 open_sess = (u, u, 1, float(v))
             else:
+                # min/max bounds: a late-but-within-gap event (cross-batch
+                # out-of-order arrival) extends the open session backwards
+                # rather than corrupting its start.
                 open_sess = (
-                    open_sess[0],
+                    min(open_sess[0], u),
                     max(open_sess[1], u),
                     open_sess[2] + 1,
                     open_sess[3] + float(v),
@@ -399,51 +415,36 @@ def stream_corpus_near_dup(
       stamped at read — the standard trick for keyed dedup over
       timeless records).
     """
-    from sig_etl_spark.llm.dedup import _band_buckets, minhash_signatures
+    from sig_etl_spark.llm.dedup import banded_signatures, sig_agreement
 
-    if num_hashes % bands != 0:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows = num_hashes // bands
-
-    new_banded = _band_buckets(
-        minhash_signatures(docs, "doc_id", "text", k, num_hashes, seed),
-        bands,
-        rows,
-    ).select(
-        F.col("doc_id").alias("new_id"),
-        F.col("sig").alias("new_sig"),
-        "band",
-        "bucket",
+    new_banded = banded_signatures(
+        docs, "doc_id", "text", k, num_hashes, bands, seed, "new",
+        checkpoint=False,  # streaming side cannot checkpoint
     )
-    corpus_banded = _band_buckets(
-        minhash_signatures(
-            corpus_df, "doc_id", "text", k, num_hashes, seed
-        ).localCheckpoint(eager=True),
-        bands,
-        rows,
-    ).select(
-        F.col("doc_id").alias("corpus_id"),
-        F.col("sig").alias("corpus_sig"),
-        "band",
-        "bucket",
+    corpus_banded = banded_signatures(
+        corpus_df, "doc_id", "text", k, num_hashes, bands, seed, "corpus"
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("new_sig"), F.col("corpus_sig"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    )
+    # Dedup candidate pairs BEFORE the agreement estimate (same order as
+    # the batch twin): a pair colliding in all `bands` bands would
+    # otherwise evaluate the num_hashes-element zip_with once per band.
+    # Cost of the order: the dedup state also holds sub-threshold
+    # candidates for the horizon — bounded by candidates-per-horizon,
+    # the same quantity that bounds the join output itself.
     return (
         new_banded.join(corpus_banded, ["band", "bucket"])
-        .filter(F.col("new_id") != F.col("corpus_id"))
-        .withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
-        .filter(F.col("est_jaccard") >= threshold)
+        .filter(F.col("id_new") != F.col("id_corpus"))
         .withColumn("ingest_ts", F.current_timestamp())
         .withWatermark("ingest_ts", dedup_horizon)
-        .dropDuplicatesWithinWatermark(["new_id", "corpus_id"])
+        .dropDuplicatesWithinWatermark(["id_new", "id_corpus"])
+        .withColumn(
+            "est_jaccard",
+            sig_agreement(F.col("sig_new"), F.col("sig_corpus"))
+            / F.lit(float(num_hashes)),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
         .select(
-            F.col("new_id").alias("doc_id"),
-            "corpus_id",
+            F.col("id_new").alias("doc_id"),
+            F.col("id_corpus").alias("corpus_id"),
             "est_jaccard",
         )
     )

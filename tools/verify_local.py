@@ -80,9 +80,12 @@ def main() -> int:
     spark = get_spark("verify_local")
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
-        )
+        # Driver testdata is a single file per table; Spark-written sets
+        # (e.g. the local .testdata/sf1 scale point) are DIRECTORIES named
+        # <t>.parquet — glob inside those for DuckDB.
+        path = os.path.join(args.sf_dir, f"{t}.parquet")
+        pat = os.path.join(path, "*.parquet") if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
     names = args.names or list(QUERIES)
     failures = []

@@ -177,8 +177,10 @@ def stateful_sessionize(
     arrive in event-time order across micro-batches (the file-landing
     log-shipping case the tests drive). Out-of-order arrivals within
     the watermark are handled conservatively — an event within gap of
-    the open session merges into it (min/max bounds), one beyond gap
-    starts a new session — but append-mode eager emission cannot
+    the open session merges into it (min/max bounds), one more than gap
+    LATER closes it and starts a new session, one more than gap EARLIER
+    than its start is emitted as an orphan singleton — but append-mode
+    eager emission cannot
     re-split a session already emitted, so adversarially late data can
     differ from the batch answer. For unordered sources, use the
     built-in session_windows (which buffers until the watermark)."""
@@ -224,6 +226,13 @@ def stateful_sessionize(
             elif u - open_sess[1] > gap_us:
                 closed.append(_emit_df(key[0], *open_sess))
                 open_sess = (u, u, 1, float(v))
+            elif u < open_sess[0] - gap_us:
+                # Orphan late event: more than gap BEFORE the open
+                # session's start, so it cannot belong to it — emitting
+                # it as its own closed singleton keeps the open session's
+                # bounds honest instead of stretching them around a
+                # foreign event.
+                closed.append(_emit_df(key[0], u, u, 1, float(v)))
             else:
                 # min/max bounds: a late-but-within-gap event (cross-batch
                 # out-of-order arrival) extends the open session backwards

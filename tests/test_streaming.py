@@ -344,3 +344,54 @@ def test_stream_corpus_near_dup_matches_batch_twin(spark, sf_dir, tmp_path):
     )
     for kv, j in emitted.items():
         assert abs(j - truth[kv]) < 1e-12
+
+
+def test_stateful_sessionize_out_of_order_contract(spark, tmp_path):
+    """Pins the documented conservative out-of-order behavior across
+    micro-batches: a late event within gap of the open session merges
+    (min/max bounds), one more than gap earlier than its start is
+    emitted as an orphan singleton, and ordered gaps still split."""
+    from sig_etl_spark.streaming import EVENT_SCHEMA, stateful_sessionize
+
+    base = pd.Timestamp("2024-06-01 12:00:00")
+
+    def _write(rows, d):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        spark.createDataFrame(pdf, schema=EVENT_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(str(d))
+
+    land = tmp_path / "ooo_landing"
+    ckpt = str(tmp_path / "ooo_ckpt")
+    m = pd.Timedelta(minutes=1)
+
+    def _run(name):
+        stream = stateful_sessionize(
+            read_event_stream(spark, str(land)), gap_minutes=30, watermark="2 hours"
+        )
+        return run_available_now(stream, ckpt, name, output_mode="append")
+
+    # batch 1: open session at [100, 105] min
+    _write([(1, base + 100 * m, 7, "e", 1.0, "{}"),
+            (2, base + 105 * m, 7, "e", 1.0, "{}")], land)
+    out = _run("ooo1")
+    # batch 2 (out of order, within watermark): 90min merges into the
+    # open session (within gap of its 100min start); 20min is an orphan
+    # (more than gap before 90min-start) -> emitted as singleton
+    _write([(3, base + 90 * m, 7, "e", 1.0, "{}"),
+            (4, base + 20 * m, 7, "e", 1.0, "{}")], land)
+    out += _run("ooo2")
+    # batch 3: an ordered event far later closes the merged session
+    _write([(5, base + 300 * m, 7, "e", 1.0, "{}")], land)
+    out += _run("ooo3")
+
+    rows = pd.concat([b for b in out if len(b)], ignore_index=True)
+    got = sorted(
+        (pd.Timestamp(r.session_start), pd.Timestamp(r.session_end), r.n_events)
+        for r in rows.itertuples(index=False)
+    )
+    assert got == [
+        (base + 20 * m, base + 20 * m, 1),     # orphan singleton
+        (base + 90 * m, base + 105 * m, 3),    # merged [90,105], 3 events
+    ], got

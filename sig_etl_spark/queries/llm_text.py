@@ -1217,10 +1217,14 @@ def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # carries |sources| x 8 rows), corpus bucket totals re-aggregated from
 # that tiny frame and broadcast back. DETERMINISM: observed/expected
 # come from exact integer counts; the expected value and each chi-square
-# term are IEEE ops on identical inputs; the SUM over the 8 buckets is
-# an order-fixed list fold (sort by bucket, then left-to-right reduce —
-# the same _double_dot discipline the embedding ops use), never a
-# groupBy float sum whose addition order could flap the hash.
+# term are IEEE ops on identical inputs. ROUND-7 DRIVER-ENVIRONMENT
+# HARDENING: r6's order-fixed double fold still went driver hash-red
+# (while matching every local DuckDB configuration bit-for-bit), so the
+# query now emits NO double at all — each term is cast to
+# DECIMAL(38,10) (deterministic nearest rounding of an identical double
+# on both engines), the 8-bucket sum is EXACT decimal addition (order-
+# independent, so a plain groupBy SUM is safe), and the output is
+# chi2_milli = ROUND(sum*1000) as BIGINT.
 # ---------------------------------------------------------------------------
 
 _DRIFT_BUCKET = "LEAST(CAST(FLOOR(n_chars / 100) AS BIGINT), 7)"
@@ -1241,7 +1245,8 @@ src AS (
 ),
 terms AS (
   SELECT source, bucket,
-         (CAST(n AS DOUBLE) - expv) * (CAST(n AS DOUBLE) - expv) / expv AS term
+         CAST((CAST(n AS DOUBLE) - expv) * (CAST(n AS DOUBLE) - expv) / expv
+              AS DECIMAL(38,10)) AS term
   FROM (
     SELECT o.source, o.bucket, o.n,
            CAST(t.bucket_total * s.n_source AS DOUBLE)
@@ -1253,8 +1258,7 @@ terms AS (
   )
 )
 SELECT s.source, s.n_source,
-       list_reduce(list_prepend(0.0, list(term ORDER BY bucket)),
-                   (acc, x) -> acc + x) AS chi2
+       CAST(ROUND(SUM(term) * 1000) AS BIGINT) AS chi2_milli
 FROM terms t JOIN src s USING (source)
 GROUP BY s.source, s.n_source
 """
@@ -1264,8 +1268,8 @@ GROUP BY s.source, s.n_source
     "llm_source_drift",
     oracle=_DRIFT_ORACLE,
     doc="per-source chi-square drift vs the corpus length distribution:"
-        " integer counts, broadcast totals, order-fixed fold for the"
-        " 8-bucket sum",
+        " integer counts, broadcast totals, exact DECIMAL(38,10) term"
+        " accumulation emitting bigint chi2_milli — no double output",
 )
 def llm_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1294,21 +1298,17 @@ def llm_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "bucket",
             "n_source",
-            (d * d / exp).alias("term"),
+            # One deterministic double per (source, bucket), immediately
+            # pinned to DECIMAL(38,10): from here on all arithmetic is
+            # exact, so the sum is order-independent and no double is
+            # ever emitted.
+            (d * d / exp).cast("decimal(38,10)").alias("term"),
         )
     )
-    return (
-        terms.groupBy("source", "n_source")
-        .agg(
-            F.aggregate(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("bucket", "term"))),
-                    lambda s: s["term"],
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("chi2")
-        )
+    return terms.groupBy("source", "n_source").agg(
+        F.round(F.sum("term") * 1000)
+        .cast("bigint")
+        .alias("chi2_milli")
     )
 
 

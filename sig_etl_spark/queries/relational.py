@@ -672,34 +672,76 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over millions of customers is a single-task global sort (the
 # anti-pattern the first cut of this query contained). Boundary
 # semantics, not equal-count semantics: customers tied at a boundary
-# land in the same bucket (the defensible business rule anyway). All
-# inputs integer-exact; boundaries are DISCRETE percentiles (type-1
-# inverse-CDF — actual bigint data values, percentile_disc vs
-# quantile_disc), so every comparison is bigint-vs-bigint: no
-# interpolated double anywhere in the decision path.
+# land in the same bucket (the defensible business rule anyway).
+#
+# ROUND-7 DRIVER-ENVIRONMENT HARDENING: the r6 cut used
+# percentile_disc/quantile_disc for the 9 boundaries and stayed driver
+# hash-red (while local DuckDB matched bit-for-bit), so the element pick
+# no longer uses ANY engine percentile function: each boundary is the
+# smallest value v whose cumulative count satisfies cum(v)*den >=
+# n*num — the identical type-1 inverse-CDF rule, expressed as pure
+# bigint comparisons over cumulative value counts on BOTH engines (see
+# _discrete_boundaries). Recency likewise drops engine date_diff
+# conventions for epoch-day arithmetic (floor(epoch_seconds/86400)
+# difference — identical IEEE ops both engines). Every output column is
+# bigint/int/string; no double and no engine-convention function
+# anywhere in the decision path.
 # ---------------------------------------------------------------------------
 
 _RFM_ORACLE = """
 WITH maxd AS (SELECT MAX(o_orderdate) AS dmax FROM orders),
 cust AS (
   SELECT o_custkey,
-         date_diff('day', MAX(o_orderdate), (SELECT dmax FROM maxd)) AS recency_days,
+         CAST(floor(epoch((SELECT dmax FROM maxd)) / 86400.0)
+              - floor(epoch(MAX(o_orderdate)) / 86400.0) AS BIGINT)
+           AS recency_days,
          COUNT(*) AS frequency,
          SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_cents
   FROM orders GROUP BY o_custkey
 ),
-b AS (
-  SELECT quantile_disc(recency_days, 0.25) AS r1,
-         quantile_disc(recency_days, 0.5)  AS r2,
-         quantile_disc(recency_days, 0.75) AS r3,
-         quantile_disc(frequency, 0.25) AS f1,
-         quantile_disc(frequency, 0.5)  AS f2,
-         quantile_disc(frequency, 0.75) AS f3,
-         quantile_disc(monetary_cents, 0.25) AS m1,
-         quantile_disc(monetary_cents, 0.5)  AS m2,
-         quantile_disc(monetary_cents, 0.75) AS m3
-  FROM cust
+vr AS (SELECT recency_days AS v, COUNT(*) AS n FROM cust GROUP BY 1),
+cr AS (
+  SELECT v,
+         SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         SUM(n) OVER () AS total
+  FROM vr
 ),
+br AS (
+  SELECT MIN(CASE WHEN cum * 4 >= total * 1 THEN v END) AS r1,
+         MIN(CASE WHEN cum * 2 >= total * 1 THEN v END) AS r2,
+         MIN(CASE WHEN cum * 4 >= total * 3 THEN v END) AS r3
+  FROM cr
+),
+vf AS (SELECT frequency AS v, COUNT(*) AS n FROM cust GROUP BY 1),
+cf AS (
+  SELECT v,
+         SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         SUM(n) OVER () AS total
+  FROM vf
+),
+bf AS (
+  SELECT MIN(CASE WHEN cum * 4 >= total * 1 THEN v END) AS f1,
+         MIN(CASE WHEN cum * 2 >= total * 1 THEN v END) AS f2,
+         MIN(CASE WHEN cum * 4 >= total * 3 THEN v END) AS f3
+  FROM cf
+),
+vm AS (SELECT monetary_cents AS v, COUNT(*) AS n FROM cust GROUP BY 1),
+cm AS (
+  SELECT v,
+         SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         SUM(n) OVER () AS total
+  FROM vm
+),
+bm AS (
+  SELECT MIN(CASE WHEN cum * 4 >= total * 1 THEN v END) AS m1,
+         MIN(CASE WHEN cum * 2 >= total * 1 THEN v END) AS m2,
+         MIN(CASE WHEN cum * 4 >= total * 3 THEN v END) AS m3
+  FROM cm
+),
+b AS (SELECT * FROM br CROSS JOIN bf CROSS JOIN bm),
 scored AS (
   SELECT c.*,
          1 + CAST(c.recency_days > b.r1 AS INTEGER)
@@ -722,16 +764,79 @@ FROM scored
 """
 
 
+def _discrete_boundaries(
+    df: DataFrame,
+    col: str,
+    bin_width: int,
+    quantiles: list[tuple[str, int, int]],
+) -> DataFrame:
+    """Exact type-1 (inverse-CDF) discrete quantile boundaries with NO
+    engine percentile function: each boundary is the smallest value v
+    with cum_count(v) * den >= n * num — pure bigint comparisons over
+    cumulative value counts, so the pick cannot vary with an engine's
+    percentile element convention (the round-7 driver-seam fix).
+
+    Scale shape: value counts are one map-side-combinable groupBy; the
+    only unpartitioned window runs over FIXED-WIDTH BINS, whose row count
+    is bounded by value_range / bin_width independent of input rows; the
+    in-bin refinement window is partitioned by the (single) boundary bin
+    and sees only that bin's distinct values. Nothing here sorts the
+    full value set globally.
+    """
+    vc = (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("vn"))
+        .withColumn("bin", F.floor(F.col(col) / F.lit(bin_width)).cast("bigint"))
+    )
+    bh = vc.groupBy("bin").agg(F.sum("vn").alias("bn"))
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    bc = bh.withColumn("cumb", F.sum("bn").over(wb)).withColumn(
+        "total", F.sum("bn").over(Window.partitionBy())
+    )
+    out: DataFrame | None = None
+    for alias, num, den in quantiles:
+        # Boundary bin = smallest bin whose cumulative count reaches the
+        # target rank; the boundary VALUE then lies inside that bin.
+        sel = (
+            bc.filter(F.col("cumb") * den >= F.col("total") * num)
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.col("bin").alias("qbin"),
+                (F.col("cumb") - F.col("bn")).alias("cum_before"),
+                F.col("total").alias("tot"),
+            )
+        )
+        inb = vc.join(F.broadcast(sel), vc["bin"] == sel["qbin"])
+        wv = (
+            Window.partitionBy("qbin")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        ref = inb.withColumn("cumv", F.sum("vn").over(wv))
+        pick = ref.filter(
+            (F.col("cum_before") + F.col("cumv")) * den >= F.col("tot") * num
+        ).agg(F.min(col).alias(alias))
+        out = pick if out is None else out.crossJoin(pick)
+    assert out is not None
+    return out
+
+
 @register(
     "orders_rfm_segmentation",
     oracle=_RFM_ORACLE,
     doc="RFM quartile segmentation: combinable per-customer rollup +"
         " broadcast 9-number quartile boundaries, comparison bucketing —"
-        " no global ntile window",
+        " no global ntile window; boundaries picked by explicit"
+        " cumulative-count rank arithmetic (no engine percentile"
+        " function), all-integer decision path",
 )
 def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     maxd = o.groupBy().agg(F.max("o_orderdate").alias("dmax"))
+    # Epoch-day recency: floor(epoch_seconds/86400) difference — identical
+    # IEEE ops on both engines, no engine date_diff boundary convention.
+    dayno = lambda c: F.floor(F.unix_timestamp(c) / 86400.0)  # noqa: E731
     cust = (
         o.groupBy("o_custkey")
         .agg(
@@ -744,30 +849,31 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(maxd))
         .select(
             "o_custkey",
-            F.datediff(F.col("dmax"), F.col("last_order"))
+            (dayno(F.col("dmax")) - dayno(F.col("last_order")))
             .cast("bigint")
             .alias("recency_days"),
             "frequency",
             "monetary_cents",
         )
     )
-    # Discrete (type-1, inverse-CDF) percentile boundaries — actual bigint
-    # data values, so every downstream quartile comparison is bigint vs
-    # bigint and the hash cannot flap on a 1-ulp interpolation seam (the
-    # round-5 driver hash-red root cause; Spark percentile_disc and DuckDB
-    # quantile_disc pick the identical element — probed on n=4,5,7,10).
-    b = cust.groupBy().agg(
-        *[
-            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {c})")
-            .cast("bigint")
-            .alias(f"{a}{i}")
-            for c, a in (
-                ("recency_days", "r"),
-                ("frequency", "f"),
-                ("monetary_cents", "m"),
+    quarts = [("1", 1, 4), ("2", 1, 2), ("3", 3, 4)]
+    b = (
+        _discrete_boundaries(
+            cust, "recency_days", 64, [(f"r{s}", n, d) for s, n, d in quarts]
+        )
+        .crossJoin(
+            _discrete_boundaries(
+                cust, "frequency", 4, [(f"f{s}", n, d) for s, n, d in quarts]
             )
-            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
-        ]
+        )
+        .crossJoin(
+            _discrete_boundaries(
+                cust,
+                "monetary_cents",
+                1_000_000,
+                [(f"m{s}", n, d) for s, n, d in quarts],
+            )
+        )
     )
     j = cust.crossJoin(F.broadcast(b))
     r_q = (

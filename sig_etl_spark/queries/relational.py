@@ -787,6 +787,10 @@ def _discrete_boundaries(
         df.groupBy(col)
         .agg(F.count(F.lit(1)).alias("vn"))
         .withColumn("bin", F.floor(F.col(col) / F.lit(bin_width)).cast("bigint"))
+        # Materialize the (small) value-count frame once: every quantile's
+        # boundary-bin and refine branch re-reads it, and without the
+        # checkpoint each branch would replay the upstream rollup.
+        .localCheckpoint(eager=True)
     )
     bh = vc.groupBy("bin").agg(F.sum("vn").alias("bn"))
     wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
@@ -855,6 +859,10 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_cents",
         )
+        # One orders scan total: the rollup feeds three boundary helpers
+        # plus the final classification — checkpoint it instead of
+        # replaying the scan+shuffle in every branch.
+        .localCheckpoint(eager=True)
     )
     quarts = [("1", 1, 4), ("2", 1, 2), ("3", 3, 4)]
     b = (
@@ -1346,7 +1354,11 @@ def j_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
     ).cast("bigint")
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        # No broadcast hint on customer: it grows with the corpus (~1.5 B
+        # rows at 100 TB TPC-H), and a FORCED broadcast both OOMs there
+        # and strips AQE's ability to fall back to shuffle. AQE still
+        # picks broadcast at test scale on its own (VERDICT r6 task 3).
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(l, l["l_orderkey"] == o["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(cents).cast("bigint").alias("revenue_cents"))
@@ -1472,8 +1484,10 @@ def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two 1-row aggregates — same violation/total numbers as the oracle's
     # per-check CTEs, which DuckDB shares via line_b/orders_b.
     ostats = (
+        # Customer keyset grows with the corpus — no forced broadcast;
+        # AQE chooses the strategy (VERDICT r6 task 3).
         o.join(
-            F.broadcast(c.select("c_custkey")),
+            c.select("c_custkey"),
             F.col("o_custkey") == F.col("c_custkey"),
             "left",
         )
@@ -1718,7 +1732,9 @@ def w_revenue_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     rev = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        # Customer grows with the corpus — no forced broadcast (VERDICT
+        # r6 task 3); AQE decides at runtime.
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment", "o_custkey")
         .agg(
             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
@@ -1791,8 +1807,13 @@ def j_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
         .filter(F.col("sum_qty") > _Q18_QTY)
     )
-    hit = o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
-    out = hit.join(F.broadcast(c), hit["o_custkey"] == c["c_custkey"])
+    # Neither side gets a forced broadcast: customer grows with the
+    # corpus, and `big` (orders above the quantity threshold) grows with
+    # lineitem — data-dependent selectivity is exactly what AQE's runtime
+    # size check handles better than a compile-time hint (VERDICT r6
+    # task 3).
+    hit = o.join(big, o["o_orderkey"] == big["l_orderkey"])
+    out = hit.join(c, hit["o_custkey"] == c["c_custkey"])
     return (
         out.select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate",

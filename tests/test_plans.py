@@ -410,3 +410,52 @@ def _has_three_arg_call(plan: str, needle: str) -> bool:
         if depth == 0 and commas == 2:
             return True
         start = i + len(needle)
+
+
+def test_no_forced_broadcast_of_corpus_growing_tables():
+    """A forced F.broadcast() on a table that grows with the corpus
+    (customer/orders/lineitem/events/documents/embeddings/part/supplier)
+    is a 100x-scale killer: at TPC-H 100 TB customer is ~1.5 B rows, the
+    hint OOMs the executors, and — worse than no hint — it strips AQE's
+    ability to fall back to a shuffle join (VERDICT r6 task 3; j_q10 has
+    always done this correctly by broadcasting only nation). Broadcasting
+    an AGGREGATED/LIMITED derivative (1-row totals, top-k, boundary
+    frames, sketches) is fine — only raw growing-table frames are banned.
+
+    Source-level lint over every registered builder: for each
+    F.broadcast(name) argument, find `name = ...` in the same builder and
+    flag it when that assignment loads a growing table without any
+    row-reducing step (groupBy/agg/limit/distinct/dropDuplicates/join)."""
+    import inspect
+
+    growing = (
+        "customer|orders|lineitem|events|documents|embeddings|part|supplier"
+    )
+    load_re = re.compile(rf'load_table\(spark,\s*sf_dir,\s*"({growing})"\)')
+    reducer_re = re.compile(
+        r"\.(groupBy|agg|limit|distinct|dropDuplicates|join)\("
+    )
+    violations = []
+    for qname, rq in QUERIES.items():
+        try:
+            src = inspect.getsource(rq.builder)
+        except (OSError, TypeError):
+            continue
+        for m in re.finditer(r"F\.broadcast\(\s*([A-Za-z_]\w*)\s*[,)]", src):
+            var = m.group(1)
+            # assignment statement: from `var = ` up to the next line
+            # whose indentation returns to the assignment's level
+            am = re.search(rf"^(\s*){var} = ", src, re.M)
+            if not am:
+                continue
+            indent = am.group(1)
+            tail = src[am.start():]
+            stmt_lines = [tail.splitlines()[0]]
+            for line in tail.splitlines()[1:]:
+                if line.strip() and not line.startswith(indent + " "):
+                    break
+                stmt_lines.append(line)
+            stmt = "\n".join(stmt_lines)
+            if load_re.search(stmt) and not reducer_re.search(stmt):
+                violations.append(f"{qname}: F.broadcast({var}) over {stmt_lines[0].strip()}")
+    assert not violations, violations

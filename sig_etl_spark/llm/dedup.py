@@ -333,6 +333,11 @@ def minhash_lsh_pairs_between(
     )
     cands = (
         b.join(a, ["band", "bucket"])
+        # Same-id guard: when the two frames overlap (nothing requires
+        # them to be disjoint), a doc must not pair with itself — the
+        # streaming twin stream_corpus_near_dup applies the identical
+        # rule, keeping batch and streaming semantics interchangeable.
+        .filter(F.col("id_new") != F.col("id_corpus"))
         .select("id_new", "id_corpus", "sig_new", "sig_corpus")
         .dropDuplicates(["id_new", "id_corpus"])
     )

@@ -493,3 +493,144 @@ def linkage_fuzzy_match_subblocked2(spark: SparkSession, sf_dir: str) -> DataFra
 
     cfg = dataclasses.replace(_skew_config(salt_buckets=4), block_on=("blk", "ini"))
     return fuzzy_match(x, y, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Length-band tertiary key (VERDICT r6 task 5) — attack the residual
+# in-cell pair quadratic with a key that is PROVABLY gate-safe:
+# levenshtein(a, b) >= |len(a) - len(b)|, and any pair that can reach
+# the name gate (85) must have lev <= 0.15 * max_len <= 0.15 * 28 = 4.2
+# on this fixture's <= 28-char names, hence |dlen| <= 4. Two length
+# bands of width 4 that are >= 2 apart imply |dlen| >= 5 — provably
+# sub-gate — so joining x's band against y replicated into bands
+# {b-1, b, b+1} cuts only pairs the gate would zero anyway (same proof
+# style as the banded DP). The bound holds through max_len 33
+# (0.15 * 33 = 4.95 < 5); deeper corpora rescale W with 0.15 * max_len.
+# Recall preservation is pinned by test_linkage's equivalence test
+# (IDENTICAL results, not merely a subset), and the oracle mirrors the
+# replicated band join exactly.
+#
+# MEASURED NEGATIVE RESULT (round 7, sf1, local[32], median-of-3,
+# same-session baseline): pair count 19.49M -> 15.96M (-18.1%), but
+# wall time 8.6s (subblocked_salted baseline) -> 10.0s. The +-1-band
+# y-replication triples the y rows through the block-key shuffle and
+# the levenshtein gate was already skipping ~6/7 of the DP work on
+# sub-gate pairs (banded DP), so an 18% pair cut cannot repay a 3x
+# shuffle volume increase. Same lesson as the 2-char-initial negative
+# result (subblocked2): after the 1-char+salt composition the hot cell
+# sits at task grain, and further keys pay only if their pair cut
+# exceeds their replication factor. The length band would win where
+# name lengths spread wide (real-name corpora, W tuned to
+# 0.15*max_len) — on this fixture 90% of names share one length class.
+# Registered (oracle-green) as the measured record of that trade.
+# ---------------------------------------------------------------------------
+
+_LENBAND_W = 4
+
+_LENBAND_ORACLE = f"""
+WITH y0 AS (
+  SELECT c_custkey AS y_id, {_SKEW_BLOCK_SQL} AS blk,
+         {_SKEW_NAME_SQL} AS y_name,
+         substr({_SKEW_NAME_SQL}, 1, 1) AS ini,
+         CAST(floor(length({_SKEW_NAME_SQL}) / {_LENBAND_W}) AS BIGINT) AS lb0,
+         'city' || CAST(c_custkey % 7 AS VARCHAR) AS y_city
+  FROM customer
+),
+y AS (
+  SELECT y_id, blk, y_name, ini, y_city, lb0 + d.d AS lband
+  FROM y0 CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS d) d
+),
+x AS (
+  SELECT c_custkey AS x_id, {_SKEW_BLOCK_SQL} AS blk,
+         {_SKEW_NAME_SQL} || 'x' AS x_name,
+         substr({_SKEW_NAME_SQL}, 1, 1) AS ini,
+         CAST(floor(length({_SKEW_NAME_SQL} || 'x') / {_LENBAND_W}) AS BIGINT)
+           AS lband,
+         'city' || CAST(c_custkey % 7 AS VARCHAR) AS x_city
+  FROM customer WHERE c_custkey % {_SKEW_X_MOD} = 3
+),
+pairs AS (
+  SELECT x.x_id, x.blk, x.ini, x.lband, x.x_name, x.x_city,
+         y.y_id, y.y_name, y.y_city
+  FROM x LEFT JOIN y USING (blk, ini, lband)
+),
+scored AS (
+  SELECT *,
+         100.0 * (1.0 - levenshtein(x_name, coalesce(y_name, ''))
+                  / greatest(length(x_name), length(coalesce(y_name, '')), 1)) AS s_name_raw,
+         CASE WHEN x_city = y_city THEN 100.0 ELSE 0.0 END AS s_city_raw
+  FROM pairs
+),
+combined AS (
+  SELECT *,
+         CASE WHEN y_id IS NULL THEN 0.0
+              ELSE ((CASE WHEN s_name_raw >= {_NAME_T} THEN s_name_raw ELSE 0.0 END)
+                    + (CASE WHEN s_city_raw >= 100.0 THEN s_city_raw ELSE 0.0 END)) / 2.0
+         END AS c
+  FROM scored
+),
+win AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY x_id ORDER BY c DESC, y_id ASC) AS rn,
+         MAX(c) OVER (PARTITION BY x_id) AS best,
+         CAST(SUM(CASE WHEN c >= {_REQUIRED} THEN 1 ELSE 0 END)
+              OVER (PARTITION BY x_id) AS BIGINT) AS ncand
+  FROM combined
+),
+near AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN c >= {_REQUIRED} AND best - c <= 3.0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY x_id) AS BIGINT) AS nnear
+  FROM win
+)
+SELECT x_id, blk, ini, lband, x_name, x_city,
+       CASE WHEN c >= {_REQUIRED} THEN y_id END AS candidate_id,
+       ROUND(c, 6) AS match_score,
+       ncand AS n_candidates,
+       CASE WHEN c < {_REQUIRED} THEN 'unmatched'
+            WHEN nnear > 1 THEN 'review'
+            ELSE 'matched'
+       END AS match_status
+FROM near WHERE rn = 1
+"""
+
+
+@register(
+    "linkage_fuzzy_match_lenband",
+    oracle=_LENBAND_ORACLE,
+    doc="J4 composed plan + length-band tertiary key (width 4, +-1 band"
+        " y replication): gate-provably recall-free pair cut — cross-band"
+        " pairs beyond one band have |dlen| >= 5 > 0.15*max_len and"
+        " cannot reach the 85 name gate",
+)
+def linkage_fuzzy_match_lenband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import dataclasses
+
+    x, y = _xy_skewed(spark, sf_dir)
+    x = (
+        x.withColumn("ini", F.substring("x_name", 1, 1))
+        .withColumn(
+            "lband",
+            F.floor(F.length("x_name") / _LENBAND_W).cast("bigint"),
+        )
+        .select("x_id", "blk", "ini", "lband", "x_name", "x_city")
+    )
+    y = (
+        y.withColumn("ini", F.substring("y_name", 1, 1))
+        .withColumn(
+            "lband",
+            F.explode(
+                F.array(
+                    *[
+                        F.floor(F.length("y_name") / _LENBAND_W).cast("bigint")
+                        + F.lit(d)
+                        for d in (-1, 0, 1)
+                    ]
+                )
+            ),
+        )
+    )
+    cfg = dataclasses.replace(
+        _skew_config(salt_buckets=4), block_on=("blk", "ini", "lband")
+    )
+    return fuzzy_match(x, y, cfg)

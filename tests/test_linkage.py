@@ -512,3 +512,35 @@ def test_banded_gate_band_never_underestimates_property():
         assert computed <= exact + 1, (denom, gate, computed, exact)
 
     check()
+
+
+def test_lenband_preserves_matches_exactly(spark, sf_dir):
+    """The length-band tertiary key is GATE-PROVABLY lossless (pairs in
+    bands >= 2 apart have |dlen| >= 5 > 0.15*max_len, so they cannot
+    reach the 85 name gate): unlike the one-directional subset contracts
+    above, matched/review/qualifying results must be IDENTICAL to the
+    composed baseline, not merely a subset."""
+    from sig_etl_spark.queries import QUERIES
+
+    base = (
+        QUERIES["linkage_fuzzy_match_subblocked_salted"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    lb = QUERIES["linkage_fuzzy_match_lenband"].builder(spark, sf_dir).collect()
+    bq = {
+        r["x_id"]: (r["candidate_id"], r["match_score"], r["n_candidates"], r["match_status"])
+        for r in base
+        if r["match_status"] != "unmatched"
+    }
+    lq = {
+        r["x_id"]: (r["candidate_id"], r["match_score"], r["n_candidates"], r["match_status"])
+        for r in lb
+        if r["match_status"] != "unmatched"
+    }
+    assert bq, "composed baseline produced no matches"
+    assert bq == lq
+    # and no x row changes status class at all
+    bs = {r["x_id"]: r["match_status"] for r in base}
+    ls = {r["x_id"]: r["match_status"] for r in lb}
+    assert bs == ls

@@ -160,8 +160,8 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 7 (N=179, D=15):
-# ceil(129/35) = 4 rounds worst-case — debut-heavy rounds slow the
+# behind at most N - C fresher-than-it entries. Round 7 (N=180, D=16):
+# ceil(130/34) = 4 rounds worst-case — debut-heavy rounds slow the
 # refresh; the budget assert bounds how much. tools/verify_local.py
 # still checks ALL queries locally every round, so the cap only limits
 # the external signal, never the verification itself.
@@ -193,6 +193,7 @@ _DEBUTS = [
     "diag_seam_decimal_accum",
     "diag_seam_datediff",
     "linkage_fuzzy_match_lenband",
+    "llm_paragraph_dedup",
 ]
 
 

@@ -1485,3 +1485,113 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup with reassembly (round 7) — the C4-style shape a
+# real curation pipeline ships: documents are split into fixed 10-word
+# chunks, every chunk that already occurred earlier in the corpus
+# (global first-occurrence rule, ordered by (doc_id, chunk_idx)) is
+# dropped, and each document's SURVIVING chunks are re-assembled into
+# clean_text in original order. This is finer than whole-doc dedup
+# (llm_exact_dedup) and coarser than span suppression (llm_dup_spans):
+# the one that actually rewrites the training text.
+#
+# Scale shape: chunking happens INSIDE the row (array slice over the
+# split words — no explode-shuffle to build chunks); the only wide ops
+# are one hash-partitioned window for first-occurrence (partitioned by
+# chunk md5 — effectively a groupBy-sized shuffle of (hash, doc, idx)
+# triples, never full text twice), and one per-doc groupBy to
+# re-assemble. DETERMINISM: the keep rule is a total order
+# (doc_id, chunk_idx) and reassembly sorts by chunk_idx — no float
+# anywhere.
+# ---------------------------------------------------------------------------
+
+_PARA_W = 10
+
+_PARA_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+ch AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         array_to_string(w[(i*{_PARA_W}+1):((i+1)*{_PARA_W})], ' ') AS chunk
+  FROM d, UNNEST(range(CAST(ceil(len(w) / {_PARA_W}.0) AS BIGINT))) AS t(i)
+),
+keyed AS (SELECT *, md5(chunk) AS h FROM ch),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+  FROM keyed
+),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM ch GROUP BY doc_id
+),
+k AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_chunks,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.clean_text, '') AS clean_text
+FROM tot t LEFT JOIN k USING (doc_id)
+"""
+
+
+@register(
+    "llm_paragraph_dedup",
+    oracle=_PARA_ORACLE,
+    doc="C4-style paragraph (10-word chunk) dedup with reassembly:"
+        " global first-occurrence keep rule over chunk hashes, surviving"
+        " chunks re-joined into clean_text per document — in-row"
+        " chunking, one hash window + one per-doc groupBy",
+)
+def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    nch = F.ceil(F.size(w) / F.lit(float(_PARA_W))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_idx"),
+            F.array_join(
+                F.slice(w, i * _PARA_W + 1, _PARA_W), " "
+            ).alias("chunk"),
+        ),
+    )
+    ch = docs.select(
+        "doc_id", F.explode(chunks).alias("c")
+    ).select("doc_id", "c.chunk_idx", "c.chunk")
+    ranked = ch.withColumn("h", F.md5(F.col("chunk"))).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+        ),
+    )
+    tot = ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    kept = (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("chunk_idx", "chunk"))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return tot.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

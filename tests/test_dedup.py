@@ -449,3 +449,45 @@ def test_incremental_dedup_decisions_consistent(spark, sf_dir):
             assert r["best_est"] == 0.0
     # the fixture corpus contains planted near-dups, so some drops exist
     assert dropped > 0
+
+
+def test_paragraph_dedup_matches_python_recompute(spark, sf_dir):
+    """Recompute the C4-style chunk dedup + reassembly in pure Python:
+    same 10-word chunks, same global (doc_id, chunk_idx) first-occurrence
+    rule, same in-order reassembly."""
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.queries.llm_dedup import _PARA_W
+    from sig_etl_spark.tables import load_table
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["llm_paragraph_dedup"].builder(spark, sf_dir).collect()
+    }
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    chunks = []  # (doc_id, idx, chunk) in global keep order
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        ws = r["text"].split(" ")
+        for i in range((len(ws) + _PARA_W - 1) // _PARA_W):
+            chunks.append((r["doc_id"], i, " ".join(ws[i * _PARA_W:(i + 1) * _PARA_W])))
+    seen = set()
+    kept = {}
+    totals = {}
+    for doc_id, idx, chunk in chunks:
+        totals[doc_id] = totals.get(doc_id, 0) + 1
+        if chunk not in seen:
+            seen.add(chunk)
+            kept.setdefault(doc_id, []).append((idx, chunk))
+    assert set(got) == set(totals)
+    dropped_any = False
+    for doc_id, row in got.items():
+        want_kept = kept.get(doc_id, [])
+        assert row["n_chunks"] == totals[doc_id]
+        assert row["n_kept"] == len(want_kept)
+        assert row["clean_text"] == " ".join(c for _, c in sorted(want_kept))
+        if row["n_kept"] < row["n_chunks"]:
+            dropped_any = True
+    assert dropped_any, "fixture never exercised the dedup path"

@@ -59,7 +59,17 @@ def hll_registers(df: DataFrame, value_col: str, group_cols: list[str]) -> DataF
     The groupBy is map-side combinable down to m rows per group per
     partition — at 100 TB the shuffle carries |groups| * 64 rows total.
     """
-    hashed = df.selectExpr(
+    hashed = hll_hashed(df, value_col, group_cols)
+    return hashed.groupBy(*group_cols, "j").agg(F.max("rho").alias("rho_max"))
+
+
+def hll_hashed(df: DataFrame, value_col: str, group_cols: list[str]) -> DataFrame:
+    """The per-row (j, rho) projection behind ``hll_registers`` — exposed
+    separately so the STREAMING register maintainer
+    (streaming/pipeline.py: stream_hll_distinct) can compute the
+    identical hash bits JVM-side before its stateful merge; one
+    definition, batch and streaming provably share it."""
+    return df.selectExpr(
         *group_cols,
         f"cast(conv(substring(md5({value_col}), 1, 15), 16, 10) as bigint) as h60",
     ).selectExpr(
@@ -69,7 +79,6 @@ def hll_registers(df: DataFrame, value_col: str, group_cols: list[str]) -> DataF
         f"cast(case when h60 div {HLL_M} = 0 then 55 "
         f"     else 55 - length(bin(h60 div {HLL_M})) end as int) as rho",
     )
-    return hashed.groupBy(*group_cols, "j").agg(F.max("rho").alias("rho_max"))
 
 
 def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:

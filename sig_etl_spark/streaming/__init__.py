@@ -19,6 +19,7 @@ from sig_etl_spark.streaming.pipeline import (  # noqa: F401
     stateful_sessionize,
     stream_corpus_near_dup,
     stream_dedup,
+    stream_hll_distinct,
     stream_enrich,
     stream_stream_join,
     windowed_counts,

@@ -30,7 +30,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -456,4 +458,79 @@ def stream_corpus_near_dup(
             F.col("id_corpus").alias("corpus_id"),
             "est_jaccard",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL distinct (round 7): per-event_type running
+# distinct-users estimate whose 64-register state lives in the
+# checkpoint and MERGES across micro-batches — the live version of the
+# property sketch_hll_running_distinct proves in batch (yesterday's
+# registers + today's delta = today's estimate, no history rescan).
+# The (j, rho) hash bits are computed JVM-side by the SAME
+# sketches.hll_hashed projection the batch sketch uses, so streaming
+# state merge is a pure integer register max and the final state is
+# bit-identical to the batch registers over the same rows
+# (tests/test_streaming.py pins register AND estimate equality after a
+# two-delivery checkpoint resume). Estimate math mirrors
+# sketches.hll_estimate exactly: exact BIGINT register sum, one float
+# division, linear-counting below 2.5m, HALF_UP rounding.
+# ---------------------------------------------------------------------------
+
+_HLL_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_zero_regs", LongType()),
+        StructField("reg_sum", LongType()),
+        StructField("hll_distinct", LongType()),
+    ]
+)
+_HLL_STATE = StructType([StructField("regs", ArrayType(IntegerType()))])
+
+
+def _update_hll(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    from sig_etl_spark.sketches import HLL_K, HLL_M, _HLL_SCALE
+
+    regs = list(state.get[0]) if state.exists else [0] * HLL_M
+    for pdf in pdfs:
+        for j, rho in zip(pdf["j"], pdf["rho"]):
+            if rho > regs[j]:
+                regs[j] = int(rho)
+    state.update((regs,))
+    reg_sum = sum(1 << (_HLL_SCALE - r) for r in regs)
+    n_zero = sum(1 for r in regs if r == 0)
+    raw = HLL_K / float(reg_sum)
+    if raw <= 2.5 * HLL_M and n_zero > 0:
+        est = float(HLL_M) * math.log(float(HLL_M) / float(n_zero))
+    else:
+        est = raw
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_zero_regs": [n_zero],
+            "reg_sum": [reg_sum],
+            # HALF_UP to match Spark/DuckDB round() on the batch side
+            "hll_distinct": [math.floor(est + 0.5)],
+        }
+    )
+
+
+def stream_hll_distinct(events: DataFrame) -> DataFrame:
+    """Running per-event_type distinct-user HLL over a stream: 64
+    checkpointed registers per key, updated per micro-batch."""
+    from sig_etl_spark.sketches import hll_hashed
+
+    hashed = hll_hashed(
+        events, "cast(user_id as string)", ["event_type"]
+    )
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        _update_hll,
+        outputStructType=_HLL_OUT,
+        stateStructType=_HLL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -395,3 +395,41 @@ def test_stateful_sessionize_out_of_order_contract(spark, tmp_path):
         (base + 20 * m, base + 20 * m, 1),     # orphan singleton
         (base + 90 * m, base + 105 * m, 3),    # merged [90,105], 3 events
     ], got
+
+
+def test_stream_hll_registers_equal_batch_after_resume(spark, landing):
+    """The streaming HLL's checkpointed registers must equal the BATCH
+    sketch over all rows seen — after an incremental second delivery
+    resumes from checkpoint state (the merge-across-batches property a
+    warehouse relies on to keep running sketches without rescanning
+    history). Register sums are exact integers, so equality is exact;
+    the emitted estimate must also match the batch formula applied to
+    those registers."""
+    from sig_etl_spark import sketches as SK
+    from sig_etl_spark.streaming import stream_hll_distinct
+
+    land, extra, ckpt = landing
+
+    s = stream_hll_distinct(read_event_stream(spark, land))
+    run1 = run_available_now(s, ckpt, "hll1", output_mode="update")
+    assert sum(len(b) for b in run1) > 0
+
+    _deliver(extra, land)
+    s = stream_hll_distinct(read_event_stream(spark, land))
+    run2 = run_available_now(s, ckpt, "hll2", output_mode="update")
+    got = _last_update_per_key(run2, ["event_type"]).set_index("event_type")
+
+    full = spark.read.parquet(land)
+    batch = {
+        r["event_type"]: r
+        for r in SK.hll_estimate(
+            SK.hll_registers(full, "cast(user_id as string)", ["event_type"]),
+            ["event_type"],
+        ).collect()
+    }
+    assert set(got.index) == set(batch)
+    for et, b in batch.items():
+        g = got.loc[et]
+        assert int(g["reg_sum"]) == b["reg_sum"], et
+        assert int(g["n_zero_regs"]) == b["n_zero_regs"], et
+        assert int(g["hll_distinct"]) == b["hll_distinct"], et

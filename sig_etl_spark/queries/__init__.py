@@ -160,8 +160,8 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 7 (N=180, D=16):
-# ceil(130/34) = 4 rounds worst-case — debut-heavy rounds slow the
+# behind at most N - C fresher-than-it entries. Round 7 (N=184, D=21):
+# ceil(134/29) = 5 rounds worst-case — debut-heavy rounds slow the
 # refresh; the budget assert bounds how much. tools/verify_local.py
 # still checks ALL queries locally every round, so the cap only limits
 # the external signal, never the verification itself.
@@ -194,6 +194,15 @@ _DEBUTS = [
     "diag_seam_datediff",
     "linkage_fuzzy_match_lenband",
     "llm_paragraph_dedup",
+    "j_q2_min_cost_supplier",
+    "orc_stage_roundtrip",
+    "dq_freshness_report",
+    "events_attribution",
+    # not new/changed — held in the cap per VERDICT r6 task 7: the
+    # streaming sessionize operator's batch ground truth should stay
+    # driver-anchored in the round its streaming family grew
+    # (stream_hll_distinct debuted this round); last driver-green r4.
+    "events_sessionize",
 ]
 
 

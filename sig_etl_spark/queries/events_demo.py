@@ -1257,3 +1257,188 @@ def events_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-freshness pre-flight (round 7): per event_type, how stale the
+# stream is against the corpus high-water mark and how gappy its own
+# day coverage is — the check a pipeline runs BEFORE training-data
+# cutoff decisions (the per-source twin of dq_validation_report's
+# referential checks). All-integer epoch-day arithmetic (the round-7
+# driver-seam discipline — no engine date_diff convention anywhere).
+# Scale shape: one (event_type, day) map-side-combinable groupBy feeds
+# both the per-type rollup and the corpus 1-row high-water aggregate;
+# the shuffle carries |types| x |days| rows, never events.
+# ---------------------------------------------------------------------------
+
+_FRESH_ORACLE = """
+WITH days AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type,
+         CAST(SUM(n) AS BIGINT) AS n_events,
+         MIN(day) AS first_day,
+         MAX(day) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS n_active_days
+  FROM days GROUP BY event_type
+),
+hw AS (SELECT MAX(day) AS corpus_last_day FROM days)
+SELECT p.event_type, p.n_events, p.first_day, p.last_day, p.n_active_days,
+       hw.corpus_last_day - p.last_day AS staleness_days,
+       (p.last_day - p.first_day + 1) - p.n_active_days AS missing_days
+FROM per_type p CROSS JOIN hw
+"""
+
+
+@register(
+    "dq_freshness_report",
+    oracle=_FRESH_ORACLE,
+    doc="per-event_type freshness pre-flight: staleness vs the corpus"
+        " high-water day and missing-day gaps in own coverage —"
+        " all-integer epoch-day arithmetic, |types| x |days| shuffle",
+)
+def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400.0).cast("bigint").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_type = days.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active_days"),
+    )
+    hw = days.groupBy().agg(F.max("day").alias("corpus_last_day"))
+    return per_type.crossJoin(F.broadcast(hw)).select(
+        "event_type",
+        "n_events",
+        "first_day",
+        "last_day",
+        "n_active_days",
+        (F.col("corpus_last_day") - F.col("last_day")).alias("staleness_days"),
+        (
+            F.col("last_day") - F.col("first_day") + 1 - F.col("n_active_days")
+        ).alias("missing_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (round 7): every purchase distributes exactly
+# 1000 milli-credits over the user's click/view touches in the prior
+# 24 h, U-shaped (first 400 / last 400 / middles share 200), rolled up
+# per touch type. INTEGER CREDITS ONLY: fractional models (0.4/0.4/
+# 0.2/(k-2)) are float seams at the driver boundary, so the split is
+# integer division with the remainder pinned deterministically to the
+# EARLIEST middle touch — conservation (sum = 1000 per attributed
+# purchase) holds exactly and is pytest-locked. Scale shape: the
+# touch-to-purchase pairing is temporal.range_join's bucketed
+# equi-join (no theta explosion); the per-purchase window orders <= a
+# day of one user's touches.
+# ---------------------------------------------------------------------------
+
+_ATTR_LOOKBACK_S = 86400
+_ATTR_BUCKET_S = 21600
+
+_ATTR_ORACLE = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT event_id AS touch_id, user_id, event_type,
+         CAST(ts AS TIMESTAMP) AS tts
+  FROM events WHERE event_type IN ('click', 'view')
+),
+pairs AS (
+  SELECT p.purchase_id, t.touch_id, t.event_type, t.tts
+  FROM p JOIN t ON t.user_id = p.user_id
+   AND t.tts >= p.pts - INTERVAL {_ATTR_LOOKBACK_S} SECOND
+   AND t.tts < p.pts
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY tts, touch_id) AS rn,
+         COUNT(*) OVER (PARTITION BY purchase_id) AS k
+  FROM pairs
+),
+credited AS (
+  SELECT event_type,
+         CASE WHEN k = 1 THEN 1000
+              WHEN k = 2 THEN 500
+              WHEN rn = 1 OR rn = k THEN 400
+              ELSE 200 // (k - 2)
+                   + CASE WHEN rn = 2 THEN 200 % (k - 2) ELSE 0 END
+         END AS credit
+  FROM ranked
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touch_credits,
+       CAST(SUM(credit) AS BIGINT) AS credit_millis
+FROM credited GROUP BY event_type
+"""
+
+
+@register(
+    "events_attribution",
+    oracle=_ATTR_ORACLE,
+    doc="U-shaped multi-touch attribution: 1000 integer milli-credits"
+        " per purchase over prior-24h click/view touches (400/400 +"
+        " middles share 200, remainder to the earliest middle), bucketed"
+        " range join + per-purchase window, per-type rollup",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        "event_type",
+        F.col("ts").alias("tts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        (F.col("ts") - F.expr(f"INTERVAL {_ATTR_LOOKBACK_S} SECOND")).alias(
+            "win_start"
+        ),
+    )
+    pairs = range_join(
+        touches,
+        purchases,
+        left_ts="tts",
+        right_start="win_start",
+        right_end="pts",
+        by=["user_id"],
+        bucket_s=_ATTR_BUCKET_S,
+    ).filter(F.col("tts") < F.col("pts_r"))
+    w = Window.partitionBy("purchase_id_r")
+    ranked = pairs.withColumn(
+        "rn", F.row_number().over(w.orderBy("tts", "touch_id"))
+    ).withColumn("k", F.count(F.lit(1)).over(w))
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1000))
+        .when(F.col("k") == 2, F.lit(500))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("k")), F.lit(400))
+        .otherwise(
+            F.expr("200 div (k - 2)")
+            + F.when(F.col("rn") == 2, F.expr("200 % (k - 2)")).otherwise(
+                F.lit(0)
+            )
+        )
+    )
+    return (
+        ranked.select("event_type", credit.alias("credit"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touch_credits"),
+            F.sum("credit").cast("bigint").alias("credit_millis"),
+        )
+    )

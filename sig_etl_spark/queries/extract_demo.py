@@ -567,3 +567,38 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").option(
         "basePath", d
     ).parquet(os.path.join(d, "batch=v1"), os.path.join(d, "batch=v2"))
+
+
+# ---------------------------------------------------------------------------
+# K1+S15 (ORC): columnar stage round-trip through Spark's native ORC
+# source — the third stage format next to CSV and JSONL, exercising a
+# TYPED round-trip (bigint/nullable-string survive the sink unchanged,
+# no string re-parsing on re-entry). The oracle recomputes the staged
+# derivation directly; a type or null-policy defect in the sink/reader
+# breaks schema or hash.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orc_stage_roundtrip",
+    oracle="""
+    SELECT p_partkey AS pk,
+           CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_name END AS name,
+           CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+    FROM part
+    """,
+    doc="K1+S15: typed ORC stage sink + re-entry (bigint and nullable"
+        " string survive unchanged — no string re-parsing)",
+)
+def orc_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    staged = part.select(
+        F.col("p_partkey").alias("pk"),
+        F.when(F.col("p_partkey") % 7 != 0, F.col("p_name")).alias("name"),
+        F.round(F.col("p_retailprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    d = "/root/repo/.stage_demo_orc"
+    staged.write.mode("overwrite").orc(d)
+    return spark.read.orc(d)

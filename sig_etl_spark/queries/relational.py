@@ -1822,3 +1822,91 @@ def j_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape (round 7): min-cost supplier per part — the classic
+# CORRELATED SUBQUERY (cost = (SELECT MIN(cost) ... WHERE partkey =
+# outer.partkey)) de-correlated the way a warehouse plans it: one
+# aggregate per (part, supplier) offer, a per-part MIN window, and a
+# filter joining the offer frame back to its own minimum — no
+# per-row subquery execution anywhere. The test tables carry no
+# partsupp, so the offer is derived from lineitem unit cost
+# (ROUND(extendedprice*100/quantity) integer cents — the repo's proven
+# cents convention). Scale shape: the (part, supplier) groupBy is
+# map-side combinable; the window partitions by partkey (never
+# unpartitioned); part's brand/size predicate is pushed to the scan
+# and the only broadcast is fixed-cardinality nation; suppliers/parts
+# join by shuffle under AQE. Deterministic total order + LIMIT 100 is
+# a TakeOrdered, not a global sort.
+# ---------------------------------------------------------------------------
+
+_Q2_BRANDS = ("Brand#13", "Brand#31")
+_Q2_SIZE = 15
+
+_Q2_ORACLE = f"""
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(ROUND(l_extendedprice * 100 / l_quantity) AS BIGINT))
+           AS unit_cents
+  FROM lineitem GROUP BY 1, 2
+),
+best AS (
+  SELECT *, MIN(unit_cents) OVER (PARTITION BY l_partkey) AS min_cents
+  FROM offers
+),
+hit AS (
+  SELECT l_partkey, l_suppkey, unit_cents FROM best
+  WHERE unit_cents = min_cents
+)
+SELECT p.p_partkey, p.p_brand, p.p_size, s.s_suppkey, s.s_name,
+       n.n_name AS nation, h.unit_cents AS min_unit_cents
+FROM hit h
+JOIN part p ON p.p_partkey = h.l_partkey
+JOIN supplier s ON s.s_suppkey = h.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_size <= {_Q2_SIZE}
+  AND p.p_brand IN ('{_Q2_BRANDS[0]}', '{_Q2_BRANDS[1]}')
+ORDER BY p.p_partkey, s.s_suppkey
+LIMIT 100
+"""
+
+
+@register(
+    "j_q2_min_cost_supplier",
+    oracle=_Q2_ORACLE,
+    doc="TPC-H Q2 shape: correlated min-cost subquery de-correlated into"
+        " a combinable offer aggregate + per-part MIN window + join-back;"
+        " pushed part predicate, broadcast nation only, TakeOrdered top",
+)
+def j_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= _Q2_SIZE) & F.col("p_brand").isin(*_Q2_BRANDS)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    unit_cents = F.round(
+        F.col("l_extendedprice") * 100 / F.col("l_quantity")
+    ).cast("bigint")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit_cents).alias("unit_cents")
+    )
+    w = Window.partitionBy("l_partkey")
+    hit = (
+        offers.withColumn("min_cents", F.min("unit_cents").over(w))
+        .filter(F.col("unit_cents") == F.col("min_cents"))
+        .select("l_partkey", "l_suppkey", "unit_cents")
+    )
+    return (
+        hit.join(p, p["p_partkey"] == hit["l_partkey"])
+        .join(s, s["s_suppkey"] == hit["l_suppkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .select(
+            "p_partkey", "p_brand", "p_size", "s_suppkey", "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("unit_cents").alias("min_unit_cents"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+        .limit(100)
+    )

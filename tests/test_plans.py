@@ -459,3 +459,17 @@ def test_no_forced_broadcast_of_corpus_growing_tables():
             if load_re.search(stmt) and not reducer_re.search(stmt):
                 violations.append(f"{qname}: F.broadcast({var}) over {stmt_lines[0].strip()}")
     assert not violations, violations
+
+
+def test_q2_shape_pushdown_window_and_dims(spark, sf_dir):
+    """TPC-H Q2 shape: the part brand/size predicate must reach the
+    parquet scan, the per-part MIN window must be partitioned (never a
+    single-partition global window), and the only broadcast side is the
+    fixed-cardinality nation dim."""
+    plan = _plan(spark, sf_dir, "j_q2_min_cost_supplier")
+    assert re.search(r"PushedFilters: .*p_size.*|PushedFilters: .*p_brand.*", plan)
+    # exactly one TakeOrdered (the LIMIT), no global Sort stage
+    assert _count_op(plan, "TakeOrderedAndProject") == 1
+    assert _count_op(plan, "Sort") <= 2  # window-local sorts only
+    bcast = _count_op(plan, "BroadcastHashJoin") + _count_op(plan, "BroadcastExchange")
+    assert bcast >= 1  # nation broadcast present (AQE may add more at test scale)

@@ -448,3 +448,51 @@ def test_gap_distribution_matches_manual_bitlength(spark, sf_dir):
         b = 0 if g <= 0 else g.bit_length()
         want[(r["event_type"], b)] = want.get((r["event_type"], b), 0) + 1
     assert got == want
+
+
+def test_attribution_conserves_millis_and_matches_pandas(spark, sf_dir):
+    """Every purchase with >=1 prior-24h touch distributes EXACTLY 1000
+    milli-credits (integer conservation — the reason the model is
+    integer-divided with a pinned remainder), and the per-type rollup
+    matches a pandas recompute of the same U-shaped rule."""
+    import pandas as pd
+
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.tables import load_table
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_attribution"].builder(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    ).toPandas()
+    purchases = ev[ev["event_type"] == "purchase"]
+    touches = ev[ev["event_type"].isin(["click", "view"])]
+    want = {}
+    for p in purchases.itertuples(index=False):
+        lo = p.ts - pd.Timedelta(seconds=86400)
+        t = touches[
+            (touches["user_id"] == p.user_id)
+            & (touches["ts"] >= lo)
+            & (touches["ts"] < p.ts)
+        ].sort_values(["ts", "event_id"])
+        k = len(t)
+        if k == 0:
+            continue
+        credits = (
+            [1000] if k == 1 else [500, 500] if k == 2 else
+            [400]
+            + [200 // (k - 2) + (200 % (k - 2) if i == 0 else 0)
+               for i in range(k - 2)]
+            + [400]
+        )
+        assert sum(credits) == 1000, (p.event_id, k)
+        for (typ, c) in zip(t["event_type"], credits):
+            n, m = want.get(typ, (0, 0))
+            want[typ] = (n + 1, m + c)
+    assert want, "fixture produced no attributed purchases"
+    assert set(got) == set(want)
+    for typ, (n, millis) in want.items():
+        assert got[typ]["n_touch_credits"] == n
+        assert got[typ]["credit_millis"] == millis

@@ -160,8 +160,8 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 7 (N=184, D=21):
-# ceil(134/29) = 5 rounds worst-case — debut-heavy rounds slow the
+# behind at most N - C fresher-than-it entries. Round 7 (N=188, D=25):
+# ceil(138/25) = 6 rounds worst-case — debut-heavy rounds slow the
 # refresh; the budget assert bounds how much. tools/verify_local.py
 # still checks ALL queries locally every round, so the cap only limits
 # the external signal, never the verification itself.
@@ -198,6 +198,10 @@ _DEBUTS = [
     "orc_stage_roundtrip",
     "dq_freshness_report",
     "events_attribution",
+    "j_q13_order_count_distribution",
+    "j_q21_waiting_supplier",
+    "j_q22_dormant_balances",
+    "dim_scd2_intervals",
     # not new/changed — held in the cap per VERDICT r6 task 7: the
     # streaming sessionize operator's batch ground truth should stay
     # driver-anchored in the round its streaming family grew

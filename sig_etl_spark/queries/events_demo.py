@@ -1442,3 +1442,97 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("credit").cast("bigint").alias("credit_millis"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build (round 7): the warehouse load-merge pattern
+# the reference's M-step implies — its loaders overwrite the current
+# row per entity (national/_1034/__main__.py:91-121 upserts by key); a
+# production dimension keeps the HISTORY as validity intervals instead.
+# Source feed: one snapshot per (user, day) — the user's modal
+# event_type that day (deterministic tie-break: highest count, then
+# lexicographically smallest type). The SCD2 pass keeps only CHANGE
+# points (value differs from the previous snapshot), numbers versions,
+# and derives [valid_from, valid_to) with an open current interval.
+# Scale shape: the snapshot aggregate is map-side combinable on
+# (user, day, type); every window partitions by user_id (never
+# unpartitioned); output is bounded by users x change points, not by
+# events. Outputs are keys, strings, integer versions/flags, and day
+# timestamps — no floats.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+modal AS (
+  SELECT user_id, day, event_type
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                 ORDER BY n DESC, event_type) AS rn
+    FROM daily
+  ) WHERE rn = 1
+),
+changes AS (
+  SELECT * FROM (
+    SELECT user_id, day, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY day) AS prev
+    FROM modal
+  ) WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT)
+         AS version,
+       event_type,
+       day AS valid_from,
+       LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS valid_to,
+       CAST(CASE WHEN LEAD(day) OVER (PARTITION BY user_id ORDER BY day)
+                 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM changes
+"""
+
+
+@register(
+    "dim_scd2_intervals",
+    oracle=_SCD2_ORACLE,
+    doc="SCD Type-2 dimension build from daily modal-attribute"
+        " snapshots: change-point detection, version numbering, and"
+        " [valid_from, valid_to) validity intervals with an open"
+        " current row — the history-preserving twin of the reference's"
+        " overwrite-style M-step",
+)
+def dim_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    )
+    daily = ev.groupBy("user_id", "day", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_modal = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    modal = (
+        daily.withColumn("rn", F.row_number().over(w_modal))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "event_type")
+    )
+    w_user = Window.partitionBy("user_id").orderBy("day")
+    changes = (
+        modal.withColumn("prev", F.lag("event_type").over(w_user))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "day", "event_type")
+    )
+    return changes.select(
+        "user_id",
+        F.row_number().over(w_user).cast("bigint").alias("version"),
+        "event_type",
+        F.col("day").alias("valid_from"),
+        F.lead("day").over(w_user).alias("valid_to"),
+        F.when(F.lead("day").over(w_user).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_current"),
+    )

@@ -1910,3 +1910,246 @@ def j_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_partkey", "s_suppkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape (round 7): customer order-count distribution — the
+# canonical LEFT OUTER JOIN with a predicate INSIDE the ON clause (so
+# zero-order customers survive) followed by a second-level aggregation
+# of the aggregate. Reference analogue: the match-statistics rollup
+# counts entities by how many detail rows matched them
+# (votervoice/match.py:127-140 tallies per-candidate match counts, then
+# reports the distribution of those counts). Scale shape: orders is
+# pre-aggregated per custkey FIRST (map-side combinable count after the
+# priority filter), so the outer join moves |customers| + |custkeys|
+# rows instead of |customers| x |their orders|; the final distribution
+# groupBy collapses to at most max(c_count) rows. All outputs are
+# integer counts — no float anywhere.
+# ---------------------------------------------------------------------------
+
+_Q13_EXCLUDED_PRIORITY = "1-URGENT"
+
+_Q13_ORACLE = f"""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '{_Q13_EXCLUDED_PRIORITY}'
+  GROUP BY c.c_custkey
+) counted
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "j_q13_order_count_distribution",
+    oracle=_Q13_ORACLE,
+    doc="TPC-H Q13 shape: left outer join with an ON-clause predicate,"
+        " per-customer order counts (zero-order customers kept), then"
+        " the distribution of those counts — all-integer output",
+)
+def j_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    # Pre-aggregate orders per customer before the outer join: the
+    # filter + count is map-side combinable, so the join's right side is
+    # one row per ordering customer, not one per order. The oracle
+    # states the classic join-then-count form; COUNT(o_orderkey) over a
+    # left join equals COALESCE of the pre-aggregated count.
+    per_cust = (
+        o.filter(F.col("o_orderpriority") != _Q13_EXCLUDED_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    counted = c.join(
+        per_cust, c["c_custkey"] == per_cust["o_custkey"], "left"
+    ).select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+    return (
+        counted.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape (round 7): suppliers who kept orders waiting — the
+# classic EXISTS + NOT-EXISTS double self-join on the fact table
+# (another supplier on the order exists; another LATE supplier does
+# not), de-correlated into ONE per-order aggregate: count the distinct
+# suppliers, count the distinct late suppliers, and remember the sole
+# late supplier when there is exactly one. The fixture carries no
+# commit/receipt dates, so "late" is shipped more than 90 days after
+# the order date (same inequality shape, fixture-expressible).
+# Reference analogue: the consume-once dispatch gates detail rows on
+# aggregate state per parent the same way (national/_1034/__main__.py:
+# 91-121). Scale shape: one orderkey shuffle for the lineitem-orders
+# join (lateness needs o_orderdate), one combinable per-order
+# aggregate, then a supplier-keyed count — no self-join of lineitem
+# against lineitem anywhere. Output is (s_name, numwait) — integers
+# and strings only.
+# ---------------------------------------------------------------------------
+
+_Q21_LATE_DAYS = 90
+
+_Q21_ORACLE = f"""
+WITH per_order AS (
+  SELECT l.l_orderkey,
+         COUNT(DISTINCT l.l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l.l_shipdate >
+               o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+               THEN l.l_suppkey END) AS n_late,
+         MAX(CASE WHEN l.l_shipdate >
+               o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+               THEN l.l_suppkey END) AS sole_late_supp
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM per_order p
+JOIN supplier s ON s.s_suppkey = p.sole_late_supp
+WHERE p.n_supp > 1 AND p.n_late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@register(
+    "j_q21_waiting_supplier",
+    oracle=_Q21_ORACLE,
+    doc="TPC-H Q21 shape: EXISTS + NOT-EXISTS self-joins de-correlated"
+        " into one per-order aggregate (distinct suppliers, distinct"
+        " late suppliers, sole late supplier), then a supplier count —"
+        " no lineitem self-join; integer/string output only",
+)
+def j_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {_Q21_LATE_DAYS} DAY"
+    )
+    per_order = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("sole_late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    # Supplier is corpus-growing: no broadcast hint (AQE decides); the
+    # per_order side has already collapsed to one row per qualifying
+    # order before this join.
+    return (
+        per_order.join(s, s["s_suppkey"] == per_order["sole_late_supp"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape (round 7): dormant positive balances — customers from
+# a fixed set of country codes whose balance beats the positive-balance
+# average for those codes AND who have placed no RECENT order (NOT
+# EXISTS anti-join; every fixture customer has ordered at least once,
+# so the classic never-ordered predicate is degenerate here — the
+# dormancy window keeps the anti-join shape AND a non-trivial result).
+# The fixture has no phone column, so the country code is the nation
+# key itself. The scalar AVG threshold is the float seam the classic
+# query hides: instead of comparing against a divided average, both
+# engines compare cents * positive_count > positive_cents_total — pure
+# BIGINT cross-multiplication, no division anywhere (the repo's
+# diag_seam_div_double lesson applied pre-emptively). Scale shape: the
+# threshold and the dormancy cutoff are 1-row aggregates broadcast by
+# cross joins; the anti-join shuffles on custkey against orders
+# pre-filtered to the recent window; output collapses to |codes| rows.
+# ---------------------------------------------------------------------------
+
+_Q22_CODES = (1, 5, 9, 13, 17)
+_Q22_DORMANT_DAYS = 180
+
+_Q22_ORACLE = f"""
+WITH pool AS (
+  SELECT c_custkey, c_nationkey AS code,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer WHERE c_nationkey IN {_Q22_CODES}
+),
+thr AS (
+  SELECT SUM(cents) AS pos_total, COUNT(*) AS pos_n
+  FROM pool WHERE cents > 0
+),
+cut AS (
+  SELECT MAX(o_orderdate) - INTERVAL {_Q22_DORMANT_DAYS} DAY AS cutoff
+  FROM orders
+)
+SELECT p.code, COUNT(*) AS numcust, SUM(p.cents) AS total_cents
+FROM pool p, thr t
+WHERE p.cents * t.pos_n > t.pos_total
+  AND NOT EXISTS (SELECT 1 FROM orders o, cut
+                  WHERE o.o_custkey = p.c_custkey
+                    AND o.o_orderdate >= cut.cutoff)
+GROUP BY p.code
+ORDER BY p.code
+"""
+
+
+@register(
+    "j_q22_dormant_balances",
+    oracle=_Q22_ORACLE,
+    doc="TPC-H Q22 shape: above-average positive balances in selected"
+        " country codes with a no-recent-order anti-join; the AVG"
+        " threshold is compared by bigint cross-multiplication so no"
+        " division or double exists on either engine",
+)
+def j_q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pool = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(*_Q22_CODES))
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").alias("code"),
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    thr = pool.filter(F.col("cents") > 0).agg(
+        F.sum("cents").alias("pos_total"), F.count(F.lit(1)).alias("pos_n")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cut = o.agg(
+        (
+            F.max("o_orderdate")
+            - F.expr(f"INTERVAL {_Q22_DORMANT_DAYS} DAY")
+        ).alias("cutoff")
+    )
+    recent = (
+        o.crossJoin(F.broadcast(cut))
+        .filter(F.col("o_orderdate") >= F.col("cutoff"))
+        .select("o_custkey")
+    )
+    rich = pool.crossJoin(F.broadcast(thr)).filter(
+        F.col("cents") * F.col("pos_n") > F.col("pos_total")
+    )
+    dormant = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return (
+        dormant.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("code")
+    )

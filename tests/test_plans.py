@@ -473,3 +473,48 @@ def test_q2_shape_pushdown_window_and_dims(spark, sf_dir):
     assert _count_op(plan, "Sort") <= 2  # window-local sorts only
     bcast = _count_op(plan, "BroadcastHashJoin") + _count_op(plan, "BroadcastExchange")
     assert bcast >= 1  # nation broadcast present (AQE may add more at test scale)
+
+
+def test_q13_outer_join_sees_preaggregated_orders(spark, sf_dir):
+    """TPC-H Q13 shape: the ON-clause priority predicate must reach the
+    orders scan, and the outer join's right side must be the per-custkey
+    aggregate (one row per ordering customer), never raw orders."""
+    plan = _plan(spark, sf_dir, "j_q13_order_count_distribution")
+    assert "Not(EqualTo(o_orderpriority" in plan
+    assert "LeftOuter" in plan
+    # three aggregation levels (orders pre-agg partial+final, distribution
+    # partial+final) — if the pre-agg disappears the join moves every order
+    assert _count_op(plan, "HashAggregate") >= 4
+
+
+def test_q21_one_lineitem_scan_no_self_join(spark, sf_dir):
+    """TPC-H Q21 shape: the EXISTS + NOT-EXISTS pair must come from ONE
+    per-order aggregate over a single lineitem scan — the classic double
+    self-join would scan lineitem three times."""
+    plan = _plan(spark, sf_dir, "j_q21_waiting_supplier")
+    li_scans = [
+        c for c in plan.split("ReadSchema: ")[1:]
+        if "l_suppkey" in c.splitlines()[0]
+    ]
+    assert len(li_scans) == 1, f"lineitem scanned {len(li_scans)} times"
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert _count_op(plan, "TakeOrderedAndProject") == 1
+
+
+def test_q22_anti_join_with_bounded_broadcasts(spark, sf_dir):
+    """TPC-H Q22 shape: the dormancy check is an anti-join, and the only
+    single-partition exchanges are the two 1-row aggregates (balance
+    threshold + dormancy cutoff) — both bounded at any corpus size."""
+    plan = _plan(spark, sf_dir, "j_q22_dormant_balances")
+    assert "LeftAnti" in plan
+    assert plan.count("SinglePartition") <= 2
+    assert "In(c_nationkey" in plan  # code filter pushed to the scan
+
+
+def test_scd2_windows_all_partitioned(spark, sf_dir):
+    """SCD2 build: every window partitions by user (or user+day) — an
+    unpartitioned window would serialize the whole dimension through one
+    task at scale."""
+    plan = _plan(spark, sf_dir, "dim_scd2_intervals")
+    assert _count_op(plan, "Window") >= 2
+    assert "SinglePartition" not in plan

@@ -496,3 +496,89 @@ def test_attribution_conserves_millis_and_matches_pandas(spark, sf_dir):
     for typ, (n, millis) in want.items():
         assert got[typ]["n_touch_credits"] == n
         assert got[typ]["credit_millis"] == millis
+
+
+def test_scd2_intervals_partition_each_users_timeline(spark, sf_dir):
+    from sig_etl_spark.queries import QUERIES
+
+    """SCD2 invariants the oracle hash can't state directly: per user,
+    versions are 1..n contiguous, consecutive intervals abut exactly
+    (valid_to == next valid_from — no gap, no overlap), exactly one row
+    is current, and only the current row has a NULL valid_to."""
+    rows = (
+        QUERIES["dim_scd2_intervals"].builder(spark, sf_dir)
+        .orderBy("user_id", "version")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, vs in by_user.items():
+        assert [v.version for v in vs] == list(range(1, len(vs) + 1)), user
+        assert sum(v.is_current for v in vs) == 1, user
+        assert vs[-1].is_current == 1 and vs[-1].valid_to is None, user
+        for a, b in zip(vs, vs[1:]):
+            assert a.is_current == 0 and a.valid_to == b.valid_from, user
+            assert a.event_type != b.event_type, (user, a.version)
+
+
+def test_q13_distribution_conserves_customers(spark, sf_dir):
+    from sig_etl_spark.queries import QUERIES
+
+    """The order-count distribution must account for every customer
+    exactly once (zero-order customers included)."""
+    from sig_etl_spark.tables import load_table
+
+    dist = QUERIES["j_q13_order_count_distribution"].builder(spark, sf_dir).collect()
+    n_customers = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.custdist for r in dist) == n_customers
+    assert any(r.c_count == 0 for r in dist) or n_customers == sum(
+        r.custdist for r in dist if r.c_count > 0
+    )
+
+
+def test_q21_sole_late_rule_matches_bruteforce(spark, sf_dir):
+    from sig_etl_spark.queries import QUERIES
+
+    """The de-correlated per-order aggregate must equal the literal
+    EXISTS/NOT-EXISTS rule computed by brute force on the driver."""
+    from pyspark.sql import functions as F
+
+    from sig_etl_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).collect()
+    from collections import defaultdict
+
+    supp, late = defaultdict(set), defaultdict(set)
+    for r in joined:
+        supp[r.l_orderkey].add(r.l_suppkey)
+        if (r.l_shipdate - r.o_orderdate).total_seconds() > 90 * 86400:
+            late[r.l_orderkey].add(r.l_suppkey)
+    want = defaultdict(int)
+    for ok, suppliers in supp.items():
+        if len(suppliers) > 1 and len(late[ok]) == 1:
+            want[next(iter(late[ok]))] += 1
+    s_name = {
+        r.s_suppkey: r.s_name
+        for r in load_table(spark, sf_dir, "supplier").collect()
+    }
+    expect = defaultdict(int)
+    for sk, n in want.items():
+        expect[s_name[sk]] += n
+    got = {
+        r.s_name: r.numwait
+        for r in QUERIES["j_q21_waiting_supplier"].builder(spark, sf_dir).collect()
+    }
+    top = dict(
+        sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    )
+    assert got == top

@@ -11,8 +11,10 @@ windows, and custom stateful operators.
 from sig_etl_spark.streaming.pipeline import (  # noqa: F401
     DOCUMENT_SCHEMA,
     EVENT_SCHEMA,
+    SNAPSHOT_SCHEMA,
     read_document_stream,
     read_event_stream,
+    read_snapshot_stream,
     run_available_now,
     running_user_totals,
     session_windows,
@@ -21,6 +23,7 @@ from sig_etl_spark.streaming.pipeline import (  # noqa: F401
     stream_dedup,
     stream_hll_distinct,
     stream_enrich,
+    stream_scd2,
     stream_stream_join,
     windowed_counts,
 )

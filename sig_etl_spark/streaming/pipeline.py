@@ -534,3 +534,128 @@ def stream_hll_distinct(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 (round 7): live dimension maintenance — the streaming
+# twin of the batch dim_scd2_intervals query. Input is the daily
+# snapshot feed (user_id, day, attr): one row per entity per snapshot
+# day, the shape a warehouse's upstream jobs land continuously. State
+# per user is the OPEN version (attr, valid_from, version, last seen
+# day). A snapshot with a changed attr closes the open version EAGERLY
+# (emitted immediately, append mode, is_current=0, valid_to = the new
+# day); the surviving open version is emitted with is_current=1 and a
+# NULL valid_to when the event-time watermark passes its last snapshot
+# + the horizon (EventTimeTimeout state eviction — state per entity is
+# one row, evicted when the feed goes quiet, so the operator runs
+# forever at stream scale).
+#
+# Ordering contract (same as stateful_sessionize): exact batch parity
+# when each user's snapshot days arrive in event-time order across
+# micro-batches — the natural property of a daily snapshot feed. Days
+# are sorted within a delivery, so only cross-batch disorder breaks
+# parity (append mode cannot retract an emitted closed version).
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("day", TimestampType()),
+        StructField("attr", StringType()),
+    ]
+)
+
+_SCD2_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("version", LongType()),
+        StructField("attr", StringType()),
+        StructField("valid_from", TimestampType()),
+        StructField("valid_to", TimestampType()),
+        StructField("is_current", LongType()),
+    ]
+)
+# (attr, valid_from micros, version, last snapshot micros)
+_SCD2_STATE = StructType(
+    [
+        StructField("attr", StringType()),
+        StructField("from_us", LongType()),
+        StructField("version", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def read_snapshot_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    return spark.readStream.schema(SNAPSHOT_SCHEMA).parquet(landing_dir)
+
+
+def stream_scd2(
+    snapshots: DataFrame, watermark: str = "3 days", horizon_days: int = 2
+) -> DataFrame:
+    """Stateful SCD2 maintenance over a daily snapshot stream: closed
+    versions emit eagerly on attribute change; the open version emits
+    (is_current=1, NULL valid_to) when the watermark passes its last
+    snapshot + horizon, evicting the entity's state."""
+    horizon_us = int(horizon_days) * 86_400 * 1_000_000
+
+    def _row(
+        user: int, ver: int, attr: str, f_us: int, t_us: int | None, cur: int
+    ) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [user],
+                "version": [ver],
+                "attr": [attr],
+                "valid_from": [pd.to_datetime(f_us, unit="us")],
+                "valid_to": [
+                    pd.to_datetime(t_us, unit="us") if t_us is not None else pd.NaT
+                ],
+                "is_current": [cur],
+            }
+        )
+
+    def _update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                attr, f_us, ver, _last = state.get
+                state.remove()
+                yield _row(user, ver, attr, f_us, None, 1)
+            else:
+                state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("day")
+        us = pdf["day"].astype("datetime64[ns]").astype("int64") // 1000
+        open_ver = state.get if state.exists else None
+        closed: list[pd.DataFrame] = []
+        for d, a in zip(us.tolist(), pdf["attr"].tolist()):
+            if open_ver is None:
+                open_ver = (a, d, 1, d)
+            elif a != open_ver[0]:
+                closed.append(_row(user, open_ver[2], open_ver[0], open_ver[1], d, 0))
+                open_ver = (a, d, open_ver[2] + 1, d)
+            else:
+                open_ver = (open_ver[0], open_ver[1], open_ver[2], max(open_ver[3], d))
+        state.update(open_ver)
+        timeout_ms = max(
+            open_ver[3] // 1000 + horizon_us // 1000,
+            state.getCurrentWatermarkMs() + 1,
+        )
+        state.setTimeoutTimestamp(timeout_ms)
+        if closed:
+            yield pd.concat(closed, ignore_index=True)
+
+    return (
+        snapshots.withWatermark("day", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=_SCD2_OUT,
+            stateStructType=_SCD2_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

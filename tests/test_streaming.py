@@ -433,3 +433,92 @@ def test_stream_hll_registers_equal_batch_after_resume(spark, landing):
         assert int(g["reg_sum"]) == b["reg_sum"], et
         assert int(g["n_zero_regs"]) == b["n_zero_regs"], et
         assert int(g["hll_distinct"]) == b["hll_distinct"], et
+
+
+def test_stream_scd2_matches_batch_dimension(spark, sf_dir, tmp_path):
+    """Live SCD2 maintenance must reproduce the batch dim_scd2_intervals
+    answer end-to-end across three in-order snapshot deliveries: closed
+    versions emit eagerly on attribute change, and every entity's open
+    version emits (is_current=1, NULL valid_to) via watermark timeout,
+    forced by far-future sentinel snapshots for a dummy user."""
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.streaming import (
+        SNAPSHOT_SCHEMA,
+        read_snapshot_stream,
+        stream_scd2,
+    )
+
+    batch = QUERIES["dim_scd2_intervals"].builder(spark, sf_dir).toPandas()
+
+    # The same modal daily snapshot feed the batch query derives.
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    )
+    daily = ev.groupBy("user_id", "day", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id", "day").orderBy(F.desc("n"), F.asc("event_type"))
+    modal = (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.col("event_type").alias("attr"))
+    )
+
+    days = sorted(r.day for r in modal.select("day").distinct().collect())
+    c1, c2 = days[len(days) // 3], days[2 * len(days) // 3]
+    chunks = [
+        modal.filter(F.col("day") <= c1),
+        modal.filter((F.col("day") > c1) & (F.col("day") <= c2)),
+        modal.filter(F.col("day") > c2),
+    ]
+    land = str(tmp_path / "snap_landing")
+    ckpt = str(tmp_path / "snap_ckpt")
+    os.makedirs(land, exist_ok=True)
+
+    def _run(name):
+        stream = stream_scd2(
+            read_snapshot_stream(spark, land), watermark="3 days", horizon_days=2
+        )
+        return run_available_now(stream, ckpt, name, output_mode="append")
+
+    batches = []
+    for i, ch in enumerate(chunks):
+        staged = str(tmp_path / f"snap_chunk{i}")
+        ch.coalesce(1).write.mode("overwrite").parquet(staged)
+        _deliver(staged, land)
+        batches += _run(f"scd2_{i}")
+
+    # Sentinels: advance the watermark far past every real snapshot, then
+    # run once more so the event-time timeouts fire against it.
+    for i, dd in enumerate((10, 20)):
+        sent = spark.createDataFrame(
+            [(10**9 + i, days[-1] + pd.Timedelta(days=dd), "sentinel")],
+            schema=SNAPSHOT_SCHEMA,
+        )
+        staged = str(tmp_path / f"snap_sent{i}")
+        sent.coalesce(1).write.mode("overwrite").parquet(staged)
+        _deliver(staged, land)
+        batches += _run(f"scd2_sent{i}")
+
+    got = pd.concat([b for b in batches if len(b)], ignore_index=True)
+    got = got[got["user_id"] < 10**9]
+
+    def _key(user, ver, attr, vfrom, vto, cur):
+        vto = None if pd.isna(vto) else pd.Timestamp(vto)
+        return (user, ver, attr, pd.Timestamp(vfrom), vto, cur)
+
+    want = {
+        _key(r.user_id, r.version, r.event_type, r.valid_from, r.valid_to, r.is_current)
+        for r in batch.itertuples(index=False)
+    }
+    have = {
+        _key(r.user_id, r.version, r.attr, r.valid_from, r.valid_to, r.is_current)
+        for r in got.itertuples(index=False)
+    }
+    assert len(have) == len(got), "a version row was emitted more than once"
+    assert have == want, (
+        len(have), len(want),
+        sorted(want - have)[:5], sorted(have - want)[:5],
+    )

@@ -634,11 +634,22 @@ def stream_scd2(
         for d, a in zip(us.tolist(), pdf["attr"].tolist()):
             if open_ver is None:
                 open_ver = (a, d, 1, d)
+            elif d <= open_ver[3]:
+                # Cross-batch out-of-order snapshot at or before the open
+                # version's last seen day: append mode cannot retract the
+                # already-emitted history, and closing the open version
+                # at an earlier day would produce a corrupt interval
+                # (valid_to < valid_from). Conservative contract (same
+                # spirit as stateful_sessionize): a stale replay of the
+                # SAME attr is absorbed silently; a CONFLICTING stale
+                # attr is dropped — the in-order feed remains the parity
+                # contract.
+                continue
             elif a != open_ver[0]:
                 closed.append(_row(user, open_ver[2], open_ver[0], open_ver[1], d, 0))
                 open_ver = (a, d, open_ver[2] + 1, d)
             else:
-                open_ver = (open_ver[0], open_ver[1], open_ver[2], max(open_ver[3], d))
+                open_ver = (open_ver[0], open_ver[1], open_ver[2], d)
         state.update(open_ver)
         timeout_ms = max(
             open_ver[3] // 1000 + horizon_us // 1000,

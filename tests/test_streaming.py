@@ -522,3 +522,70 @@ def test_stream_scd2_matches_batch_dimension(spark, sf_dir, tmp_path):
         len(have), len(want),
         sorted(want - have)[:5], sorted(have - want)[:5],
     )
+
+
+def test_stream_scd2_out_of_order_contract(spark, tmp_path):
+    """Pins the documented conservative out-of-order behavior: a
+    cross-batch snapshot at or before the open version's last seen day
+    is dropped (same attr = stale replay, conflicting attr cannot be
+    honored without retracting emitted history), so no interval with
+    valid_to < valid_from can ever be emitted; later in-order changes
+    still close versions normally."""
+    from sig_etl_spark.streaming import (
+        SNAPSHOT_SCHEMA,
+        read_snapshot_stream,
+        stream_scd2,
+    )
+
+    land = str(tmp_path / "ooo_landing")
+    ckpt = str(tmp_path / "ooo_ckpt")
+    os.makedirs(land, exist_ok=True)
+    t0 = pd.Timestamp("2024-01-10")
+
+    def _write(i, rows):
+        staged = str(tmp_path / f"ooo_{i}")
+        rows = [(u, pd.Timestamp(d).to_pydatetime(), a) for u, d, a in rows]
+        spark.createDataFrame(rows, schema=SNAPSHOT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        _deliver(staged, land)
+
+    def _run(name):
+        stream = stream_scd2(
+            read_snapshot_stream(spark, land), watermark="3 days", horizon_days=2
+        )
+        return run_available_now(stream, ckpt, name, output_mode="append")
+
+    # Batch 1: user 1 opens version 1 ("a") spanning day 10-12.
+    _write(0, [(1, t0, "a"), (1, t0 + pd.Timedelta(days=2), "a")])
+    batches = _run("ooo_b1")
+    # Batch 2: a STALE conflicting snapshot (day 11, "b") must be
+    # dropped; an in-order change (day 14, "b") must close version 1.
+    _write(
+        1,
+        [
+            (1, t0 + pd.Timedelta(days=1), "b"),
+            (1, t0 + pd.Timedelta(days=4), "b"),
+        ],
+    )
+    batches += _run("ooo_b2")
+    # Sentinels to flush the open version via timeout.
+    for i, dd in enumerate((10, 20)):
+        _write(2 + i, [(10**9 + i, t0 + pd.Timedelta(days=dd), "sentinel")])
+        batches += _run(f"ooo_s{i}")
+
+    got = pd.concat([b for b in batches if len(b)], ignore_index=True)
+    got = got[got["user_id"] < 10**9].sort_values("version")
+    rows = list(got.itertuples(index=False))
+    assert [(r.version, r.attr, r.is_current) for r in rows] == [
+        (1, "a", 0),
+        (2, "b", 1),
+    ]
+    assert pd.Timestamp(rows[0].valid_from) == t0
+    assert pd.Timestamp(rows[0].valid_to) == t0 + pd.Timedelta(days=4)
+    assert pd.Timestamp(rows[1].valid_from) == t0 + pd.Timedelta(days=4)
+    assert pd.isna(rows[1].valid_to)
+    # no corrupt interval anywhere
+    for r in rows:
+        if not pd.isna(r.valid_to):
+            assert pd.Timestamp(r.valid_to) > pd.Timestamp(r.valid_from)

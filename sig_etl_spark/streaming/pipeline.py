@@ -544,17 +544,27 @@ def stream_hll_distinct(events: DataFrame) -> DataFrame:
 # per user is the OPEN version (attr, valid_from, version, last seen
 # day). A snapshot with a changed attr closes the open version EAGERLY
 # (emitted immediately, append mode, is_current=0, valid_to = the new
-# day); the surviving open version is emitted with is_current=1 and a
-# NULL valid_to when the event-time watermark passes its last snapshot
-# + the horizon (EventTimeTimeout state eviction — state per entity is
-# one row, evicted when the feed goes quiet, so the operator runs
-# forever at stream scale).
+# day); the open version is PUBLISHED with is_current=1 and a NULL
+# valid_to when the event-time watermark passes its last snapshot +
+# the horizon (EventTimeTimeout). The state is KEPT after publication
+# — one tiny row per live entity is the inherent floor for dimension
+# maintenance (unlike sessions, an entity's current version IS the
+# dimension), and removing it would restart version numbering when a
+# quiet entity reappears, emitting duplicate version-1 / is_current
+# rows that append mode cannot retract.
+#
+# Sink contract: UPSERT-BY-VERSION — consumers take the LAST emitted
+# row per (user_id, version). A version published as current at a
+# quiet-period timeout is superseded by its closed row if the entity
+# later changes; versions never repeat and at most one version per
+# entity lacks a closed emission.
 #
 # Ordering contract (same as stateful_sessionize): exact batch parity
-# when each user's snapshot days arrive in event-time order across
-# micro-batches — the natural property of a daily snapshot feed. Days
-# are sorted within a delivery, so only cross-batch disorder breaks
-# parity (append mode cannot retract an emitted closed version).
+# (after last-per-version reconciliation) when each user's snapshot
+# days arrive in event-time order across micro-batches — the natural
+# property of a daily snapshot feed. Days are sorted within a
+# delivery, so only cross-batch disorder degrades (conflicting stale
+# snapshots are dropped, see the in-loop guard).
 # ---------------------------------------------------------------------------
 
 SNAPSHOT_SCHEMA = StructType(
@@ -594,9 +604,11 @@ def stream_scd2(
     snapshots: DataFrame, watermark: str = "3 days", horizon_days: int = 2
 ) -> DataFrame:
     """Stateful SCD2 maintenance over a daily snapshot stream: closed
-    versions emit eagerly on attribute change; the open version emits
-    (is_current=1, NULL valid_to) when the watermark passes its last
-    snapshot + horizon, evicting the entity's state."""
+    versions emit eagerly on attribute change; the open version is
+    published (is_current=1, NULL valid_to) when the watermark passes
+    its last snapshot + horizon. State persists across publications so
+    version numbering stays monotone; the sink is upsert-by-version
+    (last emitted row per (user_id, version) wins)."""
     horizon_us = int(horizon_days) * 86_400 * 1_000_000
 
     def _row(
@@ -620,9 +632,14 @@ def stream_scd2(
     ) -> Iterator[pd.DataFrame]:
         user = key[0]
         if state.hasTimedOut:
+            # Publish the open version, KEEP the state (no timeout
+            # re-armed — the next snapshot for this entity re-arms it).
+            # Removing state here would restart version numbering on
+            # reappearance; keeping it costs one row per live entity,
+            # the natural state floor of a dimension.
             if state.exists:
-                attr, f_us, ver, _last = state.get
-                state.remove()
+                attr, f_us, ver, last = state.get
+                state.update((attr, f_us, ver, last))
                 yield _row(user, ver, attr, f_us, None, 1)
             else:
                 state.remove()

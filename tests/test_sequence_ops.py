@@ -533,9 +533,19 @@ def test_q13_distribution_conserves_customers(spark, sf_dir):
     dist = QUERIES["j_q13_order_count_distribution"].builder(spark, sf_dir).collect()
     n_customers = load_table(spark, sf_dir, "customer").count()
     assert sum(r.custdist for r in dist) == n_customers
-    assert any(r.c_count == 0 for r in dist) or n_customers == sum(
-        r.custdist for r in dist if r.c_count > 0
+    # The zero bucket must exist exactly when some customer has no
+    # qualifying (non-excluded-priority) orders.
+    from sig_etl_spark.queries.relational import _Q13_EXCLUDED_PRIORITY
+
+    n_ordering = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != _Q13_EXCLUDED_PRIORITY)
+        .select("o_custkey")
+        .distinct()
+        .count()
     )
+    zero = sum(r.custdist for r in dist if r.c_count == 0)
+    assert zero == n_customers - n_ordering
 
 
 def test_q21_sole_late_rule_matches_bruteforce(spark, sf_dir):

@@ -659,12 +659,15 @@ def connected_components(
     """
     # One-time barrier: sym is re-read twice per round across every round;
     # without it each iteration replays the entire upstream pair pipeline
-    # (posting-list joins, groupBys) from scratch.
-    sym = (
-        pairs.select(F.col(left_col).alias("u"), F.col(right_col).alias("v"))
-        .union(pairs.select(F.col(right_col).alias("u"), F.col(left_col).alias("v")))
-        .localCheckpoint()
-    )
+    # (posting-list joins, groupBys) from scratch. The pair pipeline is
+    # checkpointed BEFORE the symmetrizing union — the union's two
+    # branches would otherwise each evaluate the (expensive) upstream
+    # pipeline once, doubling the entry cost (measured: the IVF-blocked
+    # embedding pair graph paid a full second IVF pass here).
+    p = pairs.select(
+        F.col(left_col).alias("u"), F.col(right_col).alias("v")
+    ).localCheckpoint()
+    sym = p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
     if nodes is None:
         nodes = sym.select(F.col("u").alias("node")).distinct()
     cur = nodes.select("node", F.col("node").alias("label")).localCheckpoint()

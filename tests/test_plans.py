@@ -315,15 +315,40 @@ def test_q5_join_tree_plan_shape(spark, sf_dir):
 
 
 def test_ivf_near_dup_plan_shape(spark, sf_dir):
-    """Centroids reach both the assignment and scoring joins as
-    broadcasts (the assignment cross join is bounded by centroid count);
-    the only non-broadcast join is the cell equi-join."""
+    """Centroids reach the assignment join as a broadcast (the
+    assignment cross join is bounded by centroid count); the only
+    non-broadcast join is the cell equi-join. The production plan
+    checkpoints the assignment frame before the self-join (so the
+    scoring pass runs once); the pre-barrier stage is inspected via
+    checkpoint=False, the production plan for its post-barrier shape."""
+    import contextlib
+    import io
+
+    from sig_etl_spark.llm import similarity as S
+    from sig_etl_spark.queries import llm_similarity as LS
+    from sig_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = S.ivf_near_dup_pairs(
+        emb, "vec_id", "embedding",
+        threshold=0.3, nassign=LS._ND_ASSIGN, target_cell=LS._ND_CELL,
+        checkpoint=False,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    full = buf.getvalue()
+    assert _count_op(full, "CartesianProduct") == 0
+    assert _count_op(full, "BroadcastNestedLoopJoin") >= 1  # vec x centroid
+    assert "PushedFilters" in full
+    # production plan: the self-join sides are checkpoint scans (the
+    # scoring pass is NOT replayed per side), and the corpus-sized
+    # assignment frame is never broadcast
     plan = _plan(spark, sf_dir, "llm_embedding_near_dup_ivf")
     assert _count_op(plan, "CartesianProduct") == 0
-    assert _count_op(plan, "BroadcastNestedLoopJoin") >= 1  # vec x centroid
-    # the pair join on cent_id may be SMJ or shuffled-hash; what must NOT
-    # happen is a broadcast of the corpus-sized assignment frame
-    assert "PushedFilters" in plan
+    assert _count_op(plan, "BroadcastNestedLoopJoin") == 0
+    assert _count_op(plan, "Scan ExistingRDD") >= 2  # both sides pre-materialized
+    assert _count_op(plan, "BroadcastHashJoin") == 0
 
 
 def test_round6_scale_plan_shapes(spark, sf_dir):

@@ -135,6 +135,7 @@ def _load_all() -> None:
     from sig_etl_spark.queries import extract_demo  # noqa: F401
     from sig_etl_spark.queries import functions_demo  # noqa: F401
     from sig_etl_spark.queries import relational  # noqa: F401
+    from sig_etl_spark.queries import tpch_more  # noqa: F401
 
 
 # ---------------------------------------------------------------------------
@@ -160,9 +161,11 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 7 (N=188, D=25):
-# ceil(138/25) = 6 rounds worst-case — debut-heavy rounds slow the
-# refresh; the budget assert bounds how much. tools/verify_local.py
+# behind at most N - C fresher-than-it entries. Round 7 (N=201, D=25):
+# ceil(151/25) = 7 rounds worst-case — debut-heavy rounds slow the
+# refresh; the budget assert bounds how much. Late-round _HOLDBACK
+# entries sort last and only tighten this bound for everyone else.
+# tools/verify_local.py
 # still checks ALL queries locally every round, so the cap only limits
 # the external signal, never the verification itself.
 # ---------------------------------------------------------------------------
@@ -209,6 +212,29 @@ _DEBUTS = [
     "events_sessionize",
 ]
 
+# Queries registered AFTER this round's debut budget was already spent
+# (late-round additions). They deliberately yield their driver slot to
+# the stale-block drain (VERDICT r6 task 2 under "What's missing":
+# "Keep debuts lean ... so the stale block drains faster") and sort
+# LAST this round — never-driver-green would otherwise sort FIRST in
+# the stale ordering and starve the drain. They are verified by the
+# local strict oracle this round and become next round's debuts.
+_HOLDBACK = [
+    "j_q4_order_priority",
+    "j_q6_forecast_revenue",
+    "j_q7_nation_volume",
+    "j_q8_market_share",
+    "j_q9_product_profit",
+    "j_q11_important_stock",
+    "j_q12_latency_priority",
+    "j_q14_promo_share",
+    "j_q15_top_supplier",
+    "j_q16_supplier_variety",
+    "j_q17_small_qty_revenue",
+    "j_q19_disjunctive_revenue",
+    "j_q20_excess_stock",
+]
+
 
 def _reorder() -> None:
     from sig_etl_spark.queries._driver_history import DRIVER_LAST_GREEN
@@ -220,12 +246,18 @@ def _reorder() -> None:
     missing = [n for n in _DEBUTS if n not in QUERIES]
     if missing:  # a renamed/removed query must fail loudly, not silently
         raise RuntimeError(f"_DEBUTS names not in registry: {missing}")
+    missing_hb = [n for n in _HOLDBACK if n not in QUERIES]
+    if missing_hb:
+        raise RuntimeError(f"_HOLDBACK names not in registry: {missing_hb}")
+    overlap = set(_DEBUTS) & set(_HOLDBACK)
+    if overlap:
+        raise RuntimeError(f"_DEBUTS/_HOLDBACK overlap: {sorted(overlap)}")
     reg_index = {n: i for i, n in enumerate(QUERIES)}
     rest = sorted(
-        (n for n in QUERIES if n not in _DEBUTS),
+        (n for n in QUERIES if n not in _DEBUTS and n not in _HOLDBACK),
         key=lambda n: (DRIVER_LAST_GREEN.get(n, 0), reg_index[n]),
     )
-    ordered = {n: QUERIES[n] for n in [*_DEBUTS, *rest]}
+    ordered = {n: QUERIES[n] for n in [*_DEBUTS, *rest, *_HOLDBACK]}
     QUERIES.clear()
     QUERIES.update(ordered)
 

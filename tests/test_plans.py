@@ -543,3 +543,53 @@ def test_scd2_windows_all_partitioned(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dim_scd2_intervals")
     assert _count_op(plan, "Window") >= 2
     assert "SinglePartition" not in plan
+
+
+def test_tpch_completion_plan_shapes(spark, sf_dir):
+    """Round-7 TPC-H completion batch: the scale-critical property of
+    each shape, asserted on the compiled plan."""
+    # Q6: no join anywhere; the date predicate reaches the lineitem scan;
+    # the only single-partition exchange is the 1-row final aggregate.
+    plan = _plan(spark, sf_dir, "j_q6_forecast_revenue")
+    assert _count_op(plan, "BroadcastHashJoin") == 0
+    assert _count_op(plan, "SortMergeJoin") == 0
+    assert re.search(r"PushedFilters: .*l_shipdate", plan)
+    assert plan.count("SinglePartition") <= 1
+
+    # Q4: the correlated EXISTS compiles to a semi join (never an inner
+    # join + distinct), and the half-year window reaches the orders scan.
+    plan = _plan(spark, sf_dir, "j_q4_order_priority")
+    assert "LeftSemi" in plan
+    assert re.search(r"PushedFilters: .*o_orderdate", plan)
+
+    # Q7: both nation prunings broadcast the 2-row dim; the lineitem date
+    # window reaches the scan.
+    plan = _plan(spark, sf_dir, "j_q7_nation_volume")
+    assert _count_op(plan, "BroadcastExchange") >= 2
+    assert re.search(r"PushedFilters: .*l_shipdate", plan)
+
+    # Q16: the flagged-supplier exclusion is an anti join, and the part
+    # attribute predicates reach the part scan.
+    plan = _plan(spark, sf_dir, "j_q16_supplier_variety")
+    assert "LeftAnti" in plan
+    assert re.search(r"PushedFilters: .*p_brand|PushedFilters: .*p_size", plan)
+
+    # Q17: the brand filter reaches the part scan BEFORE the per-part
+    # aggregate (the semi-reduction that keeps the aggregate off the full
+    # fact table).
+    plan = _plan(spark, sf_dir, "j_q17_small_qty_revenue")
+    assert "EqualTo(p_brand,Brand#3)" in plan
+    assert _count_op(plan, "HashAggregate") >= 3
+
+    # Q20: the part-name prefix filter reaches the scan and the EXISTS is
+    # a semi join.
+    plan = _plan(spark, sf_dir, "j_q20_excess_stock")
+    assert "StringStartsWith(p_name,small)" in plan
+    assert "LeftSemi" in plan
+
+    # Q11/Q15: the scalar threshold is a 1-row broadcast — at most two
+    # single-partition exchanges (aggregate + its broadcast), never a
+    # repartition of the data frame itself.
+    for name in ["j_q11_important_stock", "j_q15_top_supplier"]:
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("SinglePartition") <= 2, name

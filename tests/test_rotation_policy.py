@@ -8,7 +8,13 @@ the arithmetic so the policy cannot silently regress into round 5's
 broken hand-maintained list.
 """
 
-from sig_etl_spark.queries import _DEBUT_BUDGET, _DEBUTS, _DRIVER_CAP, QUERIES
+from sig_etl_spark.queries import (
+    _DEBUT_BUDGET,
+    _DEBUTS,
+    _DRIVER_CAP,
+    _HOLDBACK,
+    QUERIES,
+)
 from sig_etl_spark.queries._driver_history import DRIVER_LAST_GREEN
 
 
@@ -21,13 +27,29 @@ def test_debuts_are_registered_and_first():
     assert names[: len(_DEBUTS)] == _DEBUTS
 
 
+def test_holdback_is_registered_last_and_disjoint():
+    """Late-round additions that yield their driver slot to the stale
+    drain must sort at the very end of the registry and never overlap
+    the debut list (a holdback with a debut slot is a contradiction)."""
+    names = list(QUERIES)
+    assert names[len(names) - len(_HOLDBACK):] == _HOLDBACK
+    assert not set(_DEBUTS) & set(_HOLDBACK)
+    # holdback is only meaningful for queries the driver has never seen —
+    # a previously-green query parked here would silently rot instead
+    assert all(n not in DRIVER_LAST_GREEN for n in _HOLDBACK), [
+        n for n in _HOLDBACK if n in DRIVER_LAST_GREEN
+    ]
+
+
 def test_first_cap_holds_the_stalest_block():
     """No query outside the first 50 may be staler (older last-green
     round) than any non-debut query inside it — i.e. the cap's non-debut
-    slots really do go to the oldest-unverified entries."""
+    slots really do go to the oldest-unverified entries. _HOLDBACK names
+    are exempt: they are never-green by construction and deliberately
+    yield their slot to the drain."""
     names = list(QUERIES)
     inside = [n for n in names[:_DRIVER_CAP] if n not in _DEBUTS]
-    outside = names[_DRIVER_CAP:]
+    outside = [n for n in names[_DRIVER_CAP:] if n not in _HOLDBACK]
     if not inside or not outside:
         return
     worst_inside = max(DRIVER_LAST_GREEN.get(n, 0) for n in inside)

@@ -1700,3 +1700,179 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return T.compression_ratios(docs, "doc_id", "text")
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (round 7): Data Selection via
+# Importance Resampling (Xie et al. 2023) scores every pool document by
+# how much more likely its hashed bag-of-words features are under a
+# TARGET distribution than under the raw pool — the standard recipe for
+# tilting a 100 TB crawl toward a high-quality target domain without a
+# trained classifier. Here the target is the English slice (lang='en')
+# and the pool is everything; features are words hashed into 1024
+# buckets (portable md5 hash, identical on both engines).
+#
+# Seam-proof scoring: true DSIR uses log(p_target/p_pool) per feature.
+# Two integer refinements replace the float log:
+# (1) counts become PERMYRIAD RATES first — (count+1)*10000 div
+#     (total+B), the add-one-smoothed token share per 10k — so the
+#     weights are invariant to corpus size (raw-count tiers would drift
+#     as the pool grows 100x while the target stays fixed);
+# (2) log2 gains quarter-bit resolution: floor(4*log2(x+1)) =
+#     length(bin((x+1)^4)) - 1, with the 4th power written as explicit
+#     multiplication ((x+1) <= 10001, so the product <= ~1e16 fits
+#     bigint at ANY corpus size — this is why rates, not counts, are
+#     tiered). A document's weight is
+#         sum_b  n_b * (q4(target_rate_b) - q4(pool_rate_b))
+# an all-bigint sum preserving the resampling ORDER structure with zero
+# doubles in any driver-visible column.
+#
+# Fixture honesty: the driver's synthetic documents share ONE
+# vocabulary across lang labels (verified by inspection — 'zh' rows
+# contain the same English-ish words as 'en' rows), so on THIS fixture
+# the target and pool distributions nearly coincide and the top-k tilt
+# toward 'en' is mild (~50/100 vs a 44% pool share). The operator's
+# discriminative behavior is proven instead by the planted-vocabulary
+# test (tests/test_text_analysis.py::test_dsir_ranks_target_vocab_first),
+# where target-like docs rank strictly above pool-like ones.
+#
+# Scale shape: one (doc, bucket) combinable count shuffle; the two
+# distribution frames collapse to <=1024 rows each and broadcast into
+# the per-doc frame (the join cost is |docs x distinct buckets per
+# doc|, never |docs|^2); the final reduce is one doc-keyed combinable
+# sum; top-k is TakeOrdered. Reference analogue: the vote-index "score
+# rows against a reference profile then rank" shape
+# (votervoice/transform.py:77-86).
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET_LANG = "en"
+_DSIR_TOPK = 100
+
+_DSIR_ORACLE = rf"""
+WITH occ AS (
+  SELECT doc_id, lang, source,
+         CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT)
+              % {_DSIR_BUCKETS} AS BIGINT) AS bucket
+  FROM (SELECT doc_id, lang, source, unnest({_TOKS}) AS tok FROM documents)
+),
+doc_feats AS (
+  SELECT doc_id, ANY_VALUE(lang) AS lang, ANY_VALUE(source) AS source,
+         bucket, COUNT(*) AS n_b
+  FROM occ GROUP BY doc_id, bucket
+),
+target_dist AS (
+  SELECT bucket, COUNT(*) AS tc FROM occ
+  WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY bucket
+),
+target_total AS (
+  SELECT COUNT(*) AS tt FROM occ WHERE lang = '{_DSIR_TARGET_LANG}'
+),
+pool_dist AS (SELECT bucket, COUNT(*) AS pc FROM occ GROUP BY bucket),
+pool_total AS (SELECT COUNT(*) AS pt FROM occ),
+rates AS (
+  SELECT p.bucket,
+         (COALESCE(t.tc, 0) + 1) * 10000 // (tt.tt + {_DSIR_BUCKETS}) AS tr,
+         (p.pc + 1) * 10000 // (pt.pt + {_DSIR_BUCKETS}) AS pr
+  FROM pool_dist p
+  LEFT JOIN target_dist t USING (bucket)
+  CROSS JOIN target_total tt CROSS JOIN pool_total pt
+),
+tiers AS (
+  SELECT bucket,
+         CAST(length(bin((tr + 1) * (tr + 1) * (tr + 1) * (tr + 1))) - 1
+              AS BIGINT)
+           - CAST(length(bin((pr + 1) * (pr + 1) * (pr + 1) * (pr + 1))) - 1
+                  AS BIGINT) AS tier_delta
+  FROM rates
+),
+weights AS (
+  SELECT f.doc_id, ANY_VALUE(f.lang) AS lang, ANY_VALUE(f.source) AS source,
+         CAST(SUM(f.n_b) AS BIGINT) AS n_toks,
+         CAST(SUM(f.n_b * ti.tier_delta) AS BIGINT) AS weight_proxy
+  FROM doc_feats f JOIN tiers ti USING (bucket)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, lang, source, n_toks, weight_proxy
+FROM weights
+ORDER BY weight_proxy DESC, doc_id
+LIMIT {_DSIR_TOPK}
+"""
+
+
+@register(
+    "llm_dsir_importance",
+    oracle=_DSIR_ORACLE,
+    doc="DSIR-style importance weights: hashed bag-of-words (1024 md5"
+        " buckets), integer log2-tier proxy of log(p_target/p_pool),"
+        " per-doc bigint weighted sum, top-k — broadcast-sized"
+        " distribution frames, no float anywhere",
+)
+def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.functions.hashing import portable_hash60
+    from sig_etl_spark.llm.text_analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.pmod(portable_hash60(F.col("tok")), F.lit(_DSIR_BUCKETS)).alias("bucket"),
+    )
+    doc_feats = occ.groupBy("doc_id", "bucket").agg(
+        F.any_value(F.col("lang")).alias("lang"),
+        F.any_value(F.col("source")).alias("source"),
+        F.count(F.lit(1)).alias("n_b"),
+    )
+    target_occ = occ.filter(F.col("lang") == _DSIR_TARGET_LANG)
+    target_dist = target_occ.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    target_total = target_occ.agg(F.count(F.lit(1)).alias("tt"))
+    pool_dist = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("pc"))
+    pool_total = occ.agg(F.count(F.lit(1)).alias("pt"))
+
+    # floor(4*log2(x+1)) via the bit length of the explicit 4th power —
+    # x is a permyriad rate (<= 10000), so (x+1)^4 <= ~1e16 fits bigint
+    # regardless of corpus size.
+    def q4(c: F.Column) -> F.Column:
+        x1 = c + F.lit(1)
+        return (F.length(F.bin(x1 * x1 * x1 * x1)) - 1).cast("bigint")
+
+    tiers = (
+        pool_dist.join(target_dist, "bucket", "left")
+        .crossJoin(F.broadcast(target_total))
+        .crossJoin(F.broadcast(pool_total))
+        .select(
+            "bucket",
+            F.expr(
+                f"(coalesce(tc, 0) + 1) * 10000 div (tt + {_DSIR_BUCKETS})"
+            ).alias("tr"),
+            F.expr(f"(pc + 1) * 10000 div (pt + {_DSIR_BUCKETS})").alias("pr"),
+        )
+        .select(
+            "bucket",
+            (q4(F.col("tr")) - q4(F.col("pr"))).alias("tier_delta"),
+        )
+    )
+    weights = (
+        doc_feats.join(F.broadcast(tiers), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("lang")).alias("lang"),
+            F.any_value(F.col("source")).alias("source"),
+            F.sum("n_b").cast("bigint").alias("n_toks"),
+            F.sum(F.col("n_b") * F.col("tier_delta"))
+            .cast("bigint")
+            .alias("weight_proxy"),
+        )
+    )
+    return (
+        weights.select("doc_id", "lang", "source", "n_toks", "weight_proxy")
+        .orderBy(F.desc("weight_proxy"), F.asc("doc_id"))
+        .limit(_DSIR_TOPK)
+    )

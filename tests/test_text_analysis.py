@@ -399,3 +399,38 @@ def test_decontaminate_bloom_equals_plain_and_keeps_null_fingerprints(
     b = {r["doc_id"] for r in QUERIES["llm_decontaminate_bloom"].builder(spark, str(d)).collect()}
     assert p == b, (p, b)
     assert {2, 3, 4} <= p and 1 not in p, p
+
+
+def test_dsir_ranks_target_vocab_first(spark, tmp_path):
+    """DSIR importance weighting must rank pool docs written in the
+    TARGET vocabulary strictly above pool docs written in a disjoint
+    vocabulary. The driver fixture cannot show this (its lang labels
+    share one vocabulary — see the query's docstring), so the
+    discriminative property is proven on a planted corpus: 'en' target
+    docs use vocab A, background docs vocab B, and unlabeled candidates
+    use one or the other."""
+    from sig_etl_spark.queries import QUERIES
+
+    va = "alpha beta gamma delta epsilon zeta eta theta"
+    vb = "rock stone pebble boulder cliff gravel sand dune"
+    rows = []
+    did = 0
+    for _ in range(20):  # target slice: vocab A
+        rows.append((did, va, "en", "target_src", len(va))); did += 1
+    for _ in range(20):  # background pool: vocab B
+        rows.append((did, vb, "de", "bg_src", len(vb))); did += 1
+    target_like = []
+    pool_like = []
+    for i in range(5):  # unlabeled candidates, alternating vocab
+        rows.append((did, va, "xx", "cand", len(va)))
+        target_like.append(did); did += 1
+        rows.append((did, vb, "xx", "cand", len(vb)))
+        pool_like.append(did); did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path / "dsir"
+    docs.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    out = QUERIES["llm_dsir_importance"].builder(spark, str(d)).collect()
+    w = {r["doc_id"]: r["weight_proxy"] for r in out}
+    assert min(w[i] for i in target_like) > max(w[i] for i in pool_like), w

@@ -1171,3 +1171,130 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_feats, AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (pHash, round 7): 64-bit DCT sign-structure hash for
+# image NEAR-duplicate detection — the production tool for "same picture,
+# different bytes" (re-encode, mild noise, slight crop) that exact
+# raster-md5 dedup (decode_image_stats / mm_image_dedup) cannot catch.
+# Classic recipe: gray -> 32x32 -> 2D DCT -> 8x8 low-frequency block ->
+# threshold each coefficient against the median (DC excluded from the
+# median so it cannot drag it) -> 64 bits.
+# ---------------------------------------------------------------------------
+
+
+def _dct_matrix_n(n: int) -> np.ndarray:
+    """Orthonormal n-point DCT-II matrix (generalizes _dct_matrix)."""
+    x = np.arange(n)
+    T = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / (2 * n)) * np.sqrt(2.0 / n)
+    T[0, :] = 1.0 / np.sqrt(n)
+    return T
+
+
+_D32 = _dct_matrix_n(32)
+
+
+def phash64_pixels(pixels: np.ndarray) -> int:
+    """(h, w, 3) uint8 RGB -> 64-bit perceptual hash as a Python int.
+
+    Deterministic: nearest-index resample to 32x32 (no interpolation
+    kernel choices), orthonormal DCT, median threshold over the 8x8
+    low-frequency block with the DC term excluded from the median.
+    """
+    g = pixels.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    g32 = g[np.ix_(ys, xs)]
+    d = _D32 @ g32 @ _D32.T
+    low = d[:8, :8].flatten()
+    med = float(np.median(low[1:]))
+    out = 0
+    for i, v in enumerate(low):
+        if v > med:
+            out |= 1 << i
+    return out
+
+
+PHASH_SCHEMA = StructType(
+    [StructField("media_id", LongType()), StructField("phash", LongType())]
+)
+
+
+def phash_images(df: DataFrame) -> DataFrame:
+    """(media_id, content) -> (media_id, phash BIGINT) via the REAL
+    decode path (``decode_real``) + ``phash64_pixels``, streamed in Arrow
+    batches through mapInPandas — blob never leaves the executor."""
+
+    def _hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_real(bytes(content))
+                h = phash64_pixels(px)
+                # fold to signed 64-bit so the column is a plain BIGINT
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                ids.append(int(mid))
+                hs.append(h)
+            yield pd.DataFrame({"media_id": ids, "phash": hs})
+
+    return df.select("media_id", "content").mapInPandas(_hashes, PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """(media_id, phash) -> candidate pairs with Hamming <= max_hamming.
+
+    Combinatorial 2-of-8 banding: the 64-bit hash splits into 8 bytes;
+    every unordered band pair (i<j) forms one of C(8,2)=28 composite
+    16-bit keys. A pair of images at Hamming <= 6 differs in at most 6
+    bands, so at least TWO bands are identical on both sides and the
+    pair is guaranteed to collide on that bands' composite key —
+    pigeonhole recall with 16-bit bucket granularity (65536x28 buckets,
+    not the 256-bucket hot spots plain 8-bit banding would make at
+    corpus scale). Verification is exact bit_count(xor) on the
+    candidates only. All JVM-side after the hash frame.
+    """
+    bands = [
+        F.shiftrightunsigned(F.col("phash"), 8 * i).bitwiseAND(F.lit(255))
+        for i in range(8)
+    ]
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(i * 8 + j).alias("key_idx"),
+                (bands[i] * 256 + bands[j]).cast("int").alias("key_val"),
+            )
+            for i in range(8)
+            for j in range(i + 1, 8)
+        ]
+    )
+    kf = hashes.select("media_id", "phash", F.explode(keys).alias("k")).select(
+        "media_id", "phash", F.col("k.key_idx").alias("key_idx"),
+        F.col("k.key_val").alias("key_val"),
+    )
+    a = kf.select(
+        F.col("media_id").alias("id_a"), F.col("phash").alias("ph_a"),
+        "key_idx", "key_val",
+    )
+    b = kf.select(
+        F.col("media_id").alias("id_b"), F.col("phash").alias("ph_b"),
+        "key_idx", "key_val",
+    )
+    cand = (
+        a.join(b, ["key_idx", "key_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1105,3 +1105,111 @@ def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active_frames",
         "seg_energy",
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (round 7): the image twin of the text
+# MinHash/SimHash near-dup family — catches "same picture, different
+# bytes" (mild noise here; re-encode/crop in production), which the
+# exact raster-md5 dedup (mm_image_dedup) cannot. The fixture
+# manufactures REAL P6 PPM images whose low-frequency DCT sign
+# structure is md5-seeded per doc (a smooth 24x16 gradient composition),
+# plus a +/-3-amplitude noise-perturbed NEAR twin for every 5th doc —
+# measured twin Hamming <= 6 while distinct images sit >= 14 apart, so
+# threshold 6 separates cleanly. Hashing runs through the real decode
+# path (encode_ppm bytes -> decode_real -> phash64_pixels) in Arrow
+# batches; pairing is the combinatorial 2-of-8 band join
+# (llm/multimodal.phash_near_dup_pairs) whose recall at Hamming <= 6 is
+# a pigeonhole GUARANTEE, with 16-bit bucket granularity for corpus
+# scale. No SQL DCT exists, so the driver records rows-only; the
+# pipeline is locked by recall/precision/recompute tests
+# (tests/test_multimodal.py).
+# ---------------------------------------------------------------------------
+
+_PHASH_TWIN_EVERY = 5
+_PHASH_NOISE = 3
+_PHASH_TWIN_OFFSET = 10_000_000
+_PHASH_MAX_HAMMING = 6
+
+
+def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base image per doc + noisy near twin for every 5th doc, as real
+    PPM bytes generated executor-side (seeded by media id — no driver
+    materialization of blobs)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from sig_etl_spark.llm.multimodal import encode_ppm, partition_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(0).alias("noise"),
+    )
+    twin = docs.filter(F.col("doc_id") % _PHASH_TWIN_EVERY == 0).select(
+        (F.col("doc_id") + _PHASH_TWIN_OFFSET).alias("media_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(_PHASH_NOISE).alias("noise"),
+    )
+    spec = base.unionByName(twin)
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from sig_etl_spark.llm.multimodal import _dct_matrix_n
+
+        d32 = _dct_matrix_n(32)
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, seed, noise in zip(pdf["media_id"], pdf["seed"], pdf["noise"]):
+                digest = hashlib.md5(f"img:{int(seed)}".encode()).digest()
+                bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))[:64]
+                signs = bits.astype(np.float64) * 2 - 1
+                coeff = np.zeros((32, 32))
+                for u in range(8):
+                    for v in range(8):
+                        coeff[u, v] = signs[u * 8 + v] * 400.0 / ((1 + u) * (1 + v))
+                coeff[0, 0] = 4000.0
+                g = np.clip(d32.T @ coeff @ d32 / 2 + 128, 0, 255)
+                ys = (np.arange(16) * 32) // 16
+                xs = (np.arange(24) * 32) // 24
+                img = g[np.ix_(ys, xs)]
+                rgb = np.stack([img, img, img], axis=2).astype(np.int64)
+                if int(noise):
+                    rs = np.random.RandomState(int(seed) & 0x7FFFFFFF)
+                    rgb = rgb + rs.randint(
+                        -int(noise), int(noise) + 1, size=rgb.shape
+                    )
+                px = np.clip(rgb, 0, 255).astype(np.uint8)
+                ids.append(int(mid))
+                blobs.append(encode_ppm(px))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return partition_media(spec.mapInPandas(_gen, schema), 32)
+
+
+@register(
+    "mm_phash_near_dup",
+    oracle=None,  # DCT is not SQL-expressible; recall/precision are test-locked
+    doc="perceptual-hash (DCT pHash) image near-dup: real PPM decode ->"
+        " 64-bit sign hash -> combinatorial 2-of-8 band join (pigeonhole"
+        " recall at Hamming<=6, 16-bit buckets) -> exact bit_count"
+        " verify; planted noisy twins",
+)
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.llm.multimodal import phash_images, phash_near_dup_pairs
+
+    media = _phash_media(spark, sf_dir)
+    hashes = phash_images(media)
+    return phash_near_dup_pairs(hashes, max_hamming=_PHASH_MAX_HAMMING).orderBy(
+        "id_a", "id_b"
+    )

@@ -505,3 +505,58 @@ def test_scene_cuts_mix_and_manual_check(spark, sf_dir):
         want = int(np.abs(hist(fb) - hist(fa)).sum())
         assert r["l1_dist"] == want
         assert r["is_cut"] == (want > 8)
+
+
+def test_phash_band_guarantee_pure_math():
+    """Pigeonhole recall of the 2-of-8 composite banding: ANY pair of
+    64-bit hashes at Hamming <= 6 must share at least one composite
+    (key_idx, key_val) — mirrors the Spark expression byte-for-byte."""
+    import random
+
+    rng = random.Random(7)
+
+    def keys(h):
+        bands = [(h >> (8 * i)) & 255 for i in range(8)]
+        return {
+            (i * 8 + j, bands[i] * 256 + bands[j])
+            for i in range(8)
+            for j in range(i + 1, 8)
+        }
+
+    for _ in range(200):
+        h = rng.getrandbits(64)
+        flips = rng.sample(range(64), rng.randint(0, 6))
+        h2 = h
+        for b in flips:
+            h2 ^= 1 << b
+        assert keys(h) & keys(h2), (hex(h), flips)
+
+
+def test_phash_invariant_to_upsampling():
+    """pHash must survive resolution changes — a 2x nearest upsample of
+    the same picture hashes identically (the whole point of a
+    perceptual hash vs the exact raster md5)."""
+    import numpy as np
+
+    from sig_etl_spark.llm.multimodal import phash64_pixels
+
+    rs = np.random.RandomState(3)
+    img = rs.randint(0, 256, size=(16, 24, 3)).astype(np.uint8)
+    up = np.kron(img, np.ones((2, 2, 1), dtype=np.uint8))
+    assert phash64_pixels(img) == phash64_pixels(up)
+
+
+def test_phash_near_dup_recall_precision(spark, sf_dir):
+    """Planted-noise twins: EVERY doc_id%5==0 twin pair is found at
+    Hamming <= 6 (banding guarantee + measured noise ceiling), and no
+    cross-image pair appears (distinct seeds measured >= 14 apart)."""
+    from sig_etl_spark.queries import QUERIES
+
+    rows = QUERIES["mm_phash_near_dup"].builder(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    expected = {
+        (k, k + 10_000_000) for k in range(0, docs) if k % 5 == 0
+    }
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert got == expected, (len(got), len(expected))
+    assert all(0 <= r["hamming"] <= 6 for r in rows)

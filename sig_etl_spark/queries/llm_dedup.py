@@ -132,8 +132,10 @@ _PERM_VALUES = ",".join(
     for i, (a, b) in enumerate(_minhash_coeffs(64, seed=42))
 )
 
-_MINHASH_ORACLE = rf"""
-WITH {_shingle_ctes()},
+# CTE stack shared by the LSH pair queries (llm_minhash_lsh and the
+# round-7 split-leakage audit): shingles -> 60-bit md5 hashes -> 64
+# permutations -> 16 band buckets -> candidates -> signature estimate.
+_MINHASH_PAIR_CTES = rf"""{_shingle_ctes()},
 hx AS (
   SELECT doc_id,
          CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
@@ -160,7 +162,10 @@ est AS (
          len(list_filter(generate_series(1,64), k -> sa[k] = sb[k])) / 64.0
            AS est_jaccard
   FROM cand
-)
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_PAIR_CTES}
 SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
 """
 
@@ -1595,3 +1600,112 @@ def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit (round 7): the measurement companion to
+# llm_cluster_aware_split. A content-hash split (llm_reproducible_split)
+# is reproducible but near-dup-blind: a test document whose near twin
+# sits in train leaks evaluation signal. This query classifies every
+# MinHash+LSH near-dup pair by the split pair it straddles and reports,
+# per (split_lo, split_hi) class, the pair count and the distinct
+# documents on each side — the train/test and train/valid rows ARE the
+# leakage a cluster-aware split exists to eliminate. Scale shape:
+# identical to llm_minhash_lsh up to the pair frame (band-bucket
+# equi-join, sketch-bounded), then two keyed joins against the
+# dimension-light (doc_id, split) frame and a 6-row-max aggregate; the
+# split frame derives from md5 in codegen, no extra scan beyond the
+# pair pipeline's.
+# ---------------------------------------------------------------------------
+
+
+def _split_oracle_cte() -> str:
+    from sig_etl_spark.queries.llm_text import _SPLIT_SALT
+
+    h = f"CAST(('0x' || substr(md5(text || '{_SPLIT_SALT}'), 1, 15)) AS UBIGINT) % 100"
+    return f"""sp AS (
+  SELECT doc_id,
+         CASE WHEN {h} < 10 THEN 'test'
+              WHEN {h} < 20 THEN 'valid'
+              ELSE 'train' END AS split
+  FROM documents
+)"""
+
+
+_LEAKAGE_ORACLE = None  # assembled lazily below (llm_text import order)
+
+
+def _leakage_oracle() -> str:
+    return f"""
+WITH {_MINHASH_PAIR_CTES},
+pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+{_split_oracle_cte()},
+classed AS (
+  SELECT LEAST(sa.split, sb.split) AS split_lo,
+         GREATEST(sa.split, sb.split) AS split_hi,
+         CASE WHEN sa.split <= sb.split THEN p.id_a ELSE p.id_b END AS doc_lo,
+         CASE WHEN sa.split <= sb.split THEN p.id_b ELSE p.id_a END AS doc_hi
+  FROM pairs p
+  JOIN sp sa ON sa.doc_id = p.id_a
+  JOIN sp sb ON sb.doc_id = p.id_b
+)
+SELECT split_lo, split_hi, COUNT(*) AS n_pairs,
+       COUNT(DISTINCT doc_lo) AS n_docs_lo,
+       COUNT(DISTINCT doc_hi) AS n_docs_hi
+FROM classed
+GROUP BY split_lo, split_hi
+ORDER BY split_lo, split_hi
+"""
+
+
+def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.functions.hashing import portable_hash60
+    from sig_etl_spark.queries.llm_text import _SPLIT_SALT
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b")
+    bucket = portable_hash60(F.concat(F.col("text"), F.lit(_SPLIT_SALT))) % 100
+    sp = docs.select(
+        "doc_id",
+        F.when(bucket < 10, "test")
+        .when(bucket < 20, "valid")
+        .otherwise("train")
+        .alias("split"),
+    )
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    classed = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least(F.col("split_a"), F.col("split_b")).alias("split_lo"),
+            F.greatest(F.col("split_a"), F.col("split_b")).alias("split_hi"),
+            F.when(F.col("split_a") <= F.col("split_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_lo"),
+            F.when(F.col("split_a") <= F.col("split_b"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("doc_hi"),
+        )
+    )
+    return (
+        classed.groupBy("split_lo", "split_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("doc_lo").alias("n_docs_lo"),
+            F.countDistinct("doc_hi").alias("n_docs_hi"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+register(
+    "llm_split_leakage",
+    oracle=_leakage_oracle(),
+    doc="near-dup leakage audit across the content-hash split: MinHash"
+        " LSH pairs classified by the (split_lo, split_hi) pair they"
+        " straddle, pair + distinct-doc counts per class — the"
+        " measurement a cluster-aware split exists to zero out",
+)(llm_split_leakage)

@@ -491,3 +491,18 @@ def test_paragraph_dedup_matches_python_recompute(spark, sf_dir):
         if row["n_kept"] < row["n_chunks"]:
             dropped_any = True
     assert dropped_any, "fixture never exercised the dedup path"
+
+
+def test_split_leakage_reconciles_with_pair_count(spark, sf_dir):
+    """Every MinHash LSH pair lands in exactly one (split_lo, split_hi)
+    class: class pair-counts must sum to the llm_minhash_lsh pair count,
+    and per-side distinct-doc counts can never exceed pair counts."""
+    from sig_etl_spark.queries import QUERIES
+
+    pairs = QUERIES["llm_minhash_lsh"].builder(spark, sf_dir).count()
+    rows = QUERIES["llm_split_leakage"].builder(spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in rows) == pairs
+    for r in rows:
+        assert r["split_lo"] <= r["split_hi"]
+        assert 1 <= r["n_docs_lo"] <= r["n_pairs"]
+        assert 1 <= r["n_docs_hi"] <= r["n_pairs"]

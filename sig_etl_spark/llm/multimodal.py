@@ -1243,8 +1243,14 @@ def phash_images(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(_hashes, PHASH_SCHEMA)
 
 
-def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """(media_id, phash) -> candidate pairs with Hamming <= max_hamming.
+def phash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 6, hash_col: str = "phash"
+) -> DataFrame:
+    """(media_id, <hash_col>) -> candidate pairs with Hamming <= max_hamming.
+
+    Hash-agnostic: serves the image pHash AND the audio fingerprint
+    (fingerprint_audio) — any 64-bit perceptual hash pairs through the
+    same guaranteed-recall banded join.
 
     Combinatorial 2-of-8 banding: the 64-bit hash splits into 8 bytes;
     every unordered band pair (i<j) forms one of C(8,2)=28 composite
@@ -1256,9 +1262,9 @@ def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
     corpus scale). Verification is exact bit_count(xor) on the
     candidates only. All JVM-side after the hash frame.
     """
+    hcol = F.col(hash_col)
     bands = [
-        F.shiftrightunsigned(F.col("phash"), 8 * i).bitwiseAND(F.lit(255))
-        for i in range(8)
+        F.shiftrightunsigned(hcol, 8 * i).bitwiseAND(F.lit(255)) for i in range(8)
     ]
     keys = F.array(
         *[
@@ -1270,16 +1276,16 @@ def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
             for j in range(i + 1, 8)
         ]
     )
-    kf = hashes.select("media_id", "phash", F.explode(keys).alias("k")).select(
-        "media_id", "phash", F.col("k.key_idx").alias("key_idx"),
+    kf = hashes.select("media_id", hash_col, F.explode(keys).alias("k")).select(
+        "media_id", hash_col, F.col("k.key_idx").alias("key_idx"),
         F.col("k.key_val").alias("key_val"),
     )
     a = kf.select(
-        F.col("media_id").alias("id_a"), F.col("phash").alias("ph_a"),
+        F.col("media_id").alias("id_a"), F.col(hash_col).alias("ph_a"),
         "key_idx", "key_val",
     )
     b = kf.select(
-        F.col("media_id").alias("id_b"), F.col("phash").alias("ph_b"),
+        F.col("media_id").alias("id_b"), F.col(hash_col).alias("ph_b"),
         "key_idx", "key_val",
     )
     cand = (
@@ -1298,3 +1304,67 @@ def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint (round 7): Haitsma-Kalker-style 64-bit robust hash —
+# the audio twin of the image pHash for "same recording, different
+# bytes" near-dup detection (re-encode, gain change, light noise).
+# Recipe: frame the first channel into 512-sample windows, power
+# spectrum per frame (rFFT), 4 log-spaced band energies, one bit per
+# (frame transition, band): is this band's energy rising? 16 transitions
+# x 4 bands = 64 bits. Energy-RATIO signs are invariant to volume
+# scaling and robust to additive noise — exactly what byte hashes are
+# not. Shares the combinatorial banded Hamming join with the image
+# pHash (phash_near_dup_pairs).
+# ---------------------------------------------------------------------------
+
+AFP_FRAME = 512
+AFP_BAND_EDGES = (1, 8, 32, 96, 257)  # rFFT bin ranges: 4 log-spaced bands
+AFP_TRANSITIONS = 16
+
+
+def audio_fingerprint64(samples: np.ndarray) -> int:
+    """(n_frames, n_channels) int16 -> 64-bit fingerprint (Python int).
+
+    Uses channel 0; needs at least (AFP_TRANSITIONS+1)*AFP_FRAME frames —
+    shorter clips hash whatever transitions exist (remaining bits 0).
+    """
+    s = samples[:, 0].astype(np.float64)
+    nf = min(len(s) // AFP_FRAME, AFP_TRANSITIONS + 1)
+    nbands = len(AFP_BAND_EDGES) - 1
+    energies = np.zeros((nf, nbands))
+    for f in range(nf):
+        spec = np.abs(np.fft.rfft(s[f * AFP_FRAME : (f + 1) * AFP_FRAME])) ** 2
+        for b in range(nbands):
+            energies[f, b] = spec[AFP_BAND_EDGES[b] : AFP_BAND_EDGES[b + 1]].sum()
+    out = 0
+    i = 0
+    for f in range(1, nf):
+        for b in range(nbands):
+            if energies[f, b] > energies[f - 1, b]:
+                out |= 1 << i
+            i += 1
+    return out
+
+
+def fingerprint_audio(df: DataFrame) -> DataFrame:
+    """(media_id, content WAV bytes) -> (media_id, fp BIGINT) via the real
+    RIFF decode path, Arrow-batched through mapInPandas."""
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("fp", LongType())]
+    )
+
+    def _fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, _rate = decode_wav(bytes(content))
+                h = audio_fingerprint64(samples)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                ids.append(int(mid))
+                fps.append(h)
+            yield pd.DataFrame({"media_id": ids, "fp": fps})
+
+    return df.select("media_id", "content").mapInPandas(_fps, schema)

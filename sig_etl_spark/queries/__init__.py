@@ -161,8 +161,8 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 7 (N=204, D=25):
-# ceil(154/25) = 7 rounds worst-case — debut-heavy rounds slow the
+# behind at most N - C fresher-than-it entries. Round 7 (N=205, D=25):
+# ceil(155/25) = 7 rounds worst-case — debut-heavy rounds slow the
 # refresh; the budget assert bounds how much. Late-round _HOLDBACK
 # entries sort last and only tighten this bound for everyone else.
 # tools/verify_local.py
@@ -236,6 +236,7 @@ _HOLDBACK = [
     "llm_dsir_importance",
     "mm_phash_near_dup",
     "llm_split_leakage",
+    "mm_audio_fingerprint_near_dup",
 ]
 
 

@@ -1213,3 +1213,117 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(hashes, max_hamming=_PHASH_MAX_HAMMING).orderBy(
         "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup (round 7): the audio member of the
+# cross-modality near-dup family (text MinHash/SimHash, image pHash) —
+# Haitsma-Kalker band-energy-transition bits over the real WAV decode
+# path, paired through the SAME combinatorial 2-of-8 banded Hamming
+# join as the image pHash (llm/multimodal.phash_near_dup_pairs,
+# hash-column-agnostic). Fixture clips are 17 frames of 4 band-center
+# tones whose per-frame level (3 levels, consecutive repeats forced
+# apart) is md5-seeded, so every transition bit is decisive: a
+# +/-600-amplitude noisy twin (every 7th doc) measured Hamming 0 over
+# 300 seeds while distinct seeds sit >= 11 apart — threshold 6 gives
+# pigeonhole recall AND clean precision. Energy-ratio signs are
+# volume-invariant (locked by test). Rows-only: no SQL FFT.
+# ---------------------------------------------------------------------------
+
+_AFP_TWIN_EVERY = 7
+_AFP_NOISE = 600
+_AFP_TWIN_OFFSET = 20_000_000
+_AFP_MAX_HAMMING = 6
+_AFP_RATE = 8000
+_AFP_CENTERS = (60, 300, 900, 1900)
+
+
+def _afp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from sig_etl_spark.llm.multimodal import (
+        AFP_FRAME,
+        AFP_TRANSITIONS,
+        encode_wav,
+        partition_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(0).alias("noise"),
+    )
+    twin = docs.filter(F.col("doc_id") % _AFP_TWIN_EVERY == 0).select(
+        (F.col("doc_id") + _AFP_TWIN_OFFSET).alias("media_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(_AFP_NOISE).alias("noise"),
+    )
+    spec = base.unionByName(twin)
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    nframes = AFP_TRANSITIONS + 1
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        def seed_bytes(seed: int, n: int) -> np.ndarray:
+            out = b""
+            i = 0
+            while len(out) < n:
+                out += hashlib.md5(f"aud:{seed}:{i}".encode()).digest()
+                i += 1
+            return np.frombuffer(out[:n], dtype=np.uint8)
+
+        nbands = len(_AFP_CENTERS)
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, seed, noise in zip(pdf["media_id"], pdf["seed"], pdf["noise"]):
+                vals = seed_bytes(int(seed), nframes * nbands)
+                prev = [None] * nbands
+                chunks = []
+                for f in range(nframes):
+                    t = (np.arange(AFP_FRAME) + f * AFP_FRAME) / _AFP_RATE
+                    x = np.zeros(AFP_FRAME)
+                    for b in range(nbands):
+                        tr = int(vals[f * nbands + b]) % 3
+                        if tr == prev[b]:
+                            tr = (tr + 1) % 3
+                        prev[b] = tr
+                        x += (400.0 * 3**tr) * np.sin(
+                            2 * np.pi * _AFP_CENTERS[b] * t
+                        )
+                    chunks.append(x)
+                s = np.concatenate(chunks)
+                if int(noise):
+                    rs = np.random.RandomState(int(seed) & 0x7FFFFFFF)
+                    s = s + rs.randint(-int(noise), int(noise) + 1, size=len(s))
+                samples = np.clip(s, -32768, 32767).astype(np.int16)[:, None]
+                ids.append(int(mid))
+                blobs.append(encode_wav(samples, _AFP_RATE))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return partition_media(spec.mapInPandas(_gen, schema), 32)
+
+
+@register(
+    "mm_audio_fingerprint_near_dup",
+    oracle=None,  # FFT is not SQL-expressible; locked by planted + invariance tests
+    doc="audio fingerprint (band-energy-transition bits over real WAV"
+        " decode) near-dup: same guaranteed-recall 2-of-8 banded Hamming"
+        " join as the image pHash; planted noisy twins, volume-invariant",
+)
+def mm_audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.llm.multimodal import fingerprint_audio, phash_near_dup_pairs
+
+    media = _afp_media(spark, sf_dir)
+    fps = fingerprint_audio(media)
+    return phash_near_dup_pairs(
+        fps, max_hamming=_AFP_MAX_HAMMING, hash_col="fp"
+    ).orderBy("id_a", "id_b")

@@ -560,3 +560,32 @@ def test_phash_near_dup_recall_precision(spark, sf_dir):
     got = {(r["id_a"], r["id_b"]) for r in rows}
     assert got == expected, (len(got), len(expected))
     assert all(0 <= r["hamming"] <= 6 for r in rows)
+
+
+def test_audio_fingerprint_volume_invariant():
+    """Energy-RATIO signs must survive a volume change: halving every
+    sample leaves the fingerprint identical (all band energies scale by
+    the same factor, so every transition comparison is unchanged)."""
+    import numpy as np
+
+    from sig_etl_spark.llm.multimodal import audio_fingerprint64
+
+    rs = np.random.RandomState(11)
+    samples = rs.randint(-20000, 20000, size=(9000, 1)).astype(np.int16)
+    assert audio_fingerprint64(samples) == audio_fingerprint64(
+        (samples.astype(np.int32) // 2).astype(np.int16)
+    )
+
+
+def test_audio_fingerprint_near_dup_recall_precision(spark, sf_dir):
+    """Planted noisy twins (every 7th doc, +/-600 amplitude noise): all
+    found at Hamming <= 6, and no cross-clip pair appears (distinct
+    seeds measured >= 11 apart over 300 prototype seeds)."""
+    from sig_etl_spark.queries import QUERIES
+
+    rows = QUERIES["mm_audio_fingerprint_near_dup"].builder(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    expected = {(k, k + 20_000_000) for k in range(0, docs) if k % 7 == 0}
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert got == expected, (len(got), len(expected))
+    assert all(0 <= r["hamming"] <= 6 for r in rows)

@@ -165,6 +165,10 @@ def _load_all() -> None:
 # ceil(155/25) = 7 rounds worst-case — debut-heavy rounds slow the
 # refresh; the budget assert bounds how much. Late-round _HOLDBACK
 # entries sort last and only tighten this bound for everyone else.
+# Round-7 drain arithmetic (computed, see tools/gen_driver_history.py):
+# all 24 queries whose last driver-green round is <= r3 sit INSIDE this
+# round's cap-50 window, so a green CORRECTNESS_r07 empties the r3-stale
+# block entirely (VERDICT r6 task 4).
 # tools/verify_local.py
 # still checks ALL queries locally every round, so the cap only limits
 # the external signal, never the verification itself.

@@ -161,8 +161,8 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 7 (N=205, D=25):
-# ceil(155/25) = 7 rounds worst-case — debut-heavy rounds slow the
+# behind at most N - C fresher-than-it entries. Round 7 (N=206, D=25):
+# ceil(156/25) = 7 rounds worst-case — debut-heavy rounds slow the
 # refresh; the budget assert bounds how much. Late-round _HOLDBACK
 # entries sort last and only tighten this bound for everyone else.
 # Round-7 drain arithmetic (computed, see tools/gen_driver_history.py):
@@ -241,6 +241,7 @@ _HOLDBACK = [
     "mm_phash_near_dup",
     "llm_split_leakage",
     "mm_audio_fingerprint_near_dup",
+    "mm_video_near_dup",
 ]
 
 

@@ -1327,3 +1327,164 @@ def mm_audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame
     return phash_near_dup_pairs(
         fps, max_hamming=_AFP_MAX_HAMMING, hash_col="fp"
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup (round 7): temporal-shingle Jaccard over per-frame
+# content hashes — the video member of the cross-modality near-dup
+# family, and unlike the image/audio perceptual hashes this one is
+# FULLY oracle-checked (frame slicing is deterministic byte arithmetic,
+# hashes are md5, the rest is the shingle-Jaccard machinery the text
+# near-dup family already proved). A clip is a sequence of frame
+# hashes; shingles are 3 consecutive hashes, so two clips match when
+# long runs of frames coincide — robust to a re-encoded/partially
+# edited copy (the planted twin replaces ONE middle frame and still
+# scores Jaccard ~0.7-0.9), while clips from different sources share
+# zero shingles. Threshold J >= 0.5 applied as exact integer
+# cross-multiplication (2*co >= n_a + n_b - co); the emitted ratio is
+# integer permille. Scale shape: frames explode ~n_frames per clip
+# (bounded by duration metadata), the shingle posting-list join is the
+# same sketch-bounded pair generator as llm_ngram_jaccard — never a
+# clip x clip product; windows are clip-keyed.
+# ---------------------------------------------------------------------------
+
+_VND_EVERY_MS = 100
+_VND_TWIN_OFFSET = 30_000_000
+
+_VND_CLIP_CTES = f"""vsrc AS (
+  SELECT doc_id, text, length(text) AS n,
+         CAST(500 * (1 + doc_id % 7) AS INTEGER) AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+),
+base AS (
+  SELECT doc_id AS clip_id, text, n,
+         GREATEST(duration_ms // {_VND_EVERY_MS}, 1) AS n_frames
+  FROM vsrc
+),
+bstep AS (
+  SELECT clip_id, text, n, n_frames, GREATEST(n // n_frames, 1) AS step
+  FROM base
+),
+twin AS (
+  SELECT clip_id + {_VND_TWIN_OFFSET} AS clip_id,
+         substr(text, 1, 2 * step) || repeat('X', step)
+           || substr(text, 3 * step + 1) AS text,
+         n, n_frames, step
+  FROM bstep
+  WHERE (clip_id % 7) >= 3
+),
+clips AS (SELECT * FROM bstep UNION ALL SELECT * FROM twin),
+frames AS (
+  SELECT clip_id, CAST(j AS INTEGER) AS frame_idx,
+         md5(substr(text, CAST(j * step + 1 AS INTEGER),
+               CAST(CASE WHEN LEAST(step, n - j * step) <= 0 THEN 1
+                         ELSE LEAST(step, n - j * step) END AS INTEGER)))
+           AS tok
+  FROM clips CROSS JOIN range(35) t(j)
+  WHERE j < n_frames
+),
+sh AS (
+  SELECT DISTINCT f0.clip_id, f0.tok || f1.tok || f2.tok AS shingle
+  FROM frames f0
+  JOIN frames f1 ON f1.clip_id = f0.clip_id AND f1.frame_idx = f0.frame_idx + 1
+  JOIN frames f2 ON f2.clip_id = f0.clip_id AND f2.frame_idx = f0.frame_idx + 2
+),
+sizes AS (SELECT clip_id, COUNT(*) AS n_sh FROM sh GROUP BY clip_id)"""
+
+_VND_ORACLE = f"""
+WITH {_VND_CLIP_CTES},
+co AS (
+  SELECT a.clip_id AS id_a, b.clip_id AS id_b, COUNT(*) AS co
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.clip_id < b.clip_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, co, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(co * 1000 // (sa.n_sh + sb.n_sh - co) AS BIGINT)
+         AS jaccard_permille
+FROM co
+JOIN sizes sa ON sa.clip_id = id_a
+JOIN sizes sb ON sb.clip_id = id_b
+WHERE 2 * co >= sa.n_sh + sb.n_sh - co
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "mm_video_near_dup",
+    oracle=_VND_ORACLE,
+    doc="video near-dup via temporal shingles (3 consecutive frame-hash"
+        " tokens) and posting-list Jaccard with integer"
+        " cross-multiplication threshold — planted one-frame-edited"
+        " twins; fully oracle-checked",
+)
+def mm_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    base = docs.select(
+        F.col("doc_id").alias("clip_id"),
+        F.col("text").alias("text"),
+        F.length("text").alias("n"),
+        F.greatest(
+            ((500 * (1 + F.col("doc_id") % 7)).cast("int") / _VND_EVERY_MS)
+            .cast("int"),
+            F.lit(1),
+        ).alias("n_frames"),
+    ).withColumn("step", F.greatest(F.expr("n div n_frames"), F.lit(1)).cast("int"))
+    twin = base.filter(F.col("clip_id") % 7 >= 3).select(
+        (F.col("clip_id") + _VND_TWIN_OFFSET).alias("clip_id"),
+        F.concat(
+            F.substring(F.col("text"), 1, F.col("step") * 2),
+            F.repeat(F.lit("X"), F.col("step")),
+            F.expr("substr(text, 3 * step + 1)"),
+        ).alias("text"),
+        "n",
+        "n_frames",
+        "step",
+    )
+    clips = base.unionByName(twin)
+    frames = clips.select(
+        "clip_id", "text", "n", "step",
+        F.explode(F.expr("sequence(0, n_frames - 1)")).alias("j"),
+    ).select(
+        "clip_id",
+        F.col("j").alias("frame_idx"),
+        F.md5(
+            F.expr(
+                "substr(text, j * step + 1,"
+                " cast(case when least(step, n - j * step) <= 0 then 1"
+                " else least(step, n - j * step) end as int))"
+            )
+        ).alias("tok"),
+    )
+    w = Window.partitionBy("clip_id").orderBy("frame_idx")
+    sh = (
+        frames.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select("clip_id", F.concat("tok", "t1", "t2").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("clip_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("clip_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("clip_id").alias("id_b"), "shingle")
+    co = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    sa = sizes.select(F.col("clip_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("clip_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        co.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(2 * F.col("co") >= F.col("n_a") + F.col("n_b") - F.col("co"))
+        .select(
+            "id_a", "id_b", "co", "n_a", "n_b",
+            F.expr("co * 1000 div (n_a + n_b - co)")
+            .cast("bigint")
+            .alias("jaccard_permille"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -589,3 +589,51 @@ def test_audio_fingerprint_near_dup_recall_precision(spark, sf_dir):
     got = {(r["id_a"], r["id_b"]) for r in rows}
     assert got == expected, (len(got), len(expected))
     assert all(0 <= r["hamming"] <= 6 for r in rows)
+
+
+def test_video_near_dup_finds_planted_twins_and_only_true_pairs(spark, sf_dir):
+    """Every planted one-frame-edited twin (video docs with
+    doc_id%7>=3) must match its source at J >= 0.5. Extra pairs are
+    allowed ONLY when ground-truth recomputation (pure-Python frame
+    slicing + shingling of the two clips' texts) confirms J >= 0.5 —
+    the fixture corpus itself contains near-duplicate documents, whose
+    clips legitimately match."""
+    import hashlib
+
+    from sig_etl_spark.queries import QUERIES
+
+    rows = QUERIES["mm_video_near_dup"].builder(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id % 3 = 2")
+        .collect()
+    }
+    expected = {
+        (k, k + 30_000_000) for k in docs if k % 7 >= 3
+    }
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert expected <= got, f"missed {len(expected - got)} planted twins"
+
+    def clip_shingles(clip_id: int) -> set:
+        doc_id = clip_id % 30_000_000
+        text = docs[doc_id]
+        n = len(text)
+        n_frames = max((500 * (1 + doc_id % 7)) // 100, 1)
+        step = max(n // n_frames, 1)
+        if clip_id >= 30_000_000:  # twin: frame 2 replaced
+            text = text[: 2 * step] + "X" * step + text[3 * step :]
+        toks = []
+        for j in range(n_frames):
+            ln = min(step, n - j * step)
+            seg = text[j * step : j * step + (ln if ln > 0 else 1)]
+            toks.append(hashlib.md5(seg.encode()).hexdigest())
+        return {"".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+
+    for r in rows:
+        assert 2 * r["co"] >= r["n_a"] + r["n_b"] - r["co"]
+        assert 500 <= r["jaccard_permille"] <= 1000
+        sa, sb = clip_shingles(r["id_a"]), clip_shingles(r["id_b"])
+        co = len(sa & sb)
+        assert co == r["co"] and len(sa) == r["n_a"] and len(sb) == r["n_b"]
+        assert 2 * co >= len(sa | sb), (r["id_a"], r["id_b"])

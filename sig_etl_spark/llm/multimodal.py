@@ -1333,18 +1333,23 @@ def audio_fingerprint64(samples: np.ndarray) -> int:
     s = samples[:, 0].astype(np.float64)
     nf = min(len(s) // AFP_FRAME, AFP_TRANSITIONS + 1)
     nbands = len(AFP_BAND_EDGES) - 1
-    energies = np.zeros((nf, nbands))
-    for f in range(nf):
-        spec = np.abs(np.fft.rfft(s[f * AFP_FRAME : (f + 1) * AFP_FRAME])) ** 2
-        for b in range(nbands):
-            energies[f, b] = spec[AFP_BAND_EDGES[b] : AFP_BAND_EDGES[b + 1]].sum()
+    # one batched rFFT over all frames (axis=1), band sums via slices —
+    # the per-frame Python loop was the sf1 hot spot (34.8s -> see
+    # BASELINE.md round-7 audio-fingerprint row)
+    frames = s[: nf * AFP_FRAME].reshape(nf, AFP_FRAME)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    energies = np.stack(
+        [
+            spec[:, AFP_BAND_EDGES[b] : AFP_BAND_EDGES[b + 1]].sum(axis=1)
+            for b in range(nbands)
+        ],
+        axis=1,
+    )
+    rising = (energies[1:] > energies[:-1]).astype(np.uint64).ravel()
     out = 0
-    i = 0
-    for f in range(1, nf):
-        for b in range(nbands):
-            if energies[f, b] > energies[f - 1, b]:
-                out |= 1 << i
-            i += 1
+    for i, bit in enumerate(rising):
+        if bit:
+            out |= 1 << i
     return out
 
 

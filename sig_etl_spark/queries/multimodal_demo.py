@@ -1284,23 +1284,26 @@ def _afp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         nbands = len(_AFP_CENTERS)
         for pdf in batches:
             ids, blobs = [], []
+            # tone table shared by every clip in the batch: (bands, n)
+            n_samples = nframes * AFP_FRAME
+            t = np.arange(n_samples) / _AFP_RATE
+            tones = np.stack(
+                [np.sin(2 * np.pi * c * t) for c in _AFP_CENTERS]
+            )
             for mid, seed, noise in zip(pdf["media_id"], pdf["seed"], pdf["noise"]):
                 vals = seed_bytes(int(seed), nframes * nbands)
                 prev = [None] * nbands
-                chunks = []
+                amps = np.zeros((nframes, nbands))
                 for f in range(nframes):
-                    t = (np.arange(AFP_FRAME) + f * AFP_FRAME) / _AFP_RATE
-                    x = np.zeros(AFP_FRAME)
                     for b in range(nbands):
                         tr = int(vals[f * nbands + b]) % 3
                         if tr == prev[b]:
                             tr = (tr + 1) % 3
                         prev[b] = tr
-                        x += (400.0 * 3**tr) * np.sin(
-                            2 * np.pi * _AFP_CENTERS[b] * t
-                        )
-                    chunks.append(x)
-                s = np.concatenate(chunks)
+                        amps[f, b] = 400.0 * 3**tr
+                # per-sample envelope per band, then one vectorized mix
+                env = np.repeat(amps, AFP_FRAME, axis=0)  # (n, bands)
+                s = (env.T * tones).sum(axis=0)
                 if int(noise):
                     rs = np.random.RandomState(int(seed) & 0x7FFFFFFF)
                     s = s + rs.randint(-int(noise), int(noise) + 1, size=len(s))

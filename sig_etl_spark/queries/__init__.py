@@ -136,6 +136,7 @@ def _load_all() -> None:
     from sig_etl_spark.queries import functions_demo  # noqa: F401
     from sig_etl_spark.queries import relational  # noqa: F401
     from sig_etl_spark.queries import tpch_more  # noqa: F401
+    from sig_etl_spark.queries import graph_demo  # noqa: F401
 
 
 # ---------------------------------------------------------------------------
@@ -161,8 +162,8 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 7 (N=206, D=25):
-# ceil(156/25) = 7 rounds worst-case — debut-heavy rounds slow the
+# behind at most N - C fresher-than-it entries. Round 7 (N=207, D=25):
+# ceil(157/25) = 7 rounds worst-case — debut-heavy rounds slow the
 # refresh; the budget assert bounds how much. Late-round _HOLDBACK
 # entries sort last and only tighten this bound for everyone else.
 # Round-7 drain arithmetic (computed, see tools/gen_driver_history.py):
@@ -242,6 +243,7 @@ _HOLDBACK = [
     "llm_split_leakage",
     "mm_audio_fingerprint_near_dup",
     "mm_video_near_dup",
+    "graph_pagerank_parts",
 ]
 
 

@@ -1,0 +1,145 @@
+"""Iterative graph analytics over relational data: integer PageRank.
+
+The engine already runs two iterative graph algorithms (connected
+components over near-dup pair graphs, hierarchy flattening by pointer
+doubling). PageRank adds the third classic: a fixed-point mass iteration
+over the part co-purchase graph — the shape behind "importance" ranking
+of entities linked by transactions (reference analogue: the vote-index
+scoring that ranks entities by accumulated weighted contributions,
+votervoice/transform.py:77-86, iterated here instead of single-pass).
+
+Determinism discipline: the usual float PageRank is a seam factory
+(division, convergence thresholds), so this is the INTEGER variant —
+micro-mass units, per-edge contribution ``mass div out_degree`` (exact
+integer division), damping as ``(inflow * 85) div 100``, and a FIXED
+iteration count instead of a convergence test. Both engines execute
+identical integer arithmetic, so the whole 5-iteration fixed point is
+hash-checked against an UNROLLED DuckDB oracle (it1..it5 CTE chain —
+recursive CTEs cannot aggregate per round, unrolling can). Mass lost to
+integer truncation and dangling nodes is intentional and identical on
+both sides.
+
+Scale shape: the co-purchase edge build is the bounded order-keyed
+self-join j_part_affinity established (linear in orders); each iteration
+is ONE keyed join (mass x out-edges) and ONE combinable groupBy on the
+destination — no global state, no driver loop over rows. The mass frame
+is localCheckpointed per round, the repo's standard barrier for loop
+invariants (without it every iteration replays the whole upstream
+pipeline — the connected-components lesson). Top-k is a bounded window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sig_etl_spark.queries import register
+from sig_etl_spark.tables import load_table
+
+_PR_ITER = 5
+_PR_MIN_CO = 2
+_PR_TOPK = 50
+
+
+def _pr_iter_cte(i: int) -> str:
+    return f"""it{i} AS (
+  SELECT n.v,
+         CAST(150000 + COALESCE(SUM(p.m // d.d), 0) * 85 // 100 AS BIGINT) AS m
+  FROM nodes n
+  LEFT JOIN edges e ON e.v = n.v
+  LEFT JOIN it{i - 1} p ON p.v = e.u
+  LEFT JOIN deg d ON d.u = e.u
+  GROUP BY n.v
+)"""
+
+
+_PAGERANK_ORACLE = f"""
+WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+co AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM lines a JOIN lines b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_PR_MIN_CO}
+),
+edges AS (SELECT part_a AS u, part_b AS v FROM co
+          UNION ALL SELECT part_b, part_a FROM co),
+deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+nodes AS (SELECT DISTINCT l_partkey AS v FROM lines),
+it0 AS (SELECT v, CAST(1000000 AS BIGINT) AS m FROM nodes),
+{",".join(_pr_iter_cte(i) for i in range(1, _PR_ITER + 1))}
+SELECT partkey, pagerank_micro, rn FROM (
+  SELECT v AS partkey, m AS pagerank_micro,
+         CAST(row_number() OVER (ORDER BY m DESC, v) AS BIGINT) AS rn
+  FROM it{_PR_ITER}
+) ranked WHERE rn <= {_PR_TOPK}
+ORDER BY rn
+"""
+
+
+@register(
+    "graph_pagerank_parts",
+    oracle=_PAGERANK_ORACLE,
+    doc=f"integer PageRank ({_PR_ITER} fixed iterations, micro-mass"
+        " units, div-exact damping) over the part co-purchase graph,"
+        " hash-checked against an unrolled CTE oracle; one keyed join +"
+        " one combinable groupBy per iteration, localCheckpointed",
+)
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lines.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = lines.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _PR_MIN_CO)
+    )
+    edges = co.select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    ).unionByName(co.select(F.col("part_b").alias("u"), F.col("part_a").alias("v")))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # (u, v, d): out-edges annotated with the source's out-degree, reused
+    # every iteration — checkpoint once so no round replays the pair join.
+    ed = edges.join(deg, "u").localCheckpoint()
+    nodes = lines.select(F.col("l_partkey").alias("v")).distinct().localCheckpoint()
+
+    mass = nodes.withColumn("m", F.lit(1_000_000).cast("bigint"))
+    for _ in range(_PR_ITER):
+        contrib = (
+            mass.select(F.col("v").alias("u"), "m")
+            .join(ed, "u")
+            .groupBy(F.col("v"))
+            .agg(F.sum(F.expr("m div d")).alias("s"))
+        )
+        mass = (
+            nodes.join(contrib, "v", "left")
+            .select(
+                "v",
+                F.expr("cast(150000 + coalesce(s, 0) * 85 div 100 as bigint)")
+                .alias("m"),
+            )
+            .localCheckpoint()  # loop invariant barrier (CC discipline)
+        )
+    # TakeOrdered cuts to the top-k FIRST (distributed partial top-k per
+    # partition), so the unpartitioned ranking window only ever sees
+    # _PR_TOPK rows — never the full node set.
+    top = mass.orderBy(F.desc("m"), F.asc("v")).limit(_PR_TOPK)
+    w = Window.orderBy(F.desc("m"), F.asc("v"))
+    return (
+        top.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .select(
+            F.col("v").alias("partkey"),
+            F.col("m").alias("pagerank_micro"),
+            "rn",
+        )
+        .orderBy("rn")
+    )

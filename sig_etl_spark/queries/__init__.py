@@ -162,8 +162,8 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 7 (N=207, D=25):
-# ceil(157/25) = 7 rounds worst-case — debut-heavy rounds slow the
+# behind at most N - C fresher-than-it entries. Round 7 (N=208, D=25):
+# ceil(158/25) = 7 rounds worst-case — debut-heavy rounds slow the
 # refresh; the budget assert bounds how much. Late-round _HOLDBACK
 # entries sort last and only tighten this bound for everyone else.
 # Round-7 drain arithmetic (computed, see tools/gen_driver_history.py):
@@ -244,6 +244,7 @@ _HOLDBACK = [
     "mm_audio_fingerprint_near_dup",
     "mm_video_near_dup",
     "graph_pagerank_parts",
+    "llm_langid_agreement",
 ]
 
 

@@ -1876,3 +1876,113 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("weight_proxy"), F.asc("doc_id"))
         .limit(_DSIR_TOPK)
     )
+
+# ---------------------------------------------------------------------------
+# Annotator-agreement report (round 7): Cohen's kappa between the
+# engine's n-gram language-ID heuristic and the dataset's lang label —
+# the QA measurement a labeling pipeline runs before trusting either
+# source of labels ("how much better than chance do the two labelers
+# agree?"). kappa = (po - pe) / (1 - pe) is a division seam, so it is
+# emitted as EXACT integer cross-multiplication permille:
+#     kappa_permille = (A*N - S) * 1000 div (N^2 - S)
+# where A = agreements, N = docs, S = sum over classes of
+# (row marginal * column marginal) — every term a bigint. Scale shape:
+# one codegen pass computes the guess, one combinable groupBy builds
+# the confusion matrix (<=|langs|^2 rows), marginal products fold on
+# the driver-sized matrix; 1-row output.
+# ---------------------------------------------------------------------------
+
+_AGREE_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT lang AS actual,
+         CASE WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+              WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+              WHEN h_es > 0 AND h_es >= h_en AND h_es >= h_de AND h_es >= h_fr THEN 'es'
+              WHEN h_fr > 0 AND h_fr >= h_en AND h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+              ELSE 'und'
+         END AS predicted
+  FROM (
+    SELECT lang,
+           len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS h_en,
+           len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS h_de,
+           len(list_filter(toks, t -> list_contains(['el','la','que','y','en','los'], t))) AS h_es,
+           len(list_filter(toks, t -> list_contains(['le','la','et','les','des','une'], t))) AS h_fr
+    FROM base
+  )
+),
+cm AS (SELECT actual, predicted, COUNT(*) AS n FROM g GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN actual = predicted THEN n ELSE 0 END) AS BIGINT)
+           AS n_agree
+  FROM cm
+),
+marg AS (
+  SELECT CAST(SUM(ra.rn * cb.cn) AS BIGINT) AS s_chance
+  FROM (SELECT actual AS cls, SUM(n) AS rn FROM cm GROUP BY actual) ra
+  JOIN (SELECT predicted AS cls, SUM(n) AS cn FROM cm GROUP BY predicted) cb
+    ON ra.cls = cb.cls
+)
+SELECT n_docs, n_agree, s_chance, accuracy_permille,
+       CASE WHEN n_agree * n_docs >= s_chance THEN kp_abs ELSE -kp_abs END
+         AS kappa_permille
+FROM (
+  SELECT n_docs, n_agree, s_chance,
+         CAST(n_agree * 1000 // n_docs AS BIGINT) AS accuracy_permille,
+         -- below-chance agreement makes the numerator negative, and
+         -- floor (//) vs truncate (div) diverge there: divide the
+         -- absolute value (identical on both engines) and re-sign
+         CAST(ABS(n_agree * n_docs - s_chance) * 1000
+              // (n_docs * n_docs - s_chance) AS BIGINT) AS kp_abs
+  FROM tot CROSS JOIN marg
+)
+"""
+
+
+@register(
+    "llm_langid_agreement",
+    oracle=_AGREE_ORACLE,
+    doc="Cohen's kappa between the n-gram language-ID heuristic and the"
+        " dataset lang label: confusion marginals folded to exact"
+        " integer cross-multiplication permille — annotator-agreement"
+        " QA with zero doubles",
+)
+def llm_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        F.col("lang").alias("actual"),
+        T.lang_guess(F.col("text")).alias("predicted"),
+    )
+    cm = g.groupBy("actual", "predicted").agg(F.count(F.lit(1)).alias("n"))
+    tot = cm.agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("actual") == F.col("predicted"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    ra = cm.groupBy(F.col("actual").alias("cls")).agg(F.sum("n").alias("rn"))
+    cb = cm.groupBy(F.col("predicted").alias("cls")).agg(F.sum("n").alias("cn"))
+    marg = (
+        ra.join(cb, "cls")
+        .agg(F.sum(F.col("rn") * F.col("cn")).cast("bigint").alias("s_chance"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(marg))
+        .select(
+            "n_docs",
+            "n_agree",
+            "s_chance",
+            F.expr("cast(n_agree * 1000 div n_docs as bigint)")
+            .alias("accuracy_permille"),
+            # abs-then-resign: floor (//) vs truncate (div) agree only
+            # on non-negative numerators
+            F.expr(
+                "cast(if(n_agree * n_docs >= s_chance, 1, -1)"
+                " * (abs(n_agree * n_docs - s_chance) * 1000"
+                "    div (n_docs * n_docs - s_chance)) as bigint)"
+            ).alias("kappa_permille"),
+        )
+    )

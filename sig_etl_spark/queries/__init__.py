@@ -61,6 +61,16 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 _SEAM_WHITELIST: frozenset[str] = frozenset()
 
+# Related review discipline the lint cannot prove mechanically: integer
+# division (Spark `div`, DuckDB `//`) is only VERSION-stable for
+# NON-NEGATIVE operands. This sandbox's DuckDB 1.0.0 truncates `//`
+# toward zero (probed: -7//2 = -3, matching Spark div), but later DuckDB
+# releases changed `//` to floor semantics — exactly the class of
+# driver-environment version seam the diag_seam bisector hunts. Every
+# registered div site must therefore either divide a by-construction
+# non-negative value (counts, cents, masses, rates — audited round 7) or
+# divide the absolute value and re-sign (llm_langid_agreement's kappa).
+
 # Oracle-side banned constructs, matched as CALL SITES: the lookbehind
 # keeps identifiers that merely end in "median"/"power" (column or CTE
 # names) from matching, while real calls still do. quantile_cont is a
@@ -162,8 +172,8 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 7 (N=208, D=25):
-# ceil(158/25) = 7 rounds worst-case — debut-heavy rounds slow the
+# behind at most N - C fresher-than-it entries. Round 7 (N=209, D=25):
+# ceil(159/25) = 7 rounds worst-case — debut-heavy rounds slow the
 # refresh; the budget assert bounds how much. Late-round _HOLDBACK
 # entries sort last and only tighten this bound for everyone else.
 # Round-7 drain arithmetic (computed, see tools/gen_driver_history.py):
@@ -245,6 +255,7 @@ _HOLDBACK = [
     "mm_video_near_dup",
     "graph_pagerank_parts",
     "llm_langid_agreement",
+    "diag_seam_neg_div",
 ]
 
 

@@ -39,6 +39,10 @@ Interpretation table (also in README.md):
   exact decimal sum differs — would invalidate the round-7 drift fix.
 - ``diag_seam_datediff`` red        -> engine day-difference conventions
   differ on timestamps (r6 RFM's recency construct).
+- ``diag_seam_neg_div`` red         -> negative-numerator integer division
+  (or %) floors instead of truncating — a DuckDB-version seam (1.0
+  truncates, later releases floor `//`); production queries are immune
+  by the non-negative-numerator discipline (queries/__init__.py).
 
 Every query is O(1): a 10–100-row TakeOrdered slice of ``orders``, no
 shuffle wider than one aggregate. They stay registered permanently —
@@ -390,4 +394,37 @@ def diag_seam_datediff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dayno(F.col("dmax")) - dayno(F.col("o_orderdate")))
         .cast("bigint")
         .alias("epoch_days"),
+    )
+
+
+# --- 11. negative integer division (round-7 addition) ----------------------
+# This sandbox's DuckDB 1.0.0 truncates `//` toward zero (probed:
+# -7//2 = -3), matching Spark's `div` — but later DuckDB releases moved
+# `//` to floor semantics. If the driver's DuckDB floors, this row goes
+# red and mechanically identifies the version seam; the repo's own
+# discipline (non-negative numerators everywhere, abs-then-resign in
+# llm_langid_agreement) keeps every production query immune either way.
+
+_NEG_DIV_ORACLE = f"""
+SELECT o_orderkey,
+       CAST((-(o_orderkey % 9) - 1) // 2 AS BIGINT) AS neg_div_2,
+       CAST((o_orderkey % 9 + 1) // 2 AS BIGINT) AS pos_div_2,
+       CAST((-(o_orderkey % 9) - 1) % 4 AS BIGINT) AS neg_mod_4
+FROM ({_SLICE_SQL.format(n=10)}) t
+"""
+
+
+@register(
+    "diag_seam_neg_div",
+    oracle=_NEG_DIV_ORACLE,
+    doc="seam bisector: negative-numerator integer division and modulo —"
+        " truncate (DuckDB 1.0 `//`, Spark div) vs floor (later DuckDB"
+        " `//`) version seam; positives as the control column",
+)
+def diag_seam_neg_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _slice(spark, sf_dir, 10).select(
+        "o_orderkey",
+        F.expr("cast((-(o_orderkey % 9) - 1) div 2 as bigint)").alias("neg_div_2"),
+        F.expr("cast((o_orderkey % 9 + 1) div 2 as bigint)").alias("pos_div_2"),
+        F.expr("cast((-(o_orderkey % 9) - 1) % 4 as bigint)").alias("neg_mod_4"),
     )

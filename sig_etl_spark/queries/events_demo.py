@@ -1544,3 +1544,76 @@ def dim_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time enrichment (round 7): the query a versioned
+# dimension EXISTS for — each fact row joined to the dimension version
+# valid AT ITS TIMESTAMP. The oracle states the declarative interval
+# semantics (user match + valid_from <= ts < valid_to, open current
+# row); the Spark side implements the scalable form: dimension change
+# points and facts are unioned per user and a single user-keyed
+# fill-forward window carries the last version forward onto every fact
+# — one shuffle on user_id, no interval/range join, no per-fact probe.
+# A dim row at the same instant as a fact sorts FIRST (src 0 < 1), so a
+# purchase at exactly valid_from lands in the NEW version — identical
+# to the oracle's half-open interval. Every purchase matches exactly
+# one version by construction (a user's first version starts at the
+# midnight of their first event). Output: purchases per dimension
+# segment — all integers.
+# ---------------------------------------------------------------------------
+
+_SCD2_PIT_ORACLE = f"""
+WITH dim AS ({_SCD2_ORACLE.strip()}),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT d.event_type AS segment,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT p.user_id) AS n_users
+FROM p
+JOIN dim d ON d.user_id = p.user_id
+          AND p.ts >= d.valid_from
+          AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+GROUP BY d.event_type
+ORDER BY segment
+"""
+
+
+@register(
+    "dim_scd2_point_in_time",
+    oracle=_SCD2_PIT_ORACLE,
+    doc="point-in-time join of purchases against the SCD2 dimension:"
+        " oracle states interval semantics, Spark implements the"
+        " union + user-keyed fill-forward window (one shuffle, no range"
+        " join); purchases per dimension segment, all-integer output",
+)
+def dim_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = dim_scd2_intervals(spark, sf_dir).select(
+        "user_id",
+        F.col("valid_from").alias("t"),
+        F.col("event_type").alias("seg"),
+        F.lit(0).alias("src"),
+    )
+    p = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id", F.col("ts").alias("t"), F.lit(None).cast("string").alias("seg"),
+        F.lit(1).alias("src"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = (
+        dim.unionByName(p)
+        .withColumn("segment", F.last("seg", ignorenulls=True).over(w))
+        .filter(F.col("src") == 1)
+    )
+    return (
+        enriched.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("segment")
+    )

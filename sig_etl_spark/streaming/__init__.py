@@ -19,6 +19,7 @@ from sig_etl_spark.streaming.pipeline import (  # noqa: F401
     running_user_totals,
     session_windows,
     stateful_sessionize,
+    stream_cms_registers,
     stream_corpus_near_dup,
     stream_dedup,
     stream_hll_distinct,

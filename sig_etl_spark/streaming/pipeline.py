@@ -687,3 +687,33 @@ def stream_scd2(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min registers (round 7): the CMS point applied to
+# streams — raw per-key counting needs state that grows with the key
+# universe (every distinct user is a state row forever), while the
+# sketch's streaming aggregation state is FIXED at d x w = 1024 cells
+# no matter how many keys flow by. Pure native streaming aggregation
+# (update mode): per event, d (row, cell) increments via the SAME
+# md5 cell hash as the batch cms_sketch, then groupBy(k, cell).sum —
+# map-side combined per micro-batch, checkpoint-merged across restarts
+# by Spark's own agg state. Heavy-hitter extraction (min over the d
+# estimates per candidate key) runs on the registers downstream; the
+# batch-equality test proves registers AND estimates equal the batch
+# sketch over everything delivered, across a checkpoint resume.
+# ---------------------------------------------------------------------------
+
+
+def stream_cms_registers(events: DataFrame) -> DataFrame:
+    from sig_etl_spark.sketches import CMS_D, CMS_W
+
+    rows = events.selectExpr(
+        "cast(user_id as string) as key",
+        f"explode(sequence(0, {CMS_D - 1})) as k",
+    ).selectExpr(
+        "k",
+        f"cast(cast(conv(substring(md5(concat(cast(k as string), ':', key)), "
+        f"1, 15), 16, 10) as bigint) % {CMS_W} as int) as cell",
+    )
+    return rows.groupBy("k", "cell").agg(F.count(F.lit(1)).alias("cell_n"))

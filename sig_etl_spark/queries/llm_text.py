@@ -1823,18 +1823,23 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.pmod(portable_hash60(F.col("tok")), F.lit(_DSIR_BUCKETS)).alias("bucket"),
     )
+    # ONE tokenize+count pass: both distributions and both totals derive
+    # from the per-(doc, bucket) frame (sums of n_b are exactly the raw
+    # occurrence counts), and the frame is persisted because four
+    # consumers would otherwise re-run the tokenize/explode subtree —
+    # the repo's standard reused-subtree barrier (README design stance).
     doc_feats = occ.groupBy("doc_id", "bucket").agg(
         F.any_value(F.col("lang")).alias("lang"),
         F.any_value(F.col("source")).alias("source"),
         F.count(F.lit(1)).alias("n_b"),
+    ).persist()
+    target_feats = doc_feats.filter(F.col("lang") == _DSIR_TARGET_LANG)
+    target_dist = target_feats.groupBy("bucket").agg(
+        F.sum("n_b").alias("tc")
     )
-    target_occ = occ.filter(F.col("lang") == _DSIR_TARGET_LANG)
-    target_dist = target_occ.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("tc")
-    )
-    target_total = target_occ.agg(F.count(F.lit(1)).alias("tt"))
-    pool_dist = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("pc"))
-    pool_total = occ.agg(F.count(F.lit(1)).alias("pt"))
+    target_total = target_feats.agg(F.sum("n_b").alias("tt"))
+    pool_dist = doc_feats.groupBy("bucket").agg(F.sum("n_b").alias("pc"))
+    pool_total = doc_feats.agg(F.sum("n_b").alias("pt"))
 
     # floor(4*log2(x+1)) via the bit length of the explicit 4th power —
     # x is a permyriad rate (<= 10000), so (x+1)^4 <= ~1e16 fits bigint

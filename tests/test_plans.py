@@ -593,3 +593,39 @@ def test_tpch_completion_plan_shapes(spark, sf_dir):
     for name in ["j_q11_important_stock", "j_q15_top_supplier"]:
         plan = _plan(spark, sf_dir, name)
         assert plan.count("SinglePartition") <= 2, name
+
+
+def test_round7_late_op_plan_shapes(spark, sf_dir):
+    """Plan guards for the round-7 late additions."""
+    # DSIR: ONE documents scan feeds everything (the tokenize/explode
+    # pass must not replay per consumer — persist barrier), the tier
+    # frame broadcasts, and the only single-partition exchanges are the
+    # two 1-row totals.
+    plan = _plan(spark, sf_dir, "llm_dsir_importance")
+    doc_scans = [
+        c for c in plan.split("ReadSchema: ")[1:]
+        if "text" in c.splitlines()[0] or "doc_id" in c.splitlines()[0]
+    ]
+    assert len(doc_scans) <= 1, f"documents scanned {len(doc_scans)} times"
+    assert _count_op(plan, "BroadcastHashJoin") >= 1
+    assert plan.count("SinglePartition") <= 2
+    assert _count_op(plan, "TakeOrderedAndProject") == 1
+
+    # PageRank: every iteration is materialized behind localCheckpoint,
+    # so the FINAL plan is a TakeOrdered + 50-row window over the
+    # checkpointed RDD — no parquet re-scan, no full-node window.
+    plan = _plan(spark, sf_dir, "graph_pagerank_parts")
+    li_scans = [
+        c for c in plan.split("ReadSchema: ")[1:]
+        if "l_orderkey" in c.splitlines()[0]
+    ]
+    assert not li_scans, "lineitem re-scanned past the checkpoints"
+    assert _count_op(plan, "TakeOrderedAndProject") == 1
+    assert "SinglePartition" not in plan
+
+    # SCD2 point-in-time: the fill-forward runs in user-keyed windows —
+    # never an unpartitioned window or a range join.
+    plan = _plan(spark, sf_dir, "dim_scd2_point_in_time")
+    assert _count_op(plan, "Window") >= 1
+    assert "SinglePartition" not in plan
+    assert _count_op(plan, "SortMergeJoin") + _count_op(plan, "BroadcastNestedLoopJoin") == 0

@@ -1617,3 +1617,110 @@ def dim_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-bounded funnel (round 7): the product-analytics form of the
+# funnel — each step must happen WITHIN A WINDOW of the previous one
+# (click within 30 minutes of the first view, purchase within 24 hours
+# of that click), not merely after it (events_funnel's unbounded
+# chain). Greedy first-touch semantics, fully deterministic: the
+# user's FIRST view anchors the chain, then the first qualifying
+# click, then the first qualifying purchase — stated identically on
+# both engines as three MIN-aggregate hops. Scale shape: three
+# user-keyed combinable aggregates and two equi-joins on user_id —
+# no range join, no window over events. Output: 3 stage rows with
+# integer user counts and permille retention.
+# ---------------------------------------------------------------------------
+
+_TF_CLICK_WINDOW = "INTERVAL 30 MINUTE"
+_TF_BUY_WINDOW = "INTERVAL 24 HOUR"
+
+_TIMED_FUNNEL_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS vts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS cts
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > v.vts AND e.ts <= v.vts + {_TF_CLICK_WINDOW}
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS pts
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.cts AND e.ts <= c.cts + {_TF_BUY_WINDOW}
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM v) AS n_view,
+         (SELECT COUNT(*) FROM c) AS n_click,
+         (SELECT COUNT(*) FROM p) AS n_buy
+)
+SELECT stage, n_users, retained_permille FROM (
+  SELECT 1 AS ord, 'view' AS stage, CAST(n_view AS BIGINT) AS n_users,
+         CAST(1000 AS BIGINT) AS retained_permille FROM counts
+  UNION ALL
+  SELECT 2, 'click_30m', CAST(n_click AS BIGINT),
+         CAST(n_click * 1000 // n_view AS BIGINT) FROM counts
+  UNION ALL
+  SELECT 3, 'purchase_24h', CAST(n_buy AS BIGINT),
+         CAST(CASE WHEN n_click = 0 THEN 0
+                   ELSE n_buy * 1000 // n_click END AS BIGINT) FROM counts
+) t ORDER BY ord
+"""
+
+
+@register(
+    "events_timed_funnel",
+    oracle=_TIMED_FUNNEL_ORACLE,
+    doc="time-bounded funnel: click within 30min of first view, purchase"
+        " within 24h of that click — greedy first-touch MIN-aggregate"
+        " hops, user-keyed equi-joins only, integer permille retention",
+)
+def events_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("vts"))
+            & (F.col("ts") <= F.col("vts") + F.expr(_TF_CLICK_WINDOW))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("cts"))
+            & (F.col("ts") <= F.col("cts") + F.expr(_TF_BUY_WINDOW))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_buy"))))
+    )
+    stages = counts.selectExpr(
+        "stack(3,"
+        " 1, 'view', cast(n_view as bigint), cast(1000 as bigint),"
+        " 2, 'click_30m', cast(n_click as bigint),"
+        "    cast(n_click * 1000 div n_view as bigint),"
+        " 3, 'purchase_24h', cast(n_buy as bigint),"
+        "    cast(case when n_click = 0 then 0"
+        "         else n_buy * 1000 div n_click end as bigint)"
+        ") as (ord, stage, n_users, retained_permille)"
+    )
+    return stages.orderBy("ord").select("stage", "n_users", "retained_permille")

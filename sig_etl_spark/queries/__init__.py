@@ -147,6 +147,7 @@ def _load_all() -> None:
     from sig_etl_spark.queries import relational  # noqa: F401
     from sig_etl_spark.queries import tpch_more  # noqa: F401
     from sig_etl_spark.queries import graph_demo  # noqa: F401
+    from sig_etl_spark.queries import geo_demo  # noqa: F401
 
 
 # ---------------------------------------------------------------------------
@@ -172,8 +173,8 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 7 (N=214, D=25):
-# ceil(164/25) = 7 rounds worst-case — debut-heavy rounds slow the
+# behind at most N - C fresher-than-it entries. Round 7 (N=215, D=25):
+# ceil(165/25) = 7 rounds worst-case — debut-heavy rounds slow the
 # refresh; the budget assert bounds how much. Late-round _HOLDBACK
 # entries sort last and only tighten this bound for everyone else.
 # Round-7 drain arithmetic (computed, see tools/gen_driver_history.py):
@@ -261,6 +262,7 @@ _HOLDBACK = [
     "jsonl_corrupt_tolerance",
     "events_funnel_with_exclusion",
     "dq_amount_reconciliation",
+    "geo_neighbor_pairs",
 ]
 
 

@@ -506,3 +506,33 @@ def test_split_leakage_reconciles_with_pair_count(spark, sf_dir):
         assert r["split_lo"] <= r["split_hi"]
         assert 1 <= r["n_docs_lo"] <= r["n_pairs"]
         assert 1 <= r["n_docs_hi"] <= r["n_pairs"]
+
+
+def test_geo_neighbor_pairs_exact_vs_bruteforce(spark, sf_dir):
+    """Grid-cell blocking must be EXACT (|dx| <= R implies adjacent
+    cells): the blocked pair set equals a brute-force O(n^2) sweep over
+    the same derived points."""
+    import hashlib
+    import itertools
+
+    from sig_etl_spark.queries import QUERIES
+
+    rows = QUERIES["geo_neighbor_pairs"].builder(spark, sf_dir).collect()
+    got = {(r["id_a"], r["id_b"]): r["dist_sq"] for r in rows}
+
+    keys = [
+        r["c_custkey"]
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    ]
+
+    def coord(prefix: str, k: int) -> int:
+        h = hashlib.md5(f"{prefix}:{k}".encode()).hexdigest()[:15]
+        return int(h, 16) % 1_000_000
+
+    pts = {k: (coord("gx", k), coord("gy", k)) for k in keys}
+    want = {}
+    for a, b in itertools.combinations(sorted(keys), 2):
+        d = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+        if d <= 5_000 * 5_000:
+            want[(a, b)] = d
+    assert got == want, (len(got), len(want))

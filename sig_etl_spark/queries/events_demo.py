@@ -1822,3 +1822,102 @@ def events_funnel_with_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clean_permille"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval union (round 7): total covered time per user from
+# OVERLAPPING intervals — the billing/uptime primitive ("sum of session
+# lengths" double-counts overlap; the union does not). Each event opens
+# a deterministic interval [ts, ts + (event_id % 120 + 1) minutes); the
+# sweep-line is the textbook island construction: order a user's
+# intervals by start, carry a running MAX of end over the preceding
+# rows, start a new island when the current start exceeds it, then sum
+# island extents. All windows are user-keyed; output is integer minutes
+# (interval bounds are whole minutes by construction, so the
+# epoch-difference is exact). Scale shape: one user-keyed sort window
+# chain, one groupBy — no self-join of intervals, no explode to
+# per-minute rows (the naive relational encodings that die at scale).
+# ---------------------------------------------------------------------------
+
+_IVU_ORACLE = """
+WITH iv AS (
+  SELECT user_id, ts AS s,
+         ts + (event_id % 120 + 1) * INTERVAL 1 MINUTE AS e
+  FROM events
+),
+marked AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_e
+  FROM iv
+),
+grp AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+),
+islands AS (
+  SELECT user_id, island, MIN(s) AS is_s, MAX(e) AS is_e
+  FROM grp GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(epoch_us(is_e) - epoch_us(is_s)) // 60000000 AS BIGINT)
+         AS covered_minutes
+FROM islands
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "events_interval_union",
+    oracle=_IVU_ORACLE,
+    doc="overlapping-interval union per user (sweep-line islands via"
+        " running-max-end): island count + exact covered minutes —"
+        " no interval self-join, no per-minute explode",
+)
+def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (
+            F.col("ts")
+            + (F.col("event_id") % 120 + 1) * F.expr("INTERVAL 1 MINUTE")
+        ).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    marked = ev.withColumn(
+        "prev_max_e",
+        F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    grp = marked.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = grp.groupBy("user_id", "island").agg(
+        F.min("s").alias("is_s"), F.max("e").alias("is_e")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            # integer MICROSECONDS on both engines: second-truncating
+            # functions differ when island bounds come from rows with
+            # different sub-second parts
+            F.expr(
+                "cast(sum(unix_micros(is_e) - unix_micros(is_s))"
+                " div 60000000 as bigint)"
+            ).alias("covered_minutes"),
+        )
+        .orderBy("user_id")
+    )

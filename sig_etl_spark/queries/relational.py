@@ -2245,3 +2245,76 @@ def dq_amount_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_over"),
         F.max(F.when(has, diff)).cast("bigint").alias("max_abs_diff_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-gap audit (round 7): completeness of a key sequence — the
+# DQ question "which ids are missing from the span we should have?"
+# (dropped messages, purged partitions, failed loads). The audited
+# domain is the orderkeys present in LINEITEM, which genuinely has
+# holes in the fixture (257 orders carry no lines at sf0.01). Islands
+# come from the classic id - dense-row-number trick over DISTINCT keys
+# (group-constant within a contiguous run); gap runs are the spans
+# between consecutive islands via one lead() over the ISLAND frame —
+# bounded by island count, never keys. All-integer 1-row report.
+# ---------------------------------------------------------------------------
+
+_SEQ_GAP_ORACLE = """
+WITH ks AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+isl AS (
+  SELECT k - ROW_NUMBER() OVER (ORDER BY k) AS grp, k FROM ks
+),
+islands AS (
+  SELECT MIN(k) AS s, MAX(k) AS e FROM isl GROUP BY grp
+),
+gaps AS (
+  SELECT LEAD(s) OVER (ORDER BY s) - e - 1 AS gap_run FROM islands
+)
+SELECT (SELECT COUNT(*) FROM ks) AS n_present,
+       (SELECT COUNT(*) FROM islands) AS n_islands,
+       CAST((SELECT MAX(k) - MIN(k) + 1 - COUNT(*) FROM ks) AS BIGINT)
+         AS n_missing_in_span,
+       CAST((SELECT MAX(gap_run) FROM gaps WHERE gap_run IS NOT NULL)
+            AS BIGINT) AS max_gap_run
+"""
+
+
+@register(
+    "dq_sequence_gaps",
+    oracle=_SEQ_GAP_ORACLE,
+    doc="key-sequence completeness audit over lineitem's orderkey domain"
+        " (genuinely holey in the fixture): islands via the"
+        " id-minus-row-number trick, gap runs via lead over the bounded"
+        " island frame — all-integer 1-row report",
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ks = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"))
+        .distinct()
+    )
+    # Global-ordered window over DISTINCT keys: the audit is inherently a
+    # total order over the key domain; the frame entering the window is
+    # the distinct key set, and a 100 TB deployment range-partitions this
+    # step (per-shard islands + boundary merge) — documented trade-off,
+    # matching the oracle's single ROW_NUMBER semantics exactly.
+    w = Window.orderBy("k")
+    isl = ks.withColumn("grp", F.col("k") - F.row_number().over(w))
+    islands = isl.groupBy("grp").agg(F.min("k").alias("s"), F.max("k").alias("e"))
+    gw = Window.orderBy("s")
+    gaps = islands.withColumn(
+        "gap_run", F.lead("s").over(gw) - F.col("e") - 1
+    )
+    summary = ks.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        (F.max("k") - F.min("k") + 1 - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_missing_in_span"),
+    )
+    agg2 = gaps.agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("gap_run").cast("bigint").alias("max_gap_run"),
+    )
+    return summary.crossJoin(F.broadcast(agg2)).select(
+        "n_present", "n_islands", "n_missing_in_span", "max_gap_run"
+    )

@@ -2293,17 +2293,23 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("k"))
         .distinct()
     )
-    # Global-ordered window over DISTINCT keys: the audit is inherently a
-    # total order over the key domain; the frame entering the window is
-    # the distinct key set, and a 100 TB deployment range-partitions this
-    # step (per-shard islands + boundary merge) — documented trade-off,
-    # matching the oracle's single ROW_NUMBER semantics exactly.
-    w = Window.orderBy("k")
-    isl = ks.withColumn("grp", F.col("k") - F.row_number().over(w))
-    islands = isl.groupBy("grp").agg(F.min("k").alias("s"), F.max("k").alias("e"))
-    gw = Window.orderBy("s")
+    # Island boundaries WITHOUT a window over the full key set: a key
+    # whose predecessor is absent starts an island, one whose successor
+    # is absent ends one — two keyed anti-joins, fully distributed. Only
+    # the ISLAND frame (bounded by gap incidents, not keys) goes through
+    # ordered windows to pair starts with ends and measure gap runs.
+    prev = ks.select((F.col("k") + 1).alias("k"))
+    nxt = ks.select((F.col("k") - 1).alias("k"))
+    starts = ks.join(prev, "k", "left_anti").select(F.col("k").alias("s"))
+    ends = ks.join(nxt, "k", "left_anti").select(F.col("k").alias("e"))
+    sw = Window.orderBy("s")
+    ew = Window.orderBy("e")
+    islands = (
+        starts.withColumn("i", F.row_number().over(sw))
+        .join(ends.withColumn("i", F.row_number().over(ew)), "i")
+    )
     gaps = islands.withColumn(
-        "gap_run", F.lead("s").over(gw) - F.col("e") - 1
+        "gap_run", F.lead("s").over(Window.orderBy("s")) - F.col("e") - 1
     )
     summary = ks.agg(
         F.count(F.lit(1)).alias("n_present"),

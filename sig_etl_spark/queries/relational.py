@@ -2324,3 +2324,94 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary.crossJoin(F.broadcast(agg2)).select(
         "n_present", "n_islands", "n_missing_in_span", "max_gap_run"
     )
+
+
+# ---------------------------------------------------------------------------
+# Subtree rollup (round 7): the hierarchy VALUE aggregation that
+# j_hierarchy_flatten's root/depth labeling stops short of — for EVERY
+# node, the order revenue of its entire subtree (org-chart rollups,
+# bill-of-materials costing). Needs the ancestor-descendant closure,
+# built by pointer DOUBLING with a convergence check (round k holds all
+# ancestor links of distance <= 2^k, so depth-d trees close in
+# ceil(log2 d)+1 rounds — same discipline as j_hierarchy_flatten and
+# connected_components, localCheckpoint per round). Closure size is
+# nodes x depth — the inherent output of the problem, never nodes^2.
+# The oracle is the genuine recursive CTE walking each node's ancestor
+# chain. Per-customer cents are pre-aggregated BEFORE the closure join
+# (map-side combinable; the join fans out by depth, not by orders).
+# ---------------------------------------------------------------------------
+
+_SUBTREE_ORACLE = """
+WITH RECURSIVE anc(node, ancestor) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION ALL
+  SELECT a.node, a.ancestor // 10 FROM anc a WHERE a.ancestor >= 10
+),
+cents AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS cust_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT a.ancestor AS c_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_subtree,
+       CAST(SUM(COALESCE(c.cust_cents, 0)) AS BIGINT) AS subtree_cents
+FROM anc a LEFT JOIN cents c ON c.o_custkey = a.node
+GROUP BY a.ancestor
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "j_hierarchy_subtree_rollup",
+    oracle=_SUBTREE_ORACLE,
+    doc="per-node subtree revenue over the parent-pointer hierarchy:"
+        " ancestor closure by pointer doubling (log-depth rounds,"
+        " convergence-checked), per-customer cents pre-aggregated before"
+        " the depth-bounded fan-out join; oracle is the real recursive"
+        " CTE",
+)
+def j_hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    # distance-1 links: (node, parent) for non-roots
+    links = c.filter(F.col("c_custkey") >= 10).select(
+        F.col("c_custkey").alias("node"),
+        F.floor(F.col("c_custkey") / 10).cast("bigint").alias("anc"),
+    ).localCheckpoint()
+    closure = links
+    prev_n = closure.count()
+    for _ in range(8):  # 2^8 depth bound; fixture depth is 3
+        hop = (
+            closure.alias("x")
+            .join(closure.alias("y"), F.col("x.anc") == F.col("y.node"))
+            .select(F.col("x.node").alias("node"), F.col("y.anc").alias("anc"))
+        )
+        closure = closure.unionByName(hop).distinct().localCheckpoint()
+        n = closure.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    else:
+        raise RuntimeError("ancestor closure did not converge in 8 doublings")
+    pairs = closure.unionByName(
+        c.select(F.col("c_custkey").alias("node"), F.col("c_custkey").alias("anc"))
+    )
+    cents = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cust_cents")
+        )
+    )
+    return (
+        pairs.join(cents, pairs["node"] == cents["o_custkey"], "left")
+        .groupBy(F.col("anc").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_subtree"),
+            F.sum(F.coalesce(F.col("cust_cents"), F.lit(0)))
+            .cast("bigint")
+            .alias("subtree_cents"),
+        )
+        .orderBy("c_custkey")
+    )

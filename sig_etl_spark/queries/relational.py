@@ -2345,7 +2345,9 @@ _SUBTREE_ORACLE = """
 WITH RECURSIVE anc(node, ancestor) AS (
   SELECT c_custkey, c_custkey FROM customer
   UNION ALL
-  SELECT a.node, a.ancestor // 10 FROM anc a WHERE a.ancestor >= 10
+  SELECT a.node, p.c_custkey
+  FROM anc a JOIN customer p ON p.c_custkey = a.ancestor // 10
+  WHERE a.ancestor >= 10
 ),
 cents AS (
   SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
@@ -2372,10 +2374,18 @@ ORDER BY c_custkey
 )
 def j_hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    # distance-1 links: (node, parent) for non-roots
-    links = c.filter(F.col("c_custkey") >= 10).select(
+    # distance-1 links: (node, parent) for non-roots whose parent EXISTS
+    # as a customer — at scale the replicated key space contains numeric
+    # parents that are not customers (the sf1 generator's key shift);
+    # the hierarchy is over actual customers, so such nodes are roots.
+    # The oracle's recursion joins customer on the parent for the same
+    # reason.
+    cand = c.filter(F.col("c_custkey") >= 10).select(
         F.col("c_custkey").alias("node"),
         F.floor(F.col("c_custkey") / 10).cast("bigint").alias("anc"),
+    )
+    links = cand.join(
+        c.select(F.col("c_custkey").alias("anc")), "anc", "left_semi"
     ).localCheckpoint()
     closure = links
     prev_n = closure.count()

@@ -235,6 +235,10 @@ _DEBUTS = [
 # LAST this round — never-driver-green would otherwise sort FIRST in
 # the stale ordering and starve the drain. They are verified by the
 # local strict oracle this round and become next round's debuts.
+# NOTE for round 8: this list (30) exceeds one debut budget (25) —
+# promote 25 as debuts and leave the rest at the FRONT of the stale
+# ordering (never-green sorts first), which the cap then covers; do
+# NOT raise the budget, the drain guarantee depends on it.
 _HOLDBACK = [
     "j_q4_order_priority",
     "j_q6_forecast_revenue",

@@ -1921,3 +1921,60 @@ def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users per day (round 7): the product-analytics
+# staple the retention matrix doesn't directly emit — each active
+# (user, day) is "new" iff the day is the user's first-ever active day.
+# Scale shape: one distinct (user, day) collapse, one per-user MIN
+# (both map-side combinable, same shuffle key), one equi-join back, one
+# day-keyed count. Integer permille, no doubles.
+# ---------------------------------------------------------------------------
+
+_NVR_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+first_day AS (SELECT user_id, MIN(day) AS fday FROM ud GROUP BY user_id)
+SELECT ud.day,
+       CAST(SUM(CASE WHEN ud.day = f.fday THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN ud.day = f.fday THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_returning,
+       CAST(SUM(CASE WHEN ud.day = f.fday THEN 1 ELSE 0 END) * 1000
+            // COUNT(*) AS BIGINT) AS new_permille
+FROM ud JOIN first_day f ON f.user_id = ud.user_id
+GROUP BY ud.day
+ORDER BY ud.day
+"""
+
+
+@register(
+    "events_new_vs_returning",
+    oracle=_NVR_ORACLE,
+    doc="new vs returning active users per day (new = user's first-ever"
+        " active day): distinct user-day collapse + per-user MIN on the"
+        " same shuffle key, integer permille",
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    first_day = ud.groupBy("user_id").agg(F.min("day").alias("fday"))
+    is_new = F.when(F.col("day") == F.col("fday"), 1).otherwise(0)
+    return (
+        ud.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(is_new).cast("bigint").alias("n_new"),
+            F.sum(1 - is_new).cast("bigint").alias("n_returning"),
+            F.expr(
+                "cast(sum(case when day = fday then 1 else 0 end) * 1000"
+                " div count(1) as bigint)"
+            ).alias("new_permille"),
+        )
+        .orderBy("day")
+    )

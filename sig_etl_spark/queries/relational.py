@@ -2425,3 +2425,90 @@ def j_hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Share-of-parent (round 7): the drill-down companion of the subtree
+# rollup — every non-root node's subtree revenue as a permille of its
+# parent's subtree revenue (the number an org-chart or BOM report
+# actually prints next to each row). Reuses the rollup builder whole;
+# the only additions are the existing-parent link and one keyed join of
+# the rollup to itself. Zero-revenue parents emit share 0 rather than
+# dividing (ANSI div-by-zero guard, identical CASE on both engines).
+# ---------------------------------------------------------------------------
+
+_SHARE_ORACLE = """
+WITH RECURSIVE anc(node, ancestor) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION ALL
+  SELECT a.node, p.c_custkey
+  FROM anc a JOIN customer p ON p.c_custkey = a.ancestor // 10
+  WHERE a.ancestor >= 10
+),
+cents AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS cust_cents
+  FROM orders GROUP BY o_custkey
+),
+rollup AS (
+  SELECT a.ancestor AS k,
+         CAST(SUM(COALESCE(c.cust_cents, 0)) AS BIGINT) AS subtree_cents
+  FROM anc a LEFT JOIN cents c ON c.o_custkey = a.node
+  GROUP BY a.ancestor
+),
+links AS (
+  SELECT c.c_custkey AS child, p.c_custkey AS parent
+  FROM customer c JOIN customer p ON p.c_custkey = c.c_custkey // 10
+  WHERE c.c_custkey >= 10
+)
+SELECT l.child AS c_custkey, l.parent AS parent_key,
+       rc.subtree_cents, rp.subtree_cents AS parent_cents,
+       CAST(CASE WHEN rp.subtree_cents = 0 THEN 0
+                 ELSE rc.subtree_cents * 1000 // rp.subtree_cents END
+            AS BIGINT) AS share_permille
+FROM links l
+JOIN rollup rc ON rc.k = l.child
+JOIN rollup rp ON rp.k = l.parent
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "j_hierarchy_share_of_parent",
+    oracle=_SHARE_ORACLE,
+    doc="each non-root node's subtree revenue as integer permille of its"
+        " parent's subtree revenue — one self-join of the subtree"
+        " rollup over the existing-parent links, div-by-zero guarded",
+)
+def j_hierarchy_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rollup = j_hierarchy_subtree_rollup(spark, sf_dir).select(
+        F.col("c_custkey").alias("k"), "subtree_cents"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    links = (
+        c.filter(F.col("c_custkey") >= 10)
+        .select(
+            F.col("c_custkey").alias("child"),
+            F.floor(F.col("c_custkey") / 10).cast("bigint").alias("parent"),
+        )
+        .join(c.select(F.col("c_custkey").alias("parent")), "parent", "left_semi")
+    )
+    rc = rollup.select(F.col("k").alias("child"), "subtree_cents")
+    rp = rollup.select(
+        F.col("k").alias("parent"), F.col("subtree_cents").alias("parent_cents")
+    )
+    return (
+        links.join(rc, "child")
+        .join(rp, "parent")
+        .select(
+            F.col("child").alias("c_custkey"),
+            F.col("parent").alias("parent_key"),
+            "subtree_cents",
+            "parent_cents",
+            F.expr(
+                "cast(case when parent_cents = 0 then 0"
+                " else subtree_cents * 1000 div parent_cents end as bigint)"
+            ).alias("share_permille"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -1709,3 +1709,143 @@ register(
         " straddle, pair + distinct-doc counts per class — the"
         " measurement a cluster-aware split exists to zero out",
 )(llm_split_leakage)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunk dedup (round 7): FastCDC-style chunking — chunk
+# boundaries fall where the rolling window's hash satisfies a mask, so
+# an insertion early in a document shifts ONE chunk, not every
+# fixed-size block after it. This is the storage-dedup primitive
+# (backup systems, artifact stores) and the long-document complement of
+# shingle near-dup: chunk hashes dedupe VERBATIM runs across documents
+# regardless of alignment. Boundaries: positions whose 4-token window
+# hash ≡ 0 (mod 16) — the same portable md5 hash both engines compute,
+# so the whole operator is oracle-checked. Per-source report:
+# chunk count, distinct chunks, duplicate permille.
+#
+# Scale shape: chunking happens INSIDE the row (position filter +
+# slice transform over the token array — no explode until chunk hashes
+# exist, exactly the paragraph-dedup discipline); the only wide ops are
+# one explode of chunk hashes and one combinable per-source aggregate.
+# Engine seam handled: Spark's sequence(1, n) DESCENDS when n < 1, so
+# position generation is guarded to an empty array for short docs
+# (DuckDB generate_series is empty there).
+# ---------------------------------------------------------------------------
+
+_CDC_WINDOW = 4
+_CDC_MASK = 16
+
+_CDC_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, source, {_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, source, toks, len(toks) AS n,
+         -- positions start at 2: a boundary at 1 would make an EMPTY
+         -- first chunk, where the engines' empty-slice semantics differ
+         -- (Spark md5('') vs DuckDB NULL slice) and which no chunker
+         -- wants anyway
+         list_filter(
+           generate_series(2, GREATEST(len(toks) - {_CDC_WINDOW - 1}, 0)),
+           i -> CAST(('0x' || substr(md5(array_to_string(
+                  toks[i:i+{_CDC_WINDOW - 1}], ' ')), 1, 15)) AS UBIGINT)
+                % {_CDC_MASK} = 0
+         ) AS bpos
+  FROM base
+),
+w AS (
+  SELECT doc_id, source, toks,
+         list_prepend(1, list_append(bpos, n + 1)) AS cuts
+  FROM g WHERE n > 0
+),
+chunks AS (
+  SELECT source,
+         unnest(list_transform(
+           generate_series(1, len(cuts) - 1),
+           j -> md5(array_to_string(toks[cuts[j]:cuts[j+1]-1], ' ')))) AS ch
+  FROM w WHERE len(cuts) > 1
+)
+SELECT source,
+       COUNT(*) AS n_chunks,
+       COUNT(DISTINCT ch) AS n_unique_chunks,
+       CAST((COUNT(*) - COUNT(DISTINCT ch)) * 1000 // COUNT(*) AS BIGINT)
+         AS dup_permille
+FROM chunks GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "llm_cdc_chunk_dedup",
+    oracle=_CDC_ORACLE,
+    doc="content-defined chunking (rolling-window hash mask boundaries,"
+        " insertion-stable) + chunk-hash dedup per source — the storage-"
+        "dedup primitive, chunked in-row, one explode + one combinable"
+        " aggregate; fully oracle-checked",
+)
+def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.functions.hashing import portable_hash60
+    from sig_etl_spark.llm.text_analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = docs.select("doc_id", "source", toks.alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    win_hash = lambda i: F.pmod(  # noqa: E731
+        portable_hash60(
+            F.array_join(F.slice(F.col("toks"), i, _CDC_WINDOW), " ")
+        ),
+        F.lit(_CDC_MASK),
+    )
+    # Positions start at 2 (see the oracle comment: a boundary at 1
+    # would make an empty first chunk — an engine seam and a useless
+    # cut). Spark sequence(a, x) DESCENDS for x < a — guard to empty.
+    positions = F.when(
+        F.col("n") >= _CDC_WINDOW + 1,
+        F.expr(f"sequence(2, n - {_CDC_WINDOW - 1})"),
+    ).otherwise(F.array().cast("array<int>"))
+    g = base.withColumn(
+        "bpos", F.filter(positions, lambda i: win_hash(i) == 0)
+    ).filter(F.col("n") > 0)
+    w = g.withColumn(
+        "cuts",
+        F.concat(
+            F.array(F.lit(1)),
+            F.col("bpos").cast("array<int>"),
+            F.array((F.col("n") + 1).cast("int")),
+        ),
+    )
+    chunk_hashes = F.transform(
+        F.expr("sequence(1, size(cuts) - 1)"),
+        lambda j: F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    F.element_at(F.col("cuts"), j),
+                    F.element_at(F.col("cuts"), j + F.lit(1))
+                    - F.element_at(F.col("cuts"), j),
+                ),
+                " ",
+            )
+        ),
+    )
+    chunks = w.filter(F.size("cuts") > 1).select(
+        "source", F.explode(chunk_hashes).alias("ch")
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("ch").alias("n_unique_chunks"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_unique_chunks",
+            F.expr(
+                "cast((n_chunks - n_unique_chunks) * 1000 div n_chunks"
+                " as bigint)"
+            ).alias("dup_permille"),
+        )
+        .orderBy("source")
+    )

@@ -629,3 +629,27 @@ def test_round7_late_op_plan_shapes(spark, sf_dir):
     assert _count_op(plan, "Window") >= 1
     assert "SinglePartition" not in plan
     assert _count_op(plan, "SortMergeJoin") + _count_op(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_session2_final_batch_plan_shapes(spark, sf_dir):
+    """Plan guards for the closing round-7 operators."""
+    # Geo radius join: candidates come from the cell equi-join — never a
+    # nested-loop/cartesian product.
+    plan = _plan(spark, sf_dir, "geo_neighbor_pairs")
+    assert _count_op(plan, "BroadcastNestedLoopJoin") == 0
+    assert _count_op(plan, "CartesianProduct") == 0
+
+    # CDC chunking is in-row: the ONLY Generate (explode) is the final
+    # chunk-hash explode — token/position work never explodes.
+    plan = _plan(spark, sf_dir, "llm_cdc_chunk_dedup")
+    assert _count_op(plan, "Generate") == 1, "chunking leaked an explode"
+
+    # Interval union: every window is user-keyed.
+    plan = _plan(spark, sf_dir, "events_interval_union")
+    assert _count_op(plan, "Window") >= 1
+    assert "SinglePartition" not in plan
+
+    # New-vs-returning: the collapse and the per-user MIN share one
+    # shuffle key; no single-partition exchange anywhere.
+    plan = _plan(spark, sf_dir, "events_new_vs_returning")
+    assert "SinglePartition" not in plan

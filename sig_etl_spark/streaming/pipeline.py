@@ -717,3 +717,90 @@ def stream_cms_registers(events: DataFrame) -> DataFrame:
         f"1, 15), 16, 10) as bigint) % {CMS_W} as int) as cell",
     )
     return rows.groupBy("k", "cell").agg(F.count(F.lit(1)).alias("cell_n"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming interval union (round 7): the stateful twin of the batch
+# events_interval_union — running covered time per user from
+# overlapping intervals, maintained live. State per user is three
+# numbers (closed-islands covered micros + island count, plus the OPEN
+# island's [start, max end)); each micro-batch folds its user's
+# intervals in start order, closing islands whose successor starts
+# beyond the running max end. Emitted rows (update mode) include the
+# open island, so the latest row per user equals the batch sweep-line
+# over everything delivered.
+#
+# Ordering contract (same as stateful_sessionize / stream_scd2): exact
+# batch parity when each user's intervals arrive in start order ACROSS
+# micro-batches (rows are sorted within a batch); an interval arriving
+# after a later-starting one was already folded can only merge
+# conservatively (it extends the open island backward-blind), the
+# inherent price of single-pass state.
+# ---------------------------------------------------------------------------
+
+_IVU_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_islands", LongType()),
+        StructField("covered_minutes", LongType()),
+    ]
+)
+# (closed covered micros, closed island count, open start us, open max end us)
+_IVU_STATE = StructType(
+    [
+        StructField("closed_us", LongType()),
+        StructField("closed_n", LongType()),
+        StructField("open_s", LongType()),
+        StructField("open_e", LongType()),
+    ]
+)
+
+
+def _update_interval_union(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    closed_us, closed_n, open_s, open_e = (
+        state.get if state.exists else (0, 0, None, None)
+    )
+    rows = []
+    for pdf in pdfs:
+        rows.extend(zip(pdf["s_us"], pdf["e_us"]))
+    rows.sort()
+    for s, e in rows:
+        s, e = int(s), int(e)
+        if open_s is None:
+            open_s, open_e = s, e
+        elif s > open_e:  # gap: close the island, open a new one
+            closed_us += open_e - open_s
+            closed_n += 1
+            open_s, open_e = s, e
+        else:
+            open_e = max(open_e, e)
+    state.update((closed_us, closed_n, open_s, open_e))
+    total_us = closed_us + ((open_e - open_s) if open_s is not None else 0)
+    n = closed_n + (1 if open_s is not None else 0)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_islands": [n],
+            "covered_minutes": [total_us // 60_000_000],
+        }
+    )
+
+
+def stream_interval_union(events: DataFrame) -> DataFrame:
+    iv = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s_us"),
+        F.unix_micros(
+            F.col("ts")
+            + (F.col("event_id") % 120 + 1) * F.expr("INTERVAL 1 MINUTE")
+        ).alias("e_us"),
+    )
+    return iv.groupBy("user_id").applyInPandasWithState(
+        _update_interval_union,
+        outputStructType=_IVU_OUT,
+        stateStructType=_IVU_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

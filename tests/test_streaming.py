@@ -638,3 +638,44 @@ def test_stream_cms_registers_equal_batch_after_resume(spark, landing):
         est_stream = min(int(got.loc[c, "cell_n"]) for c in cells(key))
         assert est_stream == est
         assert est >= n  # CMS never undercounts
+
+
+def test_stream_interval_union_equals_batch_after_resume(spark, landing):
+    """The streaming interval union's latest row per user must equal
+    the batch sweep-line (events_interval_union) over everything
+    delivered — including after a checkpoint resume — when each user's
+    intervals arrive in start order across batches (the landing fixture
+    delivers whole ordered files)."""
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.streaming import stream_interval_union
+
+    land, extra, ckpt = landing
+
+    s = stream_interval_union(read_event_stream(spark, land))
+    run1 = run_available_now(s, ckpt, "ivu1", output_mode="update")
+    assert sum(len(b) for b in run1) > 0
+
+    _deliver(extra, land)
+    s = stream_interval_union(read_event_stream(spark, land))
+    run2 = run_available_now(s, ckpt, "ivu2", output_mode="update")
+    got = _last_update_per_key(run2, ["user_id"]).set_index("user_id")
+
+    # restage the landing files in sf_dir shape for the batch builder
+    staged = str(__import__("pathlib").Path(land).parent / "ivu_sfdir")
+    spark.read.parquet(land).write.mode("overwrite").parquet(
+        f"{staged}/events.parquet"
+    )
+    batch = {
+        r["user_id"]: (r["n_islands"], r["covered_minutes"])
+        for r in QUERIES["events_interval_union"]
+        .builder(spark, staged)
+        .collect()
+    }
+    assert set(got.index) == set(batch)
+    mism = [
+        u
+        for u, (n, m) in batch.items()
+        if (int(got.loc[u, "n_islands"]), int(got.loc[u, "covered_minutes"]))
+        != (n, m)
+    ]
+    assert not mism, mism[:5]

@@ -173,8 +173,8 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 7 (N=221, D=25):
-# ceil(171/25) = 7 rounds worst-case — debut-heavy rounds slow the
+# behind at most N - C fresher-than-it entries. Round 7 (N=222, D=25):
+# ceil(172/25) = 7 rounds worst-case — debut-heavy rounds slow the
 # refresh; the budget assert bounds how much. Late-round _HOLDBACK
 # entries sort last and only tighten this bound for everyone else.
 # Round-7 drain arithmetic (computed, see tools/gen_driver_history.py):
@@ -273,6 +273,7 @@ _HOLDBACK = [
     "events_new_vs_returning",
     "j_hierarchy_share_of_parent",
     "llm_cdc_chunk_dedup",
+    "events_cusum_alarm",
 ]
 
 

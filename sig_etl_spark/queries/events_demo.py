@@ -1978,3 +1978,113 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM alarms (round 7): sequential change-point detection over daily
+# revenue — the classic c_i = max(0, c_{i-1} + x_i - target - slack)
+# recurrence that flags a sustained shift long before a per-day z-score
+# does. The recurrence looks non-windowable, but the exact prefix-min
+# identity linearizes it: with S_i the plain cumulative sum of
+# (x - target - slack) and S_0 = 0,  c_i = S_i - min(S_0..S_i).  Both
+# sides therefore compute it with two type-keyed cumulative windows
+# (sum, then min clamped at zero) — pure integer arithmetic, no
+# higher-order fold (a struct-accumulator list_reduce was measured to
+# evaluate fields against the UPDATED accumulator in DuckDB 1.0, an
+# engine quirk the identity sidesteps entirely). Parameters derive from
+# the data as integers: target = total div n_days, slack = target div
+# 20, alarm threshold = target. Windows partition by event_type over
+# calendar-bounded day rows.
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS dayno,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+params AS (
+  SELECT event_type, CAST(SUM(cents) // COUNT(*) AS BIGINT) AS target,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type
+),
+pref AS (
+  SELECT d.event_type, d.dayno, p.target, p.n_days,
+         SUM(d.cents - p.target - p.target // 20)
+           OVER (PARTITION BY d.event_type ORDER BY d.dayno
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM daily d JOIN params p USING (event_type)
+),
+cus AS (
+  SELECT event_type, target, n_days,
+         s - LEAST(CAST(0 AS BIGINT),
+                   MIN(s) OVER (PARTITION BY event_type ORDER BY dayno
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)) AS c
+  FROM pref
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days, target AS target_cents,
+       CAST(MAX(c) AS BIGINT) AS max_cusum_cents,
+       CAST(SUM(CASE WHEN c > target THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarm_days
+FROM cus
+GROUP BY event_type, n_days, target
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_cusum_alarm",
+    oracle=_CUSUM_ORACLE,
+    doc="sequential CUSUM change-point alarms over daily integer cents,"
+        " linearized by the exact prefix-min identity"
+        " (c_i = S_i - min(S_0..S_i)) into two type-keyed cumulative"
+        " windows — no higher-order fold, no engine lambda semantics",
+)
+def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "cast(unix_micros(date_trunc('day', ts)) div 86400000000"
+                " as bigint)"
+            ).alias("dayno"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "dayno")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    params = daily.groupBy("event_type").agg(
+        F.expr("cast(sum(cents) div count(1) as bigint)").alias("target"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dayno")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = daily.join(params, "event_type").withColumn(
+        "s",
+        F.sum(
+            F.col("cents") - F.col("target") - F.expr("target div 20")
+        ).over(w),
+    )
+    cus = pref.withColumn(
+        "c", F.col("s") - F.least(F.lit(0).cast("bigint"), F.min("s").over(w))
+    )
+    return (
+        cus.groupBy("event_type", "n_days", F.col("target").alias("target_cents"))
+        .agg(
+            F.max("c").cast("bigint").alias("max_cusum_cents"),
+            F.sum(F.when(F.col("c") > F.col("target"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_alarm_days"),
+        )
+        .select(
+            "event_type", "n_days", "target_cents",
+            "max_cusum_cents", "n_alarm_days",
+        )
+        .orderBy("event_type")
+    )

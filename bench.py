@@ -100,20 +100,35 @@ def main() -> int:
             spark._jvm.System.gc()
             gc_overhead += time.perf_counter() - g0
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "gc_overhead_seconds": round(gc_overhead, 3),
-                "repeats_per_query": repeats,
-                "aggregation": "median",
-                "sf": sf,
-            }
+    result = {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "gc_overhead_seconds": round(gc_overhead, 3),
+        "repeats_per_query": repeats,
+        "aggregation": "median",
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    # ALSO persist the full per-query JSON into the repo (VERDICT r7
+    # task 5): the driver records only a 2000-char tail of stdout, which
+    # made r6->r7 per-query regression diffs impossible. Every bench run
+    # refreshes BENCH_FULL_latest.json (override the path with
+    # $SPARK_GRAFT_BENCH_OUT); the end-of-round sweep commits it, giving
+    # the judge a complete, diffable row set each round.
+    if not sys.argv[1:]:  # full-registry runs only — never a subset probe
+        out = os.environ.get(
+            "SPARK_GRAFT_BENCH_OUT",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL_latest.json"),
         )
-    )
+        try:
+            with open(out, "w") as f:
+                json.dump(result, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError as e:  # never let persistence kill the bench line
+            print(f"# bench: could not write {out}: {e}", file=sys.stderr)
     return 0
 
 

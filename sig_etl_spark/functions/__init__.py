@@ -22,6 +22,10 @@ from sig_etl_spark.functions.text import (  # noqa: F401
     url_tail_id,
 )
 from sig_etl_spark.functions.explode import split_multi_candidate  # noqa: F401
+from sig_etl_spark.functions.translit import (  # noqa: F401
+    fold_ascii_full,
+    fold_ascii_py,
+)
 from sig_etl_spark.functions.dates import parse_long_date  # noqa: F401
 from sig_etl_spark.functions.scores import (  # noqa: F401
     glyph_translate,

@@ -106,8 +106,10 @@ def parse_election_location(c: Column) -> dict[str, Column]:
 
 # F13: unicode fold. The reference calls unidecode()
 # (/root/reference/national/_1034/transform.py:110); for the Latin-1
-# accent range a translate() covers it JVM-side with no UDF. (A pandas UDF
-# fallback for full unidecode lives in the linkage module.)
+# accent range a translate() covers it JVM-side with no UDF. The FULL
+# transliteration tier (gated unidecode / NFKD Arrow UDF) is
+# functions/translit.py:fold_ascii_full — reserve it for data that
+# actually exceeds this table; this stays the codegen default.
 _ACCENTS_SRC = "áàâäãåāéèêëēíìîïīóòôöõøōúùûüūçñýÿÁÀÂÄÃÅĀÉÈÊËĒÍÌÎÏĪÓÒÔÖÕØŌÚÙÛÜŪÇÑÝ"
 _ACCENTS_DST = "aaaaaaaeeeeeiiiiiooooooouuuuucnyyAAAAAAAEEEEEIIIIIOOOOOOOUUUUUCNY"
 

@@ -173,14 +173,15 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 7 (N=222, D=25):
-# ceil(172/25) = 7 rounds worst-case — debut-heavy rounds slow the
+# behind at most N - C fresher-than-it entries. Round 8 (N=224, D=25):
+# ceil(174/25) = 7 rounds worst-case — debut-heavy rounds slow the
 # refresh; the budget assert bounds how much. Late-round _HOLDBACK
 # entries sort last and only tighten this bound for everyone else.
-# Round-7 drain arithmetic (computed, see tools/gen_driver_history.py):
-# all 24 queries whose last driver-green round is <= r3 sit INSIDE this
-# round's cap-50 window, so a green CORRECTNESS_r07 empties the r3-stale
-# block entirely (VERDICT r6 task 4).
+# Round-8 drain arithmetic (computed, see tools/gen_driver_history.py):
+# every query that has NEVER received a driver row (the r7 holdback's
+# 16 non-promoted entries plus the 2 new hugeint probes' non-debut
+# complement: zero) sits INSIDE this round's cap-50 window, so a green
+# CORRECTNESS_r08 takes the never-checked count to 0 (VERDICT r7 task 2).
 # tools/verify_local.py
 # still checks ALL queries locally every round, so the cap only limits
 # the external signal, never the verification itself.
@@ -189,57 +190,29 @@ def _load_all() -> None:
 _DRIVER_CAP = 50
 _DEBUT_BUDGET = 25
 
-# New or result-changed in round 7:
-#   - the four r06 driver hash-reds, rewritten to emit zero doubles and
-#     to use no engine percentile/date-diff convention (bigint cent
-#     edges, explicit rank arithmetic, DECIMAL(38,10) chi2 accumulation);
-#   - the float-seam bisector diagnostics (diag_seam.py): one tiny query
-#     per suspect construct, so whatever the driver reds in
-#     CORRECTNESS_r07 identifies the divergent construct mechanically.
+# Round 8 debuts:
+#   - the five r5–r7 driver hash-reds, whose ROOT CAUSE was found this
+#     round (not arithmetic at all): each oracle emitted exactly one
+#     column where DuckDB's SUM(BIGINT) had widened to HUGEINT, whose
+#     pandas bridge materializes float64 — "1000.0" vs Spark's bigint
+#     "1000" under a strict value canonicalizer. Oracles now CAST those
+#     aggregates to BIGINT (values unchanged; tools/dtype_seam_scan.py
+#     bans the class repo-wide, and verify_local's canon no longer
+#     collapses integer-valued floats, so the class fails locally too);
+#   - diag_seam_hugeint_raw / _cast: the probe PAIR that proves the
+#     root cause from CORRECTNESS_r08 alone (raw is EXPECTED RED —
+#     deliberately uncast; cast is its green control);
+#   - 18 of the 34 r7 _HOLDBACK entries (the other 16 are never-green,
+#     sort FIRST in the stale block, and land inside the cap anyway:
+#     25 debuts + 16 never-green + 9 stalest = 50).
 _DEBUTS = [
+    "diag_seam_hugeint_raw",
+    "diag_seam_hugeint_cast",
     "sketch_quantile_hist",
     "sketch_quantile_calibration",
     "orders_rfm_segmentation",
     "llm_source_drift",
-    "diag_seam_intmult_double",
-    "diag_seam_plain_double",
-    "diag_seam_round_cents",
-    "diag_seam_cum_window",
-    "diag_seam_qdisc_bigint",
-    "diag_seam_qdisc_double",
-    "diag_seam_div_double",
-    "diag_seam_fold_double",
-    "diag_seam_decimal_accum",
-    "diag_seam_datediff",
-    "linkage_fuzzy_match_lenband",
-    "llm_paragraph_dedup",
-    "j_q2_min_cost_supplier",
-    "orc_stage_roundtrip",
-    "dq_freshness_report",
-    "events_attribution",
-    "j_q13_order_count_distribution",
-    "j_q21_waiting_supplier",
     "j_q22_dormant_balances",
-    "dim_scd2_intervals",
-    # not new/changed — held in the cap per VERDICT r6 task 7: the
-    # streaming sessionize operator's batch ground truth should stay
-    # driver-anchored in the round its streaming family grew
-    # (stream_hll_distinct debuted this round); last driver-green r4.
-    "events_sessionize",
-]
-
-# Queries registered AFTER this round's debut budget was already spent
-# (late-round additions). They deliberately yield their driver slot to
-# the stale-block drain (VERDICT r6 task 2 under "What's missing":
-# "Keep debuts lean ... so the stale block drains faster") and sort
-# LAST this round — never-driver-green would otherwise sort FIRST in
-# the stale ordering and starve the drain. They are verified by the
-# local strict oracle this round and become next round's debuts.
-# NOTE for round 8: this list (30) exceeds one debut budget (25) —
-# promote 25 as debuts and leave the rest at the FRONT of the stale
-# ordering (never-green sorts first), which the cap then covers; do
-# NOT raise the budget, the drain guarantee depends on it.
-_HOLDBACK = [
     "j_q4_order_priority",
     "j_q6_forecast_revenue",
     "j_q7_nation_volume",
@@ -258,23 +231,16 @@ _HOLDBACK = [
     "llm_split_leakage",
     "mm_audio_fingerprint_near_dup",
     "mm_video_near_dup",
-    "graph_pagerank_parts",
-    "llm_langid_agreement",
-    "diag_seam_neg_div",
-    "dim_scd2_point_in_time",
-    "events_timed_funnel",
-    "jsonl_corrupt_tolerance",
-    "events_funnel_with_exclusion",
-    "dq_amount_reconciliation",
-    "geo_neighbor_pairs",
-    "events_interval_union",
-    "dq_sequence_gaps",
-    "j_hierarchy_subtree_rollup",
-    "events_new_vs_returning",
-    "j_hierarchy_share_of_parent",
-    "llm_cdc_chunk_dedup",
-    "events_cusum_alarm",
 ]
+
+# Queries registered AFTER a round's debut budget was already spent
+# (late-round additions) sort LAST that round, yielding their slot to
+# the stale-block drain. Round 8: EMPTY — the r7 holdback (34 entries)
+# fully drains this round: 18 entries are debuts above; the other 16
+# have never been driver-green, so they sort FIRST in the stale block
+# (DRIVER_LAST_GREEN = 0) and land inside the cap-50 window
+# (25 debuts + 16 never-green + 9 stalest = 50).
+_HOLDBACK: list[str] = []
 
 
 def _reorder() -> None:

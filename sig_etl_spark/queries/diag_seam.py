@@ -428,3 +428,71 @@ def diag_seam_neg_div(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast((o_orderkey % 9 + 1) div 2 as bigint)").alias("pos_div_2"),
         F.expr("cast((-(o_orderkey % 9) - 1) % 4 as bigint)").alias("neg_mod_4"),
     )
+
+
+# --- 12. HUGEINT output seam (round-8 addition) -----------------------------
+# Round-8 root-cause finding for the five r5–r7 driver hash-reds: each
+# emitted exactly one output column where DuckDB's SUM(BIGINT) had
+# widened to HUGEINT (int128). DuckDB's HUGEINT->pandas bridge
+# materializes float64, so a strict value canonicalizer hashes the
+# oracle cell as "1000.0" against Spark's bigint "1000" — rows and
+# column names still match, only the value hash reds. The class is
+# invisible to any probe whose oracle casts its aggregates (all 10 r7
+# probes did), and tools/verify_local.py's old canon_cell masked it
+# locally by collapsing integer-valued floats (removed in round 8).
+#
+# This PAIR turns CORRECTNESS_r08 into the proof:
+# - diag_seam_hugeint_raw: the oracle deliberately leaves SUM(BIGINT)
+#   uncast — EXPECTED RED at any driver whose canonicalizer does not
+#   collapse integer-valued floats (ours evidently does not). Red here
+#   + green fixed twins = root cause confirmed mechanically.
+# - diag_seam_hugeint_cast: identical query with CAST(... AS BIGINT) —
+#   expected green; certifies the fix pattern applied to the five
+#   production oracles (sketch_demo.py, relational.py, llm_text.py).
+
+_HUGEINT_RAW_ORACLE = f"""
+SELECT CAST(o_orderkey % 3 AS BIGINT) AS grp,
+       SUM(o_orderkey) AS key_sum
+FROM ({_SLICE_SQL.format(n=10)}) t
+GROUP BY 1 ORDER BY 1
+"""
+
+_HUGEINT_CAST_ORACLE = f"""
+SELECT CAST(o_orderkey % 3 AS BIGINT) AS grp,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM ({_SLICE_SQL.format(n=10)}) t
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "diag_seam_hugeint_raw",
+    oracle=_HUGEINT_RAW_ORACLE,
+    doc="seam bisector: UNCAST SUM(BIGINT) oracle output (DuckDB widens"
+        " to HUGEINT, pandas bridge makes it float64) — EXPECTED RED at"
+        " a strict-canonicalizer driver; red here + green '_cast' twin"
+        " mechanically proves the r5–r7 red-class root cause",
+)
+def diag_seam_hugeint_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _slice(spark, sf_dir, 10)
+        .groupBy((F.col("o_orderkey") % 3).cast("bigint").alias("grp"))
+        .agg(F.sum("o_orderkey").alias("key_sum"))
+        .orderBy("grp")
+    )
+
+
+@register(
+    "diag_seam_hugeint_cast",
+    oracle=_HUGEINT_CAST_ORACLE,
+    doc="seam bisector control: the same SUM(BIGINT) with the oracle-side"
+        " CAST(... AS BIGINT) fix — expected green; certifies the fix"
+        " applied to the five formerly-red production oracles",
+)
+def diag_seam_hugeint_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _slice(spark, sf_dir, 10)
+        .groupBy((F.col("o_orderkey") % 3).cast("bigint").alias("grp"))
+        .agg(F.sum("o_orderkey").alias("key_sum"))
+        .orderBy("grp")
+    )

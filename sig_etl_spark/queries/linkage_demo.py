@@ -232,8 +232,10 @@ _SKEW_ORACLE = _linkage_oracle(_SKEW_X_MOD, "blk", _SKEW_BLOCK_SQL, _SKEW_NAME_S
 @register(
     "linkage_fuzzy_match_skew",
     oracle=_SKEW_ORACLE,
-    doc="J4 on a 52%-dominant block (CA/TX shape), UNSALTED — the"
-        " single-hot-task baseline the salted twin is measured against",
+    doc="CONTRAST ROW — production twin: linkage_fuzzy_match_skew_salted."
+        " J4 on a 52%-dominant block (CA/TX shape), deliberately UNSALTED"
+        " — the single-hot-task baseline the salted twin is measured"
+        " against (killed >2100s at sf1; the twin ran 39.8s)",
 )
 def linkage_fuzzy_match_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     x, y = _xy_skewed(spark, sf_dir)
@@ -254,7 +256,10 @@ def linkage_fuzzy_match_skew_salted(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "linkage_fuzzy_match_wratio",
     oracle=None,
-    doc="J4 with rapidfuzz-style WRatio pandas-UDF scorer (rows-only)",
+    doc="CONTRAST ROW — production twin: linkage_fuzzy_match_wratio_"
+        "subblocked. J4 with rapidfuzz-style WRatio pandas-UDF scorer"
+        " (rows-only), deliberately UNSUBBLOCKED (201s at sf1; the"
+        " sub-blocked twin carries the measured >19x pair cut)",
 )
 def linkage_fuzzy_match_wratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     x, y = _xy(spark, sf_dir)

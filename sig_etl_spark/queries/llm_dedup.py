@@ -106,7 +106,10 @@ _JACCARD_ORACLE = (
 @register(
     "llm_ngram_jaccard",
     oracle=_JACCARD_ORACLE,
-    doc="3-gram Jaccard near-dup pairs; posting-list join, hot-shingle pruning",
+    doc="CONTRAST ROW — production twin: llm_minhash_lsh. Exact 3-gram"
+        " Jaccard near-dup pairs (posting-list join, hot-shingle pruning):"
+        " the exact baseline whose posting cap saturates at the sf1 knee"
+        " (82–110s); the banded MinHash twin is the 100 TB path",
 )
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -239,7 +242,10 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 @register(
     "llm_simhash_pairs",
     oracle=_SIMHASH_ORACLE,
-    doc="SimHash near-dup pairs: 16-bit chunk blocking + Hamming<=3 verify",
+    doc="CONTRAST ROW — production twin: llm_simhash_pairs_capped."
+        " SimHash near-dup pairs (16-bit chunk blocking + Hamming<=3"
+        " verify), deliberately UNCAPPED — hot buckets go quadratic"
+        " (232s at sf1); the capped twin bounds per-bucket work",
 )
 def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -362,8 +368,10 @@ FROM comp c JOIN csize s USING (cluster_id)
 @register(
     "llm_dedup_clusters",
     oracle=_CLUSTERS_ORACLE,
-    doc="connected components over Jaccard near-dup pairs: cluster id,"
-        " canonical flag, cluster size for every document",
+    doc="CONTRAST ROW — production twin: llm_dedup_clusters_minhash."
+        " Connected components over EXACT Jaccard near-dup pairs (cluster"
+        " id, canonical flag, cluster size): exact-pair generation is the"
+        " sf1 bottleneck; the MinHash-banded twin is the 100 TB path",
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -431,8 +439,10 @@ FROM q JOIN comp c USING (doc_id)
 @register(
     "llm_corpus_curation",
     oracle=_CURATION_ORACLE,
-    doc="curation pipeline: quality gate, near-dup CC over survivors,"
-        " canonical keep flag per document",
+    doc="CONTRAST ROW — production twin: llm_corpus_curation_minhash."
+        " Curation pipeline (quality gate, near-dup CC over survivors,"
+        " canonical keep flag) with EXACT pair generation — the measured"
+        " baseline; the MinHash twin replaces the quadratic stage",
 )
 def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sig_etl_spark.llm import text_analysis as T

@@ -1241,7 +1241,10 @@ grand AS (
   SELECT SUM(n) AS n_total FROM obs
 ),
 src AS (
-  SELECT source, SUM(n) AS n_source FROM obs GROUP BY source
+  -- CAST: SUM(BIGINT) widens to HUGEINT whose pandas bridge is float64
+  -- — the r5–r7 driver-red dtype seam (tools/dtype_seam_scan.py);
+  -- n_source is an OUTPUT column, so it must stay int64 like Spark's.
+  SELECT source, CAST(SUM(n) AS BIGINT) AS n_source FROM obs GROUP BY source
 ),
 terms AS (
   SELECT source, bucket,

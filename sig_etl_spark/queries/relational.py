@@ -696,7 +696,11 @@ cust AS (
               - floor(epoch(MAX(o_orderdate)) / 86400.0) AS BIGINT)
            AS recency_days,
          COUNT(*) AS frequency,
-         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+         -- outer CAST: SUM(BIGINT) widens to HUGEINT, whose pandas
+         -- bridge is float64 — the driver-red dtype seam (see
+         -- tools/dtype_seam_scan.py); BIGINT keeps both engines int64.
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
   FROM orders GROUP BY o_custkey
 ),
 vr AS (SELECT recency_days AS v, COUNT(*) AS n FROM cust GROUP BY 1),
@@ -2095,7 +2099,10 @@ cut AS (
   SELECT MAX(o_orderdate) - INTERVAL {_Q22_DORMANT_DAYS} DAY AS cutoff
   FROM orders
 )
-SELECT p.code, COUNT(*) AS numcust, SUM(p.cents) AS total_cents
+-- CAST on the SUM: SUM(BIGINT) -> HUGEINT -> pandas float64, the
+-- driver-red dtype seam (tools/dtype_seam_scan.py); Spark side is bigint.
+SELECT p.code, COUNT(*) AS numcust,
+       CAST(SUM(p.cents) AS BIGINT) AS total_cents
 FROM pool p, thr t
 WHERE p.cents * t.pos_n > t.pos_total
   AND NOT EXISTS (SELECT 1 FROM orders o, cut

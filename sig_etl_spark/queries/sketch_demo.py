@@ -214,8 +214,14 @@ cum AS (
   FROM hist
 ),
 agg AS (
+  -- CAST: DuckDB's window SUM(BIGINT) widens to HUGEINT (int128), and
+  -- the HUGEINT->pandas bridge materializes float64 ("1000.0"), which a
+  -- strict value canonicalizer hashes differently from Spark's bigint
+  -- "1000" — the root cause of the r5–r7 driver hash-reds (the column
+  -- was the ONLY cross-engine dtype-family mismatch in this oracle;
+  -- tools/dtype_seam_scan.py now bans the class).
   SELECT o_orderstatus, o_orderpriority,
-         MAX(total) AS total,
+         CAST(MAX(total) AS BIGINT) AS total,
          MIN(CASE WHEN cum * 2 >= total * 1 THEN bin END) AS p50_bin,
          MIN(CASE WHEN cum * 10 >= total * 9 THEN bin END) AS p90_bin,
          MIN(CASE WHEN cum * 100 >= total * 99 THEN bin END) AS p99_bin

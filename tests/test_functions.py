@@ -128,3 +128,50 @@ def test_text_helpers(spark):
     assert row.z2 == "42"
     assert row.p == "Republican"
     assert row.pm == "unmapped"
+
+
+# --- F13 full-transliteration tier (functions/translit.py, r8) -------------
+
+_GOLDEN_FOLDS = [
+    # accented/nickname shapes from the reference's roster data
+    ("José Ñuñez", "Jose Nunez"),
+    ("Renée O'Connor-Báez", "Renee O'Connor-Baez"),
+    ("François Lefèvre", "Francois Lefevre"),
+    ("Åsa Sjögren", "Asa Sjogren"),
+    ("Đorđe Čolić", "Dorde Colic"),
+    ("Łukasz Wróblewski", "Lukasz Wroblewski"),
+    ("Þórður Guðmundsson", "Thordur Gudmundsson"),
+    ("Jean-Cœur d'Alène", "Jean-Coeur d'Alene"),
+    ("Strauß", "Strauss"),
+    ("El Niño — “quoted”", "El Nino - \"quoted\""),
+    (None, None),
+    ("plain ascii stays", "plain ascii stays"),
+]
+
+
+def test_fold_ascii_py_golden():
+    from sig_etl_spark.functions import fold_ascii_py
+
+    for raw, want in _GOLDEN_FOLDS:
+        assert fold_ascii_py(raw) == want, (raw, fold_ascii_py(raw))
+
+
+def test_fold_ascii_full_udf_matches_py(spark):
+    """The Arrow tier must agree with the pure-Python fold row-for-row,
+    and with the JVM translate() default on the accent-table range."""
+    from sig_etl_spark.functions import fold_ascii_full, fold_ascii_py
+
+    rows = [(i, s) for i, (s, _) in enumerate(_GOLDEN_FOLDS)]
+    df = spark.createDataFrame(rows, ["i", "s"])
+    got = {
+        r.i: r.f
+        for r in df.select("i", fold_ascii_full(F.col("s")).alias("f")).collect()
+    }
+    for i, (raw, want) in enumerate(_GOLDEN_FOLDS):
+        assert got[i] == want == fold_ascii_py(raw)
+    # JVM default and full tier agree wherever the fixed table applies
+    jvm = {
+        r.i: r.f
+        for r in df.select("i", fold_ascii(F.col("s")).alias("f")).collect()
+    }
+    assert jvm[0] == got[0] == "Jose Nunez"

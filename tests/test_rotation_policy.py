@@ -92,3 +92,27 @@ def test_worked_example_comment_matches_live_registry():
     assert num == n - q._DRIVER_CAP
     assert den == q._DRIVER_CAP - d
     assert worst == math.ceil(num / den)
+
+
+def test_contrast_rows_name_registered_twins():
+    """Every deliberately-slow demo row (VERDICT r7 task 6) must label
+    itself 'CONTRAST ROW' and name a REGISTERED production twin, so a
+    bench reader or the driver can't mistake it for a production path."""
+    import re
+
+    expected = {
+        "linkage_fuzzy_match_skew",
+        "linkage_fuzzy_match_wratio",
+        "llm_simhash_pairs",
+        "llm_ngram_jaccard",
+        "llm_dedup_clusters",
+        "llm_corpus_curation",
+    }
+    found = {n for n, rq in QUERIES.items() if "CONTRAST ROW" in rq.doc}
+    assert found == expected, found ^ expected
+    for name in found:
+        m = re.search(r"production twin:\s*([a-z0-9_\s]+?)[.,]", QUERIES[name].doc)
+        assert m, f"{name}: no 'production twin: <name>' in doc"
+        twin = re.sub(r"\s+", "", m.group(1))
+        assert twin in QUERIES, f"{name}: twin {twin!r} not registered"
+        assert twin != name

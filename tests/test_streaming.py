@@ -41,6 +41,61 @@ def _deliver(extra_dir: str, landing_dir: str) -> None:
             shutil.copy(os.path.join(extra_dir, f), os.path.join(landing_dir, f))
 
 
+def collect_available_now(
+    df, ckpt: str, name: str, output_mode: str = "update", timeout_s: int = 120
+) -> list[pd.DataFrame]:
+    """TEST-ONLY pandas collector sink (VERDICT r7 task 8 moved it out of
+    streaming/pipeline.py): drains an availableNow run through
+    run_available_now's pluggable sink and returns the micro-batches as
+    pandas frames in batch order. Production code uses the default
+    parquet sink — a driver-side toPandas per batch is a test
+    instrument, not a pipeline stage."""
+    batches: list[tuple[int, pd.DataFrame]] = []
+
+    def _collect(batch_df, batch_id: int) -> None:
+        batches.append((batch_id, batch_df.toPandas()))
+
+    run_available_now(
+        df, ckpt, name, output_mode=output_mode, timeout_s=timeout_s, sink=_collect
+    )
+    return [pdf for _, pdf in sorted(batches, key=lambda t: t[0])]
+
+
+def test_default_parquet_sink_roundtrip(spark, landing, tmp_path):
+    """The DEFAULT sink must be the distributed parquet writer: run a
+    stream with no explicit sink, read the written batch dirs back, and
+    match them against the pandas collector's view of the same data."""
+    land, extra, ckpt = landing
+    out = str(tmp_path / "out")
+    stream = windowed_counts(read_event_stream(spark, land), "1 hour", "2 hours")
+    paths = run_available_now(
+        stream, str(tmp_path / "ck_pq"), "pq1", output_mode="update", output_dir=out
+    )
+    assert paths and all(os.path.isdir(p) for p in paths)
+    from_parquet = (
+        pd.concat([pd.read_parquet(p) for p in paths], ignore_index=True)
+        .groupby(["win_start", "event_type"], as_index=False)
+        .last()
+    )
+    stream2 = windowed_counts(read_event_stream(spark, land), "1 hour", "2 hours")
+    collected = _last_update_per_key(
+        collect_available_now(stream2, str(tmp_path / "ck_pd"), "pq2"),
+        ["win_start", "event_type"],
+    )
+    merged = from_parquet.merge(
+        collected, on=["win_start", "event_type"], suffixes=("_pq", "_pd")
+    )
+    assert len(merged) == len(from_parquet) == len(collected)
+    assert (merged["n_pq"] == merged["n_pd"]).all()
+
+
+def test_run_available_now_requires_sink_or_output_dir(spark, landing):
+    land, _, ckpt = landing
+    stream = windowed_counts(read_event_stream(spark, land), "1 hour", "2 hours")
+    with pytest.raises(ValueError, match="output_dir"):
+        run_available_now(stream, ckpt, "nosink")
+
+
 def _last_update_per_key(batches: list[pd.DataFrame], keys: list[str]) -> pd.DataFrame:
     all_rows = pd.concat(batches, ignore_index=True)
     return all_rows.groupby(keys, as_index=False).last()
@@ -49,13 +104,13 @@ def _last_update_per_key(batches: list[pd.DataFrame], keys: list[str]) -> pd.Dat
 def test_incremental_windowed_counts(spark, landing):
     land, extra, ckpt = landing
     stream = windowed_counts(read_event_stream(spark, land), "1 hour", "2 hours")
-    run1 = run_available_now(stream, ckpt, "win1", output_mode="update")
+    run1 = collect_available_now(stream, ckpt, "win1", output_mode="update")
     assert sum(len(b) for b in run1) > 0
 
     # deliver the second half; same checkpoint -> only the delta is read
     _deliver(extra, land)
     stream = windowed_counts(read_event_stream(spark, land), "1 hour", "2 hours")
-    run2 = run_available_now(stream, ckpt, "win2", output_mode="update")
+    run2 = collect_available_now(stream, ckpt, "win2", output_mode="update")
     updates = _last_update_per_key(run2, ["win_start", "event_type"])
     assert len(updates) > 0, "second run emitted no updates"
 
@@ -75,12 +130,12 @@ def test_incremental_windowed_counts(spark, landing):
 def test_stateful_running_totals_across_batches(spark, landing):
     land, extra, ckpt = landing
     totals = running_user_totals(read_event_stream(spark, land))
-    run1 = run_available_now(totals, ckpt, "tot1", output_mode="update")
+    run1 = collect_available_now(totals, ckpt, "tot1", output_mode="update")
     assert sum(len(b) for b in run1) > 0
 
     _deliver(extra, land)
     totals = running_user_totals(read_event_stream(spark, land))
-    run2 = run_available_now(totals, ckpt, "tot2", output_mode="update")
+    run2 = collect_available_now(totals, ckpt, "tot2", output_mode="update")
     final = _last_update_per_key(run2, ["user_id"])
     assert len(final) > 0, "stateful stream emitted nothing"
 
@@ -103,7 +158,7 @@ def test_streaming_session_windows_match_batch(spark, landing):
     _deliver(extra, land)  # full data in one pass
 
     stream = session_windows(read_event_stream(spark, land), "30 minutes", "2 hours")
-    batches = run_available_now(stream, ckpt, "sess", output_mode="complete")
+    batches = collect_available_now(stream, ckpt, "sess", output_mode="complete")
     final = _last_update_per_key(batches, ["user_id", "session_start"])
 
     # batch truth: the oracle-checked lag+running-sum sessionization
@@ -146,7 +201,7 @@ def test_stream_dedup_across_redelivery(spark, landing):
     # so every suppression below is the dedup state, not late filtering
     deduped = stream_dedup(stream, key_cols=("event_id",), watermark="400 days")
 
-    b1 = run_available_now(deduped, ckpt, "dedup_b1", output_mode="append")
+    b1 = collect_available_now(deduped, ckpt, "dedup_b1", output_mode="append")
     n1 = sum(len(b) for b in b1)
 
     # redeliver batch 1's file under a new name + deliver the second half
@@ -156,7 +211,7 @@ def test_stream_dedup_across_redelivery(spark, landing):
     _deliver(extra, land)
     stream2 = read_event_stream(spark, land)
     deduped2 = stream_dedup(stream2, key_cols=("event_id",), watermark="400 days")
-    b2 = run_available_now(deduped2, ckpt, "dedup_b2", output_mode="append")
+    b2 = collect_available_now(deduped2, ckpt, "dedup_b2", output_mode="append")
     n2 = sum(len(b) for b in b2)
 
     seen = pd.concat([pdf for pdf in b1 + b2], ignore_index=True)
@@ -175,7 +230,7 @@ def test_stream_enrich_broadcast_join(spark, landing):
         F.concat(F.lit("seg"), (F.col("id") % 3).cast("string")).alias("segment"),
     )
     enriched = stream_enrich(read_event_stream(spark, land), dim)
-    batches = run_available_now(enriched, ckpt, "enrich", output_mode="append")
+    batches = collect_available_now(enriched, ckpt, "enrich", output_mode="append")
     out = pd.concat(batches, ignore_index=True)
     truth = spark.read.parquet(land).count()
     assert len(out) == truth
@@ -196,7 +251,7 @@ def test_stream_stream_join_matches_batch_interval_join(spark, landing):
     joined = stream_stream_join(clicks, purchases, max_gap="30 minutes",
                                 click_watermark="400 days",
                                 purchase_watermark="400 days")
-    batches = run_available_now(joined, ckpt, "ssj", output_mode="append")
+    batches = collect_available_now(joined, ckpt, "ssj", output_mode="append")
     got = pd.concat(batches, ignore_index=True) if batches else pd.DataFrame()
 
     raw = spark.read.parquet(land)
@@ -234,7 +289,7 @@ def test_stateful_sessionize_gap_close_and_timeout_eviction(spark, landing):
         stream = stateful_sessionize(
             read_event_stream(spark, land), gap_minutes=30, watermark="2 hours"
         )
-        return run_available_now(stream, ckpt, name, output_mode="append")
+        return collect_available_now(stream, ckpt, name, output_mode="append")
 
     batches = _run("sess_s1")
     _deliver(extra, land)
@@ -316,7 +371,7 @@ def test_stream_corpus_near_dup_matches_batch_twin(spark, sf_dir, tmp_path):
         stream = stream_corpus_near_dup(
             read_document_stream(spark, land), corpus, threshold=0.5
         )
-        return run_available_now(stream, ckpt, name, output_mode="append")
+        return collect_available_now(stream, ckpt, name, output_mode="append")
 
     batches = _run("neardup1")
     _deliver(extra, land)
@@ -370,7 +425,7 @@ def test_stateful_sessionize_out_of_order_contract(spark, tmp_path):
         stream = stateful_sessionize(
             read_event_stream(spark, str(land)), gap_minutes=30, watermark="2 hours"
         )
-        return run_available_now(stream, ckpt, name, output_mode="append")
+        return collect_available_now(stream, ckpt, name, output_mode="append")
 
     # batch 1: open session at [100, 105] min
     _write([(1, base + 100 * m, 7, "e", 1.0, "{}"),
@@ -411,12 +466,12 @@ def test_stream_hll_registers_equal_batch_after_resume(spark, landing):
     land, extra, ckpt = landing
 
     s = stream_hll_distinct(read_event_stream(spark, land))
-    run1 = run_available_now(s, ckpt, "hll1", output_mode="update")
+    run1 = collect_available_now(s, ckpt, "hll1", output_mode="update")
     assert sum(len(b) for b in run1) > 0
 
     _deliver(extra, land)
     s = stream_hll_distinct(read_event_stream(spark, land))
-    run2 = run_available_now(s, ckpt, "hll2", output_mode="update")
+    run2 = collect_available_now(s, ckpt, "hll2", output_mode="update")
     got = _last_update_per_key(run2, ["event_type"]).set_index("event_type")
 
     full = spark.read.parquet(land)
@@ -473,7 +528,7 @@ def test_stream_scd2_matches_batch_dimension(spark, sf_dir, tmp_path):
         stream = stream_scd2(
             read_snapshot_stream(spark, land), watermark="3 days", horizon_days=2
         )
-        return run_available_now(stream, ckpt, name, output_mode="append")
+        return collect_available_now(stream, ckpt, name, output_mode="append")
 
     batches = []
     for i, ch in enumerate(chunks):
@@ -551,7 +606,7 @@ def test_stream_scd2_out_of_order_contract(spark, tmp_path):
         stream = stream_scd2(
             read_snapshot_stream(spark, land), watermark="3 days", horizon_days=2
         )
-        return run_available_now(stream, ckpt, name, output_mode="append")
+        return collect_available_now(stream, ckpt, name, output_mode="append")
 
     # Batch 1: user 1 opens version 1 ("a") spanning day 10-12.
     _write(0, [(1, t0, "a"), (1, t0 + pd.Timedelta(days=2), "a")])
@@ -601,12 +656,12 @@ def test_stream_cms_registers_equal_batch_after_resume(spark, landing):
     land, extra, ckpt = landing
 
     s = stream_cms_registers(read_event_stream(spark, land))
-    run1 = run_available_now(s, ckpt, "cms1", output_mode="update")
+    run1 = collect_available_now(s, ckpt, "cms1", output_mode="update")
     assert sum(len(b) for b in run1) > 0
 
     _deliver(extra, land)
     s = stream_cms_registers(read_event_stream(spark, land))
-    run2 = run_available_now(s, ckpt, "cms2", output_mode="update")
+    run2 = collect_available_now(s, ckpt, "cms2", output_mode="update")
     got = _last_update_per_key(run2, ["k", "cell"]).set_index(["k", "cell"])
 
     full = spark.read.parquet(land)
@@ -652,12 +707,12 @@ def test_stream_interval_union_equals_batch_after_resume(spark, landing):
     land, extra, ckpt = landing
 
     s = stream_interval_union(read_event_stream(spark, land))
-    run1 = run_available_now(s, ckpt, "ivu1", output_mode="update")
+    run1 = collect_available_now(s, ckpt, "ivu1", output_mode="update")
     assert sum(len(b) for b in run1) > 0
 
     _deliver(extra, land)
     s = stream_interval_union(read_event_stream(spark, land))
-    run2 = run_available_now(s, ckpt, "ivu2", output_mode="update")
+    run2 = collect_available_now(s, ckpt, "ivu2", output_mode="update")
     got = _last_update_per_key(run2, ["user_id"]).set_index("user_id")
 
     # restage the landing files in sf_dir shape for the batch builder

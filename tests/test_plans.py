@@ -653,3 +653,29 @@ def test_session2_final_batch_plan_shapes(spark, sf_dir):
     # shuffle key; no single-partition exchange anywhere.
     plan = _plan(spark, sf_dir, "events_new_vs_returning")
     assert "SinglePartition" not in plan
+
+
+def test_registered_clusters_query_uses_checkpointed_ivf(spark, sf_dir, monkeypatch):
+    """VERDICT r7 task 3: the IVF-checkpoint fix must engage in the
+    REGISTERED llm_embedding_dedup_clusters query, not only in the A/B
+    harness. The builder's final plan starts from CC's own checkpoints
+    (which hide the IVF subtree), so the guard is at the call layer: the
+    builder must invoke ivf_near_dup_pairs with checkpoint LEFT AT ITS
+    TRUE DEFAULT — never checkpoint=False (which exists only for plan
+    introspection). Re-measured r8: isolated median-of-3 at sf0.1 is
+    ~10.5s, matching BASELINE's post-fix 10.11s claim; the 16.8s driver
+    row was bench-sequence warm-up noise (first-run 25s -> warm 8-10s)."""
+    from sig_etl_spark.llm import similarity as S
+    from sig_etl_spark.queries import llm_similarity as LS
+
+    calls: list[bool] = []
+    orig = S.ivf_near_dup_pairs
+
+    def spy(*a, **k):
+        calls.append(k.get("checkpoint", True))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(S, "ivf_near_dup_pairs", spy)
+    assert LS.llm_embedding_dedup_clusters.__module__ == LS.__name__
+    QUERIES["llm_embedding_dedup_clusters"].builder(spark, sf_dir)
+    assert calls == [True], calls

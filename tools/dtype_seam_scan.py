@@ -112,6 +112,17 @@ def scan(sf_dir: str, names: list[str] | None = None) -> list[str]:
         for col in sorted(set(s_types) & set(d_types)):
             sf = _family(_SPARK_FAMILY, s_types[col])
             df_ = _family(_DUCK_FAMILY, d_types[col])
+            # Decimals repr at their SCALE ("1.50" vs "1.5000000000"), so
+            # family parity is not enough — the scales must agree too.
+            if sf == "decimal" and df_ == "decimal":
+                s_scale = re.search(r",\s*(\d+)\)", s_types[col])
+                d_scale = re.search(r",\s*(\d+)\)", d_types[col])
+                if not s_scale or not d_scale or s_scale.group(1) != d_scale.group(1):
+                    problems.append(
+                        f"{name}.{col}: decimal scale mismatch "
+                        f"spark={s_types[col]} duck={d_types[col]}"
+                    )
+                continue
             # hugeint reprs as float on at least one engine bridge and as
             # int on others — it NEVER safely pairs with anything.
             ok = sf == df_ or (sf == "string" and df_ == "string")

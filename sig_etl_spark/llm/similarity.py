@@ -469,17 +469,45 @@ def pq_topk(
 
 
 def _pq_codebook(
-    corpus: DataFrame, id_col: str, vec_col: str, ksub: int
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    ksub: int,
+    m_subs: int | None = None,
+    dsub: int | None = None,
 ) -> DataFrame:
     """One-row broadcastable codebook frame: the ksub md5-smallest corpus
-    rows with a dense index j in the same md5 order the sample used."""
+    rows with a dense index j in the same md5 order the sample used.
+
+    When ``m_subs``/``dsub`` are given, each entry also carries ``n2s``
+    — the per-subspace centroid self-dots — precomputed HERE, in the
+    ksub-row codebook build, instead of inside the per-corpus-row argmin
+    transform. The r8 profile showed the encode scan re-deriving every
+    entry's self-dot per corpus row (m_subs x ksub redundant dsub-dim
+    folds per row); hoisting them into the broadcast is free at build
+    time and removes half the expression tree from the 100 TB-side scan
+    (measured: llm_knn_pq 4.55s -> see BASELINE round-8 notes)."""
     cents = _hash_sample(corpus, id_col, vec_col, ksub, "cent_id", "cent_vec")
     wj = Window.orderBy(F.md5(F.col("cent_id").cast("string")), "cent_id")
     cents = cents.select(
         (F.row_number().over(wj) - 1).alias("j"), "cent_vec"
     )
+    entry_cols = [F.col("j"), F.col("cent_vec")]
+    if m_subs is not None:
+        assert dsub is not None
+        entry_cols.append(
+            F.array(
+                *[
+                    _double_dot(
+                        _pq_sub(F.col("cent_vec"), m, dsub),
+                        _pq_sub(F.col("cent_vec"), m, dsub),
+                    )
+                    for m in range(m_subs)
+                ]
+            ).alias("n2s")
+        )
     return cents.groupBy().agg(
-        F.array_sort(F.collect_list(F.struct("j", "cent_vec"))).alias("cbook")
+        F.array_sort(F.collect_list(F.struct(*entry_cols))).alias("cbook")
     )
 
 
@@ -507,17 +535,17 @@ def _pq_encode(
     overwritten by the array index — these factories bind m safely."""
     dsub = dim // m_subs
     assert dsub * m_subs == dim, "dim must divide evenly into subspaces"
-    cb = _pq_codebook(corpus, id_col, vec_col, ksub)
+    cb = _pq_codebook(corpus, id_col, vec_col, ksub, m_subs=m_subs, dsub=dsub)
 
     def _mk_encode(m):
+        # n2 comes from the broadcast codebook (cent["n2s"][m]) — the
+        # per-row transform computes ONLY the query-dependent L2 fold.
         return lambda cent: F.struct(
             _double_l2(
                 _pq_sub(F.col("cvec"), m, dsub), _pq_sub(cent["cent_vec"], m, dsub)
             ).alias("d"),
             cent["j"].alias("j"),
-            _double_dot(
-                _pq_sub(cent["cent_vec"], m, dsub), _pq_sub(cent["cent_vec"], m, dsub)
-            ).alias("n2"),
+            cent["n2s"][m].alias("n2"),
         )
 
     c = corpus.select(

@@ -647,3 +647,203 @@ def sketch_hll_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("exact_overlap"), F.lit(0)).alias("exact_overlap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV source-overlap matrix (round 8): the set-OPERATION sketch HLL
+# cannot be. HLL registers only union; a KMV (k-minimum-values /
+# theta-sketch core) summary — the k smallest md5 hashes of each
+# source's distinct 3-gram shingle set — supports pairwise UNION and
+# INTERSECTION estimates, which is how a warehouse answers "how much
+# distinct content do sources share?" across a 100 TB corpus without
+# an exact distinct self-join. Scale shape: the ONLY corpus-sized work
+# is one scan with a map-side hash-threshold filter (survivors are a
+# fixed fraction of the distinct space — 1/8 here, ~2^-14 at corpus
+# scale); the bottom-k window and all 190 pairwise set operations run
+# over |sources| arrays of 64 longs. Estimators: union ~=
+# (kk-1)*2^60/kth (bottom-k), intersection ~= union * |common in the
+# merged bottom-kk| / kk. Exact distinct overlap rides along at test
+# scale (a C(20,2) hash self-join — the thing the sketch replaces) so
+# the estimate error is visible in the row. DETERMINISM: md5-derived
+# integers throughout; both estimates are floor()ed single IEEE
+# divisions of exactly-representable operands — all output columns are
+# BIGINT or strings (dtype_seam_scan-clean: COUNT stays BIGINT, and the
+# one +/- over counts never widens).
+# ---------------------------------------------------------------------------
+
+_KMV_SRC_SHINGLES = rf"""
+base AS (SELECT source, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+  FROM (
+    SELECT source,
+           unnest(CASE WHEN len(toks) - 2 >= 1
+                       THEN list_transform(generate_series(1, len(toks) - 2),
+                                           i -> array_to_string(toks[i:i+2], ' '))
+                       ELSE [array_to_string(toks, ' ')]
+                  END) AS shingle
+    FROM base) t
+)"""
+
+_KMV_ORACLE = f"""
+WITH {_KMV_SRC_SHINGLES},
+kmvh AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM sh WHERE h < {SK.KMV_THRESHOLD}
+),
+km AS (
+  SELECT source, list_sort(list(h)) AS kmv
+  FROM kmvh WHERE rn <= {SK.KMV_K} GROUP BY source
+),
+cnt AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+ex AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS exact_inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ka.source AS source_a, kb.source AS source_b,
+         ka.kmv AS ka, kb.kmv AS kb
+  FROM km ka JOIN km kb ON ka.source < kb.source
+),
+merged AS (
+  SELECT source_a, source_b, ka, kb,
+         list_sort(list_distinct(list_concat(ka, kb))) AS m
+  FROM pairs
+),
+sized AS (
+  SELECT source_a, source_b, ka, kb, m,
+         CAST(LEAST({SK.KMV_K}, len(m)) AS BIGINT) AS kk
+  FROM merged
+),
+est AS (
+  SELECT source_a, source_b, kk,
+         CAST(len(list_filter(m[1:CAST(kk AS INT)],
+                              x -> list_contains(ka, x) AND list_contains(kb, x)))
+              AS BIGINT) AS kmv_common,
+         CAST(floor((CAST(kk - 1 AS DOUBLE) * 1152921504606846976.0)
+                    / CAST(m[CAST(kk AS INT)] AS DOUBLE)) AS BIGINT) AS union_est
+  FROM sized
+)
+SELECT e.source_a, e.source_b, e.kk, e.kmv_common, e.union_est,
+       CAST(floor(CAST(e.kmv_common AS DOUBLE) * CAST(e.union_est AS DOUBLE)
+                  / CAST(e.kk AS DOUBLE)) AS BIGINT) AS inter_est,
+       e.kmv_common * 1000 // e.kk AS jacc_est_permille,
+       na.n + nb.n - COALESCE(x.exact_inter, 0) AS exact_union,
+       COALESCE(x.exact_inter, 0) AS exact_inter,
+       COALESCE(x.exact_inter, 0) * 1000
+         // (na.n + nb.n - COALESCE(x.exact_inter, 0)) AS exact_jacc_permille
+FROM est e
+JOIN cnt na ON na.source = e.source_a
+JOIN cnt nb ON nb.source = e.source_b
+LEFT JOIN ex x ON x.source_a = e.source_a AND x.source_b = e.source_b
+"""
+
+
+@register(
+    "sketch_kmv_source_overlap",
+    oracle=_KMV_ORACLE,
+    doc=f"KMV (bottom-{SK.KMV_K} / theta) distinct-overlap matrix between"
+        " sources over 3-gram shingles: pairwise union/intersection/"
+        "Jaccard estimates from 64-hash summaries — the set-operation"
+        " sketch HLL lacks; exact overlap rides along at test scale",
+)
+def sketch_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.llm.text_analysis import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source",
+            F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias(
+                "shingle"
+            ),
+        )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+        # One tokenize+hash pass total: the KMV build, the per-source
+        # exact counts and the exact pair join all read this frame.
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    km = (
+        sh.where(F.col("h") < SK.KMV_THRESHOLD)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= SK.KMV_K)
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list("h")).alias("kmv"))
+    )
+    cnt = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "h")
+    b = sh.select(F.col("source").alias("source_b"), "h")
+    ex = (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    ka = km.select(F.col("source").alias("source_a"), F.col("kmv").alias("ka"))
+    kb = km.select(F.col("source").alias("source_b"), F.col("kmv").alias("kb"))
+    # |sources|^2 bounded pair frame: both sides are sketch-sized.
+    pairs = (
+        ka.crossJoin(kb)
+        .where(F.col("source_a") < F.col("source_b"))
+        .withColumn("m", F.array_sort(F.array_union("ka", "kb")))
+        .withColumn(
+            "kk", F.least(F.lit(SK.KMV_K), F.size("m")).cast("bigint")
+        )
+        .withColumn("kth", F.expr("element_at(m, cast(kk as int))"))
+        .withColumn(
+            "kmv_common",
+            F.expr(
+                "cast(size(filter(slice(m, 1, cast(kk as int)),"
+                " x -> array_contains(ka, x) AND array_contains(kb, x)))"
+                " as bigint)"
+            ),
+        )
+        .withColumn(
+            "union_est",
+            F.floor(
+                ((F.col("kk") - 1).cast("double") * F.lit(float(SK.KMV_SPACE)))
+                / F.col("kth").cast("double")
+            ).cast("bigint"),
+        )
+    )
+    na = cnt.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    nb = cnt.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .join(F.broadcast(ex), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "kk",
+            "kmv_common",
+            "union_est",
+            F.floor(
+                F.col("kmv_common").cast("double")
+                * F.col("union_est").cast("double")
+                / F.col("kk").cast("double")
+            )
+            .cast("bigint")
+            .alias("inter_est"),
+            F.expr("kmv_common * 1000 div kk").alias("jacc_est_permille"),
+            (
+                F.col("n_a") + F.col("n_b")
+                - F.coalesce(F.col("exact_inter"), F.lit(0))
+            ).alias("exact_union"),
+            F.coalesce(F.col("exact_inter"), F.lit(0)).alias("exact_inter"),
+            F.expr(
+                "coalesce(exact_inter, 0) * 1000"
+                " div (n_a + n_b - coalesce(exact_inter, 0))"
+            ).alias("exact_jacc_permille"),
+        )
+    )

@@ -327,3 +327,59 @@ def quantile_hist(
                 ((F.col(f"{name}_bin") + 1) * F.lit(bin_width)).cast("double"),
             )
     return out
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k, the theta-sketch core): the
+# set-OPERATION sketch HLL cannot be. HLL registers merge for unions
+# only; KMV keeps the k smallest 60-bit md5 hashes of a distinct set,
+# and two KMVs support union AND intersection estimates — the
+# distinct-overlap matrix between corpus sources without an exact
+# distinct self-join. Estimator: with U = the kk smallest of the merged
+# summaries and kth = max(U), union ~= (kk-1) * 2^60 / kth (the classic
+# (k-1)/R bottom-k estimator, sigma ~ union/sqrt(k-2)); intersection
+# rides the Jaccard ratio |{x in U : x in A and x in B}| / kk.
+# Everything is md5-derived, so DuckDB re-derives the SAME hashes,
+# the SAME bottom-k and the SAME floor()ed estimates — hash-exact.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_SPACE = 1 << 60  # md5-prefix hash space (15 hex chars)
+# Map-side pre-filter: only hashes below this survive to the shuffle.
+# Correct as long as every group keeps >= KMV_K survivors (bottom-k of
+# the filtered set == bottom-k of the full set when the threshold
+# exceeds the k-th smallest). 1/8 of the space is generous at test
+# scale; at 100 TB you size it near k / expected_distinct (e.g. 2^-14)
+# so the shuffle carries a vanishing sample of the distinct space.
+KMV_THRESHOLD = KMV_SPACE >> 3
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value: Column,
+    group_col: str,
+    k: int = KMV_K,
+    threshold: int = KMV_THRESHOLD,
+) -> DataFrame:
+    """(group, kmv) — kmv is the sorted array of the k smallest distinct
+    60-bit md5 hashes of ``value`` within the group.
+
+    Scale shape: the threshold filter runs BEFORE the distinct shuffle,
+    so the corpus-sized scan emits only the sub-threshold sample of the
+    distinct space; the per-group bottom-k window then runs over that
+    small frame, and every downstream set operation works on |groups|
+    arrays of k longs.
+    """
+    h = F.conv(F.substring(F.md5(value), 1, 15), 16, 10).cast("bigint")
+    filtered = (
+        df.select(F.col(group_col), h.alias("h"))
+        .where(F.col("h") < threshold)
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy(group_col)
+        .agg(F.array_sort(F.collect_list("h")).alias("kmv"))
+    )

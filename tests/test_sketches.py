@@ -306,3 +306,29 @@ def test_hll_retention_identities_and_error(spark, sf_dir):
         assert abs(r["est_overlap"] - r["exact_overlap"]) <= band, (
             r["day"], r["est_overlap"], r["exact_overlap"], band,
         )
+
+
+def test_kmv_source_overlap_estimates(spark, sf_dir):
+    """KMV estimator sanity on the fixture: structural invariants hold for
+    every pair, and the union estimate lands within the bottom-k error
+    envelope (sigma ~ union/sqrt(k-2); 4 sigma here to stay flake-free)
+    whenever the summary is actually full (kk == k)."""
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.sketches import KMV_K
+
+    rows = QUERIES["sketch_kmv_source_overlap"].builder(spark, sf_dir).collect()
+    assert len(rows) > 0
+    full = 0
+    for r in rows:
+        assert 1 <= r.kk <= KMV_K
+        assert 0 <= r.kmv_common <= r.kk
+        assert r.inter_est <= r.union_est
+        assert 0 <= r.jacc_est_permille <= 1000
+        assert r.exact_inter <= r.exact_union
+        if r.kk == KMV_K:
+            full += 1
+            tol = 4.0 * r.exact_union / (KMV_K - 2) ** 0.5
+            assert abs(r.union_est - r.exact_union) <= tol, (
+                r.source_a, r.source_b, r.union_est, r.exact_union, tol)
+    # the fixture's sources are large enough that summaries fill up
+    assert full > 0

@@ -370,6 +370,8 @@ def kmv_sketch(
     small frame, and every downstream set operation works on |groups|
     arrays of k longs.
     """
+    from pyspark.sql import Window
+
     h = F.conv(F.substring(F.md5(value), 1, 15), 16, 10).cast("bigint")
     filtered = (
         df.select(F.col(group_col), h.alias("h"))

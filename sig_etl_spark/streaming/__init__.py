@@ -24,6 +24,7 @@ from sig_etl_spark.streaming.pipeline import (  # noqa: F401
     stream_dedup,
     stream_hll_distinct,
     stream_interval_union,
+    stream_kmv_distinct,
     stream_enrich,
     stream_scd2,
     stream_stream_join,

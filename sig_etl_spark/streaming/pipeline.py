@@ -562,6 +562,81 @@ def stream_hll_distinct(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming KMV (round 8): live maintenance of the bottom-k distinct
+# summary behind sketch_kmv_source_overlap — the streaming twin every
+# other sketch in the family already has (HLL registers, CMS cells).
+# State per key is the sorted bottom-KMV_K hash array (bounded at k
+# longs forever); each micro-batch ships only the SUB-THRESHOLD hashes
+# (the JVM-side filter runs before the Python state op, exactly like
+# the batch kmv_sketch's map-side prune), merges them in, and re-emits
+# the summary + the (kk-1)*2^60/kth distinct estimate. Two live KMVs
+# intersect/union downstream without rescanning history — the property
+# HLL registers cannot offer.
+# ---------------------------------------------------------------------------
+
+_KMV_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("kmv", ArrayType(LongType())),
+        StructField("kk", LongType()),
+        StructField("kth", LongType()),
+        StructField("kmv_distinct", LongType()),
+    ]
+)
+_KMV_STATE = StructType([StructField("kmv", ArrayType(LongType()))])
+
+
+def _update_kmv(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    from sig_etl_spark.sketches import KMV_K, KMV_SPACE
+
+    seen = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        seen.update(int(h) for h in pdf["h"])
+    kmv = sorted(seen)[:KMV_K]
+    state.update((kmv,))
+    kk = len(kmv)
+    kth = int(kmv[-1]) if kmv else 0
+    if kk > 1:
+        # same floor()ed single-division estimator as the batch query
+        est = math.floor((kk - 1) * float(KMV_SPACE) / float(kth))
+    else:
+        est = kk
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "kmv": [kmv],
+            "kk": [kk],
+            "kth": [kth],
+            "kmv_distinct": [est],
+        }
+    )
+
+
+def stream_kmv_distinct(events: DataFrame) -> DataFrame:
+    """Running per-event_type bottom-k distinct-user summary: the state
+    is the KMV array itself, so consumers can union/intersect live keys
+    (sketch_kmv_source_overlap's pairwise math) without any rescan."""
+    from sig_etl_spark.sketches import KMV_THRESHOLD
+
+    hashed = events.selectExpr(
+        "event_type",
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)"
+        " as bigint) as h",
+    ).where(F.col("h") < KMV_THRESHOLD)
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        _update_kmv,
+        outputStructType=_KMV_OUT,
+        stateStructType=_KMV_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming SCD2 (round 7): live dimension maintenance — the streaming
 # twin of the batch dim_scd2_intervals query. Input is the daily
 # snapshot feed (user_id, day, attr): one row per entity per snapshot

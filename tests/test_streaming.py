@@ -734,3 +734,48 @@ def test_stream_interval_union_equals_batch_after_resume(spark, landing):
         != (n, m)
     ]
     assert not mism, mism[:5]
+
+
+def test_stream_kmv_equals_batch_after_resume(spark, landing):
+    """The streaming KMV's checkpointed bottom-k array must equal the
+    BATCH kmv_sketch over all rows seen — after an incremental second
+    delivery resumes from checkpoint state (the merge property that lets
+    two live keys union/intersect without rescanning history). Arrays
+    are exact integers, so equality is exact; the emitted estimate must
+    match the batch floor()ed single-division formula."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sig_etl_spark import sketches as SK
+    from sig_etl_spark.streaming import stream_kmv_distinct
+
+    land, extra, ckpt = landing
+
+    s = stream_kmv_distinct(read_event_stream(spark, land))
+    run1 = collect_available_now(s, ckpt, "kmv1", output_mode="update")
+    assert sum(len(b) for b in run1) > 0
+
+    _deliver(extra, land)
+    s = stream_kmv_distinct(read_event_stream(spark, land))
+    run2 = collect_available_now(s, ckpt, "kmv2", output_mode="update")
+    got = _last_update_per_key(run2, ["event_type"]).set_index("event_type")
+
+    full = spark.read.parquet(land)
+    batch = {
+        r["event_type"]: list(r["kmv"])
+        for r in SK.kmv_sketch(
+            full, F.col("user_id").cast("string"), "event_type"
+        ).collect()
+    }
+    assert set(got.index) == set(batch)
+    for et, kmv in batch.items():
+        g = got.loc[et]
+        assert list(g["kmv"]) == kmv, et
+        kk = len(kmv)
+        assert int(g["kk"]) == kk
+        if kk > 1:
+            est = math.floor((kk - 1) * float(SK.KMV_SPACE) / float(kmv[-1]))
+        else:
+            est = kk
+        assert int(g["kmv_distinct"]) == est, et

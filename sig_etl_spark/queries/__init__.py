@@ -179,10 +179,10 @@ def _load_all() -> None:
 # entries sort last and only tighten this bound for everyone else.
 # Round-8 drain arithmetic (computed, see tools/gen_driver_history.py):
 # every query that has NEVER received a driver row (the r7 holdback's
-# 16 non-promoted entries plus the late-round sketch_kmv_source_overlap)
-# sits INSIDE this round's cap-50 window (25 debuts + 17 never-green +
-# 8 stalest = 50), so a green CORRECTNESS_r08 takes the never-checked
-# count to 0 (VERDICT r7 task 2).
+# 16 non-promoted entries plus the late-round sketch_kmv_source_overlap
+# and j6_scalar_cte_window) sits INSIDE this round's cap-50 window
+# (25 debuts + 18 never-green + 7 stalest = 50), so a green
+# CORRECTNESS_r08 takes the never-checked count to 0 (VERDICT r7 task 2).
 # tools/verify_local.py
 # still checks ALL queries locally every round, so the cap only limits
 # the external signal, never the verification itself.

@@ -332,3 +332,34 @@ def test_kmv_source_overlap_estimates(spark, sf_dir):
                 r.source_a, r.source_b, r.union_est, r.exact_union, tol)
     # the fixture's sources are large enough that summaries fill up
     assert full > 0
+
+
+def test_kmv_mergeability_property():
+    """The property the KMV family exists for, as a pure-Python check the
+    Spark/DuckDB sides both implement: bottom-k of a UNION of sets equals
+    bottom-k of the union of each set's bottom-k summaries (as long as
+    each summary kept everything below its k-th value — true by
+    construction). Randomized over hypothesis-style generated splits."""
+    import hashlib
+    import random
+
+    from sig_etl_spark.sketches import KMV_K
+
+    rng = random.Random(8)
+    universe = [f"item-{i}" for i in range(5000)]
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for trial in range(20):
+        n_parts = rng.randint(2, 5)
+        parts = [set() for _ in range(n_parts)]
+        for item in rng.sample(universe, rng.randint(KMV_K + 1, 3000)):
+            # items may land in SEVERAL parts (overlapping sources)
+            for p in rng.sample(range(n_parts), rng.randint(1, n_parts)):
+                parts[p].add(item)
+        full = set().union(*parts)
+        truth = sorted(h(x) for x in full)[:KMV_K]
+        summaries = [sorted(h(x) for x in p)[:KMV_K] for p in parts]
+        merged = sorted(set().union(*map(set, summaries)))[:KMV_K]
+        assert merged == truth, f"trial {trial}: merge != recompute"

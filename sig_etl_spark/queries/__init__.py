@@ -173,15 +173,15 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 8 (N=224, D=25):
-# ceil(174/25) = 7 rounds worst-case — debut-heavy rounds slow the
+# behind at most N - C fresher-than-it entries. Round 8 (N=227, D=25):
+# ceil(177/25) = 8 rounds worst-case — debut-heavy rounds slow the
 # refresh; the budget assert bounds how much. Late-round _HOLDBACK
 # entries sort last and only tighten this bound for everyone else.
 # Round-8 drain arithmetic (computed, see tools/gen_driver_history.py):
 # every query that has NEVER received a driver row (the r7 holdback's
-# 16 non-promoted entries plus the late-round sketch_kmv_source_overlap
-# and j6_scalar_cte_window) sits INSIDE this round's cap-50 window
-# (25 debuts + 18 never-green + 7 stalest = 50), so a green
+# 16 non-promoted entries plus the late-round sketch_kmv_source_overlap,
+# j6_scalar_cte_window and llm_corpus_snapshot_diff) sits INSIDE this round's cap-50 window
+# (25 debuts + 19 never-green + 6 stalest = 50), so a green
 # CORRECTNESS_r08 takes the never-checked count to 0 (VERDICT r7 task 2).
 # tools/verify_local.py
 # still checks ALL queries locally every round, so the cap only limits

@@ -1994,3 +1994,92 @@ def llm_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (round 8): the dataset-versioning audit — given
+# two VERSIONS of a corpus, report per source how many documents were
+# added, removed, changed, or untouched. At 100 TB this is how a
+# training-data pipeline proves "v2 = v1 + these deltas" without
+# re-reading either version twice: one full-outer hash-join on the
+# document key comparing content fingerprints, counts map-side
+# combinable. The two versions are derived deterministically from the
+# fixture (v1 drops doc_id % 7 == 0 — docs "added later"; v2 drops
+# doc_id % 5 == 1 — docs "removed"; v2 rewrites doc_id % 11 == 3 —
+# "changed" content via a regexp edit identical on both engines), so
+# every diff class is exercised and the oracle re-derives the same
+# partition. Fingerprint = md5 of the text — the same content-hash
+# convention as llm_exact_dedup.
+# ---------------------------------------------------------------------------
+
+_SNAPDIFF_ORACLE = """
+WITH v1 AS (
+  SELECT doc_id, source, md5(text) AS fp
+  FROM documents WHERE doc_id % 7 <> 0
+),
+v2 AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN doc_id % 11 = 3
+                  THEN regexp_replace(text, '^[a-z]+', 'REVISED')
+                  ELSE text END) AS fp
+  FROM documents WHERE doc_id % 5 <> 1
+),
+j AS (
+  SELECT COALESCE(v1.source, v2.source) AS source,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.fp <> v2.fp THEN 'changed'
+              ELSE 'unchanged' END AS klass
+  FROM v1 FULL OUTER JOIN v2
+    ON v1.doc_id = v2.doc_id
+)
+SELECT source,
+       CAST(SUM(CASE WHEN klass = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN klass = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN klass = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN klass = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM j GROUP BY source
+"""
+
+
+@register(
+    "llm_corpus_snapshot_diff",
+    oracle=_SNAPDIFF_ORACLE,
+    doc="dataset-versioning audit: per-source added/removed/changed/"
+        "unchanged counts between two corpus versions via one full-outer"
+        " key join over md5 content fingerprints — map-side-combinable"
+        " counts, no version read twice",
+)
+def llm_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("id1"),
+        F.col("source").alias("src1"),
+        F.md5("text").alias("fp1"),
+    )
+    v2 = docs.where(F.col("doc_id") % 5 != 1).select(
+        F.col("doc_id").alias("id2"),
+        F.col("source").alias("src2"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 3,
+                F.regexp_replace(F.col("text"), r"^[a-z]+", "REVISED"),
+            ).otherwise(F.col("text"))
+        ).alias("fp2"),
+    )
+    j = v1.join(v2, v1["id1"] == v2["id2"], "full_outer").select(
+        F.coalesce(F.col("src1"), F.col("src2")).alias("source"),
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .when(F.col("fp1") != F.col("fp2"), "changed")
+        .otherwise("unchanged")
+        .alias("klass"),
+    )
+    return j.groupBy("source").agg(
+        *[
+            F.sum(F.when(F.col("klass") == k, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{k}")
+            for k in ("added", "removed", "changed", "unchanged")
+        ]
+    )

@@ -1769,10 +1769,18 @@ w AS (
   FROM g WHERE n > 0
 ),
 chunks AS (
+  -- 60-bit bigint chunk hash (round 8): the distinct-count shuffle
+  -- carries 8-byte keys instead of 32-char md5 strings — same portable
+  -- md5 bits, same truncation on both engines. Measured wall-clock
+  -- NEUTRAL at sf0.1 (the per-chunk md5 itself dominates, 4.96s vs
+  -- 5.01s A/B); kept for the 4x shuffle-byte cut, which is what
+  -- matters when the shuffle is network-bound at corpus scale.
   SELECT source,
          unnest(list_transform(
            generate_series(1, len(cuts) - 1),
-           j -> md5(array_to_string(toks[cuts[j]:cuts[j+1]-1], ' ')))) AS ch
+           j -> CAST(CAST(('0x' || substr(md5(array_to_string(
+                  toks[cuts[j]:cuts[j+1]-1], ' ')), 1, 15)) AS UBIGINT)
+                AS BIGINT))) AS ch
   FROM w WHERE len(cuts) > 1
 )
 SELECT source,
@@ -1825,19 +1833,29 @@ def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array((F.col("n") + 1).cast("int")),
         ),
     )
+    # 60-bit bigint chunk hash: the countDistinct shuffle carries 8-byte
+    # keys, not 32-char md5 strings (same portable bits both engines).
     chunk_hashes = F.transform(
         F.expr("sequence(1, size(cuts) - 1)"),
-        lambda j: F.md5(
-            F.array_join(
-                F.slice(
-                    F.col("toks"),
-                    F.element_at(F.col("cuts"), j),
-                    F.element_at(F.col("cuts"), j + F.lit(1))
-                    - F.element_at(F.col("cuts"), j),
+        lambda j: F.conv(
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.slice(
+                            F.col("toks"),
+                            F.element_at(F.col("cuts"), j),
+                            F.element_at(F.col("cuts"), j + F.lit(1))
+                            - F.element_at(F.col("cuts"), j),
+                        ),
+                        " ",
+                    )
                 ),
-                " ",
-            )
-        ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
     )
     chunks = w.filter(F.size("cuts") > 1).select(
         "source", F.explode(chunk_hashes).alias("ch")

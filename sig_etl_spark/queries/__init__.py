@@ -243,6 +243,25 @@ _DEBUTS = [
 # (25 debuts + 16 never-green + 9 stalest = 50).
 _HOLDBACK: list[str] = []
 
+# Queries that are EXPECTED to stay driver-red forever (deliberately-
+# divergent measurement probes — tools/dtype_seam_scan.EXPECTED_DIVERGENT).
+# They need exactly ONE driver observation (round 8 proves the hugeint
+# root cause); afterwards their permanent never-green status would pin
+# them to the FRONT of the stale ordering and waste a cap slot every
+# round. Once any CORRECTNESS file from their debut round onward exists
+# in the repo, they sort LAST instead.
+_DIVERGENT_PROBES = {"diag_seam_hugeint_raw": 8}
+
+
+def _observed_round(round_no: int) -> bool:
+    import os as _os
+
+    here = _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    return _os.path.exists(
+        _os.path.join(here, f"CORRECTNESS_r{round_no:02d}.json")
+    )
+
 
 def _reorder() -> None:
     from sig_etl_spark.queries._driver_history import DRIVER_LAST_GREEN
@@ -260,12 +279,19 @@ def _reorder() -> None:
     overlap = set(_DEBUTS) & set(_HOLDBACK)
     if overlap:
         raise RuntimeError(f"_DEBUTS/_HOLDBACK overlap: {sorted(overlap)}")
+    tail = [
+        n for n, debut_round in _DIVERGENT_PROBES.items()
+        if n in QUERIES and n not in _DEBUTS and _observed_round(debut_round)
+    ]
     reg_index = {n: i for i, n in enumerate(QUERIES)}
     rest = sorted(
-        (n for n in QUERIES if n not in _DEBUTS and n not in _HOLDBACK),
+        (
+            n for n in QUERIES
+            if n not in _DEBUTS and n not in _HOLDBACK and n not in tail
+        ),
         key=lambda n: (DRIVER_LAST_GREEN.get(n, 0), reg_index[n]),
     )
-    ordered = {n: QUERIES[n] for n in [*_DEBUTS, *rest, *_HOLDBACK]}
+    ordered = {n: QUERIES[n] for n in [*_DEBUTS, *rest, *_HOLDBACK, *tail]}
     QUERIES.clear()
     QUERIES.update(ordered)
 

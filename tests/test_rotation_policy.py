@@ -116,3 +116,24 @@ def test_contrast_rows_name_registered_twins():
         twin = re.sub(r"\s+", "", m.group(1))
         assert twin in QUERIES, f"{name}: twin {twin!r} not registered"
         assert twin != name
+
+
+def test_divergent_probe_tails_after_observation(tmp_path, monkeypatch):
+    """diag_seam_hugeint_raw is expected-red forever; after its one
+    driver observation (CORRECTNESS_r08) it must sort LAST instead of
+    pinning a never-green front slot every round."""
+    import sig_etl_spark.queries as q
+
+    # this round it debuts (so it IS observed); simulate round 9:
+    # remove it from _DEBUTS and re-run the reorder with the
+    # observation file present (it will exist from round 9 on).
+    monkeypatch.setattr(q, "_DEBUTS", [])
+    monkeypatch.setattr(q, "_observed_round", lambda r: True)
+    q._reorder()
+    try:
+        names = list(q.QUERIES)
+        assert names[-1] == "diag_seam_hugeint_raw"
+    finally:
+        # restore real ordering for other tests in the session
+        monkeypatch.undo()
+        q._reorder()

@@ -42,6 +42,15 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = sys.argv[1:] or list(QUERIES)
+    # Scale sweeps may exclude the labeled CONTRAST ROW demos' untreated
+    # arms (deliberately quadratic; >30min each at sf1). Exclusions are
+    # RECORDED in the result JSON so a reader sees what was dropped —
+    # never a silent cap.
+    excluded = [
+        n for n in os.environ.get("SPARK_GRAFT_EXCLUDE", "").split(",")
+        if n and n in names
+    ]
+    names = [n for n in names if n not in excluded]
 
     # Warm up the JVM + parquet footers once so per-query numbers measure
     # the query, not first-touch costs.
@@ -110,6 +119,8 @@ def main() -> int:
         "aggregation": "median",
         "sf": sf,
     }
+    if excluded:
+        result["excluded"] = excluded
     print(json.dumps(result))
     # ALSO persist the full per-query JSON into the repo (VERDICT r7
     # task 5): the driver records only a 2000-char tail of stdout, which

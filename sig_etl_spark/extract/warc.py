@@ -1,0 +1,234 @@
+"""WARC-style container ingestion (round 9 — VERDICT r8 task 6).
+
+Web-crawl training corpora land on disk as WARC containers (ISO 28500;
+the Common Crawl shape): one file = thousands of records, each record a
+header block + payload, and in the ``.warc.gz`` variant each record is
+its OWN gzip member so readers can split on member boundaries without
+decompressing the whole file. This module implements the full path with
+the Python stdlib only (``zlib`` handles gzip members — no gating
+needed, unlike the image/audio codecs):
+
+    binaryFile landing scan (one container = one row = one task)
+      -> mapInPandas gzip-member walker (zlib.decompressobj(wbits=31),
+         loop on .unused_data — each member decodes independently,
+         memory bounded by ONE record, not the container)
+      -> WARC header parse (version line + colon headers +
+         Content-Length-delimited payload)
+      -> one output row per record.
+
+Scale shape: exactly how Spark jobs consume Common Crawl — containers
+are ~1 GB each, millions of them; ``binaryFile`` gives one task per
+container, the walker streams members, and no driver involvement exists
+anywhere. The oracle-checked registry query renders containers
+IN-ENGINE from the documents table (the driver harness is parquet-only
+— same render-then-parse roundtrip pattern as extract_s3_roundtrip) so
+any walker/parser defect breaks the value hash; ``read_warc_zone`` is
+the production entry over a real landing directory, pytest-covered via
+a written fixture.
+
+Reference parity: the reference's S2 cache scan (votervoice/extract.py)
+walks a directory of saved HTML; WARC is the same landing-zone contract
+at web-crawl scale (north-star scope, no direct reference analogue).
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+WARC_VERSION = b"WARC/1.0"
+
+# One output row per WARC record.
+RECORD_SCHEMA = (
+    "container_id bigint, doc_id bigint, target_uri string,"
+    " warc_type string, content_length bigint, payload string"
+)
+
+
+# ---------------------------------------------------------------------------
+# Record-level codec (pure functions — unit-testable off-cluster).
+# ---------------------------------------------------------------------------
+
+def build_record(doc_id: int, payload: bytes, uri: str | None = None) -> bytes:
+    """Serialize one WARC/1.0 response record (uncompressed)."""
+    uri = uri or f"https://example.org/docs/{doc_id}"
+    headers = (
+        WARC_VERSION + b"\r\n"
+        b"WARC-Type: response\r\n"
+        + f"WARC-Record-ID: <urn:doc:{doc_id}>\r\n".encode()
+        + f"WARC-Target-URI: {uri}\r\n".encode()
+        + b"Content-Type: text/plain\r\n"
+        + f"Content-Length: {len(payload)}\r\n".encode()
+        + b"\r\n"
+    )
+    return headers + payload + b"\r\n\r\n"
+
+
+def build_member(doc_id: int, payload: bytes, uri: str | None = None) -> bytes:
+    """One record as its own deterministic gzip member (mtime=0, fixed
+    level — byte-stable across runs, the .warc.gz on-disk shape)."""
+    return gzip.compress(build_record(doc_id, payload, uri), compresslevel=9, mtime=0)
+
+
+def parse_record(rec: bytes) -> dict:
+    """Parse one uncompressed WARC record into a field dict."""
+    head, sep, rest = rec.partition(b"\r\n\r\n")
+    if not sep:
+        raise ValueError("WARC record without header terminator")
+    lines = head.split(b"\r\n")
+    if lines[0] != WARC_VERSION:
+        raise ValueError(f"unsupported WARC version line: {lines[0]!r}")
+    headers = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(b":")
+        headers[k.strip().decode("ascii").lower()] = v.strip().decode("utf-8")
+    n = int(headers["content-length"])
+    payload = rest[:n]
+    if len(payload) != n:
+        raise ValueError("truncated WARC payload")
+    rid = headers.get("warc-record-id", "")
+    doc_id = int(rid.rsplit(":", 1)[-1].rstrip(">")) if ":" in rid else -1
+    return {
+        "doc_id": doc_id,
+        "target_uri": headers.get("warc-target-uri", ""),
+        "warc_type": headers.get("warc-type", ""),
+        "content_length": n,
+        "payload": payload,
+    }
+
+
+def iter_members(data: bytes) -> Iterator[bytes]:
+    """Walk concatenated gzip members: decompress one member at a time
+    via zlib.decompressobj(wbits=31) and resume at .unused_data — only
+    ONE decoded record is held at a time (the compressed container bytes
+    are already materialized by the binaryFile scan)."""
+    buf = data
+    while buf:
+        if buf[:2] != b"\x1f\x8b":
+            raise ValueError("not a gzip member boundary")
+        d = zlib.decompressobj(wbits=31)
+        out = d.decompress(buf)  # stops at THIS member's end; rest -> unused_data
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        yield out
+        buf = d.unused_data
+
+
+def iter_records(data: bytes, compressed: bool = True) -> Iterator[dict]:
+    """All records in a container (compressed = per-member gzip)."""
+    if compressed:
+        for member in iter_members(data):
+            yield parse_record(member)
+    else:
+        rest = data
+        while rest:
+            rec = parse_record(rest)
+            head_len = rest.index(b"\r\n\r\n") + 4
+            consumed = head_len + rec["content_length"] + 4
+            yield rec
+            rest = rest[consumed:]
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing.
+# ---------------------------------------------------------------------------
+
+def render_containers(
+    docs: DataFrame,
+    n_containers: int = 8,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    compressed: bool = True,
+) -> DataFrame:
+    """(container_id, data): documents grouped into deterministic WARC
+    containers — record bytes built per row in an Arrow batch, members
+    concatenated in doc_id order with a binary aggregate fold (JVM-side;
+    the Python step touches each record once)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    build = build_member if compressed else build_record
+
+    @pandas_udf("binary")
+    def _member(ids, texts):
+        return pd.Series(
+            [build(int(i), t.encode("utf-8")) for i, t in zip(ids, texts)]
+        )
+
+    return (
+        docs.select(
+            (F.col(doc_id) % n_containers).alias("container_id"),
+            F.col(doc_id).alias("_id"),
+            _member(F.col(doc_id), F.col(text)).alias("member"),
+        )
+        .groupBy("container_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_id", "member"))
+            ).alias("members")
+        )
+        .select(
+            "container_id",
+            F.aggregate(
+                F.col("members"),
+                F.lit(b""),
+                lambda acc, m: F.concat(acc, m["member"]),
+            ).alias("data"),
+        )
+    )
+
+
+def parse_containers(
+    containers: DataFrame,
+    container_id: str = "container_id",
+    data: str = "data",
+    compressed: bool = True,
+) -> DataFrame:
+    """mapInPandas walker: one input row per container, one output row
+    per WARC record. Arrow-batched; payloads decode utf-8."""
+
+    def _walk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for cid, blob in zip(pdf[container_id], pdf[data]):
+                for rec in iter_records(bytes(blob), compressed=compressed):
+                    rows.append(
+                        (
+                            int(cid),
+                            rec["doc_id"],
+                            rec["target_uri"],
+                            rec["warc_type"],
+                            rec["content_length"],
+                            rec["payload"].decode("utf-8"),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "container_id", "doc_id", "target_uri",
+                    "warc_type", "content_length", "payload",
+                ],
+            )
+
+    return containers.mapInPandas(_walk, RECORD_SCHEMA)
+
+
+def read_warc_zone(spark, path: str, glob: str = "*.warc.gz") -> DataFrame:
+    """Production entry: binaryFile scan of a WARC landing zone (one
+    container file = one split = one walker task), record rows out.
+    container_id is the file-path hash (stable per container)."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select(
+            F.xxhash64(F.col("path")).alias("container_id"),
+            F.col("content").alias("data"),
+        )
+    )
+    return parse_containers(raw, compressed=glob.endswith(".gz"))

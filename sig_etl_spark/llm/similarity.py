@@ -279,6 +279,40 @@ def _hash_sample(
     )
 
 
+def _cent_norm_frame(cents: DataFrame) -> DataFrame:
+    """(cent_id, cent_vec, cent_norm2) — centroid-count-sized, built for
+    broadcast."""
+    return _with_norm2(cents, "cent_id", "cent_vec", "cent_id").select(
+        "cent_id", F.col("cent_id_vec").alias("cent_vec"),
+        F.col("cent_id_norm2").alias("cent_norm2"),
+    )
+
+
+def _nearest_cells(
+    df: DataFrame, out_id: str, n: int, cent_norm: DataFrame
+) -> DataFrame:
+    """Rank every row of ``df`` (a _with_norm2 frame) against the
+    broadcast centroid set; keep the ``n`` nearest cells per row."""
+    scored = df.join(F.broadcast(cent_norm)).select(
+        out_id,
+        f"{out_id}_vec",
+        f"{out_id}_norm2",
+        "cent_id",
+        _cosine(
+            F.col(f"{out_id}_vec"), F.col("cent_vec"),
+            F.col(f"{out_id}_norm2"), F.col("cent_norm2"),
+        ).alias("_csim"),
+    )
+    w = Window.partitionBy(out_id).orderBy(
+        F.col("_csim").desc(), F.col("cent_id")
+    )
+    return (
+        scored.withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= n)
+        .drop("_csim", "_crank")
+    )
+
+
 def _ivf_with_centroids(
     queries: DataFrame,
     corpus: DataFrame,
@@ -292,33 +326,19 @@ def _ivf_with_centroids(
     centroid, probe the ``nprobe`` nearest cells per query, exact-score
     only same-cell candidates. ``cents`` must be (cent_id, cent_vec) and
     centroid-count-sized (it is broadcast twice)."""
-    cent_norm = _with_norm2(cents, "cent_id", "cent_vec", "cent_id").select(
-        "cent_id", F.col("cent_id_vec").alias("cent_vec"),
-        F.col("cent_id_norm2").alias("cent_norm2"),
+    cent_norm = _cent_norm_frame(cents)
+    c = _nearest_cells(
+        _with_norm2(corpus, id_col, vec_col, "corpus_id"), "corpus_id", 1, cent_norm
     )
+    q = _nearest_cells(
+        _with_norm2(queries, id_col, vec_col, "query_id"), "query_id", nprobe, cent_norm
+    )
+    return _ivf_topk_tail(c, q, k)
 
-    def nearest_cells(df: DataFrame, out_id: str, n: int) -> DataFrame:
-        scored = df.join(F.broadcast(cent_norm)).select(
-            out_id,
-            f"{out_id}_vec",
-            f"{out_id}_norm2",
-            "cent_id",
-            _cosine(
-                F.col(f"{out_id}_vec"), F.col("cent_vec"),
-                F.col(f"{out_id}_norm2"), F.col("cent_norm2"),
-            ).alias("_csim"),
-        )
-        w = Window.partitionBy(out_id).orderBy(
-            F.col("_csim").desc(), F.col("cent_id")
-        )
-        return (
-            scored.withColumn("_crank", F.row_number().over(w))
-            .filter(F.col("_crank") <= n)
-            .drop("_csim", "_crank")
-        )
 
-    c = nearest_cells(_with_norm2(corpus, id_col, vec_col, "corpus_id"), "corpus_id", 1)
-    q = nearest_cells(_with_norm2(queries, id_col, vec_col, "query_id"), "query_id", nprobe)
+def _ivf_topk_tail(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Candidate join on cell id + exact cosine re-rank (the IVF tail
+    shared by the static and incremental index shapes)."""
     cands = (
         c.join(F.broadcast(q), "cent_id")
         .select(
@@ -340,6 +360,63 @@ def _ivf_with_centroids(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def ivf_incremental_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    checkpoint_static: bool = True,
+) -> DataFrame:
+    """Top-k ANN maintenance under updates (round 9 — VERDICT r8 task 5):
+    serve queries over ``corpus ∪ delta`` WITHOUT re-clustering or
+    re-assigning the static corpus.
+
+    The index (centroids + static cell assignment) derives from
+    ``corpus`` alone; arriving ``delta`` rows are assigned to the
+    EXISTING cells — O(|delta| · n_centroids) distance evaluations, the
+    incremental contract of every production ANN index (FAISS add(),
+    not train()) — and the merged inverted file serves the probe join.
+    At 100 TB this is the difference between an hourly delta costing
+    minutes and costing a full-corpus rebuild.
+
+    ``checkpoint_static=True`` localCheckpoints the static assignment,
+    the materialized-inverted-file stand-in: the query probe and any
+    subsequent delta batch reuse the materialization instead of
+    replaying the corpus-sized assignment scan (the same pattern the
+    checkpointed IVF cluster builders use; plan-guarded in
+    tests/test_plans.py).
+
+    Correctness shape: because centroids come only from the static
+    corpus, assign(static) ∪ assign(delta) ≡ assign(static ∪ delta)
+    under the same centroid set — the batch-equality test pins it, and
+    the DuckDB oracle expresses the union literally.
+    """
+    cents = _hash_sample(corpus, id_col, vec_col, n_centroids, "cent_id", "cent_vec")
+    cent_norm = _cent_norm_frame(cents)
+    if checkpoint_static:
+        # the persisted index is centroids + inverted file: materialize
+        # BOTH, or every later broadcast of the (centroid-count-sized)
+        # quantizer replays a static-corpus scan to re-derive the sample
+        cent_norm = cent_norm.localCheckpoint()
+    static_assign = _nearest_cells(
+        _with_norm2(corpus, id_col, vec_col, "corpus_id"), "corpus_id", 1, cent_norm
+    )
+    if checkpoint_static:
+        static_assign = static_assign.localCheckpoint()
+    delta_assign = _nearest_cells(
+        _with_norm2(delta, id_col, vec_col, "corpus_id"), "corpus_id", 1, cent_norm
+    )
+    merged = static_assign.unionByName(delta_assign)
+    q = _nearest_cells(
+        _with_norm2(queries, id_col, vec_col, "query_id"), "query_id", nprobe, cent_norm
+    )
+    return _ivf_topk_tail(merged, q, k)
 
 
 def kmeans_centroids(

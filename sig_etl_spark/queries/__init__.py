@@ -173,16 +173,17 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 8 (N=227, D=25):
-# ceil(177/25) = 8 rounds worst-case — debut-heavy rounds slow the
-# refresh; the budget assert bounds how much. Late-round _HOLDBACK
-# entries sort last and only tighten this bound for everyone else.
-# Round-8 drain arithmetic (computed, see tools/gen_driver_history.py):
-# every query that has NEVER received a driver row (the r7 holdback's
-# 16 non-promoted entries plus the late-round sketch_kmv_source_overlap,
-# j6_scalar_cte_window and llm_corpus_snapshot_diff) sits INSIDE this round's cap-50 window
-# (25 debuts + 19 never-green + 6 stalest = 50), so a green
-# CORRECTNESS_r08 takes the never-checked count to 0 (VERDICT r7 task 2).
+# behind at most N - C fresher-than-it entries. Round 9 (N=228, D=3):
+# ceil(178/47) = 4 rounds worst-case — the debut list is deliberately
+# tiny this round so the stale block drains at full width; the budget
+# assert bounds how much a debut-heavy round can slow the refresh.
+# Late-round _HOLDBACK entries sort last and only tighten this bound
+# for everyone else.
+# Round-9 drain arithmetic: the r4-stale cohort (39 queries last green
+# in round 4) plus the oldest r5 entries fill the 47 non-debut slots,
+# taking max staleness in the union view from 5 rounds to <= 4
+# (VERDICT r8 task 1); tests/test_rotation_policy.py::
+# test_stale_block_drains_round9 pins the sample composition.
 # tools/verify_local.py
 # still checks ALL queries locally every round, so the cap only limits
 # the external signal, never the verification itself.
@@ -191,76 +192,35 @@ def _load_all() -> None:
 _DRIVER_CAP = 50
 _DEBUT_BUDGET = 25
 
-# Round 8 debuts:
-#   - the five r5–r7 driver hash-reds, whose ROOT CAUSE was found this
-#     round (not arithmetic at all): each oracle emitted exactly one
-#     column where DuckDB's SUM(BIGINT) had widened to HUGEINT, whose
-#     pandas bridge materializes float64 — "1000.0" vs Spark's bigint
-#     "1000" under a strict value canonicalizer. Oracles now CAST those
-#     aggregates to BIGINT (values unchanged; tools/dtype_seam_scan.py
-#     bans the class repo-wide, and verify_local's canon no longer
-#     collapses integer-valued floats, so the class fails locally too);
-#   - diag_seam_hugeint_raw / _cast: the probe PAIR that proves the
-#     root cause from CORRECTNESS_r08 alone (raw is EXPECTED RED —
-#     deliberately uncast; cast is its green control);
-#   - 18 of the 34 r7 _HOLDBACK entries (the other 16 are never-green,
-#     sort FIRST in the stale block, and land inside the cap anyway:
-#     25 debuts + 16 never-green + 9 stalest = 50).
+# Round 9 debuts — kept SMALL on purpose (VERDICT r8 task 1: the 39
+# r4-stale + 46 r5-stale anchors must drain now that the r8 debut wave
+# is exhausted). Only genuinely NEW queries debut this round:
+#   - llm_bpe_train: distributed BPE merge learning (VERDICT r8 task 4);
+#   - llm_knn_incremental: delta-assign IVF under corpus updates (task 5);
+#   - extract_warc_records: WARC-style gzip-member container ingestion
+#     (task 6).
+# Everything else competes on staleness: with N=225 (the hugeint probe
+# pair deregistered this round — see queries/diag_seam.py), C=50 and
+# D=len(_DEBUTS) below, the stale block gets 50 - D slots, all drawn
+# from the r4/r5 cohort (85 entries at round start), taking worst-case
+# staleness from 5 rounds toward the computed ceil((N-C)/(C-D)) bound.
 _DEBUTS = [
-    "diag_seam_hugeint_raw",
-    "diag_seam_hugeint_cast",
-    "sketch_quantile_hist",
-    "sketch_quantile_calibration",
-    "orders_rfm_segmentation",
-    "llm_source_drift",
-    "j_q22_dormant_balances",
-    "j_q4_order_priority",
-    "j_q6_forecast_revenue",
-    "j_q7_nation_volume",
-    "j_q8_market_share",
-    "j_q9_product_profit",
-    "j_q11_important_stock",
-    "j_q12_latency_priority",
-    "j_q14_promo_share",
-    "j_q15_top_supplier",
-    "j_q16_supplier_variety",
-    "j_q17_small_qty_revenue",
-    "j_q19_disjunctive_revenue",
-    "j_q20_excess_stock",
-    "llm_dsir_importance",
-    "mm_phash_near_dup",
-    "llm_split_leakage",
-    "mm_audio_fingerprint_near_dup",
-    "mm_video_near_dup",
+    "llm_bpe_train",
+    "llm_knn_incremental",
+    "extract_warc_records",
 ]
 
 # Queries registered AFTER a round's debut budget was already spent
 # (late-round additions) sort LAST that round, yielding their slot to
-# the stale-block drain. Round 8: EMPTY — the r7 holdback (34 entries)
-# fully drains this round: 18 entries are debuts above; the other 16
-# have never been driver-green, so they sort FIRST in the stale block
-# (DRIVER_LAST_GREEN = 0) and land inside the cap-50 window
-# (25 debuts + 16 never-green + 9 stalest = 50).
+# the stale-block drain. Round 9: EMPTY so far.
 _HOLDBACK: list[str] = []
 
-# Queries that are EXPECTED to stay driver-red forever (deliberately-
-# divergent measurement probes — tools/dtype_seam_scan.EXPECTED_DIVERGENT).
-# They need exactly ONE driver observation (round 8 proves the hugeint
-# root cause); afterwards their permanent never-green status would pin
-# them to the FRONT of the stale ordering and waste a cap slot every
-# round. Once any CORRECTNESS file from their debut round onward exists
-# in the repo, they sort LAST instead.
-_DIVERGENT_PROBES = {"diag_seam_hugeint_raw": 8}
-
-
-def _observed_round(round_no: int) -> bool:
-    import os as _os
-
-    here = _os.path.dirname(_os.path.dirname(_os.path.dirname(
-        _os.path.abspath(__file__))))
-    return _os.path.exists(
-        _os.path.join(here, f"CORRECTNESS_r{round_no:02d}.json")
-    )
+# Round 8's _DIVERGENT_PROBES mechanism (expected-red probes yield their
+# slot after one driver observation) is GONE: the only such probe pair
+# (diag_seam_hugeint_raw/_cast) was deregistered in round 9 after its
+# CORRECTNESS_r08 observation — the pair remains a pytest fixture
+# (queries/diag_seam.py PROBE_QUERIES, tests/test_dtype_seam.py). The
+# registry now contains zero expected-red rows by construction.
 
 
 def _reorder() -> None:
@@ -279,19 +239,12 @@ def _reorder() -> None:
     overlap = set(_DEBUTS) & set(_HOLDBACK)
     if overlap:
         raise RuntimeError(f"_DEBUTS/_HOLDBACK overlap: {sorted(overlap)}")
-    tail = [
-        n for n, debut_round in _DIVERGENT_PROBES.items()
-        if n in QUERIES and n not in _DEBUTS and _observed_round(debut_round)
-    ]
     reg_index = {n: i for i, n in enumerate(QUERIES)}
     rest = sorted(
-        (
-            n for n in QUERIES
-            if n not in _DEBUTS and n not in _HOLDBACK and n not in tail
-        ),
+        (n for n in QUERIES if n not in _DEBUTS and n not in _HOLDBACK),
         key=lambda n: (DRIVER_LAST_GREEN.get(n, 0), reg_index[n]),
     )
-    ordered = {n: QUERIES[n] for n in [*_DEBUTS, *rest, *_HOLDBACK, *tail]}
+    ordered = {n: QUERIES[n] for n in [*_DEBUTS, *rest, *_HOLDBACK]}
     QUERIES.clear()
     QUERIES.update(ordered)
 

@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from sig_etl_spark.queries import register
+from sig_etl_spark.queries import RegisteredQuery, register
 from sig_etl_spark.tables import load_table
 
 # Deterministic anchor: the N lowest orderkeys (orderkeys are unique, so
@@ -441,7 +441,7 @@ def diag_seam_neg_div(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probes did), and tools/verify_local.py's old canon_cell masked it
 # locally by collapsing integer-valued floats (removed in round 8).
 #
-# This PAIR turns CORRECTNESS_r08 into the proof:
+# This PAIR turned CORRECTNESS_r08 into the proof:
 # - diag_seam_hugeint_raw: the oracle deliberately leaves SUM(BIGINT)
 #   uncast — EXPECTED RED at any driver whose canonicalizer does not
 #   collapse integer-valued floats (ours evidently does not). Red here
@@ -449,6 +449,29 @@ def diag_seam_neg_div(spark: SparkSession, sf_dir: str) -> DataFrame:
 # - diag_seam_hugeint_cast: identical query with CAST(... AS BIGINT) —
 #   expected green; certifies the fix pattern applied to the five
 #   production oracles (sketch_demo.py, relational.py, llm_text.py).
+#
+# DEREGISTERED round 9 (VERDICT r8 task 2): the pair served its purpose
+# (red/green proof recorded in CORRECTNESS_r08) and the class is now
+# mechanically guarded by tools/dtype_seam_scan.py + tests/
+# test_dtype_seam.py. Keeping the raw probe registered would make the
+# correctness file permanently non-all-green for no new information.
+# The pair lives on here as PYTEST FIXTURES (PROBE_QUERIES) exercised by
+# tests/test_dtype_seam.py every run — same builders, same oracles, just
+# no registry entry and therefore no driver row.
+
+PROBE_QUERIES: dict[str, "RegisteredQuery"] = {}
+
+
+def _probe(name: str, oracle: str | None, doc: str = ""):
+    """Like queries.register, but into the test-only PROBE_QUERIES dict."""
+
+    def deco(fn):
+        PROBE_QUERIES[name] = RegisteredQuery(
+            name=name, builder=fn, oracle=oracle, doc=doc
+        )
+        return fn
+
+    return deco
 
 _HUGEINT_RAW_ORACLE = f"""
 SELECT CAST(o_orderkey % 3 AS BIGINT) AS grp,
@@ -465,13 +488,14 @@ GROUP BY 1 ORDER BY 1
 """
 
 
-@register(
+@_probe(
     "diag_seam_hugeint_raw",
     oracle=_HUGEINT_RAW_ORACLE,
     doc="seam bisector: UNCAST SUM(BIGINT) oracle output (DuckDB widens"
         " to HUGEINT, pandas bridge makes it float64) — EXPECTED RED at"
         " a strict-canonicalizer driver; red here + green '_cast' twin"
-        " mechanically proves the r5–r7 red-class root cause",
+        " mechanically proved the r5–r7 red-class root cause in"
+        " CORRECTNESS_r08; pytest fixture since round 9",
 )
 def diag_seam_hugeint_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -482,12 +506,13 @@ def diag_seam_hugeint_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@_probe(
     "diag_seam_hugeint_cast",
     oracle=_HUGEINT_CAST_ORACLE,
     doc="seam bisector control: the same SUM(BIGINT) with the oracle-side"
         " CAST(... AS BIGINT) fix — expected green; certifies the fix"
-        " applied to the five formerly-red production oracles",
+        " applied to the five formerly-red production oracles; pytest"
+        " fixture since round 9",
 )
 def diag_seam_hugeint_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (

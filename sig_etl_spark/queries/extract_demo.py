@@ -703,3 +703,50 @@ def jsonl_corrupt_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return good.unionByName(corrupt).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# WARC container roundtrip (round 9 — VERDICT r8 task 6): documents are
+# rendered IN-ENGINE into per-record-gzipped WARC containers (the
+# .warc.gz Common Crawl shape, stdlib zlib, deterministic members), then
+# the real gzip-member walker + WARC header parser recovers every
+# record. The oracle selects the same fields directly from documents —
+# any defect in member framing, header parsing, Content-Length
+# accounting, or utf-8 payload round-trip breaks the value hash.
+# extract/warc.py:read_warc_zone is the production binaryFile entry over
+# a real landing directory (pytest-covered with a written fixture).
+# ---------------------------------------------------------------------------
+
+_N_WARC_CONTAINERS = 8
+
+_WARC_ORACLE = f"""
+SELECT CAST(doc_id % {_N_WARC_CONTAINERS} AS BIGINT) AS container_id,
+       doc_id,
+       'https://example.org/docs/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       'response' AS warc_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       text AS payload
+FROM documents
+"""
+
+
+@register(
+    "extract_warc_records",
+    oracle=_WARC_ORACLE,
+    doc="WARC-style container ingestion: render documents into"
+        " per-record-gzip WARC containers, walk members with the stdlib"
+        " zlib walker, parse headers + Content-Length payloads back out"
+        " (extract/warc.py; production entry = binaryFile read_warc_zone)",
+)
+def extract_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.extract import warc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Explicit-count repartition for the same reason extract_s3_roundtrip
+    # documents: AQE would coalesce the tiny rendered-container shuffle to
+    # 1-2 partitions and serialize the Python walker; real landing zones
+    # get one task per container file from binaryFile for free.
+    containers = warc.render_containers(
+        docs, n_containers=_N_WARC_CONTAINERS
+    ).repartition(_N_WARC_CONTAINERS, "container_id")
+    return warc.parse_containers(containers)

@@ -226,6 +226,98 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental IVF (round 9 — VERDICT r8 task 5): the index (centroids +
+# static cell assignment) is built from the STATIC corpus only
+# (vec_id % 7 != 0); the delta batch (vec_id % 7 = 0 — "new arrivals")
+# is assigned to the EXISTING cells and merged into the inverted file —
+# no re-clustering, no static re-assignment. The oracle expresses the
+# merge literally: centroids sampled from the static slice, cassign =
+# static assignment UNION ALL delta assignment, identical probe tail.
+# ---------------------------------------------------------------------------
+
+_STATIC_PRED = "vec_id >= 10 AND vec_id % 7 <> 0"
+_DELTA_PRED = "vec_id >= 10 AND vec_id % 7 = 0"
+
+
+def _ivf_incremental_oracle(nprobe: int = _NPROBE) -> str:
+    dot_qc = _dot_expr("x.embedding", "ct.cent_vec")
+    dot_pair = _dot_expr("qv.embedding", "cv.embedding")
+
+    def assign(src: str) -> str:
+        return f"""
+  SELECT corpus_id, cent_id FROM (
+    SELECT x.corpus_id, ct.cent_id,
+           row_number() OVER (
+             PARTITION BY x.corpus_id
+             ORDER BY ({dot_qc} / sqrt(n.norm2 * ct.cent_norm2)) DESC, ct.cent_id
+           ) AS rn
+    FROM {src} x JOIN cn n USING (corpus_id) CROSS JOIN centn ct
+  ) WHERE rn = 1"""
+
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+s AS (SELECT vec_id AS corpus_id, embedding FROM embeddings WHERE {_STATIC_PRED}),
+d AS (SELECT vec_id AS corpus_id, embedding FROM embeddings WHERE {_DELTA_PRED}),
+c AS (SELECT * FROM s UNION ALL SELECT * FROM d),
+qn AS ({_norm_cte("q", "query_id")}),
+cn AS ({_norm_cte("c", "corpus_id")}),
+centn AS (
+  SELECT corpus_id AS cent_id, embedding AS cent_vec,
+         {_dot_expr("embedding", "embedding")} AS cent_norm2
+  FROM (SELECT * FROM s
+        ORDER BY md5(CAST(corpus_id AS VARCHAR)), corpus_id
+        LIMIT {_N_CENTROIDS})
+),
+cassign AS ({assign("s")} UNION ALL {assign("d")}),
+qprobe AS (
+  SELECT query_id, cent_id FROM (
+    SELECT x.query_id, ct.cent_id,
+           row_number() OVER (
+             PARTITION BY x.query_id
+             ORDER BY ({_dot_expr("x.embedding", "ct.cent_vec")} / sqrt(n.norm2 * ct.cent_norm2)) DESC, ct.cent_id
+           ) AS rn
+    FROM q x JOIN qn n USING (query_id) CROSS JOIN centn ct
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.corpus_id,
+         {dot_pair} / sqrt(qn.norm2 * cn.norm2) AS cosine
+  FROM qprobe p
+  JOIN cassign a USING (cent_id)
+  JOIN q qv ON qv.query_id = p.query_id
+  JOIN c cv ON cv.corpus_id = a.corpus_id
+  JOIN qn ON qn.query_id = p.query_id
+  JOIN cn ON cn.corpus_id = a.corpus_id
+)
+SELECT query_id, corpus_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, corpus_id) AS rank
+      FROM scored) t
+WHERE rank <= {_K}
+"""
+
+
+@register(
+    "llm_knn_incremental",
+    oracle=_ivf_incremental_oracle(),
+    doc="incremental IVF: static-corpus index + delta batch assigned to"
+        " EXISTING cells (O(|delta|·centroids), no re-cluster, no static"
+        " re-assignment — FAISS add() vs train()), merged inverted file"
+        " serves the probe join; static assignment localCheckpointed as"
+        " the materialized-index stand-in",
+)
+def llm_knn_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    static = emb.filter(F.expr(_STATIC_PRED))
+    delta = emb.filter(F.expr(_DELTA_PRED))
+    return S.ivf_incremental_topk(
+        queries, static, delta, "vec_id", "embedding",
+        k=_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE,
+    )
+
+
+# ---------------------------------------------------------------------------
 # kNN label vote — the standard embedding-quality evaluation: each query
 # takes its exact top-5 neighbors' majority label (count desc, label asc
 # tiebreak). Labels join onto the top-k via broadcast (dimension-sized);

@@ -2083,3 +2083,80 @@ def llm_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in ("added", "removed", "changed", "unchanged")
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (round 9 — VERDICT r8 task 4). The trainer is
+# sig_etl_spark/llm/bpe.py (iterative pair-count -> global argmax ->
+# replace() re-segmentation rounds); the oracle UNROLLS the same R
+# rounds as chained CTEs, the same pattern graph_pagerank_parts uses.
+# Both engines share the paren-wrapped-symbol representation, the
+# 'count DESC, pair ASC' argmax tiebreak, and left-to-right
+# non-overlapping replace semantics, so the learned merge table is
+# hash-exact. pair_count casts to BIGINT on the oracle side (DuckDB
+# SUM(BIGINT) widens to HUGEINT — the r8 seam class).
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 5
+
+
+def _bpe_oracle(n_rounds: int = _BPE_ROUNDS) -> str:
+    pair_cte = """
+p{r} AS (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+    SELECT unnest(list_transform(
+             generate_series(1, len(syms) - 1),
+             i -> syms[i] || ' ' || syms[i + 1])) AS pair,
+           cnt
+    FROM (SELECT string_split(substring(seq, 2, length(seq) - 2), ')(') AS syms,
+                 cnt
+          FROM seq{prev})
+  ) GROUP BY pair
+),
+m{r} AS (
+  SELECT {r} AS round,
+         split_part(pair, ' ', 1) AS left_sym,
+         split_part(pair, ' ', 2) AS right_sym,
+         split_part(pair, ' ', 1) || split_part(pair, ' ', 2) AS merged,
+         pair_count
+  FROM p{r} ORDER BY pair_count DESC, pair LIMIT 1
+),
+seq{r} AS (
+  SELECT replace(seq, '(' || m.left_sym || ')(' || m.right_sym || ')',
+                 '(' || m.merged || ')') AS seq, cnt
+  FROM seq{prev} CROSS JOIN m{r} m
+)"""
+    ctes = ",".join(
+        pair_cte.format(r=r, prev=r - 1) for r in range(1, n_rounds + 1)
+    )
+    union = " UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, n_rounds + 1))
+    return f"""
+WITH toks AS (
+  SELECT t.tok AS word
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+words AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+seq0 AS (
+  SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS seq, cnt FROM words
+),{ctes}
+SELECT CAST(round AS INT) AS round, left_sym, right_sym, merged, pair_count
+FROM ({union}) ORDER BY round
+"""
+
+
+@register(
+    "llm_bpe_train",
+    oracle=_bpe_oracle(),
+    doc="distributed BPE merge learning: 5 rounds of weighted adjacent-"
+        "pair counting over the distinct-word vocabulary, global argmax "
+        "(1-row collect), codegen'd replace() re-segmentation; oracle = "
+        "the same rounds unrolled as CTEs. Merges feed llm.bpe.segment "
+        "(the learned upgrade of bpe_ish_token_count).",
+)
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.llm import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_merges(docs, n_merges=_BPE_ROUNDS)
+    return bpe.merges_df(spark, merges)

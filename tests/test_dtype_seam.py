@@ -26,6 +26,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sig_etl_spark.queries import QUERIES
+from sig_etl_spark.queries.diag_seam import PROBE_QUERIES
 from tools.dtype_seam_scan import EXPECTED_DIVERGENT, scan
 
 # The five formerly-red production queries plus their construct family —
@@ -40,8 +41,22 @@ FIXED_REDS = [
 
 
 def test_fixed_reds_scan_clean(sf_dir):
-    problems = scan(sf_dir, FIXED_REDS + ["diag_seam_hugeint_cast"])
+    problems = scan(
+        sf_dir, FIXED_REDS + ["diag_seam_hugeint_cast"], extra=PROBE_QUERIES
+    )
     assert problems == [], problems
+
+
+def test_probe_pair_deregistered():
+    """Round 9 (VERDICT r8 task 2): the hugeint probe pair proved its
+    point in CORRECTNESS_r08 and must no longer occupy registry slots —
+    the registry carries ZERO expected-red rows."""
+    assert "diag_seam_hugeint_raw" not in QUERIES
+    assert "diag_seam_hugeint_cast" not in QUERIES
+    assert set(PROBE_QUERIES) == {
+        "diag_seam_hugeint_raw",
+        "diag_seam_hugeint_cast",
+    }
 
 
 def test_raw_probe_is_whitelisted_and_would_be_flagged(sf_dir):
@@ -51,7 +66,7 @@ def test_raw_probe_is_whitelisted_and_would_be_flagged(sf_dir):
     widening SUM(BIGINT), the probe loses its diagnostic value and this
     test says so."""
     assert "diag_seam_hugeint_raw" in EXPECTED_DIVERGENT
-    rq = QUERIES["diag_seam_hugeint_raw"]
+    rq = PROBE_QUERIES["diag_seam_hugeint_raw"]
     con = duckdb.connect()
     path = os.path.join(sf_dir, "orders.parquet")
     con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{path}')")

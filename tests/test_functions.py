@@ -132,6 +132,14 @@ def test_text_helpers(spark):
 
 # --- F13 full-transliteration tier (functions/translit.py, r8) -------------
 
+# ADVICE r8: the em-dash golden depends on the tier — real unidecode
+# (the advertised exact-parity tier) folds '—' to '--' while the NFKD
+# fallback maps it to '-'. Branch the expectation on which tier is live
+# so installing the optional package doesn't break the suite.
+from sig_etl_spark.functions import translit as _translit
+
+_EMDASH = "-" if _translit._unidecode is None else "--"
+
 _GOLDEN_FOLDS = [
     # accented/nickname shapes from the reference's roster data
     ("José Ñuñez", "Jose Nunez"),
@@ -143,7 +151,7 @@ _GOLDEN_FOLDS = [
     ("Þórður Guðmundsson", "Thordur Gudmundsson"),
     ("Jean-Cœur d'Alène", "Jean-Coeur d'Alene"),
     ("Strauß", "Strauss"),
-    ("El Niño — “quoted”", "El Nino - \"quoted\""),
+    ("El Niño — “quoted”", f"El Nino {_EMDASH} \"quoted\""),
     (None, None),
     ("plain ascii stays", "plain ascii stays"),
 ]

@@ -679,3 +679,49 @@ def test_registered_clusters_query_uses_checkpointed_ivf(spark, sf_dir, monkeypa
     assert LS.llm_embedding_dedup_clusters.__module__ == LS.__name__
     QUERIES["llm_embedding_dedup_clusters"].builder(spark, sf_dir)
     assert calls == [True], calls
+
+
+def test_incremental_ivf_delta_assignment_touches_only_delta(spark, sf_dir):
+    """Incremental IVF's contract is O(|delta|) maintenance: with the
+    static assignment materialized (localCheckpoint), the final plan
+    must read the static inverted file from the checkpointed RDD scan —
+    the embeddings source appears only for the DELTA slice and the
+    query slice, never a full static re-assignment scan."""
+    from sig_etl_spark.llm import similarity as S
+    from sig_etl_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    static = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 7 != 0))
+    delta = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 7 == 0))
+    out = S.ivf_incremental_topk(
+        q, static, delta, "vec_id", "embedding",
+        k=5, n_centroids=8, nprobe=3, checkpoint_static=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan[:2000]
+    # parquet scans of embeddings remaining in the plan: exactly the
+    # delta branch and the query branch (the checkpointed index carries
+    # both the centroids and the static inverted file).
+    n_scans = plan.count("embeddings.parquet")
+    assert n_scans <= 2, f"static corpus re-scanned: {n_scans} parquet scans"
+
+
+def test_registered_incremental_query_checkpoints_static(spark, sf_dir, monkeypatch):
+    """The REGISTERED llm_knn_incremental must call ivf_incremental_topk
+    with checkpoint_static left at its True default (the materialized-
+    index stand-in), mirroring the clusters-query guard."""
+    from sig_etl_spark.llm import similarity as S
+    from sig_etl_spark.queries import llm_similarity as LS
+
+    calls: list[bool] = []
+    orig = S.ivf_incremental_topk
+
+    def spy(*a, **k):
+        calls.append(k.get("checkpoint_static", True))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(S, "ivf_incremental_topk", spy)
+    QUERIES["llm_knn_incremental"].builder(spark, sf_dir)
+    assert calls == [True], calls

@@ -65,6 +65,11 @@ def test_history_names_are_current_or_documented():
         # renamed/superseded before round 6; their successors have their
         # own rows
         "llm_ann_recall_kmeans",
+        # the hugeint probe pair was DEREGISTERED in round 9 after its
+        # one CORRECTNESS_r08 observation (VERDICT r8 task 2) — pytest
+        # fixtures now (queries/diag_seam.py PROBE_QUERIES)
+        "diag_seam_hugeint_cast",
+        "diag_seam_hugeint_raw",
     }
     gone = {n for n in DRIVER_LAST_GREEN if n not in QUERIES} - known_gone
     assert not gone, gone
@@ -118,22 +123,34 @@ def test_contrast_rows_name_registered_twins():
         assert twin != name
 
 
-def test_divergent_probe_tails_after_observation(tmp_path, monkeypatch):
-    """diag_seam_hugeint_raw is expected-red forever; after its one
-    driver observation (CORRECTNESS_r08) it must sort LAST instead of
-    pinning a never-green front slot every round."""
-    import sig_etl_spark.queries as q
+def test_no_expected_red_rows_registered():
+    """Round 9 (VERDICT r8 task 2): the registry must contain ZERO
+    expected-red rows — the hugeint probe pair is a pytest fixture
+    (queries/diag_seam.py PROBE_QUERIES), not a registered query, so
+    "all driver rows green" is statable without a footnote."""
+    from tools.dtype_seam_scan import EXPECTED_DIVERGENT
 
-    # this round it debuts (so it IS observed); simulate round 9:
-    # remove it from _DEBUTS and re-run the reorder with the
-    # observation file present (it will exist from round 9 on).
-    monkeypatch.setattr(q, "_DEBUTS", [])
-    monkeypatch.setattr(q, "_observed_round", lambda r: True)
-    q._reorder()
-    try:
-        names = list(q.QUERIES)
-        assert names[-1] == "diag_seam_hugeint_raw"
-    finally:
-        # restore real ordering for other tests in the session
-        monkeypatch.undo()
-        q._reorder()
+    assert not (EXPECTED_DIVERGENT & set(QUERIES)), (
+        "expected-divergent probes must not be registered"
+    )
+    assert "diag_seam_hugeint_raw" not in QUERIES
+    assert "diag_seam_hugeint_cast" not in QUERIES
+
+
+def test_stale_block_drains_round9():
+    """VERDICT r8 task 1: the r9 driver sample (first 50 registry
+    entries) must draw its non-debut slots from the OLDEST cohort.
+    With debuts capped small this round, every non-debut entry inside
+    the cap must have last-green <= r5 (the r4/r5 stale block, 85
+    entries at round start — strictly more than the available slots)."""
+    import sig_etl_spark.queries as q
+    from sig_etl_spark.queries._driver_history import DRIVER_LAST_GREEN
+
+    cap = list(QUERIES)[: q._DRIVER_CAP]
+    non_debut = [n for n in cap if n not in q._DEBUTS]
+    assert len(non_debut) >= q._DRIVER_CAP - q._DEBUT_BUDGET
+    worst = max(DRIVER_LAST_GREEN.get(n, 0) for n in non_debut)
+    assert worst <= 5, (
+        f"a fresher-than-r5 entry leads the stale block: "
+        f"{[(n, DRIVER_LAST_GREEN.get(n, 0)) for n in non_debut if DRIVER_LAST_GREEN.get(n, 0) > 5]}"
+    )

@@ -386,3 +386,89 @@ def test_hard_negatives_exclude_own_label(spark, sf_dir):
         assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
         cos = [r["cosine"] for r in rs]
         assert cos == sorted(cos, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF (round 9).
+# ---------------------------------------------------------------------------
+
+def _split_static_delta(spark, sf_dir):
+    from sig_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    static = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 7 != 0))
+    delta = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 7 == 0))
+    return q, static, delta
+
+
+def test_incremental_equals_full_scan_with_static_centroids(spark, sf_dir):
+    """Batch equality: because centroids derive from the static corpus
+    only, assign(static) UNION assign(delta) must equal a full assignment
+    of (static UNION delta) under the same centroid set — the incremental
+    merge loses and invents nothing."""
+    q, static, delta = _split_static_delta(spark, sf_dir)
+    inc = S.ivf_incremental_topk(
+        q, static, delta, "vec_id", "embedding", k=5, n_centroids=8, nprobe=3,
+        checkpoint_static=False,
+    )
+    cents = S._hash_sample(static, "vec_id", "embedding", 8, "cent_id", "cent_vec")
+    full = S._ivf_with_centroids(
+        q, static.unionByName(delta), cents, "vec_id", "embedding", k=5, nprobe=3
+    )
+    a = sorted(map(tuple, inc.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b and a
+
+
+def test_incremental_checkpoint_variant_identical(spark, sf_dir):
+    """checkpoint_static only changes the physical plan (materialized
+    inverted file), never the rows."""
+    q, static, delta = _split_static_delta(spark, sf_dir)
+    kw = dict(k=5, n_centroids=8, nprobe=3)
+    on = S.ivf_incremental_topk(
+        q, static, delta, "vec_id", "embedding", checkpoint_static=True, **kw
+    )
+    off = S.ivf_incremental_topk(
+        q, static, delta, "vec_id", "embedding", checkpoint_static=False, **kw
+    )
+    assert sorted(map(tuple, on.collect())) == sorted(map(tuple, off.collect()))
+
+
+def test_incremental_recall_floor(spark, sf_dir):
+    """Recall@5 vs brute force over the MERGED corpus >= 0.8 at the
+    repo's high-recall config (nprobe=12/16 — same floor the static IVF
+    holds on these near-random embeddings) — the delta rows must be
+    findable, not just present."""
+    q, static, delta = _split_static_delta(spark, sf_dir)
+    inc = S.ivf_incremental_topk(
+        q, static, delta, "vec_id", "embedding", k=5, n_centroids=16, nprobe=12,
+        checkpoint_static=False,
+    )
+    brute = S.brute_force_topk(
+        q, static.unionByName(delta), "vec_id", "embedding", k=5
+    )
+    truth = {(r.query_id, r.corpus_id) for r in brute.collect()}
+    got = {(r.query_id, r.corpus_id) for r in inc.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, recall
+
+
+def test_incremental_surfaces_delta_neighbor(spark):
+    """A delta vector nearly identical to a query must surface at rank 1
+    even though it never participated in centroid training."""
+    static = spark.createDataFrame(
+        [(i + 10, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2), 0.0])
+         for i in range(12)],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame([(0, [0.6, 0.8, 0.0, 0.0])], ["vec_id", "embedding"])
+    delta = spark.createDataFrame(
+        [(99, [0.6, 0.8, 0.001, 0.0])], ["vec_id", "embedding"]
+    )
+    out = S.ivf_incremental_topk(
+        q, static, delta, "vec_id", "embedding", k=3, n_centroids=4, nprobe=4,
+        checkpoint_static=False,
+    ).collect()
+    top = min(out, key=lambda r: r.rank)
+    assert top.corpus_id == 99 and top.cosine > 0.999

@@ -9,9 +9,16 @@ NAMES) still match, only the value hash reds. The local gate masked the
 class because tools/verify_local.py's canon_cell collapsed int-valued
 floats (removed this round).
 
-This scanner catches the whole class WITHOUT executing anything: the
-Spark side is analyzed via DataFrame.schema (plan-only), the DuckDB side
-via DESCRIBE (bind-only). Each column is mapped to a repr FAMILY (int /
+This scanner works at the TYPE level, not the value level: the Spark
+side is analyzed via DataFrame.schema, the DuckDB side via DESCRIBE
+(bind-only). NOTE the Spark side is plan-only for most builders but NOT
+all — a handful of builders materialize eagerly while constructing the
+plan (localCheckpoint(eager=True) in sketch_kmv_source_overlap, the
+checkpointing IVF builders), so a full-registry scan does run those
+queries' upstream jobs. That costs a couple of minutes at sf0.01 and is
+accepted: the checkpoint IS the plan those queries ship, and faking a
+lazy variant would scan a different plan than production runs.
+Each column is mapped to a repr FAMILY (int /
 float / decimal / bool / string / date / timestamp / list); any query
 whose two sides disagree on a family is a hash-red waiting to happen on
 SOME engine version, whatever the values.
@@ -77,12 +84,21 @@ def _family(table, typ: str) -> str:
 
 
 # Probes whose oracle DELIBERATELY exhibits the seam (measurement rows,
-# documented in queries/diag_seam.py) — never add a production query.
+# documented in queries/diag_seam.py — PYTEST FIXTURES since round 9,
+# no longer registered) — never add a production query.
 EXPECTED_DIVERGENT = frozenset({"diag_seam_hugeint_raw"})
 
 
-def scan(sf_dir: str, names: list[str] | None = None) -> list[str]:
-    """Return mismatch strings (empty = clean)."""
+def scan(
+    sf_dir: str,
+    names: list[str] | None = None,
+    extra: dict | None = None,
+) -> list[str]:
+    """Return mismatch strings (empty = clean).
+
+    ``extra`` maps name -> RegisteredQuery for test-only fixtures that
+    live outside the registry (queries/diag_seam.py PROBE_QUERIES).
+    """
     from sig_etl_spark.session import get_spark
 
     spark = get_spark("dtype_seam_scan")
@@ -92,9 +108,10 @@ def scan(sf_dir: str, names: list[str] | None = None) -> list[str]:
         pat = os.path.join(path, "*.parquet") if os.path.isdir(path) else path
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
+    lookup = {**QUERIES, **(extra or {})}
     problems: list[str] = []
     for name in names or list(QUERIES):
-        rq = QUERIES[name]
+        rq = lookup[name]
         if rq.oracle is None or name in EXPECTED_DIVERGENT:
             continue
         try:

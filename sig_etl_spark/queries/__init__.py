@@ -173,8 +173,8 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 9 (N=228, D=3):
-# ceil(178/47) = 4 rounds worst-case — the debut list is deliberately
+# behind at most N - C fresher-than-it entries. Round 9 (N=229, D=4):
+# ceil(179/46) = 4 rounds worst-case — the debut list is deliberately
 # tiny this round so the stale block drains at full width; the budget
 # assert bounds how much a debut-heavy round can slow the refresh.
 # Late-round _HOLDBACK entries sort last and only tighten this bound
@@ -195,17 +195,19 @@ _DEBUT_BUDGET = 25
 # Round 9 debuts — kept SMALL on purpose (VERDICT r8 task 1: the 39
 # r4-stale + 46 r5-stale anchors must drain now that the r8 debut wave
 # is exhausted). Only genuinely NEW queries debut this round:
-#   - llm_bpe_train: distributed BPE merge learning (VERDICT r8 task 4);
+#   - llm_bpe_train: distributed BPE merge learning (VERDICT r8 task 4)
+#     + llm_bpe_fertility, its corpus-wide consumer;
 #   - llm_knn_incremental: delta-assign IVF under corpus updates (task 5);
 #   - extract_warc_records: WARC-style gzip-member container ingestion
 #     (task 6).
-# Everything else competes on staleness: with N=225 (the hugeint probe
-# pair deregistered this round — see queries/diag_seam.py), C=50 and
+# Everything else competes on staleness: with the hugeint probe pair
+# deregistered this round (see queries/diag_seam.py), C=50 and
 # D=len(_DEBUTS) below, the stale block gets 50 - D slots, all drawn
 # from the r4/r5 cohort (85 entries at round start), taking worst-case
 # staleness from 5 rounds toward the computed ceil((N-C)/(C-D)) bound.
 _DEBUTS = [
     "llm_bpe_train",
+    "llm_bpe_fertility",
     "llm_knn_incremental",
     "extract_warc_records",
 ]

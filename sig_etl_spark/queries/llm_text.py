@@ -2160,3 +2160,126 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe.train_merges(docs, n_merges=_BPE_ROUNDS)
     return bpe.merges_df(spark, merges)
+
+
+# ---------------------------------------------------------------------------
+# Learned-BPE fertility (round 9 follow-on): applies llm_bpe_train's 5
+# learned merges CORPUS-WIDE and reports tokens-per-word by language —
+# the downstream consumer that makes merge learning useful, and the
+# data-derived upgrade of llm_tokenizer_fertility's fixed-regex count.
+# Everything stays integer (counts + one exact permille division); the
+# oracle reuses the unrolled merge CTEs and applies the same 5 replaces
+# to each distinct word. Merges are global (trained on the whole
+# corpus); fertility is reported per language, so the query also shows
+# WHICH languages the learned vocabulary serves worst — the standard
+# multilingual-tokenizer audit.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_fertility_oracle(n_rounds: int = _BPE_ROUNDS) -> str:
+    pair_cte = """
+p{r} AS (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+    SELECT unnest(list_transform(
+             generate_series(1, len(syms) - 1),
+             i -> syms[i] || ' ' || syms[i + 1])) AS pair,
+           cnt
+    FROM (SELECT string_split(substring(seq, 2, length(seq) - 2), ')(') AS syms,
+                 cnt
+          FROM seq{prev})
+  ) GROUP BY pair
+),
+m{r} AS (
+  SELECT split_part(pair, ' ', 1) AS left_sym,
+         split_part(pair, ' ', 2) AS right_sym,
+         pair_count
+  FROM p{r} ORDER BY pair_count DESC, pair LIMIT 1
+),
+seq{r} AS (
+  SELECT replace(seq, '(' || m.left_sym || ')(' || m.right_sym || ')',
+                 '(' || m.left_sym || m.right_sym || ')') AS seq, cnt
+  FROM seq{prev} CROSS JOIN m{r} m
+)"""
+    # word-level application: the same replace chain, keyed by word
+    apply_cte = """
+w{r} AS (
+  SELECT word, replace(seq, '(' || m.left_sym || ')(' || m.right_sym || ')',
+                       '(' || m.left_sym || m.right_sym || ')') AS seq
+  FROM w{prev} CROSS JOIN m{r} m
+)"""
+    merge_ctes = ",".join(
+        pair_cte.format(r=r, prev=r - 1) for r in range(1, n_rounds + 1)
+    )
+    apply_ctes = ",".join(
+        apply_cte.format(r=r, prev=r - 1) for r in range(1, n_rounds + 1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT lang, t.tok AS word
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+by_lang AS (SELECT lang, word, COUNT(*) AS cnt FROM toks GROUP BY lang, word),
+words AS (SELECT word, CAST(SUM(cnt) AS BIGINT) AS cnt FROM by_lang GROUP BY word),
+seq0 AS (
+  SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS seq, cnt FROM words
+),{merge_ctes},
+w0 AS (
+  SELECT word, regexp_replace(word, '(.)', '(\\1)', 'g') AS seq FROM (SELECT DISTINCT word FROM words)
+),{apply_ctes},
+ntoks AS (
+  SELECT word,
+         CAST(len(string_split(substring(seq, 2, length(seq) - 2), ')(')) AS BIGINT) AS n_toks
+  FROM w{n_rounds}
+)
+SELECT b.lang,
+       CAST(SUM(b.cnt) AS BIGINT) AS words,
+       CAST(SUM(b.cnt * n.n_toks) AS BIGINT) AS learned_tokens,
+       CAST(SUM(b.cnt * length(b.word)) AS BIGINT) AS chars,
+       CAST(SUM(b.cnt * n.n_toks) AS BIGINT) * 1000
+         // CAST(SUM(b.cnt) AS BIGINT) AS fertility_permille
+FROM by_lang b JOIN ntoks n USING (word)
+GROUP BY b.lang ORDER BY b.lang
+"""
+
+
+@register(
+    "llm_bpe_fertility",
+    oracle=_bpe_fertility_oracle(),
+    doc="learned-BPE fertility by language: apply llm_bpe_train's merges"
+        " to the distinct-word vocabulary (codegen'd replace chain, no"
+        " corpus rescan), weight by per-(lang,word) occurrence counts —"
+        " tokens/word permille per lang, all-integer",
+)
+def llm_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.llm import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_merges(docs, n_merges=_BPE_ROUNDS)
+    by_lang = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), bpe.WORD_SPLIT_RE)).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ntoks = (
+        by_lang.select("word").distinct()
+        .select("word", F.size(bpe.segment(F.col("word"), merges)).cast("bigint").alias("n_toks"))
+    )
+    return (
+        by_lang.join(ntoks, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("words"),
+            F.sum(F.col("cnt") * F.col("n_toks")).cast("bigint").alias("learned_tokens"),
+            F.sum(F.col("cnt") * F.length("word")).cast("bigint").alias("chars"),
+            F.expr(
+                "CAST(CAST(SUM(cnt * n_toks) AS BIGINT) * 1000"
+                " div CAST(SUM(cnt) AS BIGINT) AS BIGINT)"
+            ).alias("fertility_permille"),
+        )
+        .orderBy("lang")
+    )

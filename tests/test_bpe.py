@@ -143,3 +143,23 @@ def test_exhausted_corpus_stops_early(spark):
     # single-char words only -> no pairs -> zero merges, no crash
     docs = spark.createDataFrame([("a b c a",)], ["text"])
     assert bpe.train_merges(docs, n_merges=4) == []
+
+
+def test_fertility_query_invariants(spark, sf_dir):
+    """llm_bpe_fertility: every language present, words <= learned_tokens
+    <= chars (each word is at least one token, at most one per char),
+    fertility_permille consistent with the integer division."""
+    from sig_etl_spark.queries import QUERIES
+
+    rows = QUERIES["llm_bpe_fertility"].builder(spark, sf_dir).collect()
+    assert rows
+    docs_langs = {
+        r.lang
+        for r in spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("lang").distinct().collect()
+    }
+    assert {r.lang for r in rows} == docs_langs
+    for r in rows:
+        assert r.words <= r.learned_tokens <= r.chars, r
+        assert r.fertility_permille == r.learned_tokens * 1000 // r.words, r
+        assert r.fertility_permille >= 1000

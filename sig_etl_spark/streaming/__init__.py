@@ -10,11 +10,15 @@ windows, and custom stateful operators.
 
 from sig_etl_spark.streaming.pipeline import (  # noqa: F401
     DOCUMENT_SCHEMA,
+    EMBEDDING_SCHEMA,
     EVENT_SCHEMA,
     SNAPSHOT_SCHEMA,
+    collect_ivf_index,
     read_document_stream,
+    read_embedding_stream,
     read_event_stream,
     read_snapshot_stream,
+    stream_ivf_assign,
     run_available_now,
     running_user_totals,
     session_windows,

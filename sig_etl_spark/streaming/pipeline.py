@@ -33,6 +33,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -903,4 +904,102 @@ def stream_interval_union(events: DataFrame) -> DataFrame:
         stateStructType=_IVU_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming IVF cell assignment (round 9): the live add() path of ANN
+# index maintenance — the streaming twin of similarity.
+# ivf_incremental_topk's delta-assignment stage. As new embedding
+# vectors land, each is assigned to its nearest existing cell(s)
+# against the PERSISTED quantizer and appended to the inverted file;
+# nothing re-clusters, nothing rescans the static corpus.
+#
+# Stream-shape notes:
+# - streaming frames cannot run rank windows, so the per-row
+#   nearest-cell pick is expressed as pure column algebra over the
+#   INLINED centroid literals: an array of (negated cosine, cent_id)
+#   structs, array_sort (field-order comparison = sim DESC, cent_id ASC
+#   — the exact batch tiebreak), slice(n_cells), posexplode. Fully
+#   codegen'd, stateless, append-mode, trivially checkpoint-resumable.
+# - the quantizer rides the PLAN (centroid literals), the streaming
+#   analogue of the batch broadcast; collect_ivf_index bounds it at
+#   n_centroids x dim (the same ~1 MB bound the k-means trainer
+#   documents) and collects cent_norm2 from the ENGINE's own double
+#   fold, so streamed cosines are bit-identical to the batch
+#   assignment's.
+# ---------------------------------------------------------------------------
+
+EMBEDDING_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),  # matches the table (float32)
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def read_embedding_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream over an embeddings landing directory (the
+    continuous-ingest mouth of ANN index maintenance)."""
+    return spark.readStream.schema(EMBEDDING_SCHEMA).parquet(landing_dir)
+
+
+def collect_ivf_index(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int = 16
+) -> list[tuple[int, list[float], float]]:
+    """The persisted quantizer as driver-side literals:
+    [(cent_id, cent_vec, cent_norm2)], hash-sampled exactly like the
+    batch IVF (similarity._hash_sample) with norm2 computed by the
+    ENGINE's double fold. Bounded collect: n_centroids rows."""
+    from sig_etl_spark.llm.similarity import _cent_norm_frame, _hash_sample
+
+    cents = _hash_sample(corpus, id_col, vec_col, n_centroids, "cent_id", "cent_vec")
+    return [
+        (r["cent_id"], list(r["cent_vec"]), float(r["cent_norm2"]))
+        for r in _cent_norm_frame(cents).collect()
+    ]
+
+
+def stream_ivf_assign(
+    new_vecs: DataFrame,
+    index: list[tuple[int, list[float], float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 1,
+) -> DataFrame:
+    """(vec_id, cent_id, cell_rank, cosine) per arriving vector — its
+    ``n_cells`` nearest cells in the existing index. Sink the output to
+    the inverted-file store and the batch probe path serves the merged
+    index (the contract llm_knn_incremental's batch-equality test pins)."""
+    from sig_etl_spark.llm.dedup import _double_dot
+
+    vec = F.col(vec_col)
+    norm2 = _double_dot(vec, vec)
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -(
+                        _double_dot(
+                            vec, F.array(*[F.lit(float(x)) for x in cvec])
+                        )
+                        / F.sqrt(norm2 * F.lit(cnorm2))
+                    )
+                ).alias("negsim"),
+                F.lit(int(cid)).cast("bigint").alias("cent_id"),
+            )
+            for cid, cvec, cnorm2 in index
+        ]
+    )
+    top = F.slice(F.array_sort(scored), 1, min(n_cells, len(index)))
+    return (
+        new_vecs.select(F.col(id_col).alias("vec_id"), top.alias("_cells"))
+        .select("vec_id", F.posexplode("_cells").alias("_pos", "_cell"))
+        .select(
+            "vec_id",
+            F.col("_cell.cent_id").alias("cent_id"),
+            (F.col("_pos") + 1).alias("cell_rank"),
+            (-F.col("_cell.negsim")).alias("cosine"),
+        )
     )

@@ -779,3 +779,90 @@ def test_stream_kmv_equals_batch_after_resume(spark, landing):
         else:
             est = kk
         assert int(g["kmv_distinct"]) == est, et
+
+
+def test_stream_ivf_assign_matches_batch_assignment(spark, sf_dir, tmp_path):
+    """Live index maintenance (the add() path): streaming the embeddings
+    table in two deliveries must assign every vector to EXACTLY the cell
+    the batch assignment picks (same hash-sampled quantizer, same double
+    folds, same sim-desc/cent-asc tiebreak), each vector exactly once
+    across the checkpointed redelivery."""
+    from sig_etl_spark.llm.similarity import (
+        _cent_norm_frame,
+        _hash_sample,
+        _nearest_cells,
+        _with_norm2,
+    )
+    from sig_etl_spark.streaming import (
+        collect_ivf_index,
+        read_embedding_stream,
+        stream_ivf_assign,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    first = emb.orderBy("vec_id").limit(n // 2)
+    rest = emb.subtract(first)
+    land = str(tmp_path / "emb_landing")
+    extra = str(tmp_path / "emb_extra")
+    first.coalesce(1).write.mode("overwrite").parquet(land)
+    rest.coalesce(1).write.mode("overwrite").parquet(extra)
+    ckpt = str(tmp_path / "emb_ckpt")
+
+    index = collect_ivf_index(emb, "vec_id", "embedding", n_centroids=8)
+    assert len(index) == 8
+
+    def _run(name):
+        stream = stream_ivf_assign(
+            read_embedding_stream(spark, land), index, n_cells=1
+        )
+        return collect_available_now(stream, ckpt, name, output_mode="append")
+
+    batches = _run("ivfassign1")
+    _deliver(extra, land)
+    batches += _run("ivfassign2")
+    got = pd.concat([b for b in batches if len(b)], ignore_index=True)
+
+    assert len(got) == n, "each vector assigned exactly once"
+    cents = _hash_sample(emb, "vec_id", "embedding", 8, "cent_id", "cent_vec")
+    batch = {
+        (r.corpus_id, r.cent_id)
+        for r in _nearest_cells(
+            _with_norm2(emb, "vec_id", "embedding", "corpus_id"),
+            "corpus_id", 1, _cent_norm_frame(cents),
+        ).collect()
+    }
+    streamed = {(r.vec_id, r.cent_id) for r in got.itertuples(index=False)}
+    assert streamed == batch
+
+
+def test_stream_ivf_assign_multi_cell_ranks(spark, sf_dir, tmp_path):
+    """n_cells>1: ranks are dense 1..n per vector and ordered by cosine
+    desc with the batch tiebreak; the rank-1 set equals the n_cells=1
+    assignment."""
+    from sig_etl_spark.streaming import (
+        collect_ivf_index,
+        read_embedding_stream,
+        stream_ivf_assign,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(40)
+    land = str(tmp_path / "emb_landing2")
+    emb.coalesce(1).write.mode("overwrite").parquet(land)
+    index = collect_ivf_index(emb, "vec_id", "embedding", n_centroids=4)
+
+    stream = stream_ivf_assign(read_embedding_stream(spark, land), index, n_cells=3)
+    got = pd.concat(
+        collect_available_now(
+            stream, str(tmp_path / "ck2"), "ivfassign3", output_mode="append"
+        ),
+        ignore_index=True,
+    )
+    per_vec = got.groupby("vec_id")
+    for vid, grp in per_vec:
+        ranks = sorted(grp["cell_rank"])
+        assert ranks == list(range(1, len(grp) + 1))
+        by_rank = grp.sort_values("cell_rank")
+        cos = list(by_rank["cosine"])
+        assert all(cos[i] >= cos[i + 1] or
+                   (cos[i] == cos[i + 1]) for i in range(len(cos) - 1))

@@ -372,6 +372,7 @@ def ivf_incremental_topk(
     n_centroids: int = 16,
     nprobe: int = 3,
     checkpoint_static: bool = True,
+    deletes: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k ANN maintenance under updates (round 9 — VERDICT r8 task 5):
     serve queries over ``corpus ∪ delta`` WITHOUT re-clustering or
@@ -396,6 +397,13 @@ def ivf_incremental_topk(
     corpus, assign(static) ∪ assign(delta) ≡ assign(static ∪ delta)
     under the same centroid set — the batch-equality test pins it, and
     the DuckDB oracle expresses the union literally.
+
+    ``deletes`` (optional, an id frame) is the other half of index
+    maintenance: tombstoned vectors are removed at SERVE time by one
+    left-anti join on the inverted file — centroids and surviving
+    assignments are untouched, exactly how production ANN stores handle
+    deletion (FAISS remove_ids / tombstone lists) without a rebuild.
+    The tombstone side is id-only and typically broadcast-sized.
     """
     cents = _hash_sample(corpus, id_col, vec_col, n_centroids, "cent_id", "cent_vec")
     cent_norm = _cent_norm_frame(cents)
@@ -413,6 +421,9 @@ def ivf_incremental_topk(
         _with_norm2(delta, id_col, vec_col, "corpus_id"), "corpus_id", 1, cent_norm
     )
     merged = static_assign.unionByName(delta_assign)
+    if deletes is not None:
+        tomb = deletes.select(F.col(id_col).alias("corpus_id")).distinct()
+        merged = merged.join(F.broadcast(tomb), "corpus_id", "left_anti")
     q = _nearest_cells(
         _with_norm2(queries, id_col, vec_col, "query_id"), "query_id", nprobe, cent_norm
     )

@@ -173,8 +173,8 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 9 (N=229, D=4):
-# ceil(179/46) = 4 rounds worst-case — the debut list is deliberately
+# behind at most N - C fresher-than-it entries. Round 9 (N=230, D=5):
+# ceil(180/45) = 4 rounds worst-case — the debut list is deliberately
 # tiny this round so the stale block drains at full width; the budget
 # assert bounds how much a debut-heavy round can slow the refresh.
 # Late-round _HOLDBACK entries sort last and only tighten this bound
@@ -197,7 +197,8 @@ _DEBUT_BUDGET = 25
 # is exhausted). Only genuinely NEW queries debut this round:
 #   - llm_bpe_train: distributed BPE merge learning (VERDICT r8 task 4)
 #     + llm_bpe_fertility, its corpus-wide consumer;
-#   - llm_knn_incremental: delta-assign IVF under corpus updates (task 5);
+#   - llm_knn_incremental(_deletes): delta-assign IVF under corpus
+#     updates + tombstone anti-join (task 5);
 #   - extract_warc_records: WARC-style gzip-member container ingestion
 #     (task 6).
 # Everything else competes on staleness: with the hugeint probe pair
@@ -209,6 +210,7 @@ _DEBUTS = [
     "llm_bpe_train",
     "llm_bpe_fertility",
     "llm_knn_incremental",
+    "llm_knn_incremental_deletes",
     "extract_warc_records",
 ]
 

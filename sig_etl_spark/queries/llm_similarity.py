@@ -318,6 +318,62 @@ def llm_knn_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deletes (round 9, same family): tombstoned vectors (vec_id % 13 = 0 —
+# overlaps BOTH the static set and the delta, so both deletion paths
+# are exercised) are removed at serve time by one broadcast left-anti
+# join on the inverted file. No re-cluster, no re-assignment, no
+# rebuild: the oracle filters cassign with a NOT-IN over the tombstone
+# ids and everything downstream recomputes the top-k honestly (a
+# deleted rank-1 neighbor must be REPLACED by the next-best, not leave
+# a hole — the pytest pins exactly that).
+# ---------------------------------------------------------------------------
+
+_TOMB_PRED = "vec_id >= 10 AND vec_id % 13 = 0"
+
+
+def _ivf_deletes_oracle() -> str:
+    base = _ivf_incremental_oracle()
+    # splice the tombstone filter between assignment and probe: cassign
+    # becomes cassign_all, and cassign re-derives as the anti-joined view.
+    assert "cassign AS (" in base
+    return base.replace(
+        "cassign AS (",
+        f"tomb AS (SELECT vec_id AS corpus_id FROM embeddings WHERE {_TOMB_PRED}),\n"
+        "cassign_all AS (",
+        1,
+    ).replace(
+        "qprobe AS (",
+        "cassign AS (\n"
+        "  SELECT * FROM cassign_all\n"
+        "  WHERE corpus_id NOT IN (SELECT corpus_id FROM tomb)\n"
+        "),\n"
+        "qprobe AS (",
+        1,
+    )
+
+
+@register(
+    "llm_knn_incremental_deletes",
+    oracle=_ivf_deletes_oracle(),
+    doc="incremental IVF with tombstones: deletes applied at serve time"
+        " by one broadcast left-anti join on the inverted file (FAISS"
+        " remove_ids semantics — no re-cluster, no rebuild); evicted"
+        " neighbors are replaced by next-best in the same probe pass",
+)
+def llm_knn_incremental_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    static = emb.filter(F.expr(_STATIC_PRED))
+    delta = emb.filter(F.expr(_DELTA_PRED))
+    tomb = emb.filter(F.expr(_TOMB_PRED)).select("vec_id")
+    return S.ivf_incremental_topk(
+        queries, static, delta, "vec_id", "embedding",
+        k=_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE,
+        deletes=tomb,
+    )
+
+
+# ---------------------------------------------------------------------------
 # kNN label vote — the standard embedding-quality evaluation: each query
 # takes its exact top-5 neighbors' majority label (count desc, label asc
 # tiebreak). Labels join onto the top-k via broadcast (dimension-sized);

@@ -472,3 +472,49 @@ def test_incremental_surfaces_delta_neighbor(spark):
     ).collect()
     top = min(out, key=lambda r: r.rank)
     assert top.corpus_id == 99 and top.cosine > 0.999
+
+
+def test_incremental_deletes_exclude_and_replace(spark, sf_dir):
+    """Tombstoned ids never appear in results, and each query still gets
+    a FULL dense top-k (an evicted neighbor is replaced by next-best in
+    the same probe pass, not left as a hole)."""
+    from sig_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    static = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 7 != 0))
+    delta = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 7 == 0))
+    tomb = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 13 == 0)).select("vec_id")
+    tomb_ids = {r.vec_id for r in tomb.collect()}
+    assert tomb_ids
+
+    kw = dict(k=5, n_centroids=16, nprobe=12, checkpoint_static=False)
+    with_del = S.ivf_incremental_topk(
+        q, static, delta, "vec_id", "embedding", deletes=tomb, **kw
+    ).collect()
+    without = S.ivf_incremental_topk(
+        q, static, delta, "vec_id", "embedding", **kw
+    ).collect()
+
+    assert not {r.corpus_id for r in with_del} & tomb_ids
+    # dense ranks 1..5 per query on both sides
+    for rows in (with_del, without):
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r.rank)
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    # replacement property: where the no-deletes result had a tombstoned
+    # neighbor, the deletes result holds the next-best SURVIVOR — i.e.
+    # the surviving subset of `without` is a prefix of `with_del`.
+    wo_by_q, wd_by_q = {}, {}
+    for r in without:
+        wo_by_q.setdefault(r.query_id, []).append((r.rank, r.corpus_id))
+    for r in with_del:
+        wd_by_q.setdefault(r.query_id, []).append((r.rank, r.corpus_id))
+    replaced = 0
+    for qid, wo in wo_by_q.items():
+        survivors = [c for _, c in sorted(wo) if c not in tomb_ids]
+        wd = [c for _, c in sorted(wd_by_q[qid])]
+        assert wd[: len(survivors)] == survivors, (qid, survivors, wd)
+        replaced += 5 - len(survivors)
+    assert replaced > 0, "fixture produced no evictions — tombstones untested"

@@ -52,25 +52,52 @@ RECORD_SCHEMA = (
 # Record-level codec (pure functions — unit-testable off-cluster).
 # ---------------------------------------------------------------------------
 
-def build_record(doc_id: int, payload: bytes, uri: str | None = None) -> bytes:
-    """Serialize one WARC/1.0 response record (uncompressed)."""
+def build_record(
+    doc_id: int,
+    payload: bytes,
+    uri: str | None = None,
+    content_type: str = "text/plain",
+) -> bytes:
+    """Serialize one WARC/1.0 response record (uncompressed). Real crawl
+    response records carry ``content_type='application/http;
+    msgtype=response'`` with a full HTTP response as the payload — the
+    WET composition renders exactly that shape."""
     uri = uri or f"https://example.org/docs/{doc_id}"
     headers = (
         WARC_VERSION + b"\r\n"
         b"WARC-Type: response\r\n"
         + f"WARC-Record-ID: <urn:doc:{doc_id}>\r\n".encode()
         + f"WARC-Target-URI: {uri}\r\n".encode()
-        + b"Content-Type: text/plain\r\n"
+        + f"Content-Type: {content_type}\r\n".encode()
         + f"Content-Length: {len(payload)}\r\n".encode()
         + b"\r\n"
     )
     return headers + payload + b"\r\n\r\n"
 
 
-def build_member(doc_id: int, payload: bytes, uri: str | None = None) -> bytes:
+def build_member(
+    doc_id: int,
+    payload: bytes,
+    uri: str | None = None,
+    content_type: str = "text/plain",
+) -> bytes:
     """One record as its own deterministic gzip member (mtime=0, fixed
     level — byte-stable across runs, the .warc.gz on-disk shape)."""
-    return gzip.compress(build_record(doc_id, payload, uri), compresslevel=9, mtime=0)
+    return gzip.compress(
+        build_record(doc_id, payload, uri, content_type), compresslevel=9, mtime=0
+    )
+
+
+def build_http_response(body: bytes, content_type: str = "text/html") -> bytes:
+    """The HTTP/1.1 response envelope a crawl response record stores as
+    its WARC payload (status line + headers + CRLFCRLF + body)."""
+    return (
+        b"HTTP/1.1 200 OK\r\n"
+        + f"Content-Type: {content_type}; charset=utf-8\r\n".encode()
+        + f"Content-Length: {len(body)}\r\n".encode()
+        + b"\r\n"
+        + body
+    )
 
 
 def parse_record(rec: bytes) -> dict:
@@ -79,7 +106,9 @@ def parse_record(rec: bytes) -> dict:
     if not sep:
         raise ValueError("WARC record without header terminator")
     lines = head.split(b"\r\n")
-    if lines[0] != WARC_VERSION:
+    # any WARC/1.x revision (1.0 and 1.1 crawls are both in the wild and
+    # differ only in headers this parser ignores)
+    if not lines[0].startswith(b"WARC/1."):
         raise ValueError(f"unsupported WARC version line: {lines[0]!r}")
     headers = {}
     for line in lines[1:]:
@@ -90,7 +119,10 @@ def parse_record(rec: bytes) -> dict:
     if len(payload) != n:
         raise ValueError("truncated WARC payload")
     rid = headers.get("warc-record-id", "")
-    doc_id = int(rid.rsplit(":", 1)[-1].rstrip(">")) if ":" in rid else -1
+    # standard record IDs are <urn:uuid:...> — non-numeric tails fall
+    # back to -1 instead of raising
+    tail = rid.rsplit(":", 1)[-1].rstrip(">") if ":" in rid else ""
+    doc_id = int(tail) if tail.lstrip("-").isdigit() else -1
     return {
         "doc_id": doc_id,
         "target_uri": headers.get("warc-target-uri", ""),
@@ -142,11 +174,14 @@ def render_containers(
     doc_id: str = "doc_id",
     text: str = "text",
     compressed: bool = True,
+    content_type: str = "text/plain",
 ) -> DataFrame:
     """(container_id, data): documents grouped into deterministic WARC
     containers — record bytes built per row in an Arrow batch, members
     concatenated in doc_id order with a binary aggregate fold (JVM-side;
-    the Python step touches each record once)."""
+    the Python step touches each record once). Pass
+    ``content_type='application/http; msgtype=response'`` with
+    HTTP-enveloped text for the real crawl response shape."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -155,7 +190,10 @@ def render_containers(
     @pandas_udf("binary")
     def _member(ids, texts):
         return pd.Series(
-            [build(int(i), t.encode("utf-8")) for i, t in zip(ids, texts)]
+            [
+                build(int(i), t.encode("utf-8"), None, content_type)
+                for i, t in zip(ids, texts)
+            ]
         )
 
     return (
@@ -186,9 +224,14 @@ def parse_containers(
     container_id: str = "container_id",
     data: str = "data",
     compressed: bool = True,
+    errors: str = "strict",
 ) -> DataFrame:
     """mapInPandas walker: one input row per container, one output row
-    per WARC record. Arrow-batched; payloads decode utf-8."""
+    per WARC record. Arrow-batched; payloads decode utf-8. The in-engine
+    render->parse roundtrip oracle keeps ``errors='strict'`` (a decode
+    defect must break the hash); the production landing-zone entry
+    passes ``errors='replace'`` because arbitrary crawl bytes are not
+    guaranteed UTF-8."""
 
     def _walk(batches):
         import pandas as pd
@@ -204,7 +247,7 @@ def parse_containers(
                             rec["target_uri"],
                             rec["warc_type"],
                             rec["content_length"],
-                            rec["payload"].decode("utf-8"),
+                            rec["payload"].decode("utf-8", errors=errors),
                         )
                     )
             yield pd.DataFrame(
@@ -216,6 +259,19 @@ def parse_containers(
             )
 
     return containers.mapInPandas(_walk, RECORD_SCHEMA)
+
+
+def http_body(payload):
+    """WET step 1, as pure column algebra: the body of an HTTP response
+    payload (everything after the first CRLFCRLF), or the payload
+    unchanged when no HTTP envelope is present. JVM-side — stripping
+    headers from billions of records must not round-trip through
+    Python."""
+    sep = F.instr(payload, "\r\n\r\n")
+    return F.when(
+        (sep > 0) & payload.startswith("HTTP/"),
+        F.substring(payload, sep + 4, F.length(payload)),
+    ).otherwise(payload)
 
 
 def read_warc_zone(spark, path: str, glob: str = "*.warc.gz") -> DataFrame:
@@ -231,4 +287,4 @@ def read_warc_zone(spark, path: str, glob: str = "*.warc.gz") -> DataFrame:
             F.col("content").alias("data"),
         )
     )
-    return parse_containers(raw, compressed=glob.endswith(".gz"))
+    return parse_containers(raw, compressed=glob.endswith(".gz"), errors="replace")

@@ -37,7 +37,10 @@ def hyperplanes(dim: int, n: int, seed: int = 7) -> list[list[float]]:
 
 
 def _cosine(a_vec, b_vec, a_norm2, b_norm2):
-    return _double_dot(a_vec, b_vec) / F.sqrt(a_norm2 * b_norm2)
+    # try_divide: a zero-norm vector yields a NULL cosine (ranked last by
+    # the DESC windows) in BOTH ANSI modes, instead of DIVIDE_BY_ZERO
+    # under the repo session's ansi.enabled=true
+    return F.try_divide(_double_dot(a_vec, b_vec), F.sqrt(a_norm2 * b_norm2))
 
 
 def _with_norm2(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
@@ -373,6 +376,7 @@ def ivf_incremental_topk(
     nprobe: int = 3,
     checkpoint_static: bool = True,
     deletes: DataFrame | None = None,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k ANN maintenance under updates (round 9 — VERDICT r8 task 5):
     serve queries over ``corpus ∪ delta`` WITHOUT re-clustering or
@@ -404,8 +408,19 @@ def ivf_incremental_topk(
     assignments are untouched, exactly how production ANN stores handle
     deletion (FAISS remove_ids / tombstone lists) without a rebuild.
     The tombstone side is id-only and typically broadcast-sized.
+
+    ``cents`` (optional, a (cent_id, cent_vec) frame) overrides the
+    default hash-sampled quantizer — the hook
+    :func:`ivf_incremental_kmeans_topk` uses to run THIS maintenance
+    machinery under a TRAINED quantizer (production FAISS =
+    k-means-trained quantizer + add()/remove_ids). Must derive from the
+    static corpus only, or the assign(static) ∪ assign(delta) ≡
+    assign(static ∪ delta) equality breaks.
     """
-    cents = _hash_sample(corpus, id_col, vec_col, n_centroids, "cent_id", "cent_vec")
+    if cents is None:
+        cents = _hash_sample(
+            corpus, id_col, vec_col, n_centroids, "cent_id", "cent_vec"
+        )
     cent_norm = _cent_norm_frame(cents)
     if checkpoint_static:
         # the persisted index is centroids + inverted file: materialize
@@ -501,6 +516,63 @@ def ivf_kmeans_topk(
         "cent_id long, cent_vec array<double>",
     )
     return _ivf_with_centroids(queries, corpus, cents, id_col, vec_col, k, nprobe)
+
+
+def kmeans_cents_frame(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    iters: int = 8,
+) -> DataFrame:
+    """The trained k-means quantizer as a (cent_id, cent_vec) frame —
+    the shared handoff between :func:`ivf_kmeans_topk` and the
+    incremental maintenance path."""
+    cents_local = kmeans_centroids(
+        corpus, id_col, vec_col, n_centroids, sample_size, iters
+    )
+    return corpus.sparkSession.createDataFrame(
+        [(i, v) for i, v in enumerate(cents_local)],
+        "cent_id long, cent_vec array<double>",
+    )
+
+
+def ivf_incremental_kmeans_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    sample_size: int = 2048,
+    iters: int = 8,
+    checkpoint_static: bool = True,
+    deletes: DataFrame | None = None,
+) -> DataFrame:
+    """The production ANN maintenance composition (round 10 — VERDICT r9
+    task 1): a TRAINED k-means coarse quantizer (:func:`kmeans_centroids`,
+    bounded-sample Lloyd — FAISS train()) serving the INCREMENTAL
+    add/delete machinery (:func:`ivf_incremental_topk` — FAISS add() /
+    remove_ids). Centroids train on the STATIC corpus only, so the
+    incremental equality assign(static) ∪ assign(delta) ≡
+    assign(static ∪ delta) holds under the trained cells exactly as it
+    does under the sampled ones; delta maintenance stays
+    O(|delta| · n_centroids) with no re-train, no re-assignment, no
+    rebuild. Trained means are not SQL-re-derivable, so the registered
+    query is rows-only; batch equality vs the full trained scan, a
+    recall floor, and the static-not-rescanned plan guard pin it in
+    tests (the same evidence set as llm_knn_ivf_kmeans)."""
+    cents = kmeans_cents_frame(
+        corpus, id_col, vec_col, n_centroids, sample_size, iters
+    )
+    return ivf_incremental_topk(
+        queries, corpus, delta, id_col, vec_col,
+        k=k, n_centroids=n_centroids, nprobe=nprobe,
+        checkpoint_static=checkpoint_static, deletes=deletes, cents=cents,
+    )
 
 
 def _double_l2(a, b):

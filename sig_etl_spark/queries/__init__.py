@@ -173,17 +173,17 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 9 (N=230, D=5):
-# ceil(180/45) = 4 rounds worst-case — the debut list is deliberately
+# behind at most N - C fresher-than-it entries. Round 10 (N=234, D=4):
+# ceil(184/46) = 4 rounds worst-case — the debut list is deliberately
 # tiny this round so the stale block drains at full width; the budget
 # assert bounds how much a debut-heavy round can slow the refresh.
 # Late-round _HOLDBACK entries sort last and only tighten this bound
 # for everyone else.
-# Round-9 drain arithmetic: the r4-stale cohort (39 queries last green
-# in round 4) plus the oldest r5 entries fill the 47 non-debut slots,
-# taking max staleness in the union view from 5 rounds to <= 4
-# (VERDICT r8 task 1); tests/test_rotation_policy.py::
-# test_stale_block_drains_round9 pins the sample composition.
+# Round-10 drain arithmetic: the entire r5-stale cohort (41 queries,
+# the oldest block — VERDICT r9 task 4) plus the 6 oldest r6 entries
+# fill the 47 non-debut slots, holding max staleness in the union view
+# at the arithmetic floor of 4 rounds; tests/test_rotation_policy.py::
+# test_stale_block_drains_round10 pins the sample composition.
 # tools/verify_local.py
 # still checks ALL queries locally every round, so the cap only limits
 # the external signal, never the verification itself.
@@ -192,31 +192,33 @@ def _load_all() -> None:
 _DRIVER_CAP = 50
 _DEBUT_BUDGET = 25
 
-# Round 9 debuts — kept SMALL on purpose (VERDICT r8 task 1: the 39
-# r4-stale + 46 r5-stale anchors must drain now that the r8 debut wave
-# is exhausted). Only genuinely NEW queries debut this round:
-#   - llm_bpe_train: distributed BPE merge learning (VERDICT r8 task 4)
-#     + llm_bpe_fertility, its corpus-wide consumer;
-#   - llm_knn_incremental(_deletes): delta-assign IVF under corpus
-#     updates + tombstone anti-join (task 5);
-#   - extract_warc_records: WARC-style gzip-member container ingestion
-#     (task 6).
-# Everything else competes on staleness: with the hugeint probe pair
-# deregistered this round (see queries/diag_seam.py), C=50 and
-# D=len(_DEBUTS) below, the stale block gets 50 - D slots, all drawn
-# from the r4/r5 cohort (85 entries at round start), taking worst-case
-# staleness from 5 rounds toward the computed ceil((N-C)/(C-D)) bound.
+# Round 10 debuts — kept SMALL again (VERDICT r9 task 4: the 41-entry
+# r5-stale cohort is the oldest block and must drain). Only genuinely
+# NEW queries debut this round:
+#   - llm_knn_incremental_kmeans: trained k-means quantizer composed
+#     with the incremental IVF add/delete path (VERDICT r9 task 1;
+#     rows-only — trained means are not SQL-re-derivable);
+#   - extract_warc_wet: WARC->WET composition — HTTP-response crawl
+#     records to parsed text via the S3 table parse (task 2);
+#   - llm_crawl_curation_e2e: the end-to-end crawl-curation capstone,
+#     WARC ingest -> scrub -> gate v2 -> MinHash CC -> cluster split in
+#     one oracle-checked plan (task 3);
+#   - llm_bpe_fertility32: BPE at a production merge count — 32 learned
+#     rounds through the shared oracle template (task 5).
+# Everything else competes on staleness: C=50, D=4 leaves 46 slots for
+# the stale block — the ENTIRE 41-entry r5 cohort drains plus the 5
+# oldest r6 entries; max staleness stays at the arithmetic floor
+# ceil((N-C)/(C-D)) ~ 4 rounds.
 _DEBUTS = [
-    "llm_bpe_train",
-    "llm_bpe_fertility",
-    "llm_knn_incremental",
-    "llm_knn_incremental_deletes",
-    "extract_warc_records",
+    "llm_knn_incremental_kmeans",
+    "extract_warc_wet",
+    "llm_crawl_curation_e2e",
+    "llm_bpe_fertility32",
 ]
 
 # Queries registered AFTER a round's debut budget was already spent
 # (late-round additions) sort LAST that round, yielding their slot to
-# the stale-block drain. Round 9: EMPTY so far.
+# the stale-block drain. Round 10: EMPTY so far.
 _HOLDBACK: list[str] = []
 
 # Round 8's _DIVERGENT_PROBES mechanism (expected-red probes yield their

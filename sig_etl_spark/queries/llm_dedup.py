@@ -1877,3 +1877,272 @@ def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-curation capstone (round 10 — VERDICT r9 task 3): the 100 TB
+# training-data pipeline as ONE registered, oracle-checked dataflow —
+#   WARC crawl containers (HTTP-response records, gzip members)
+#     -> WET text recovery (member walk, WARC parse, HTTP strip,
+#        HTML table parse — extract_demo.wet_text_records)
+#     -> corpus boilerplate scrub (llm_text.scrub_frame)
+#     -> quality gate v2 signals RECOMPUTED over the scrubbed text
+#        (ttr + duplicate-3-gram + bigram-model coverage, gate v2
+#        thresholds — drift-guarded against llm_quality_gate_v2's)
+#     -> MinHash+LSH near-dup pairs among survivors -> CC clusters
+#     -> leakage-proof cluster-hash train/valid/test split.
+# Every stage is individually green elsewhere; the capstone proves they
+# compose in one plan (the driver hash covers container framing, HTTP
+# splitting, HTML recovery, scrub arithmetic, three gate signals, the
+# banded pair graph, min-label CC, and the split hash at once).
+# Scale shape: the WET front end is one task per container; the scrub
+# and signal stages are keyed groupBys with map-side combine; the model
+# is a bounded top-K broadcast; the pair layer is the banded LSH
+# equi-join; CC is O(log d) pointer jumping on a checkpointed edge
+# frame; the split is a pure hash — no stage is quadratic or
+# driver-bound.
+# ---------------------------------------------------------------------------
+
+# Gate v2 thresholds, restated locally (a pytest pins them to
+# llm_text._GATE_* so the two cannot drift; importing llm_text at module
+# scope would reorder query registration).
+_E2E_TTR = 0.35
+_E2E_DUP = 0.30
+_E2E_COV = 0.58
+_E2E_SEG_G = 2
+_E2E_SEG_T = 20
+
+_E2E_SPLIT_HASH = (
+    "CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR) ||"
+    f" '{_CSPLIT_SALT}'), 1, 15)) AS UBIGINT)"
+)
+
+_E2E_ORACLE = rf"""
+WITH RECURSIVE rawdocs AS (SELECT doc_id, text FROM documents),
+sbase AS (SELECT doc_id, {_TOKS} AS toks FROM rawdocs),
+segd AS (
+  SELECT doc_id, s // {_E2E_SEG_G} AS seg_idx,
+         array_to_string(list_slice(toks, s + 1, s + {_E2E_SEG_G}), ' ') AS seg
+  FROM (SELECT doc_id, toks, unnest(range(0, len(toks), {_E2E_SEG_G})) AS s
+        FROM sbase WHERE len(toks) > 0)
+),
+scnt AS (SELECT seg, COUNT(DISTINCT doc_id) AS ndocs FROM segd GROUP BY seg),
+cleaned AS (
+  SELECT segd.doc_id,
+         CAST(SUM(CASE WHEN scnt.ndocs >= {_E2E_SEG_T} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_boilerplate,
+         COALESCE(array_to_string(
+           list(seg ORDER BY seg_idx) FILTER (WHERE scnt.ndocs < {_E2E_SEG_T}),
+           ' '), '') AS text
+  FROM segd JOIN scnt USING (seg) GROUP BY segd.doc_id
+),
+gbase AS (SELECT doc_id, n_boilerplate, text, {_TOKS} AS toks FROM cleaned),
+gsig AS (
+  SELECT doc_id, n_boilerplate, text,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) END AS ttr,
+         CASE WHEN len(toks) - 2 >= 1
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+              ELSE [array_to_string(toks, ' ')]
+         END AS grams
+  FROM gbase
+),
+gsig2 AS (
+  SELECT doc_id, n_boilerplate, text, ttr,
+         CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+           / CAST(len(grams) AS DOUBLE) AS dup_gram_ratio
+  FROM gsig
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                                       i -> array_to_string(toks[i:i+1], ' ')))
+           AS bigram
+  FROM gbase WHERE len(toks) >= 2
+),
+model AS (
+  SELECT bigram FROM (
+    SELECT bigram, row_number() OVER (ORDER BY COUNT(*) DESC, bigram) AS rn
+    FROM bg GROUP BY bigram
+  ) WHERE rn <= 500
+),
+bcov AS (
+  SELECT bg.doc_id,
+         CAST(SUM(CASE WHEN model.bigram IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage
+  FROM bg LEFT JOIN model ON bg.bigram = model.bigram
+  GROUP BY bg.doc_id
+),
+gated AS (
+  SELECT s.doc_id, s.n_boilerplate, s.text, s.ttr, s.dup_gram_ratio,
+         COALESCE(c.coverage, 0.0) AS coverage
+  FROM gsig2 s LEFT JOIN bcov c USING (doc_id)
+  WHERE s.ttr >= {_E2E_TTR} AND s.dup_gram_ratio <= {_E2E_DUP}
+    AND COALESCE(c.coverage, 0.0) >= {_E2E_COV}
+),
+q AS (SELECT doc_id, text FROM gated),
+{_shingle_ctes("q")},
+hx AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
+              % 2147483647 AS BIGINT) AS x
+  FROM sh0
+),
+perms(i, a, b) AS (VALUES {_PERM_VALUES}),
+mh AS (
+  SELECT doc_id, i, MIN((a * x + b) % 2147483647) AS v
+  FROM hx CROSS JOIN perms GROUP BY 1, 2
+),
+sigs AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, sig, band, list_slice(sig, band*4+1, band*4+4) AS bucket
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0,15)) AS band) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                             AND a.doc_id < b.doc_id
+),
+mpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           len(list_filter(generate_series(1,64), k -> sa[k] = sb[k])) / 64.0
+             AS est_jaccard
+    FROM cand
+  ) WHERE est_jaccard >= 0.5
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM mpairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM mpairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM q
+  UNION
+  SELECT s.u, r.label FROM reach r JOIN sym s ON s.v = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node)
+SELECT g.doc_id, g.n_boilerplate, g.ttr, g.dup_gram_ratio, g.coverage,
+       c.cluster_id,
+       (g.doc_id = c.cluster_id) AS is_canonical,
+       CAST({_E2E_SPLIT_HASH} % 100 AS BIGINT) AS bucket,
+       CASE WHEN {_E2E_SPLIT_HASH} % 100 < 10 THEN 'test'
+            WHEN {_E2E_SPLIT_HASH} % 100 < 20 THEN 'valid'
+            ELSE 'train'
+       END AS split
+FROM gated g JOIN comp c USING (doc_id)
+"""
+
+
+@register(
+    "llm_crawl_curation_e2e",
+    oracle=_E2E_ORACLE,
+    doc="crawl-curation capstone in ONE plan: WARC->WET text recovery,"
+        " boilerplate scrub, gate-v2 signals over the scrubbed text,"
+        " MinHash+LSH near-dup CC among survivors, cluster-hash"
+        " leakage-proof split — every stage bounded (banded pair join,"
+        " top-K broadcast model, pointer-jumping CC)",
+)
+def llm_crawl_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from sig_etl_spark.functions.hashing import portable_hash60
+    from sig_etl_spark.llm import text_analysis as T
+    from sig_etl_spark.queries.extract_demo import wet_text_records
+    from sig_etl_spark.queries.llm_text import scrub_frame
+
+    raw = wet_text_records(spark, sf_dir).select("doc_id", "text")
+    # Materialize the scrubbed corpus once: it feeds the signal pass,
+    # the bigram model, and (via the gate) the pair layer + final join.
+    clean = (
+        scrub_frame(raw)
+        .select("doc_id", "n_boilerplate", F.col("clean_text").alias("text"))
+        .localCheckpoint(eager=False)
+    )
+    ttr = T.bind(
+        T.tokens(F.col("text")),
+        lambda t: F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+            F.size(F.array_distinct(t)).cast("double")
+            / F.size(t).cast("double")
+        ),
+    )
+    rep = T.ngram_repetition(F.col("text"), k=3)
+    sig = clean.select(
+        "doc_id", "n_boilerplate", "text", ttr.alias("ttr"), rep.alias("r")
+    ).select(
+        "doc_id", "n_boilerplate", "text", "ttr",
+        (
+            (F.col("r.n_grams") - F.col("r.n_distinct_grams")).cast("double")
+            / F.col("r.n_grams").cast("double")
+        ).alias("dup_gram_ratio"),
+    )
+    toksc = T.tokens(F.col("text"))
+    bg = (
+        clean.select("doc_id", toksc.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
+                )
+            ).alias("bigram"),
+        )
+    )
+    model = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(500)
+        .select("bigram", F.lit(1).alias("hit"))
+    )
+    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    cov = (
+        bg.join(broadcast(model), "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            (hits.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "coverage"
+            )
+        )
+    )
+    gated = (
+        sig.join(cov, "doc_id", "left")
+        .withColumn("coverage", F.coalesce(F.col("coverage"), F.lit(0.0)))
+        .filter(
+            (F.col("ttr") >= _E2E_TTR)
+            & (F.col("dup_gram_ratio") <= _E2E_DUP)
+            & (F.col("coverage") >= _E2E_COV)
+        )
+        .localCheckpoint(eager=False)
+    )
+    pairs = D.minhash_lsh_pairs(
+        gated.select("doc_id", "text"), "doc_id", "text",
+        k=3, num_hashes=64, bands=16, threshold=0.5,
+    ).select("id_a", "id_b")
+    comp = D.connected_components(
+        pairs, "id_a", "id_b",
+        nodes=gated.select(F.col("doc_id").alias("node")),
+    )
+    bucket = portable_hash60(
+        F.concat(F.col("cluster_id").cast("string"), F.lit(_CSPLIT_SALT))
+    ) % 100
+    return (
+        gated.join(comp, gated["doc_id"] == comp["node"])
+        .select(
+            "doc_id",
+            "n_boilerplate",
+            "ttr",
+            "dup_gram_ratio",
+            "coverage",
+            "cluster_id",
+            (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+            bucket.alias("bucket"),
+            F.when(bucket < 10, "test")
+            .when(bucket < 20, "valid")
+            .otherwise("train")
+            .alias("split"),
+        )
+    )

@@ -374,6 +374,42 @@ def llm_knn_incremental_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Trained quantizer + incremental maintenance (round 10 — VERDICT r9
+# task 1): the production FAISS composition — k-means train() on the
+# static corpus, add() for the delta, remove_ids for the tombstones —
+# in one registered plan. Same static/delta/tombstone slices as the
+# sampled-quantizer twins so the two quantizer families are directly
+# comparable in the bench table. Trained means are not
+# SQL-re-derivable: rows-only, pinned by batch-equality vs the full
+# trained scan, a recall floor, and the extended static-not-rescanned
+# plan guard (tests/test_similarity.py, tests/test_plans.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_knn_incremental_kmeans",
+    oracle=None,
+    doc="incremental IVF under a TRAINED k-means quantizer (FAISS"
+        " train() + add() + remove_ids composed): centroids trained on"
+        " the static corpus only, delta assigned to existing trained"
+        " cells, tombstones left-anti'd at serve time — rows-only"
+        " (trained means are not SQL-re-derivable), pinned by"
+        " batch-equality/recall-floor/plan-guard tests",
+)
+def llm_knn_incremental_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    static = emb.filter(F.expr(_STATIC_PRED))
+    delta = emb.filter(F.expr(_DELTA_PRED))
+    tomb = emb.filter(F.expr(_TOMB_PRED)).select("vec_id")
+    return S.ivf_incremental_kmeans_topk(
+        queries, static, delta, "vec_id", "embedding",
+        k=_K, n_centroids=_N_CENTROIDS, nprobe=_NPROBE,
+        deletes=tomb,
+    )
+
+
+# ---------------------------------------------------------------------------
 # kNN label vote — the standard embedding-quality evaluation: each query
 # takes its exact top-5 neighbors' majority label (count desc, label asc
 # tiebreak). Labels join onto the top-k via broadcast (dimension-sized);

@@ -907,6 +907,14 @@ GROUP BY segd.doc_id
 )
 def llm_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return scrub_frame(docs)
+
+
+def scrub_frame(docs: DataFrame) -> DataFrame:
+    """The boilerplate scrub over any (doc_id, text) frame — shared by
+    the registered query and the crawl-curation capstone
+    (llm_crawl_curation_e2e). Returns (doc_id, n_segments,
+    n_boilerplate, clean_text)."""
     toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
     base = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
     segd = base.select(
@@ -2099,9 +2107,16 @@ def llm_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_ROUNDS = 5
 
-
-def _bpe_oracle(n_rounds: int = _BPE_ROUNDS) -> str:
-    pair_cte = """
+# ONE per-round pair-count/argmax/replace CTE template shared by the
+# trainer oracle and the fertility oracle — two hand-maintained copies of
+# this load-bearing merge-learning SQL could silently drift apart.
+# m{r}/seq{r} are MATERIALIZED: DuckDB inlines CTEs by default, and each
+# round references its predecessor twice (pair count + re-segmentation),
+# so an inlined chain re-expands the base scan 2^R times — fine at R=5,
+# fatal ("too many open files") at the production R=32. Materialization
+# makes the chain linear, exactly like the Spark loop's checkpointed
+# vocab.
+_BPE_MERGE_CTE = """
 p{r} AS (
   SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
     SELECT unnest(list_transform(
@@ -2113,7 +2128,7 @@ p{r} AS (
           FROM seq{prev})
   ) GROUP BY pair
 ),
-m{r} AS (
+m{r} AS MATERIALIZED (
   SELECT {r} AS round,
          split_part(pair, ' ', 1) AS left_sym,
          split_part(pair, ' ', 2) AS right_sym,
@@ -2121,14 +2136,23 @@ m{r} AS (
          pair_count
   FROM p{r} ORDER BY pair_count DESC, pair LIMIT 1
 ),
-seq{r} AS (
+seq{r} AS MATERIALIZED (
   SELECT replace(seq, '(' || m.left_sym || ')(' || m.right_sym || ')',
                  '(' || m.merged || ')') AS seq, cnt
   FROM seq{prev} CROSS JOIN m{r} m
 )"""
-    ctes = ",".join(
-        pair_cte.format(r=r, prev=r - 1) for r in range(1, n_rounds + 1)
+
+
+def _bpe_merge_ctes(n_rounds: int) -> str:
+    """The unrolled merge-learning rounds as a comma-joined CTE chain
+    (seq0 in scope -> p{r}/m{r}/seq{r} per round)."""
+    return ",".join(
+        _BPE_MERGE_CTE.format(r=r, prev=r - 1) for r in range(1, n_rounds + 1)
     )
+
+
+def _bpe_oracle(n_rounds: int = _BPE_ROUNDS) -> str:
+    ctes = _bpe_merge_ctes(n_rounds)
     union = " UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, n_rounds + 1))
     return f"""
 WITH toks AS (
@@ -2177,39 +2201,16 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_fertility_oracle(n_rounds: int = _BPE_ROUNDS) -> str:
-    pair_cte = """
-p{r} AS (
-  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
-    SELECT unnest(list_transform(
-             generate_series(1, len(syms) - 1),
-             i -> syms[i] || ' ' || syms[i + 1])) AS pair,
-           cnt
-    FROM (SELECT string_split(substring(seq, 2, length(seq) - 2), ')(') AS syms,
-                 cnt
-          FROM seq{prev})
-  ) GROUP BY pair
-),
-m{r} AS (
-  SELECT split_part(pair, ' ', 1) AS left_sym,
-         split_part(pair, ' ', 2) AS right_sym,
-         pair_count
-  FROM p{r} ORDER BY pair_count DESC, pair LIMIT 1
-),
-seq{r} AS (
-  SELECT replace(seq, '(' || m.left_sym || ')(' || m.right_sym || ')',
-                 '(' || m.left_sym || m.right_sym || ')') AS seq, cnt
-  FROM seq{prev} CROSS JOIN m{r} m
-)"""
-    # word-level application: the same replace chain, keyed by word
+    # merge learning = the SHARED _BPE_MERGE_CTE chain; only the
+    # word-level application CTEs (the same replace chain keyed by word)
+    # are fertility-specific
     apply_cte = """
 w{r} AS (
   SELECT word, replace(seq, '(' || m.left_sym || ')(' || m.right_sym || ')',
-                       '(' || m.left_sym || m.right_sym || ')') AS seq
+                       '(' || m.merged || ')') AS seq
   FROM w{prev} CROSS JOIN m{r} m
 )"""
-    merge_ctes = ",".join(
-        pair_cte.format(r=r, prev=r - 1) for r in range(1, n_rounds + 1)
-    )
+    merge_ctes = _bpe_merge_ctes(n_rounds)
     apply_ctes = ",".join(
         apply_cte.format(r=r, prev=r - 1) for r in range(1, n_rounds + 1)
     )
@@ -2252,10 +2253,37 @@ GROUP BY b.lang ORDER BY b.lang
         " tokens/word permille per lang, all-integer",
 )
 def llm_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bpe_fertility_frame(spark, sf_dir, _BPE_ROUNDS)
+
+
+# Production merge count (round 10 — VERDICT r9 task 5): real tokenizers
+# learn thousands of merges; 32 rounds exercises the chained-replace
+# codegen path at a depth where per-round cost must stay flat (the loop
+# re-scans a checkpointed vocab under r chained replaces — measured at
+# sf1 in BASELINE.md). The 5-round twin above keeps its oracle unchanged;
+# this one unrolls the same shared CTE template 32 times.
+_BPE_ROUNDS_PROD = 32
+
+
+@register(
+    "llm_bpe_fertility32",
+    oracle=_bpe_fertility_oracle(_BPE_ROUNDS_PROD),
+    doc="learned-BPE fertility at a production merge count (32 rounds):"
+        " same trainer, same shared merge-CTE oracle template unrolled"
+        " 32x — pins that per-round cost stays flat as the replace chain"
+        " deepens (vocab-sized scans, never the corpus)",
+)
+def llm_bpe_fertility32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bpe_fertility_frame(spark, sf_dir, _BPE_ROUNDS_PROD)
+
+
+def _bpe_fertility_frame(
+    spark: SparkSession, sf_dir: str, n_merges: int
+) -> DataFrame:
     from sig_etl_spark.llm import bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe.train_merges(docs, n_merges=_BPE_ROUNDS)
+    merges = bpe.train_merges(docs, n_merges=n_merges)
     by_lang = (
         docs.select(
             "lang",

@@ -976,18 +976,29 @@ def stream_ivf_assign(
 
     vec = F.col(vec_col)
     norm2 = _double_dot(vec, vec)
+
+    def _negsim(cvec, cnorm2):
+        # try_divide mirrors the batch _cosine: zero norms -> NULL sim in
+        # both ANSI modes, never DIVIDE_BY_ZERO
+        return -F.try_divide(
+            _double_dot(vec, F.array(*[F.lit(float(x)) for x in cvec])),
+            F.sqrt(norm2 * F.lit(cnorm2)),
+        )
+
+    # Sort key coalesces NULL sims (zero-norm vector or centroid: Spark
+    # double division by zero yields NULL) to +inf so they rank LAST —
+    # the batch _nearest_cells orders _csim DESC, which is NULLS LAST.
+    # negsim rides along as a third struct field (never reached by the
+    # comparison: sortkey+cent_id is unique) so the emitted cosine stays
+    # NULL, bit-identical to the batch assignment's.
     scored = F.array(
         *[
             F.struct(
-                (
-                    -(
-                        _double_dot(
-                            vec, F.array(*[F.lit(float(x)) for x in cvec])
-                        )
-                        / F.sqrt(norm2 * F.lit(cnorm2))
-                    )
-                ).alias("negsim"),
+                F.coalesce(_negsim(cvec, cnorm2), F.lit(float("inf"))).alias(
+                    "sortkey"
+                ),
                 F.lit(int(cid)).cast("bigint").alias("cent_id"),
+                _negsim(cvec, cnorm2).alias("negsim"),
             )
             for cid, cvec, cnorm2 in index
         ]

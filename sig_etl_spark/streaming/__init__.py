@@ -18,6 +18,7 @@ from sig_etl_spark.streaming.pipeline import (  # noqa: F401
     read_embedding_stream,
     read_event_stream,
     read_snapshot_stream,
+    read_warc_stream,
     stream_ivf_assign,
     run_available_now,
     running_user_totals,

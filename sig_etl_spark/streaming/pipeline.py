@@ -945,6 +945,37 @@ def read_embedding_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     return spark.readStream.schema(EMBEDDING_SCHEMA).parquet(landing_dir)
 
 
+def read_warc_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Streaming WARC container ingestion (round 10 — the 15th streaming
+    operator): a binaryFile file-source stream over a crawl landing zone,
+    each arriving ``.warc.gz`` container walked into record rows by the
+    SAME stdlib gzip-member walker the batch entry uses
+    (extract/warc.py). This is the live half of the Common Crawl shape:
+    containers land continuously, the checkpoint tracks processed files
+    (consume-once), and one container = one task = one walker pass —
+    append-mode, stateless, no driver involvement. The batch twin is
+    ``warc.read_warc_zone``; the batch-equality test pins record parity
+    across a checkpointed two-delivery run."""
+    from sig_etl_spark.extract import warc
+
+    # streaming file sources require an explicit schema; binaryFile's is
+    # fixed (path, modificationTime, length, content)
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp,"
+            " length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(landing_dir)
+        .select(
+            F.xxhash64(F.col("path")).alias("container_id"),
+            F.col("content").alias("data"),
+        )
+    )
+    return warc.parse_containers(raw, errors="replace")
+
+
 def collect_ivf_index(
     corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int = 16
 ) -> list[tuple[int, list[float], float]]:

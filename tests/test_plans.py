@@ -752,6 +752,21 @@ def test_incremental_kmeans_delta_assignment_touches_only_delta(spark, sf_dir):
     assert n_scans <= 2, f"static corpus re-scanned: {n_scans} parquet scans"
 
 
+def test_crawl_curation_e2e_plan_shape(spark, sf_dir):
+    """The capstone's final plan must keep its scale properties: no
+    cartesian product anywhere, and the Python surface (WET render/walk
+    + HTML parse) must not multiply — the scrubbed corpus is a (lazy)
+    localCheckpoint, so once CC materializes it the pair/gate consumers
+    read the RDD instead of replaying the mapInPandas chain."""
+    plan = _plan(spark, sf_dir, "llm_crawl_curation_e2e")
+    assert _count_op(plan, "CartesianProduct") == 0
+    # pre-materialization explain shows the full lineage; the Python
+    # stages must appear a BOUNDED number of times (render member UDF,
+    # container walk, HTML parse — per consumer branch at most), never
+    # once per LSH band or per CC round
+    assert plan.count("MapInPandas") <= 8, plan.count("MapInPandas")
+
+
 def test_registered_incremental_kmeans_checkpoints_static(spark, sf_dir, monkeypatch):
     """llm_knn_incremental_kmeans must leave checkpoint_static at its
     True default — same guard as the sampled-quantizer twin."""

@@ -836,6 +836,50 @@ def test_stream_ivf_assign_matches_batch_assignment(spark, sf_dir, tmp_path):
     assert streamed == batch
 
 
+def test_stream_warc_records_matches_batch_zone(spark, tmp_path):
+    """Streaming WARC ingestion (the live crawl landing zone): containers
+    delivered in two batches across a checkpointed stream must yield
+    exactly the batch read_warc_zone record set, each record once."""
+    from sig_etl_spark.extract import warc
+    from sig_etl_spark.streaming import read_warc_stream
+
+    zone = tmp_path / "warc_stream_zone"
+    zone.mkdir()
+    expect = {}
+
+    def _write(c):
+        members = b""
+        for i in range(6):
+            did = c * 100 + i
+            payload = f"stream container {c} doc {i}".encode()
+            members += warc.build_member(did, payload)
+            expect[did] = payload.decode()
+        (zone / f"part-{c}.warc.gz").write_bytes(members)
+
+    _write(0)
+    _write(1)
+    ckpt = str(tmp_path / "warc_ckpt")
+
+    def _run(name):
+        return collect_available_now(
+            read_warc_stream(spark, str(zone)), ckpt, name,
+            output_mode="append",
+        )
+
+    batches = _run("warcstream1")
+    _write(2)  # second delivery
+    batches += _run("warcstream2")
+    got = pd.concat([b for b in batches if len(b)], ignore_index=True)
+    assert len(got) == 18, "each record exactly once across deliveries"
+    assert {r.doc_id: r.payload for r in got.itertuples(index=False)} == expect
+
+    batch = warc.read_warc_zone(spark, str(zone)).collect()
+    assert {(r.doc_id, r.container_id, r.payload) for r in batch} == {
+        (int(r.doc_id), int(r.container_id), r.payload)
+        for r in got.itertuples(index=False)
+    }
+
+
 def test_stream_ivf_assign_zero_norm_sorts_last(spark, tmp_path):
     """A zero-norm centroid (or vector) yields a NULL cosine (Spark
     double division by zero). The batch window orders _csim DESC — NULLS

@@ -977,15 +977,36 @@ def read_warc_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
 
 
 def collect_ivf_index(
-    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int = 16
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    quantizer: str = "sample",
 ) -> list[tuple[int, list[float], float]]:
     """The persisted quantizer as driver-side literals:
-    [(cent_id, cent_vec, cent_norm2)], hash-sampled exactly like the
-    batch IVF (similarity._hash_sample) with norm2 computed by the
-    ENGINE's double fold. Bounded collect: n_centroids rows."""
-    from sig_etl_spark.llm.similarity import _cent_norm_frame, _hash_sample
+    [(cent_id, cent_vec, cent_norm2)] with norm2 computed by the
+    ENGINE's double fold. Bounded collect: n_centroids rows.
 
-    cents = _hash_sample(corpus, id_col, vec_col, n_centroids, "cent_id", "cent_vec")
+    ``quantizer='sample'`` hash-samples exactly like the batch IVF
+    (similarity._hash_sample); ``quantizer='kmeans'`` trains the same
+    bounded-sample Lloyd quantizer the batch
+    ivf_kmeans_topk/ivf_incremental_kmeans_topk use — the live add()
+    path of the PRODUCTION (trained) index, so streamed assignments can
+    feed the same inverted file the trained batch probe serves."""
+    from sig_etl_spark.llm.similarity import (
+        _cent_norm_frame,
+        _hash_sample,
+        kmeans_cents_frame,
+    )
+
+    if quantizer == "kmeans":
+        cents = kmeans_cents_frame(corpus, id_col, vec_col, n_centroids)
+    elif quantizer == "sample":
+        cents = _hash_sample(
+            corpus, id_col, vec_col, n_centroids, "cent_id", "cent_vec"
+        )
+    else:
+        raise ValueError(f"unknown quantizer: {quantizer!r}")
     return [
         (r["cent_id"], list(r["cent_vec"]), float(r["cent_norm2"]))
         for r in _cent_norm_frame(cents).collect()

@@ -880,6 +880,54 @@ def test_stream_warc_records_matches_batch_zone(spark, tmp_path):
     }
 
 
+def test_stream_ivf_assign_trained_quantizer_matches_batch(spark, sf_dir, tmp_path):
+    """The live add() path under the TRAINED quantizer: streaming the
+    delta slice against collect_ivf_index(quantizer='kmeans') must
+    assign every vector to exactly the cell the batch
+    ivf_incremental_kmeans path assigns (same centroids by determinism
+    of the bounded-sample trainer, same folds, same tiebreak)."""
+    from sig_etl_spark.llm.similarity import (
+        _cent_norm_frame,
+        _nearest_cells,
+        _with_norm2,
+        kmeans_cents_frame,
+    )
+    from sig_etl_spark.streaming import (
+        collect_ivf_index,
+        read_embedding_stream,
+        stream_ivf_assign,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    static = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 7 != 0))
+    delta = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 7 == 0))
+    index = collect_ivf_index(
+        static, "vec_id", "embedding", n_centroids=8, quantizer="kmeans"
+    )
+    assert len(index) == 8
+
+    land = str(tmp_path / "emb_trained_landing")
+    delta.coalesce(1).write.mode("overwrite").parquet(land)
+    stream = stream_ivf_assign(read_embedding_stream(spark, land), index, n_cells=1)
+    got = pd.concat(
+        collect_available_now(
+            stream, str(tmp_path / "ckt"), "ivfassignt", output_mode="append"
+        ),
+        ignore_index=True,
+    )
+
+    cents = kmeans_cents_frame(static, "vec_id", "embedding", n_centroids=8)
+    batch = {
+        (r.corpus_id, r.cent_id)
+        for r in _nearest_cells(
+            _with_norm2(delta, "vec_id", "embedding", "corpus_id"),
+            "corpus_id", 1, _cent_norm_frame(cents),
+        ).collect()
+    }
+    streamed = {(int(r.vec_id), int(r.cent_id)) for r in got.itertuples(index=False)}
+    assert streamed == batch and streamed
+
+
 def test_stream_ivf_assign_zero_norm_sorts_last(spark, tmp_path):
     """A zero-norm centroid (or vector) yields a NULL cosine (Spark
     double division by zero). The batch window orders _csim DESC — NULLS

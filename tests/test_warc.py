@@ -114,6 +114,73 @@ def test_iter_records_uncompressed_variant():
     assert all(r["payload"] == f"p{r['doc_id']}".encode() for r in recs)
 
 
+def test_record_roundtrip_property():
+    """Property (hypothesis): ANY payload bytes — including embedded
+    CRLFCRLF, gzip magic, NULs — and any doc id survive
+    build_record -> parse_record and the gzip-member walk bit-exactly.
+    Content-Length framing means no byte sequence can confuse the
+    parser."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        doc_id=st.integers(min_value=-(2**62), max_value=2**62),
+        payload=st.binary(max_size=512),
+    )
+    def check(doc_id: int, payload: bytes):
+        rec = warc.build_record(doc_id, payload)
+        out = warc.parse_record(rec)
+        assert out["doc_id"] == doc_id
+        assert out["payload"] == payload
+        assert out["content_length"] == len(payload)
+        member = warc.build_member(doc_id, payload)
+        walked = list(warc.iter_members(member))
+        assert walked == [rec]
+
+    check()
+
+
+def test_container_walk_property():
+    """Property: any sequence of (id, payload) records concatenated as
+    gzip members walks back in order with payloads intact — including
+    payloads that START with the gzip magic bytes."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        recs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10**9),
+                st.binary(max_size=128),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(recs):
+        blob = b"".join(warc.build_member(i, p) for i, p in recs)
+        out = list(warc.iter_records(blob))
+        assert [(r["doc_id"], r["payload"]) for r in out] == recs
+
+    check()
+
+
+def test_http_envelope_roundtrip_property():
+    """Property: build_http_response(body) always yields its body back
+    through the CRLFCRLF split — even when the body itself contains
+    CRLFCRLF or looks like an HTTP response."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(body=st.binary(max_size=256))
+    def check(body: bytes):
+        resp = warc.build_http_response(body)
+        _, _, got = resp.partition(b"\r\n\r\n")
+        assert got == body
+
+    check()
+
+
 # ---------------------------------------------------------------------------
 # Spark roundtrip + production entry.
 # ---------------------------------------------------------------------------

@@ -173,8 +173,8 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 10 (N=234, D=4):
-# ceil(184/46) = 4 rounds worst-case — the debut list is deliberately
+# behind at most N - C fresher-than-it entries. Round 10 (N=235, D=0):
+# ceil(185/50) = 4 rounds worst-case — the debut list is deliberately
 # tiny this round so the stale block drains at full width; the budget
 # assert bounds how much a debut-heavy round can slow the refresh.
 # Late-round _HOLDBACK entries sort last and only tighten this bound
@@ -192,29 +192,20 @@ def _load_all() -> None:
 _DRIVER_CAP = 50
 _DEBUT_BUDGET = 25
 
-# Round 10 debuts — kept SMALL again (VERDICT r9 task 4: the 41-entry
-# r5-stale cohort is the oldest block and must drain). Only genuinely
-# NEW queries debut this round:
-#   - llm_knn_incremental_kmeans: trained k-means quantizer composed
-#     with the incremental IVF add/delete path (VERDICT r9 task 1;
-#     rows-only — trained means are not SQL-re-derivable);
-#   - extract_warc_wet: WARC->WET composition — HTTP-response crawl
-#     records to parsed text via the S3 table parse (task 2);
-#   - llm_crawl_curation_e2e: the end-to-end crawl-curation capstone,
-#     WARC ingest -> scrub -> gate v2 -> MinHash CC -> cluster split in
-#     one oracle-checked plan (task 3);
-#   - llm_bpe_fertility32: BPE at a production merge count — 32 learned
-#     rounds through the shared oracle template (task 5).
-# Everything else competes on staleness: C=50, D=4 leaves 46 slots for
-# the stale block — the ENTIRE 41-entry r5 cohort drains plus the 5
-# oldest r6 entries; max staleness stays at the arithmetic floor
-# ceil((N-C)/(C-D)) ~ 4 rounds.
-_DEBUTS = [
-    "llm_knn_incremental_kmeans",
-    "extract_warc_wet",
-    "llm_crawl_curation_e2e",
-    "llm_bpe_fertility32",
-]
+# Round 10 debuts — EMPTY, and deliberately so (VERDICT r9 task 4: the
+# 41-entry r5-stale cohort is the oldest block and must drain at full
+# width). The five genuinely NEW queries this round —
+#   llm_knn_incremental_kmeans (trained quantizer + incremental IVF,
+#   VERDICT r9 task 1), extract_warc_wet (task 2),
+#   llm_crawl_curation_e2e (task 3), llm_bpe_fertility32 (task 5),
+#   llm_bpe_encode (tokenizer-lifecycle completion)
+# — need no debut slots: a never-driver-green query has
+# DRIVER_LAST_GREEN 0 and therefore sorts to the very top of the
+# staleness order automatically (rank-0 rule), entering the cap ahead
+# of the stale block. D=0 keeps the refresh bound at its floor:
+# C=50 slots = 5 rank-0 newcomers + the ENTIRE 41-entry r5 cohort + the
+# 4 oldest r6 entries.
+_DEBUTS: list[str] = []
 
 # Queries registered AFTER a round's debut budget was already spent
 # (late-round additions) sort LAST that round, yielding their slot to

@@ -2311,3 +2311,122 @@ def _bpe_fertility_frame(
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned-BPE ENCODE (round 10 follow-on): the step that actually
+# produces training data — the corpus encoded to token ids under the
+# learned vocabulary. Completes the tokenizer lifecycle the registry now
+# carries end to end: train (llm_bpe_train) -> audit (llm_bpe_fertility)
+# -> ENCODE. The vocabulary is the distinct final-symbol set after the
+# R merges, id'd by a deterministic dense rank (symbol ASC — both
+# engines agree bit-for-bit; real tokenizers id by creation order, which
+# is merely a different permutation of the same set). Scale shape: the
+# expensive work (segmentation) runs once per DISTINCT WORD, never per
+# occurrence; the per-word stats table is vocab-sized and joins back to
+# the corpus on the word key (broadcast at real scale); the id-assign
+# window runs over the symbol set (hundreds of rows). All outputs are
+# exact integer sums — no float seam can exist.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle(n_rounds: int = _BPE_ROUNDS) -> str:
+    apply_cte = """
+w{r} AS (
+  SELECT word, replace(seq, '(' || m.left_sym || ')(' || m.right_sym || ')',
+                       '(' || m.merged || ')') AS seq
+  FROM w{prev} CROSS JOIN m{r} m
+)"""
+    merge_ctes = _bpe_merge_ctes(n_rounds)
+    apply_ctes = ",".join(
+        apply_cte.format(r=r, prev=r - 1) for r in range(1, n_rounds + 1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS word
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY word),
+seq0 AS (
+  SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS seq, cnt FROM words
+),{merge_ctes},
+w0 AS (
+  SELECT word, regexp_replace(word, '(.)', '(\\1)', 'g') AS seq FROM (SELECT DISTINCT word FROM words)
+),{apply_ctes},
+wsyms AS (
+  SELECT word,
+         unnest(string_split(substring(seq, 2, length(seq) - 2), ')(')) AS sym
+  FROM w{n_rounds}
+),
+vocab AS (
+  SELECT sym, row_number() OVER (ORDER BY sym) AS sym_id
+  FROM (SELECT DISTINCT sym FROM wsyms)
+),
+wstats AS (
+  SELECT word,
+         CAST(COUNT(*) AS BIGINT) AS n_toks,
+         CAST(SUM(v.sym_id) AS BIGINT) AS id_sum
+  FROM wsyms JOIN vocab v USING (sym) GROUP BY word
+)
+SELECT t.doc_id,
+       CAST(SUM(w.n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(w.id_sum) AS BIGINT) AS token_id_sum
+FROM toks t JOIN wstats w USING (word)
+GROUP BY t.doc_id
+"""
+
+
+@register(
+    "llm_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    doc="corpus encoded to learned-BPE token ids (the training-data"
+        " step): segmentation once per DISTINCT word, vocab = dense rank"
+        " over the final symbol set, per-doc exact-integer token count +"
+        " id checksum via a word-keyed join — completes the tokenizer"
+        " lifecycle (train -> fertility audit -> encode)",
+)
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sig_etl_spark.llm import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_merges(docs, n_merges=_BPE_ROUNDS)
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), bpe.WORD_SPLIT_RE)).alias(
+                "word"
+            ),
+        )
+        .filter(F.col("word") != "")
+    )
+    wsyms = (
+        toks.select("word").distinct()
+        .select("word", F.explode(bpe.segment(F.col("word"), merges)).alias("sym"))
+    )
+    # deterministic vocab ids: dense rank over the (bounded) symbol set —
+    # a window over hundreds of rows, never the corpus
+    vocab = (
+        wsyms.select("sym").distinct()
+        .withColumn(
+            "sym_id", F.row_number().over(Window.orderBy("sym")).cast("bigint")
+        )
+    )
+    wstats = (
+        wsyms.join(F.broadcast(vocab), "sym")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum("sym_id").cast("bigint").alias("id_sum"),
+        )
+    )
+    return (
+        toks.join(wstats, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum("id_sum").cast("bigint").alias("token_id_sum"),
+        )
+    )

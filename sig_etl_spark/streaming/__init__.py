@@ -18,8 +18,10 @@ from sig_etl_spark.streaming.pipeline import (  # noqa: F401
     read_embedding_stream,
     read_event_stream,
     read_snapshot_stream,
+    collect_bigram_model,
     read_warc_stream,
     stream_ivf_assign,
+    stream_quality_gate,
     run_available_now,
     running_user_totals,
     session_windows,

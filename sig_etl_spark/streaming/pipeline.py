@@ -976,6 +976,111 @@ def read_warc_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     return warc.parse_containers(raw, errors="replace")
 
 
+def collect_bigram_model(docs: DataFrame, text_col: str = "text", k: int = 500) -> list[str]:
+    """The top-``k`` corpus bigram model as driver-side literals — the
+    streaming analogue of llm_bigram_coverage's broadcast model (bounded:
+    k rows, same count-DESC/bigram-ASC determinism). Trained on a STATIC
+    reference corpus; the stream scores against it."""
+    from sig_etl_spark.llm.text_analysis import tokens
+
+    toks = tokens(F.col(text_col))
+    bg = (
+        docs.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
+                )
+            ).alias("bigram")
+        )
+    )
+    rows = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(k)
+        .collect()
+    )
+    return [r["bigram"] for r in rows]
+
+
+def stream_quality_gate(
+    records: DataFrame,
+    model: list[str],
+    text_col: str = "payload",
+    id_col: str = "doc_id",
+    ttr_floor: float = 0.35,
+    dup_ceiling: float = 0.30,
+    coverage_floor: float = 0.58,
+) -> DataFrame:
+    """Continuous quality gating of a crawl stream (round 10 — the 16th
+    streaming operator): per-record gate-v2 signals computed STATELESSLY
+    on arriving records — ttr and duplicate-3-gram ratio are pure column
+    algebra; bigram-model coverage scores against the INLINED bounded
+    model (the literal-riding pattern stream_ivf_assign uses for
+    centroids — streams cannot re-train a model, so production pipelines
+    score live data against a model trained on a static reference
+    corpus). Append-mode, stateless, trivially checkpoint-resumable;
+    defaults mirror llm_quality_gate_v2's thresholds (pinned by test).
+
+    Chain ``read_warc_stream -> stream_quality_gate`` for the live half
+    of the crawl-curation capstone's front end: containers land, records
+    stream out gated, only keepers reach the (batch) dedup/split stages.
+    """
+    from sig_etl_spark.llm.text_analysis import bind, ngram_repetition, tokens
+
+    text = F.col(text_col)
+    ttr = bind(
+        tokens(text),
+        lambda t: F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+            F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double")
+        ),
+    )
+    rep = ngram_repetition(text, k=3)
+    model_lit = F.array(*[F.lit(b) for b in model])
+    bigrams = bind(
+        tokens(text),
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    coverage = bind(
+        bigrams,
+        lambda bg: F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(
+            F.size(F.filter(bg, lambda b: F.array_contains(model_lit, b)))
+            .cast("double")
+            / F.size(bg).cast("double")
+        ),
+    )
+    scored = records.select(
+        F.col(id_col).alias("doc_id"),
+        ttr.alias("ttr"),
+        F.when(rep["n_grams"] == 0, F.lit(0.0))
+        .otherwise(
+            (rep["n_grams"] - rep["n_distinct_grams"]).cast("double")
+            / rep["n_grams"].cast("double")
+        )
+        .alias("dup_gram_ratio"),
+        coverage.alias("coverage"),
+    )
+    low = F.col("ttr") < ttr_floor
+    repf = F.col("dup_gram_ratio") > dup_ceiling
+    off = F.col("coverage") < coverage_floor
+    return scored.select(
+        "doc_id", "ttr", "dup_gram_ratio", "coverage",
+        low.alias("low_diversity"),
+        repf.alias("repetitive"),
+        off.alias("off_domain"),
+        (~low & ~repf & ~off).alias("keep"),
+    )
+
+
 def collect_ivf_index(
     corpus: DataFrame,
     id_col: str,

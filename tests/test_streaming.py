@@ -928,6 +928,82 @@ def test_stream_ivf_assign_trained_quantizer_matches_batch(spark, sf_dir, tmp_pa
     assert streamed == batch and streamed
 
 
+def test_stream_quality_gate_default_thresholds_pinned():
+    """The streaming gate's default thresholds must equal the registered
+    batch gate's — signature defaults can't silently drift."""
+    import inspect
+
+    from sig_etl_spark.queries import llm_text as LT
+    from sig_etl_spark.streaming import stream_quality_gate
+
+    sig = inspect.signature(stream_quality_gate)
+    assert sig.parameters["ttr_floor"].default == LT._GATE_TTR
+    assert sig.parameters["dup_ceiling"].default == LT._GATE_DUP
+    assert sig.parameters["coverage_floor"].default == LT._GATE_COV
+
+
+def test_stream_quality_gate_matches_batch_gate(spark, sf_dir, tmp_path):
+    """Continuous crawl curation front end: WARC containers land in two
+    deliveries, records stream out through the stateless gate — and the
+    result must equal the REGISTERED (oracle-checked) llm_quality_gate_v2
+    batch output row-for-row, every signal bit-identical (model trained
+    on the same static corpus, all signals exact integer divisions)."""
+    from sig_etl_spark.extract import warc
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.streaming import (
+        collect_bigram_model,
+        read_warc_stream,
+        stream_quality_gate,
+    )
+    from sig_etl_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = sorted((r.doc_id, r.text) for r in docs.collect())
+    model = collect_bigram_model(docs, "text", k=500)
+    assert len(model) == 500
+
+    zone = tmp_path / "gate_zone"
+    zone.mkdir()
+
+    def _write(part, chunk):
+        (zone / f"part-{part}.warc.gz").write_bytes(
+            b"".join(warc.build_member(i, t.encode()) for i, t in chunk)
+        )
+
+    half = len(rows) // 2
+    _write(0, rows[:half])
+    ckpt = str(tmp_path / "gate_ckpt")
+
+    def _run(name):
+        gated = stream_quality_gate(
+            read_warc_stream(spark, str(zone)), model, text_col="payload"
+        )
+        return collect_available_now(gated, ckpt, name, output_mode="append")
+
+    batches = _run("qgate1")
+    _write(1, rows[half:])
+    batches += _run("qgate2")
+    got = pd.concat([b for b in batches if len(b)], ignore_index=True)
+    assert len(got) == len(rows), "each record gated exactly once"
+
+    batch = QUERIES["llm_quality_gate_v2"].builder(spark, sf_dir).collect()
+    want = {
+        r.doc_id: (r.ttr, r.dup_gram_ratio, r.coverage,
+                   r.low_diversity, r.repetitive, r.off_domain, r.keep)
+        for r in batch
+    }
+    streamed = {
+        int(r.doc_id): (r.ttr, r.dup_gram_ratio, r.coverage,
+                        bool(r.low_diversity), bool(r.repetitive),
+                        bool(r.off_domain), bool(r.keep))
+        for r in got.itertuples(index=False)
+    }
+    assert streamed == want
+    # the gate is non-degenerate on the fixtures: both keeps and drops
+    keeps = {k for k, v in streamed.items() if v[-1]}
+    assert keeps and len(keeps) < len(streamed)
+
+
 def test_stream_ivf_assign_zero_norm_sorts_last(spark, tmp_path):
     """A zero-norm centroid (or vector) yields a NULL cosine (Spark
     double division by zero). The batch window orders _csim DESC — NULLS

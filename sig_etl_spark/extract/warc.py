@@ -113,16 +113,25 @@ def parse_record(rec: bytes) -> dict:
     headers = {}
     for line in lines[1:]:
         k, _, v = line.partition(b":")
-        headers[k.strip().decode("ascii").lower()] = v.strip().decode("utf-8")
+        # header names/values are spec-ASCII/UTF-8, but real crawls carry
+        # mojibake — replace, never crash the container task
+        headers[
+            k.strip().decode("ascii", errors="replace").lower()
+        ] = v.strip().decode("utf-8", errors="replace")
     n = int(headers["content-length"])
     payload = rest[:n]
     if len(payload) != n:
         raise ValueError("truncated WARC payload")
     rid = headers.get("warc-record-id", "")
     # standard record IDs are <urn:uuid:...> — non-numeric tails fall
-    # back to -1 instead of raising
+    # back to -1 instead of raising. try/except, not isdigit(): the
+    # digit-shaped strings int() rejects ('--5', unicode digit-likes
+    # such as '²') must take the fallback too, not kill the task
     tail = rid.rsplit(":", 1)[-1].rstrip(">") if ":" in rid else ""
-    doc_id = int(tail) if tail.lstrip("-").isdigit() else -1
+    try:
+        doc_id = int(tail)
+    except ValueError:
+        doc_id = -1
     return {
         "doc_id": doc_id,
         "target_uri": headers.get("warc-target-uri", ""),

@@ -173,17 +173,19 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 10 (N=235, D=0):
-# ceil(185/50) = 4 rounds worst-case — the debut list is deliberately
-# tiny this round so the stale block drains at full width; the budget
-# assert bounds how much a debut-heavy round can slow the refresh.
+# behind at most N - C fresher-than-it entries. Round 11 (N=235, D=0):
+# ceil(185/50) = 4 rounds worst-case — no debuts at all this round
+# (the round-11 additions are streaming operators, pytest-pinned by
+# design), so the stale block drains at full width; the budget assert
+# bounds how much a debut-heavy round can slow the refresh.
 # Late-round _HOLDBACK entries sort last and only tighten this bound
 # for everyone else.
-# Round-10 drain arithmetic: the entire r5-stale cohort (41 queries,
-# the oldest block — VERDICT r9 task 4) plus the 6 oldest r6 entries
-# fill the 47 non-debut slots, holding max staleness in the union view
-# at the arithmetic floor of 4 rounds; tests/test_rotation_policy.py::
-# test_stale_block_drains_round10 pins the sample composition.
+# Round-11 drain arithmetic: with D=0 and zero rank-0 newcomers, all 50
+# slots go to the ENTIRE 42-entry r6-stale cohort (the oldest block —
+# VERDICT r10 task 4) + the 8 oldest r7 entries, holding max staleness
+# in the union view at the arithmetic floor of 4 rounds;
+# tests/test_rotation_policy.py::test_stale_block_drains_round11 pins
+# the sample composition.
 # tools/verify_local.py
 # still checks ALL queries locally every round, so the cap only limits
 # the external signal, never the verification itself.
@@ -192,24 +194,17 @@ def _load_all() -> None:
 _DRIVER_CAP = 50
 _DEBUT_BUDGET = 25
 
-# Round 10 debuts — EMPTY, and deliberately so (VERDICT r9 task 4: the
-# 41-entry r5-stale cohort is the oldest block and must drain at full
-# width). The five genuinely NEW queries this round —
-#   llm_knn_incremental_kmeans (trained quantizer + incremental IVF,
-#   VERDICT r9 task 1), extract_warc_wet (task 2),
-#   llm_crawl_curation_e2e (task 3), llm_bpe_fertility32 (task 5),
-#   llm_bpe_encode (tokenizer-lifecycle completion)
-# — need no debut slots: a never-driver-green query has
-# DRIVER_LAST_GREEN 0 and therefore sorts to the very top of the
-# staleness order automatically (rank-0 rule), entering the cap ahead
-# of the stale block. D=0 keeps the refresh bound at its floor:
-# C=50 slots = 5 rank-0 newcomers + the ENTIRE 41-entry r5 cohort + the
-# 4 oldest r6 entries.
+# Round 11 debuts — EMPTY: the round's additions (stream_crawl_curation
+# + stream_scrub + collect_boilerplate_segments, WARC robustness, WRatio
+# golden fixtures) are streaming operators and hardening, pytest-pinned
+# by design with no new registered queries, so every slot goes to the
+# r6-cohort drain (VERDICT r10 task 4). Rank-0 rule unchanged: any
+# late-round registration would enter the cap automatically.
 _DEBUTS: list[str] = []
 
 # Queries registered AFTER a round's debut budget was already spent
 # (late-round additions) sort LAST that round, yielding their slot to
-# the stale-block drain. Round 10: EMPTY so far.
+# the stale-block drain. Round 11: EMPTY so far.
 _HOLDBACK: list[str] = []
 
 # Round 8's _DIVERGENT_PROBES mechanism (expected-red probes yield their

@@ -789,17 +789,55 @@ def extract_warc_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wet_text_records(spark, sf_dir)
 
 
-def wet_text_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The WARC->WET chain as a reusable frame (also the front end of the
-    crawl-curation capstone llm_crawl_curation_e2e): (doc_id, target_uri,
-    lang, source, text) recovered from rendered crawl containers."""
+def _html_escape(col):
+    """JVM-side minimal HTML escape for text embedded into rendered
+    markup cells: & first (never re-escapes the entities it just made),
+    then the angle brackets. The inverse is the parse side's stdlib
+    ``HTMLParser(convert_charrefs=True)`` entity decoding
+    (extract/html_mini.py:62), so escaped renders round-trip exactly —
+    document text containing '</td>', '<' or '&' can no longer corrupt
+    the table-parse recovery."""
+    out = col
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        out = F.replace(out, F.lit(raw), F.lit(ent))
+    return out
+
+
+def wet_from_records(recs: DataFrame) -> DataFrame:
+    """WET text recovery from parsed WARC records — the back half of the
+    WARC->WET chain, batch AND stream safe (http_body is pure column
+    algebra, the S3 table parse is an Arrow mapInPandas pass, and
+    stabilize_columns runs with EXPLICIT keys so no discovery scan
+    touches the stream). Input: (doc_id, target_uri, payload, ...) as
+    produced by warc.parse_containers / read_warc_stream."""
     from sig_etl_spark.extract import extract_records, stabilize_columns, warc
+
+    pages = recs.select(
+        "doc_id", "target_uri", warc.http_body(F.col("payload")).alias("html")
+    )
+    parsed = extract_records(pages, parser="table")
+    flat = stabilize_columns(parsed, keys=["lang", "source", "body"])
+    return flat.select(
+        "doc_id", "target_uri", "lang", "source", F.col("body").alias("text")
+    )
+
+
+def wet_crawl_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The render half of the WARC->WET chain: documents as
+    HTTP-response crawl records in gzip-member containers —
+    (container_id, data). Shared by wet_text_records (parses in-engine)
+    and the streaming capstone test (writes the SAME bytes to a landing
+    zone so the stream ingests bit-identical containers)."""
+    from sig_etl_spark.extract import warc
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
     # HTML page + HTTP envelope rendered JVM-side (codegen'd concat) —
-    # the Python step only ever sees opaque payload strings.
+    # the Python step only ever sees opaque payload strings. Embedded
+    # cells are entity-escaped; the S3 parse UDF's convert_charrefs
+    # decode is the exact inverse, so the oracle hash still proves a
+    # byte-identical text round-trip.
     page = F.concat(
         F.lit("<html><head><title>doc "),
         F.col("doc_id").cast("string"),
@@ -807,11 +845,11 @@ def wet_text_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "</title></head><body><table><thead><tr><th>lang</th>"
             "<th>source</th><th>body</th></tr></thead><tbody><tr><td>"
         ),
-        F.col("lang"),
+        _html_escape(F.col("lang")),
         F.lit("</td><td>"),
-        F.col("source"),
+        _html_escape(F.col("source")),
         F.lit("</td><td>"),
-        F.col("text"),
+        _html_escape(F.col("text")),
         F.lit("</td></tr></tbody></table></body></html>"),
     )
     http = F.concat(
@@ -821,17 +859,19 @@ def wet_text_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("\r\n\r\n"),
         page,
     )
-    containers = warc.render_containers(
+    return warc.render_containers(
         docs.select("doc_id", http.alias("text")),
         n_containers=_N_WARC_CONTAINERS,
         content_type="application/http; msgtype=response",
     ).repartition(_N_WARC_CONTAINERS, "container_id")
-    recs = warc.parse_containers(containers)
-    pages = recs.select(
-        "doc_id", "target_uri", warc.http_body(F.col("payload")).alias("html")
-    )
-    parsed = extract_records(pages, parser="table")
-    flat = stabilize_columns(parsed, keys=["lang", "source", "body"])
-    return flat.select(
-        "doc_id", "target_uri", "lang", "source", F.col("body").alias("text")
+
+
+def wet_text_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC->WET chain as a reusable frame (also the front end of the
+    crawl-curation capstone llm_crawl_curation_e2e): (doc_id, target_uri,
+    lang, source, text) recovered from rendered crawl containers."""
+    from sig_etl_spark.extract import warc
+
+    return wet_from_records(
+        warc.parse_containers(wet_crawl_containers(spark, sf_dir))
     )

@@ -2045,21 +2045,68 @@ FROM gated g JOIN comp c USING (doc_id)
         " top-K broadcast model, pointer-jumping CC)",
 )
 def llm_crawl_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import broadcast
-
     from sig_etl_spark.functions.hashing import portable_hash60
-    from sig_etl_spark.llm import text_analysis as T
+
+    gated = crawl_gated_frame(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        gated.select("doc_id", "text"), "doc_id", "text",
+        k=3, num_hashes=64, bands=16, threshold=0.5,
+    ).select("id_a", "id_b")
+    comp = D.connected_components(
+        pairs, "id_a", "id_b",
+        nodes=gated.select(F.col("doc_id").alias("node")),
+    )
+    bucket = portable_hash60(
+        F.concat(F.col("cluster_id").cast("string"), F.lit(_CSPLIT_SALT))
+    ) % 100
+    return (
+        gated.join(comp, gated["doc_id"] == comp["node"])
+        .select(
+            "doc_id",
+            "n_boilerplate",
+            "ttr",
+            "dup_gram_ratio",
+            "coverage",
+            "cluster_id",
+            (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+            bucket.alias("bucket"),
+            F.when(bucket < 10, "test")
+            .when(bucket < 20, "valid")
+            .otherwise("train")
+            .alias("split"),
+        )
+    )
+
+
+def crawl_clean_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone's scrubbed crawl corpus — WET recovery + boilerplate
+    scrub, (doc_id, n_boilerplate, text). Shared with the streaming
+    capstone test, which trains its static bigram model on exactly this
+    frame (the model the batch path derives internally)."""
     from sig_etl_spark.queries.extract_demo import wet_text_records
     from sig_etl_spark.queries.llm_text import scrub_frame
 
     raw = wet_text_records(spark, sf_dir).select("doc_id", "text")
     # Materialize the scrubbed corpus once: it feeds the signal pass,
     # the bigram model, and (via the gate) the pair layer + final join.
-    clean = (
+    return (
         scrub_frame(raw)
         .select("doc_id", "n_boilerplate", F.col("clean_text").alias("text"))
         .localCheckpoint(eager=False)
     )
+
+
+def crawl_gated_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-v2 survivors of the scrubbed crawl corpus —
+    (doc_id, n_boilerplate, text, ttr, dup_gram_ratio, coverage).
+    The batch capstone's middle stage, factored out so the streaming
+    twin (stream_crawl_curation) can be equality-pinned against the
+    exact frame the registered query builds on."""
+    from pyspark.sql.functions import broadcast
+
+    from sig_etl_spark.llm import text_analysis as T
+
+    clean = crawl_clean_frame(spark, sf_dir)
     ttr = T.bind(
         T.tokens(F.col("text")),
         lambda t: F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
@@ -2108,7 +2155,7 @@ def llm_crawl_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    gated = (
+    return (
         sig.join(cov, "doc_id", "left")
         .withColumn("coverage", F.coalesce(F.col("coverage"), F.lit(0.0)))
         .filter(
@@ -2117,32 +2164,4 @@ def llm_crawl_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("coverage") >= _E2E_COV)
         )
         .localCheckpoint(eager=False)
-    )
-    pairs = D.minhash_lsh_pairs(
-        gated.select("doc_id", "text"), "doc_id", "text",
-        k=3, num_hashes=64, bands=16, threshold=0.5,
-    ).select("id_a", "id_b")
-    comp = D.connected_components(
-        pairs, "id_a", "id_b",
-        nodes=gated.select(F.col("doc_id").alias("node")),
-    )
-    bucket = portable_hash60(
-        F.concat(F.col("cluster_id").cast("string"), F.lit(_CSPLIT_SALT))
-    ) % 100
-    return (
-        gated.join(comp, gated["doc_id"] == comp["node"])
-        .select(
-            "doc_id",
-            "n_boilerplate",
-            "ttr",
-            "dup_gram_ratio",
-            "coverage",
-            "cluster_id",
-            (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
-            bucket.alias("bucket"),
-            F.when(bucket < 10, "test")
-            .when(bucket < 20, "valid")
-            .otherwise("train")
-            .alias("split"),
-        )
     )

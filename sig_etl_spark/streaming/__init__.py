@@ -19,9 +19,12 @@ from sig_etl_spark.streaming.pipeline import (  # noqa: F401
     read_event_stream,
     read_snapshot_stream,
     collect_bigram_model,
+    collect_boilerplate_segments,
     read_warc_stream,
+    stream_crawl_curation,
     stream_ivf_assign,
     stream_quality_gate,
+    stream_scrub,
     run_available_now,
     running_user_totals,
     session_windows,

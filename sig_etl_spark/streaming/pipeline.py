@@ -1014,6 +1014,7 @@ def stream_quality_gate(
     ttr_floor: float = 0.35,
     dup_ceiling: float = 0.30,
     coverage_floor: float = 0.58,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Continuous quality gating of a crawl stream (round 10 — the 16th
     streaming operator): per-record gate-v2 signals computed STATELESSLY
@@ -1028,6 +1029,9 @@ def stream_quality_gate(
     Chain ``read_warc_stream -> stream_quality_gate`` for the live half
     of the crawl-curation capstone's front end: containers land, records
     stream out gated, only keepers reach the (batch) dedup/split stages.
+
+    ``carry``: extra input columns to pass through unchanged (the
+    curation chain carries the scrubbed text into the near-dup stage).
     """
     from sig_etl_spark.llm.text_analysis import bind, ngram_repetition, tokens
 
@@ -1068,6 +1072,7 @@ def stream_quality_gate(
         )
         .alias("dup_gram_ratio"),
         coverage.alias("coverage"),
+        *[F.col(c) for c in carry],
     )
     low = F.col("ttr") < ttr_floor
     repf = F.col("dup_gram_ratio") > dup_ceiling
@@ -1078,7 +1083,137 @@ def stream_quality_gate(
         repf.alias("repetitive"),
         off.alias("off_domain"),
         (~low & ~repf & ~off).alias("keep"),
+        *carry,
     )
+
+
+def collect_boilerplate_segments(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    g: int = 2,
+    t: int = 20,
+) -> list[str]:
+    """The boilerplate-segment set of a STATIC reference corpus as
+    driver-side literals — segments (``g``-token groups, the exact
+    segmentation llm_text.scrub_frame uses) shared by >= ``t`` distinct
+    documents. The streaming scrub's broadcast model: a stream cannot
+    re-count corpus-wide segment frequencies, so production pipelines
+    scrub live arrivals against the boilerplate set mined from the
+    already-curated corpus (same trick as collect_bigram_model).
+    Bounded collect: boilerplate cardinality — segments repeated across
+    >= t docs, a vocabulary-sized set, never row-sized (defaults pinned
+    to llm_text._SEG_G/_SEG_T by test)."""
+    toks = F.filter(F.split(F.trim(text_col), r"\s+"), lambda x: x != "")
+    segd = (
+        docs.select(F.col(id_col).alias("_id"), toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 1, F.lit(g)),
+                    lambda s: F.array_join(F.slice(F.col("toks"), s + 1, F.lit(g)), " "),
+                )
+            ).alias("seg"),
+        )
+    )
+    rows = (
+        segd.groupBy("seg")
+        .agg(F.countDistinct("_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= t)
+        .select("seg")
+        .collect()
+    )
+    return sorted(r["seg"] for r in rows)
+
+
+def stream_scrub(
+    docs: DataFrame,
+    boilerplate: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    g: int = 2,
+) -> DataFrame:
+    """Stateless streaming boilerplate scrub: per-record column algebra
+    only — segment the text exactly like llm_text.scrub_frame (g-token
+    groups), drop segments in the static ``boilerplate`` set, re-join
+    the keepers in order. Zero-token records are dropped (the batch
+    scrub's ``WHERE len(toks) > 0``). Output: (doc_id, n_segments,
+    n_boilerplate, clean_text) — bit-identical to scrub_frame when the
+    boilerplate set was mined from the same corpus the records belong
+    to (pinned by the capstone equality test)."""
+    boiler = F.array(*[F.lit(s) for s in boilerplate]).cast("array<string>")
+    toks = F.filter(F.split(F.trim(text_col), r"\s+"), lambda x: x != "")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(g)),
+        lambda s: F.array_join(F.slice(F.col("_toks"), s + 1, F.lit(g)), " "),
+    )
+    kept = F.filter("_segs", lambda s: ~F.array_contains(boiler, s))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .select("doc_id", segs.alias("_segs"))
+        .select(
+            "doc_id",
+            F.size("_segs").cast("long").alias("n_segments"),
+            (F.size("_segs") - F.size(kept)).cast("long").alias("n_boilerplate"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    )
+
+
+def stream_crawl_curation(
+    records: DataFrame,
+    boilerplate: list[str],
+    model: list[str],
+    corpus_df: DataFrame,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    dedup_horizon: str = "10 minutes",
+) -> tuple[DataFrame, DataFrame]:
+    """The continuous twin of the batch crawl-curation capstone
+    (queries/llm_dedup.py llm_crawl_curation_e2e) — round 11, closing
+    VERDICT r10 task 3. One chain from live crawl containers to curated
+    keepers:
+
+        read_warc_stream -> WET text recovery (wet_from_records: HTTP
+        strip + S3 table parse, the batch chain verbatim)
+        -> stream_scrub (static boilerplate set)
+        -> stream_quality_gate (static bigram model, batch thresholds)
+        -> stream_corpus_near_dup (gated keepers vs the curated corpus)
+
+    Returns ``(gate, dups)``: the per-record gate stream (doc_id,
+    signals, keep, n_boilerplate) and the near-dup pair stream
+    (doc_id, corpus_id, est_jaccard) of gated keepers against the
+    STATIC curated corpus. Two frames because they are two sinks — the
+    curation log and the dedup log — each checkpointed independently.
+
+    The lambda split, stated honestly: global near-dup CLUSTERING and
+    the leakage-proof train/valid/test split are corpus-wide iterative
+    computations (pointer-jumping CC, cluster-hash bucketing) that no
+    append stream can express — the batch capstone periodically
+    recomputes them over the accumulated keepers; the stream's job is
+    everything per-record: recover, scrub, gate, and flag arrivals that
+    duplicate the corpus as it stood at model-mint time."""
+    from sig_etl_spark.queries.extract_demo import wet_from_records
+
+    wet = wet_from_records(records)
+    scrubbed = stream_scrub(wet, boilerplate)
+    gate = stream_quality_gate(
+        scrubbed, model, text_col="clean_text", carry=("clean_text", "n_boilerplate")
+    )
+    keepers = gate.filter(F.col("keep")).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    dups = stream_corpus_near_dup(
+        keepers, corpus_df,
+        k=k, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, dedup_horizon=dedup_horizon,
+    )
+    return gate.drop("clean_text"), dups
 
 
 def collect_ivf_index(

@@ -1119,3 +1119,109 @@ def test_stream_ivf_assign_multi_cell_ranks(spark, sf_dir, tmp_path):
         cos = list(by_rank["cosine"])
         assert all(cos[i] >= cos[i + 1] or
                    (cos[i] == cos[i + 1]) for i in range(len(cos) - 1))
+
+
+def test_stream_scrub_params_pinned():
+    """The streaming scrub's segmentation defaults must equal the batch
+    scrub's (llm_text._SEG_G/_SEG_T) — they can't silently drift."""
+    import inspect
+
+    from sig_etl_spark.queries import llm_text as LT
+    from sig_etl_spark.streaming import collect_boilerplate_segments, stream_scrub
+
+    cbs = inspect.signature(collect_boilerplate_segments)
+    assert cbs.parameters["g"].default == LT._SEG_G
+    assert cbs.parameters["t"].default == LT._SEG_T
+    assert inspect.signature(stream_scrub).parameters["g"].default == LT._SEG_G
+
+
+def test_stream_crawl_curation_matches_batch_capstone(spark, sf_dir, tmp_path):
+    """The continuous crawl-curation twin (VERDICT r10 task 3): the batch
+    capstone's OWN containers land in two checkpointed deliveries; the
+    full streamed chain (WET recovery -> static-set scrub -> gate ->
+    corpus near-dup) must reproduce the batch capstone's middle stages
+    bit-exactly — every gated keeper with identical signals, and the
+    dup-pair stream equal to the symmetric closure of the batch LSH
+    pair layer."""
+    from sig_etl_spark.llm.dedup import minhash_lsh_pairs
+    from sig_etl_spark.queries.extract_demo import (
+        wet_crawl_containers,
+        wet_text_records,
+    )
+    from sig_etl_spark.queries.llm_dedup import crawl_clean_frame, crawl_gated_frame
+    from sig_etl_spark.streaming import (
+        collect_bigram_model,
+        collect_boilerplate_segments,
+        read_warc_stream,
+        stream_crawl_curation,
+    )
+
+    # Static models, minted from the batch path's own frames (the
+    # stream scores arrivals against the corpus as curated at mint time).
+    raw = wet_text_records(spark, sf_dir).select("doc_id", "text")
+    boiler = collect_boilerplate_segments(raw)
+    assert boiler, "fixture corpus must contain boilerplate segments"
+    clean = crawl_clean_frame(spark, sf_dir)
+    model = collect_bigram_model(clean, "text", k=500)
+    gated = crawl_gated_frame(spark, sf_dir)
+    corpus = gated.select("doc_id", "text").localCheckpoint(eager=False)
+
+    containers = wet_crawl_containers(spark, sf_dir).collect()
+    assert len(containers) == 8
+    zone = tmp_path / "curation_zone"
+    zone.mkdir()
+    ckpt_g, ckpt_d = str(tmp_path / "cur_gate_ckpt"), str(tmp_path / "cur_dup_ckpt")
+
+    def _deliver(rows):
+        for r in rows:
+            (zone / f"part-{r.container_id}.warc.gz").write_bytes(bytes(r.data))
+
+    def _run(suffix):
+        gate_df, dup_df = stream_crawl_curation(
+            read_warc_stream(spark, str(zone)), boiler, model, corpus
+        )
+        gb = collect_available_now(
+            gate_df, ckpt_g, "curgate" + suffix, output_mode="append"
+        )
+        db = collect_available_now(
+            dup_df, ckpt_d, "curdup" + suffix, output_mode="append"
+        )
+        return gb, db
+
+    _deliver(containers[:4])
+    g1, d1 = _run("1")
+    _deliver(containers[4:])
+    g2, d2 = _run("2")
+    gate = pd.concat([b for b in g1 + g2 if len(b)], ignore_index=True)
+    dup_batches = [b for b in d1 + d2 if len(b)]
+    dups = (
+        pd.concat(dup_batches, ignore_index=True)
+        if dup_batches
+        else pd.DataFrame(columns=["doc_id", "corpus_id", "est_jaccard"])
+    )
+
+    # every non-empty doc gated exactly once across the two deliveries
+    assert len(gate) == raw.count()
+    assert gate["doc_id"].is_unique
+
+    # streamed keepers == batch gated survivors, signals bit-identical
+    want = {
+        r.doc_id: (r.n_boilerplate, r.ttr, r.dup_gram_ratio, r.coverage)
+        for r in gated.collect()
+    }
+    keep = {
+        int(r.doc_id): (int(r.n_boilerplate), r.ttr, r.dup_gram_ratio, r.coverage)
+        for r in gate.itertuples(index=False)
+        if r.keep
+    }
+    assert keep == want
+    assert len(gate) > len(keep), "gate must be non-degenerate (drops exist)"
+
+    # dup-pair stream == symmetric closure of the batch LSH pair layer
+    bp = minhash_lsh_pairs(
+        corpus, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b").collect()
+    sym = {(r.id_a, r.id_b) for r in bp} | {(r.id_b, r.id_a) for r in bp}
+    got_pairs = {(int(r.doc_id), int(r.corpus_id)) for r in dups.itertuples(index=False)}
+    assert got_pairs == sym
+    assert sym, "fixture corpus must contain near-duplicate survivors"

@@ -94,6 +94,33 @@ def test_parse_record_uuid_record_id_falls_back():
     assert out["doc_id"] == -1 and out["payload"] == b"x"
 
 
+@pytest.mark.parametrize(
+    "tail",
+    [b"--5", "²".encode(), b"+ 7", b""],
+    ids=["double-dash", "unicode-superscript", "spaced-sign", "empty"],
+)
+def test_parse_record_digit_shaped_tails_fall_back(tail):
+    """Tails isdigit()-style checks admit but int() rejects ('--5',
+    unicode digit-likes such as '²') must take the -1 fallback, not
+    ValueError-kill the whole container task."""
+    rec = warc.build_record(9, b"x")
+    rec = rec.replace(
+        b"WARC-Record-ID: <urn:doc:9>", b"WARC-Record-ID: <urn:x:" + tail + b">"
+    )
+    out = warc.parse_record(rec)
+    assert out["doc_id"] == -1 and out["payload"] == b"x"
+
+
+def test_parse_record_non_utf8_header_value_replaces():
+    """A mojibake header value (raw latin-1 in WARC-Target-URI) must not
+    crash the parse — decode with replacement characters."""
+    rec = warc.build_record(4, b"pay", uri="PLACEHOLDER")
+    rec = rec.replace(b"PLACEHOLDER", b"https://example.org/caf\xe9")
+    out = warc.parse_record(rec)
+    assert out["doc_id"] == 4
+    assert "caf" in out["target_uri"] and "�" in out["target_uri"]
+
+
 def test_read_warc_zone_non_utf8_payload(spark, tmp_path):
     """Arbitrary crawl bytes are not UTF-8: the production entry decodes
     with errors='replace' instead of crashing the task."""
@@ -300,3 +327,26 @@ def test_read_warc_zone_binaryfile_entry(spark, tmp_path):
         by_file.setdefault(r.doc_id // 100, set()).add(r.container_id)
     assert all(len(v) == 1 for v in by_file.values())
     assert len({next(iter(v)) for v in by_file.values()}) == 3
+
+
+def test_wet_chain_survives_html_special_text(spark, tmp_path):
+    """Document text containing HTML-special sequences ('</td>', '<x>',
+    '&amp;', bare '&') must round-trip the full WET chain bit-exactly:
+    the render entity-escapes embedded cells and the S3 parse UDF's
+    convert_charrefs decode is the exact inverse (ADVICE r10)."""
+    from sig_etl_spark.queries.extract_demo import wet_text_records
+
+    nasty = [
+        (1, "closing </td> mid-cell & more", "e<n", "s&p"),
+        (2, "a &amp; b keeps its literal entity text", "en", "<hr>"),
+        (3, "tags <table><tr><td>nested</td></tr></table> inline", "en", "src"),
+        (4, "plain text stays plain", "fr", "web"),
+    ]
+    docs = spark.createDataFrame(nasty, ["doc_id", "text", "lang", "source"])
+    d = tmp_path / "wet_special"
+    docs.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    got = {
+        r.doc_id: (r.text, r.lang, r.source)
+        for r in wet_text_records(spark, str(d)).collect()
+    }
+    assert got == {i: (t, l, s) for i, t, l, s in nasty}

@@ -173,17 +173,17 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 11 (N=235, D=0):
-# ceil(185/50) = 4 rounds worst-case — no debuts at all this round
-# (the round-11 additions are streaming operators, pytest-pinned by
-# design), so the stale block drains at full width; the budget assert
-# bounds how much a debut-heavy round can slow the refresh.
+# behind at most N - C fresher-than-it entries. Round 11 (N=235, D=2):
+# ceil(185/48) = 4 rounds worst-case — the only debuts are the two
+# r8-stale multimodal near-dup rows (VERDICT r10 task 8), so the stale
+# block still drains at near-full width; the budget assert bounds how
+# much a debut-heavy round can slow the refresh.
 # Late-round _HOLDBACK entries sort last and only tighten this bound
 # for everyone else.
-# Round-11 drain arithmetic: with D=0 and zero rank-0 newcomers, all 50
-# slots go to the ENTIRE 42-entry r6-stale cohort (the oldest block —
-# VERDICT r10 task 4) + the 8 oldest r7 entries, holding max staleness
-# in the union view at the arithmetic floor of 4 rounds;
+# Round-11 drain arithmetic: with D=2 and zero rank-0 newcomers, the 48
+# non-debut slots go to the ENTIRE 42-entry r6-stale cohort (the oldest
+# block — VERDICT r10 task 4) + the 6 oldest r7 entries, holding max
+# staleness in the union view at the arithmetic floor of 4 rounds;
 # tests/test_rotation_policy.py::test_stale_block_drains_round11 pins
 # the sample composition.
 # tools/verify_local.py
@@ -194,13 +194,18 @@ def _load_all() -> None:
 _DRIVER_CAP = 50
 _DEBUT_BUDGET = 25
 
-# Round 11 debuts — EMPTY: the round's additions (stream_crawl_curation
-# + stream_scrub + collect_boilerplate_segments, WARC robustness, WRatio
-# golden fixtures) are streaming operators and hardening, pytest-pinned
-# by design with no new registered queries, so every slot goes to the
-# r6-cohort drain (VERDICT r10 task 4). Rank-0 rule unchanged: any
-# late-round registration would enter the cap automatically.
-_DEBUTS: list[str] = []
+# Round 11 debuts — the two rows-only multimodal near-dup queries
+# (VERDICT r10 task 8: last driver observation r8; their planted-twin
+# completeness is pytest-pinned as exact set equality, so the driver
+# row is the freshness half). The round's other additions
+# (stream_crawl_curation + stream_scrub + collect_boilerplate_segments,
+# WARC robustness, WRatio golden fixtures) are streaming operators and
+# hardening, pytest-pinned by design with no new registered queries —
+# the remaining 48 slots go to the r6-cohort drain (VERDICT r10 task 4).
+_DEBUTS: list[str] = [
+    "mm_phash_near_dup",
+    "mm_audio_fingerprint_near_dup",
+]
 
 # Queries registered AFTER a round's debut budget was already spent
 # (late-round additions) sort LAST that round, yielding their slot to

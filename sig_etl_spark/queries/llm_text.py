@@ -2430,3 +2430,349 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("id_sum").cast("bigint").alias("token_id_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level decontamination (round 11): the GPT-3-appendix-C move.
+# Doc-level decontamination (llm_decontaminate) throws away a whole
+# training document when one sentence overlaps the eval suite; the
+# span-level variant keeps the clean remainder. Every benchmark K-gram
+# found in a training doc poisons a window of P tokens on each side;
+# overlapping windows merge (gaps-and-islands over per-doc positions),
+# the complement spans are reassembled, and only spans of >= M tokens
+# survive (short fragments train nothing and leak context).
+#
+# Scale shape, piece by piece:
+#   1. gram extraction: narrow explode, no shuffle;
+#   2. contamination probe: posting-style equi-join on the gram string;
+#      the build side is the BENCHMARK gram set — eval suites are
+#      MB-sized at any corpus scale, so it broadcasts (same reasoning
+#      as llm_decontaminate's bench side);
+#   3. interval merge + complement: windows partitioned BY DOC and
+#      bounded by hits-per-doc — never a global sort;
+#   4. reassembly: one doc-keyed join back to the token arrays.
+# Clean docs pass through as a single full-length span with ZERO window
+# work (left_anti on the hit set short-circuits them), so the expensive
+# path only runs on the contaminated minority.
+# Integer math only (positions, token counts) — no float seam.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 3  # benchmark gram width (13 in GPT-3; 3 fits the test corpus)
+_SPAN_P = 2  # poisoned-window pad, tokens each side (200 chars in GPT-3)
+_SPAN_M = 5  # minimum surviving span length, tokens
+
+_DECON_SPAN_ORACLE = rf"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tokd AS (SELECT doc_id, toks, len(toks) AS n FROM base),
+grams AS (
+  SELECT doc_id, s AS pos,
+         array_to_string(list_slice(toks, s + 1, s + {_SPAN_K}), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(0, n - {_SPAN_K} + 1)) AS s
+        FROM tokd WHERE n >= {_SPAN_K})
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN bench b USING (gram)
+         WHERE g.doc_id % 97 <> 0),
+iv AS (SELECT doc_id, greatest(pos - {_SPAN_P}, 0) AS lo,
+              pos + {_SPAN_K} - 1 + {_SPAN_P} AS hi
+       FROM hits),
+ord AS (
+  SELECT doc_id, lo, hi,
+         CASE WHEN lo > COALESCE(MAX(hi) OVER (PARTITION BY doc_id
+              ORDER BY lo, hi
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+isl AS (SELECT doc_id, lo, hi,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY lo, hi)
+                 AS island
+        FROM ord),
+merged AS (SELECT doc_id, island, MIN(lo) AS lo, MAX(hi) AS hi
+           FROM isl GROUP BY doc_id, island),
+mclamp AS (SELECT m.doc_id, m.lo, least(m.hi, t.n - 1) AS hi
+           FROM merged m JOIN tokd t USING (doc_id)),
+gaps AS (
+  SELECT doc_id,
+         COALESCE(LAG(hi) OVER (PARTITION BY doc_id ORDER BY lo) + 1, 0) AS s,
+         lo - 1 AS e
+  FROM mclamp
+  UNION ALL
+  SELECT m.doc_id, MAX(m.hi) + 1 AS s, ANY_VALUE(t.n) - 1 AS e
+  FROM mclamp m JOIN tokd t USING (doc_id) GROUP BY m.doc_id
+  UNION ALL
+  SELECT t.doc_id, 0 AS s, t.n - 1 AS e
+  FROM tokd t
+  WHERE t.doc_id % 97 <> 0 AND t.n >= 1
+    AND NOT EXISTS (SELECT 1 FROM iv WHERE iv.doc_id = t.doc_id)
+),
+kept AS (SELECT doc_id, s, e FROM gaps WHERE e - s + 1 >= {_SPAN_M}),
+hitcnt AS (SELECT doc_id, COUNT(*) AS n_hits FROM hits GROUP BY doc_id)
+SELECT k.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(ROW_NUMBER() OVER (PARTITION BY k.doc_id ORDER BY k.s) - 1
+            AS BIGINT) AS span_idx,
+       CAST(k.e - k.s + 1 AS BIGINT) AS span_tokens,
+       array_to_string(list_slice(t.toks, k.s + 1, k.e + 1), ' ') AS span_text
+FROM kept k
+JOIN tokd t USING (doc_id)
+LEFT JOIN hitcnt h ON h.doc_id = k.doc_id
+"""
+
+
+@register(
+    "llm_decontaminate_span",
+    oracle=_DECON_SPAN_ORACLE,
+    doc=f"GPT-3-style span-level decontamination: benchmark {_SPAN_K}-grams"
+        f" poison +/-{_SPAN_P}-token windows, overlaps merge, clean spans"
+        f" of >= {_SPAN_M} tokens survive; broadcast bench grams, per-doc"
+        " bounded windows, clean docs bypass join-free",
+)
+def llm_decontaminate_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return span_decontaminate_frame(docs)
+
+
+def span_decontaminate_frame(docs: DataFrame) -> DataFrame:
+    """Span-level decontamination over any (doc_id, text) frame — the
+    registered query plus the unit-test edge fixtures share this body.
+    Benchmark side = doc_id % 97 == 0 (the llm_decontaminate convention).
+    Returns (doc_id, n_hits, span_idx, span_tokens, span_text)."""
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    tokd = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    grams = (
+        tokd.where(F.col("n") >= _SPAN_K)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - _SPAN_K)
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.array_join(
+                F.slice("toks", F.col("pos") + 1, F.lit(_SPAN_K)), " "
+            ).alias("gram"),
+        )
+    )
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    hits = (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id", "pos")
+    )
+    iv = hits.select(
+        "doc_id",
+        F.greatest(F.col("pos") - _SPAN_P, F.lit(0)).alias("lo"),
+        (F.col("pos") + _SPAN_K - 1 + _SPAN_P).alias("hi"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("lo", "hi")
+    run_max = F.max("hi").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = iv.withColumn(
+        "new_island",
+        (F.col("lo") > F.coalesce(run_max, F.lit(-2)) + 1).cast("long"),
+    ).withColumn("island", F.sum("new_island").over(w))
+    merged = isl.groupBy("doc_id", "island").agg(
+        F.min("lo").alias("lo"), F.max("hi").alias("hi")
+    )
+    mclamp = merged.join(tokd.select("doc_id", "n"), "doc_id").select(
+        "doc_id", "lo", F.least("hi", F.col("n") - 1).alias("hi")
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("lo")
+    gaps_mid = mclamp.select(
+        "doc_id",
+        F.coalesce(F.lag("hi").over(w2) + 1, F.lit(0)).alias("s"),
+        (F.col("lo") - 1).alias("e"),
+    )
+    gaps_tail = (
+        mclamp.groupBy("doc_id")
+        .agg((F.max("hi") + 1).alias("s"))
+        .join(tokd.select("doc_id", "n"), "doc_id")
+        .select("doc_id", "s", (F.col("n") - 1).alias("e"))
+    )
+    untouched = (
+        tokd.where((F.col("doc_id") % 97 != 0) & (F.col("n") >= 1))
+        .join(iv.select("doc_id").distinct(), "doc_id", "left_anti")
+        .select("doc_id", F.lit(0).alias("s"), (F.col("n") - 1).alias("e"))
+    )
+    kept = (
+        gaps_mid.unionByName(gaps_tail)
+        .unionByName(untouched)
+        .where(F.col("e") - F.col("s") + 1 >= _SPAN_M)
+    )
+    hitcnt = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    w3 = Window.partitionBy("doc_id").orderBy("s")
+    return (
+        kept.join(tokd.select("doc_id", "toks"), "doc_id")
+        .join(hitcnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.row_number().over(w3) - 1).cast("bigint").alias("span_idx"),
+            (F.col("e") - F.col("s") + 1).cast("bigint").alias("span_tokens"),
+            F.array_join(
+                F.slice(
+                    "toks", F.col("s") + 1, F.col("e") - F.col("s") + 1
+                ),
+                " ",
+            ).alias("span_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Epoch-capped budget waterfilling (round 11): the mixture-design dual
+# of llm_temperature_mix. Temperature scaling reweights shares; real
+# pretraining runs instead fix a TOKEN BUDGET and per-source EPOCH CAPS
+# ("curated sources may repeat up to 2 epochs, crawl sources at most
+# half an epoch") and solve alloc_s = min(cap_s, lam) with a single
+# water level lam chosen so the allocations fill the budget. Closed
+# form, no iteration: sort sources by cap, prefix-sum, and the pivot j
+# (how many small sources saturate) is the unique index where
+# cap_(j) <= lam_j < cap_(j+1) with lam_j = (B - presum_j) / (S - j).
+#
+# Scale shape: ONE combinable groupBy(source) aggregation touches the
+# corpus; everything after runs on the source dimension — bounded by
+# source cardinality (thousands at worst), so the rank window and the
+# candidate/validity joins are dimension-sized and broadcast. Integer
+# math throughout; candidates with presum > budget are filtered BEFORE
+# the division on both engines (floor vs truncate diverge on negatives
+# — the float-seam discipline applied to integer division).
+# ---------------------------------------------------------------------------
+
+_WF_CURATED = ["src0", "src1", "src2", "src3", "src4"]
+
+_WF_ORACLE = rf"""
+WITH base AS (SELECT source, len({_TOKS}) AS n FROM documents),
+src AS (SELECT source, CAST(SUM(n) AS BIGINT) AS c FROM base GROUP BY source),
+cap AS (SELECT source, c,
+          CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+               THEN 2 * c ELSE c // 2 END AS BIGINT) AS cap
+        FROM src),
+tot AS (SELECT CAST(SUM(c) * 3 // 5 AS BIGINT) AS budget,
+               CAST(COUNT(*) AS BIGINT) AS s FROM cap),
+ranked AS (SELECT source, c, cap,
+                  CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT)
+                    AS j,
+                  CAST(SUM(cap) OVER (ORDER BY cap, source) AS BIGINT)
+                    AS presum
+           FROM cap),
+cand AS (
+  SELECT r.j, CAST((t.budget - r.presum) // (t.s - r.j) AS BIGINT) AS lam
+  FROM ranked r, tot t WHERE r.j < t.s AND r.presum <= t.budget
+  UNION ALL
+  SELECT 0, budget // s FROM tot
+  UNION ALL
+  SELECT t.s, (SELECT MAX(cap) FROM ranked) FROM tot t
+  WHERE t.budget >= (SELECT MAX(presum) FROM ranked)
+),
+valid AS (
+  SELECT c.j, c.lam FROM cand c, tot t
+  WHERE (c.j = 0 OR (SELECT cap FROM ranked r WHERE r.j = c.j) <= c.lam)
+    AND (c.j = t.s OR (SELECT cap FROM ranked r WHERE r.j = c.j + 1) > c.lam)
+),
+pick AS (SELECT lam FROM valid ORDER BY j DESC LIMIT 1)
+SELECT r.source, r.c AS n_tokens, r.cap AS cap_tokens,
+       CAST(LEAST(r.cap, p.lam) AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN r.cap <= p.lam THEN 1 ELSE 0 END AS BIGINT) AS saturated,
+       CAST(CASE WHEN r.c = 0 THEN 0
+            ELSE LEAST(r.cap, p.lam) * 1000 // r.c END AS BIGINT)
+         AS epochs_permille
+FROM ranked r, pick p
+"""
+
+
+@register(
+    "llm_mixture_waterfill",
+    oracle=_WF_ORACLE,
+    doc="epoch-capped token-budget waterfilling: alloc=min(cap, lam) with"
+        " the water level solved closed-form via sort + prefix sums on the"
+        " source dimension; one corpus-touching groupBy, all else"
+        " dimension-sized",
+)
+def llm_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    src = (
+        docs.select("source", F.size(toks).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("bigint").alias("c"))
+    )
+    cap = src.select(
+        "source",
+        "c",
+        F.when(F.col("source").isin(_WF_CURATED), 2 * F.col("c"))
+        .otherwise(F.expr("c DIV 2"))
+        .cast("bigint")
+        .alias("cap"),
+    )
+    # everything below runs on the source DIMENSION (bounded cardinality)
+    tot = cap.agg(
+        F.expr("CAST(SUM(c) * 3 DIV 5 AS BIGINT)").alias("budget"),
+        F.count(F.lit(1)).cast("bigint").alias("s"),
+    )
+    w = Window.orderBy("cap", "source")  # bounded: one row per source
+    ranked = cap.select(
+        "source",
+        "c",
+        "cap",
+        F.row_number().over(w).cast("bigint").alias("j"),
+        F.sum("cap").over(w).cast("bigint").alias("presum"),
+    ).localCheckpoint(eager=False)
+    rt = ranked.crossJoin(F.broadcast(tot))
+    cand_mid = rt.where(
+        (F.col("j") < F.col("s")) & (F.col("presum") <= F.col("budget"))
+    ).select(
+        "j",
+        F.expr("CAST((budget - presum) DIV (s - j) AS BIGINT)").alias("lam"),
+    )
+    cand_zero = tot.select(
+        F.lit(0).cast("bigint").alias("j"),
+        F.expr("CAST(budget DIV s AS BIGINT)").alias("lam"),
+    )
+    maxes = ranked.agg(
+        F.max("cap").alias("maxcap"), F.max("presum").alias("maxpre")
+    )
+    cand_all = (
+        tot.crossJoin(F.broadcast(maxes))
+        .where(F.col("budget") >= F.col("maxpre"))
+        .select(F.col("s").alias("j"), F.col("maxcap").alias("lam"))
+    )
+    cand = cand_mid.unionByName(cand_zero).unionByName(cand_all)
+    cap_at = ranked.select(F.col("j").alias("cj"), F.col("cap").alias("cap_j"))
+    cap_next = ranked.select(
+        (F.col("j") - 1).alias("cj"), F.col("cap").alias("cap_j1")
+    )
+    valid = (
+        cand.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cap_at), F.col("j") == F.col("cj"), "left")
+        .drop("cj")
+        .join(F.broadcast(cap_next), F.col("j") == F.col("cj"), "left")
+        .where(
+            ((F.col("j") == 0) | (F.col("cap_j") <= F.col("lam")))
+            & ((F.col("j") == F.col("s")) | (F.col("cap_j1") > F.col("lam")))
+        )
+    )
+    pick = valid.orderBy(F.col("j").desc()).limit(1).select("lam")
+    alloc = F.least(F.col("cap"), F.col("lam"))
+    return ranked.crossJoin(F.broadcast(pick)).select(
+        "source",
+        F.col("c").alias("n_tokens"),
+        F.col("cap").alias("cap_tokens"),
+        alloc.cast("bigint").alias("alloc_tokens"),
+        (F.col("cap") <= F.col("lam")).cast("bigint").alias("saturated"),
+        F.when(F.col("c") == 0, F.lit(0))
+        .otherwise(F.expr("CAST(LEAST(cap, lam) * 1000 DIV c AS BIGINT)"))
+        .cast("bigint")
+        .alias("epochs_permille"),
+    )

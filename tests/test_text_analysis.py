@@ -434,3 +434,114 @@ def test_dsir_ranks_target_vocab_first(spark, tmp_path):
     out = QUERIES["llm_dsir_importance"].builder(spark, str(d)).collect()
     w = {r["doc_id"]: r["weight_proxy"] for r in out}
     assert min(w[i] for i in target_like) > max(w[i] for i in pool_like), w
+
+
+# ---------------------------------------------------------------------------
+# Round 11: span-level decontamination edge semantics (hand-built docs;
+# the oracle covers the statistical case, these pin the boundary moves).
+# Bench convention: doc_id % 97 == 0.
+# ---------------------------------------------------------------------------
+
+
+def _span_rows(spark, rows):
+    from sig_etl_spark.queries.llm_text import span_decontaminate_frame
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = span_decontaminate_frame(df).orderBy("doc_id", "span_idx")
+    return [tuple(r) for r in out.collect()]
+
+
+def test_span_decon_hit_at_position_zero_clamps(spark):
+    # bench doc 0 defines the gram "a b c"; doc 1 starts with it, so the
+    # poisoned window [-2, 4] clamps to [0, 4] and only the tail survives
+    rows = [
+        (0, "a b c"),
+        (1, "a b c x1 x2 y1 y2 y3 y4 y5"),  # 10 tokens; kept span = [5..9]
+    ]
+    got = _span_rows(spark, rows)
+    assert got == [(1, 1, 0, 5, "y1 y2 y3 y4 y5")]
+
+
+def test_span_decon_fully_contaminated_doc_vanishes(spark):
+    rows = [
+        (0, "a b c"),
+        (1, "z1 a b c z2"),  # window [0..6] covers all 5 tokens -> no span
+    ]
+    assert _span_rows(spark, rows) == []
+
+
+def test_span_decon_untouched_doc_single_full_span(spark):
+    rows = [
+        (0, "a b c"),
+        (1, "p q r s t u"),
+    ]
+    assert _span_rows(spark, rows) == [(1, 0, 0, 6, "p q r s t u")]
+
+
+def test_span_decon_two_islands_middle_span_survives(spark):
+    # hits at pos 0 and pos 13 of an 18-token doc: windows [0..4] and
+    # [11..17]; the middle gap [5..10] is 6 tokens (>= M=5) and survives
+    mid = "m1 m2 m3 m4 m5 m6"
+    rows = [
+        (0, "a b c"),
+        (1, f"a b c x1 x2 {mid} y1 y2 a b c z1"),
+    ]
+    got = _span_rows(spark, rows)
+    assert got == [(1, 2, 0, 6, mid)]
+
+
+def test_span_decon_adjacent_hits_merge_one_island(spark):
+    # overlapping grams "a b c" at pos 2 and 3 ("a b c" inside "a b c c"?
+    # no — craft two bench grams sharing tokens) -> one merged island,
+    # n_hits counts BOTH probe hits while the islands merge
+    rows = [
+        (0, "a b c b c d"),  # bench grams include "a b c", "b c d"
+        (1, "h1 h2 a b c d t1 t2 t3 t4 t5"),  # hits at pos 2 and 3
+    ]
+    got = _span_rows(spark, rows)
+    # windows [0..6] and [1..7] merge -> kept tail [8..10] = 3 < 5 -> gone
+    assert got == []
+
+
+def test_span_decon_short_fragment_dropped(spark):
+    # surviving head of 4 tokens < M=5 is dropped, tail of 5 kept
+    rows = [
+        (0, "a b c"),
+        (1, "h1 h2 h3 h4 x x a b c x x t1 t2 t3 t4 t5"),
+    ]
+    got = _span_rows(spark, rows)
+    # hit at pos 6: window [4..10]; head [0..3] = 4 tokens -> dropped;
+    # tail [11..15] = 5 tokens -> kept
+    assert got == [(1, 1, 0, 5, "t1 t2 t3 t4 t5")]
+
+
+# ---------------------------------------------------------------------------
+# Round 11: waterfill invariants on the real table — the oracle pins the
+# values; these pin the ALGORITHM's defining properties so a refactor
+# that stays hash-green by accident still can't break the semantics.
+# ---------------------------------------------------------------------------
+
+
+def test_waterfill_invariants(spark, sf_dir):
+    from sig_etl_spark.queries.llm_text import llm_mixture_waterfill
+
+    rows = llm_mixture_waterfill(spark, sf_dir).collect()
+    assert rows, "no sources"
+    budget = sum(r.n_tokens for r in rows) * 3 // 5
+    alloc = sum(r.alloc_tokens for r in rows)
+    sat = [r for r in rows if r.saturated == 1]
+    unsat = [r for r in rows if r.saturated == 0]
+    # saturated sources take exactly their cap; unsaturated all sit at
+    # one common water level strictly below their cap
+    for r in sat:
+        assert r.alloc_tokens == r.cap_tokens
+    levels = {r.alloc_tokens for r in unsat}
+    assert len(levels) <= 1
+    if unsat:
+        lam = levels.pop()
+        assert all(r.cap_tokens > lam for r in unsat)
+        assert all(r.cap_tokens <= lam for r in sat)
+        # budget is filled up to integer-floor remainder
+        assert alloc <= budget < alloc + len(unsat)
+    else:
+        assert alloc <= budget

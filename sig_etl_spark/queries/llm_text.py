@@ -2541,8 +2541,14 @@ def span_decontaminate_frame(docs: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
-    tokd = docs.select("doc_id", toks.alias("toks")).withColumn(
-        "n", F.size("toks")
+    # five downstream branches (grams, clamp, tail, untouched, reassembly)
+    # reuse the tokenized frame — checkpoint it once instead of decoding
+    # the text column from parquet five times (the llm_decontaminate_bloom
+    # fan-out pattern)
+    tokd = (
+        docs.select("doc_id", toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .localCheckpoint(eager=False)
     )
     grams = (
         tokd.where(F.col("n") >= _SPAN_K)
@@ -2716,11 +2722,10 @@ def llm_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cap"),
     )
-    # everything below runs on the source DIMENSION (bounded cardinality)
-    tot = cap.agg(
-        F.expr("CAST(SUM(c) * 3 DIV 5 AS BIGINT)").alias("budget"),
-        F.count(F.lit(1)).cast("bigint").alias("s"),
-    )
+    # everything below runs on the source DIMENSION (bounded cardinality);
+    # ranked is checkpointed so the FOUR consumers of tot/maxes/the final
+    # projection all read the one materialized source table instead of
+    # re-aggregating the corpus per consumer
     w = Window.orderBy("cap", "source")  # bounded: one row per source
     ranked = cap.select(
         "source",
@@ -2729,6 +2734,10 @@ def llm_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("j"),
         F.sum("cap").over(w).cast("bigint").alias("presum"),
     ).localCheckpoint(eager=False)
+    tot = ranked.agg(
+        F.expr("CAST(SUM(c) * 3 DIV 5 AS BIGINT)").alias("budget"),
+        F.count(F.lit(1)).cast("bigint").alias("s"),
+    )
     rt = ranked.crossJoin(F.broadcast(tot))
     cand_mid = rt.where(
         (F.col("j") < F.col("s")) & (F.col("presum") <= F.col("budget"))

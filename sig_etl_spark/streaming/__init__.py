@@ -22,6 +22,7 @@ from sig_etl_spark.streaming.pipeline import (  # noqa: F401
     collect_boilerplate_segments,
     read_warc_stream,
     stream_crawl_curation,
+    stream_decontaminate,
     stream_ivf_assign,
     stream_quality_gate,
     stream_scrub,

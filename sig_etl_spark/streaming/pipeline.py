@@ -1306,3 +1306,52 @@ def stream_ivf_assign(
             (-F.col("_cell.negsim")).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming decontamination (round 11): the live-ingestion guarantee
+# that a continuous pipeline never trains on the eval suite. Stateless
+# twin of the registered llm_decontaminate_bloom: each incoming document
+# fingerprints JVM-side (same min-shingle projection the batch path
+# uses), a KiB-sized bloom of the STATIC benchmark fingerprints rides in
+# the plan as a literal, and only bloom-positive rows (true overlaps +
+# fp-rate noise) reach the exact stream-static anti-join. Bloom-negative
+# rows — the overwhelming majority — pass join-free; no state, no
+# watermark, append mode. Identical outputs to the batch query by
+# construction (tests pin row-for-row equality across a two-delivery
+# checkpointed run).
+# ---------------------------------------------------------------------------
+
+
+def stream_decontaminate(
+    docs: DataFrame,
+    bench_fp: DataFrame,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Gate a document stream against a static benchmark set.
+
+    ``docs``: streaming (doc_id, text) frame of TRAINING candidates.
+    ``bench_fp``: static one-column (fingerprint) frame of the eval
+    suite. Returns the clean stream as (doc_id, fingerprint).
+
+    NULL policy mirrors llm_decontaminate_bloom: a NULL fingerprint
+    (null/empty text) is definitely-clean and keeps join-free — the raw
+    bloom predicate is NULL there and a bare where-pair would drop the
+    row from both branches.
+    """
+    from sig_etl_spark import sketches as SK
+    from sig_etl_spark.llm import text_analysis as T
+
+    fp = docs.select(
+        "doc_id", T.fingerprint(F.col("text"), k=shingle_k).alias("fingerprint")
+    )
+    words = SK.bloom_words(bench_fp, "fingerprint", m_bits, k_hashes)
+    maybe = F.coalesce(
+        SK.bloom_member(words, "fingerprint", m_bits, k_hashes), F.lit(False)
+    )
+    clean_fast = fp.where(~maybe)
+    suspects = fp.where(maybe)
+    cleaned = suspects.join(F.broadcast(bench_fp), "fingerprint", "left_anti")
+    return clean_fast.unionByName(cleaned.select("doc_id", "fingerprint"))

@@ -794,3 +794,32 @@ def test_registered_incremental_kmeans_checkpoints_static(spark, sf_dir, monkeyp
     monkeypatch.setattr(S, "ivf_incremental_kmeans_topk", spy)
     QUERIES["llm_knn_incremental_kmeans"].builder(spark, sf_dir)
     assert calls == [True], calls
+
+
+def test_span_decon_plan_shape(spark, sf_dir):
+    """Round 11 llm_decontaminate_span: the contamination probe and every
+    dimension join must broadcast (the bench gram set is eval-suite
+    sized); no sort-merge join, no cartesian product; every Window is
+    doc-partitioned (bounded by hits-per-doc, never a global sort); the
+    tokenized corpus is checkpointed once for the five-branch fan-out."""
+    plan = _plan(spark, sf_dir, "llm_decontaminate_span")
+    assert _count_op(plan, "BroadcastHashJoin") >= 3
+    assert _count_op(plan, "SortMergeJoin") == 0
+    assert _count_op(plan, "CartesianProduct") == 0
+    # all windows partition by doc_id: their required ordering lines show
+    # the doc_id partition key, and no window spec is partition-free
+    for m in re.finditer(r"^\(\d+\) Window\b.*\n((?:.+\n)+?)\n", plan, re.M):
+        assert "doc_id" in m.group(1), f"global window in plan:\n{m.group(0)}"
+    assert "Scan ExistingRDD" in plan, "tokd checkpoint missing"
+
+
+def test_waterfill_single_corpus_scan(spark, sf_dir):
+    """Round 11 llm_mixture_waterfill: exactly ONE corpus-touching scan —
+    the checkpointed source table feeds every candidate/validity consumer;
+    all joins broadcast (dimension-sized both sides); the pivot pick is a
+    TakeOrdered, never a global sort."""
+    plan = _plan(spark, sf_dir, "llm_mixture_waterfill")
+    assert _count_op(plan, "Scan parquet") == 0, "a consumer re-read the corpus"
+    assert _count_op(plan, "SortMergeJoin") == 0
+    assert _count_op(plan, "TakeOrderedAndProject") == 1
+    assert _count_op(plan, "Sort") == 0, "global sort crept in"

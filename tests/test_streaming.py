@@ -1225,3 +1225,52 @@ def test_stream_crawl_curation_matches_batch_capstone(spark, sf_dir, tmp_path):
     got_pairs = {(int(r.doc_id), int(r.corpus_id)) for r in dups.itertuples(index=False)}
     assert got_pairs == sym
     assert sym, "fixture corpus must contain near-duplicate survivors"
+
+
+def test_stream_decontaminate_matches_batch_bloom(spark, sf_dir, tmp_path):
+    """Round 11: live-ingestion decontamination. Streaming the TRAINING
+    half of the corpus in two deliveries through the bloom-gated
+    stream must keep exactly the rows the REGISTERED (oracle-checked)
+    llm_decontaminate_bloom batch query keeps — same bloom params, same
+    NULL policy, each row exactly once across a checkpoint resume."""
+    from sig_etl_spark.llm import text_analysis as T
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.streaming import read_document_stream, stream_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", T.fingerprint(F.col("text"), k=3).alias("fingerprint")
+    )
+    bench = fp.filter(F.col("doc_id") % 97 == 0).select("fingerprint")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+
+    n = train.count()
+    first = train.orderBy("doc_id").limit(n // 2)
+    rest = train.subtract(first)
+    land = str(tmp_path / "decon_landing")
+    extra = str(tmp_path / "decon_extra")
+    first.coalesce(1).write.mode("overwrite").parquet(land)
+    rest.coalesce(1).write.mode("overwrite").parquet(extra)
+    ckpt = str(tmp_path / "decon_ckpt")
+
+    def _run(name):
+        stream = stream_decontaminate(read_document_stream(spark, land), bench)
+        return collect_available_now(stream, ckpt, name, output_mode="append")
+
+    batches = _run("decon1")
+    _deliver(extra, land)
+    batches += _run("decon2")
+    got = pd.concat([b for b in batches if len(b)], ignore_index=True)
+
+    want = {
+        (r.doc_id, r.fingerprint)
+        for r in QUERIES["llm_decontaminate_bloom"].builder(spark, sf_dir).collect()
+    }
+    emitted = [
+        (int(r.doc_id), r.fingerprint) for r in got.itertuples(index=False)
+    ]
+    assert len(emitted) == len(set(emitted)), "a row was emitted more than once"
+    assert set(emitted) == want, (
+        len(emitted), len(want),
+        sorted(want - set(emitted))[:5], sorted(set(emitted) - want)[:5],
+    )

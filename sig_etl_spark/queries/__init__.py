@@ -173,18 +173,19 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 11 (N=237, D=2):
-# ceil(187/48) = 4 rounds worst-case — the only debuts are the two
+# behind at most N - C fresher-than-it entries. Round 11 (N=238, D=2):
+# ceil(188/48) = 4 rounds worst-case — the only debuts are the two
 # r8-stale multimodal near-dup rows (VERDICT r10 task 8), so the stale
 # block still drains at near-full width; the budget assert bounds how
 # much a debut-heavy round can slow the refresh.
 # Late-round _HOLDBACK entries sort last and only tighten this bound
 # for everyone else.
-# Round-11 drain arithmetic: with D=2 and two rank-0 newcomers
-# (llm_decontaminate_span, llm_mixture_waterfill — never observed, so
-# they sort ahead of every dated entry), the 48 non-debut slots go to
-# the 2 newcomers + the ENTIRE 42-entry r6-stale cohort (the oldest
-# block — VERDICT r10 task 4) + the 4 oldest r7 entries, holding max
+# Round-11 drain arithmetic: with D=2 and three rank-0 newcomers
+# (llm_decontaminate_span, llm_mixture_waterfill,
+# llm_training_release_e2e — never observed, so they sort ahead of
+# every dated entry), the 48 non-debut slots go to the 3 newcomers +
+# the ENTIRE 42-entry r6-stale cohort (the oldest block — VERDICT r10
+# task 4) + the 3 oldest r7 entries, holding max
 # staleness in the union view at the arithmetic floor of 4 rounds;
 # tests/test_rotation_policy.py::test_stale_block_drains_round11 pins
 # the sample composition.
@@ -202,9 +203,10 @@ _DEBUT_BUDGET = 25
 # row is the freshness half). The round's streaming/hardening additions
 # (stream_crawl_curation + stream_scrub + collect_boilerplate_segments,
 # WARC robustness, WRatio golden fixtures) are pytest-pinned by design;
-# the two NEW registrations (llm_decontaminate_span, llm_mixture_waterfill)
-# enter as rank-0 newcomers, leaving 46 slots for the r6-cohort drain +
-# 4 oldest r7 entries (VERDICT r10 task 4 still fully satisfied).
+# the three NEW registrations (llm_decontaminate_span,
+# llm_mixture_waterfill, llm_training_release_e2e) enter as rank-0
+# newcomers, leaving 45 slots for the r6-cohort drain + 3 oldest r7
+# entries (VERDICT r10 task 4 still fully satisfied).
 _DEBUTS: list[str] = [
     "mm_phash_near_dup",
     "mm_audio_fingerprint_near_dup",

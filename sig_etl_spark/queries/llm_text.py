@@ -2461,8 +2461,12 @@ _SPAN_K = 3  # benchmark gram width (13 in GPT-3; 3 fits the test corpus)
 _SPAN_P = 2  # poisoned-window pad, tokens each side (200 chars in GPT-3)
 _SPAN_M = 5  # minimum surviving span length, tokens
 
-_DECON_SPAN_ORACLE = rf"""
-WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# Shared CTE chain (base .. kept): tokenize -> bench grams -> poisoned
+# intervals -> island merge -> complement spans. ONE template formatted
+# by both the registered span query and the training-release capstone —
+# the _BPE_MERGE_CTE lesson (two hand-copies of a load-bearing chain
+# silently drift).
+_SPAN_CTES = rf"""base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 tokd AS (SELECT doc_id, toks, len(toks) AS n FROM base),
 grams AS (
   SELECT doc_id, s AS pos,
@@ -2506,7 +2510,10 @@ gaps AS (
   WHERE t.doc_id % 97 <> 0 AND t.n >= 1
     AND NOT EXISTS (SELECT 1 FROM iv WHERE iv.doc_id = t.doc_id)
 ),
-kept AS (SELECT doc_id, s, e FROM gaps WHERE e - s + 1 >= {_SPAN_M}),
+kept AS (SELECT doc_id, s, e FROM gaps WHERE e - s + 1 >= {_SPAN_M})"""
+
+_DECON_SPAN_ORACLE = rf"""
+WITH {_SPAN_CTES},
 hitcnt AS (SELECT doc_id, COUNT(*) AS n_hits FROM hits GROUP BY doc_id)
 SELECT k.doc_id,
        CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
@@ -2533,11 +2540,16 @@ def llm_decontaminate_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_decontaminate_frame(docs)
 
 
-def span_decontaminate_frame(docs: DataFrame) -> DataFrame:
+def span_decontaminate_frame(
+    docs: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Span-level decontamination over any (doc_id, text) frame — the
-    registered query plus the unit-test edge fixtures share this body.
-    Benchmark side = doc_id % 97 == 0 (the llm_decontaminate convention).
-    Returns (doc_id, n_hits, span_idx, span_tokens, span_text)."""
+    registered query, the training-release capstone, and the unit-test
+    edge fixtures share this body. Benchmark side = doc_id % 97 == 0
+    (the llm_decontaminate convention). Returns (doc_id, n_hits,
+    span_idx, span_tokens, span_text, *extra_cols); extra_cols ride the
+    tokenized checkpoint through to the output so a caller that needs
+    e.g. `source` does not pay a second corpus join."""
     from pyspark.sql import Window
 
     toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
@@ -2546,7 +2558,7 @@ def span_decontaminate_frame(docs: DataFrame) -> DataFrame:
     # the text column from parquet five times (the llm_decontaminate_bloom
     # fan-out pattern)
     tokd = (
-        docs.select("doc_id", toks.alias("toks"))
+        docs.select("doc_id", *extra_cols, toks.alias("toks"))
         .withColumn("n", F.size("toks"))
         .localCheckpoint(eager=False)
     )
@@ -2617,7 +2629,7 @@ def span_decontaminate_frame(docs: DataFrame) -> DataFrame:
     hitcnt = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
     w3 = Window.partitionBy("doc_id").orderBy("s")
     return (
-        kept.join(tokd.select("doc_id", "toks"), "doc_id")
+        kept.join(tokd.select("doc_id", *extra_cols, "toks"), "doc_id")
         .join(hitcnt, "doc_id", "left")
         .select(
             "doc_id",
@@ -2630,6 +2642,7 @@ def span_decontaminate_frame(docs: DataFrame) -> DataFrame:
                 ),
                 " ",
             ).alias("span_text"),
+            *extra_cols,
         )
     )
 
@@ -2784,4 +2797,155 @@ def llm_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("CAST(LEAST(cap, lam) * 1000 DIV c AS BIGINT)"))
         .cast("bigint")
         .alias("epochs_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-release capstone (round 11): the release-side twin of the
+# crawl-curation capstone (llm_crawl_curation_e2e). One declarative plan
+# takes raw documents to shard-packed training units:
+#
+#   span-decontaminate  ->  exact-dedup (spans)  ->  reproducible split
+#   ->  shard packing per (split, source)
+#
+# i.e. "remove everything the eval suite saw, collapse identical
+# leftovers, carve held-out sets, pack what remains into fixed-size
+# shards" — the last mile every pretraining corpus walks before a
+# training run. Composition notes:
+#   - spans ride straight out of span_decontaminate_frame with `source`
+#     as a checkpoint passthrough column — no second corpus join;
+#   - dedup is a min-struct partial aggregate on md5(span_text) (the A6
+#     keep-first shape: combinable, window-free);
+#   - the split is the llm_reproducible_split hash-mod on span content
+#     (same salt) — engine- and cluster-size-independent;
+#   - packing reuses the llm_shard_packing running-sum window, here
+#     partitioned by (split, source) so parallelism survives the split.
+# Every stage is integer/string-exact; the whole chain is one plan, so
+# Catalyst prunes columns end-to-end and nothing materializes between
+# stages except the shared tokenized checkpoint.
+# ---------------------------------------------------------------------------
+
+_RELEASE_ORACLE = rf"""
+WITH {_SPAN_CTES},
+spans AS (
+  SELECT k.doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY k.doc_id ORDER BY k.s) - 1
+              AS BIGINT) AS span_idx,
+         CAST(k.e - k.s + 1 AS BIGINT) AS span_tokens,
+         array_to_string(list_slice(t.toks, k.s + 1, k.e + 1), ' ')
+           AS span_text
+  FROM kept k JOIN tokd t USING (doc_id)
+),
+keyed AS (
+  SELECT doc_id, span_idx, span_tokens, span_text,
+         md5(span_text) AS exact_key
+  FROM spans
+),
+dd AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY exact_key
+                            ORDER BY doc_id, span_idx) AS rn,
+         COUNT(*) OVER (PARTITION BY exact_key) AS n_copies
+  FROM keyed
+),
+surv AS (SELECT doc_id, span_idx, span_tokens, span_text, n_copies
+         FROM dd WHERE rn = 1),
+spl AS (
+  SELECT s.doc_id, s.span_idx, s.span_tokens, s.n_copies, d.source,
+         CASE WHEN CAST(('0x' || substr(md5(s.span_text || '{_SPLIT_SALT}'), 1, 15))
+                   AS UBIGINT) % 100 < 10 THEN 'test'
+              WHEN CAST(('0x' || substr(md5(s.span_text || '{_SPLIT_SALT}'), 1, 15))
+                   AS UBIGINT) % 100 < 20 THEN 'valid'
+              ELSE 'train' END AS split,
+         md5(CAST(s.doc_id AS VARCHAR) || ':' || CAST(s.span_idx AS VARCHAR))
+           AS h
+  FROM surv s JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)
+),
+runs AS (
+  SELECT doc_id, span_idx, source, split, span_tokens, n_copies,
+         SUM(span_tokens) OVER (
+           PARTITION BY split, source ORDER BY h, doc_id, span_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM spl
+)
+SELECT doc_id, span_idx, source, split,
+       CAST(span_tokens AS BIGINT) AS n_tokens,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       CAST((cum - span_tokens) // {_SHARD_CAPACITY} AS BIGINT) AS shard_id
+FROM runs
+"""
+
+
+@register(
+    "llm_training_release_e2e",
+    oracle=_RELEASE_ORACLE,
+    doc="training-release capstone: span-decontaminate -> exact-dedup ->"
+        " hash-mod split -> per-(split, source) shard packing, one"
+        " declarative plan end to end",
+)
+def llm_training_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = span_decontaminate_frame(docs, extra_cols=("source",))
+    keyed = spans.select(
+        "doc_id",
+        "span_idx",
+        "span_tokens",
+        "span_text",
+        "source",
+        F.md5("span_text").alias("exact_key"),
+    )
+    # keep-first over identical span text: min-struct partial aggregate
+    # (struct ordering = lexicographic on (doc_id, span_idx)), window-free
+    surv = (
+        keyed.groupBy("exact_key")
+        .agg(
+            F.min(
+                F.struct(
+                    "doc_id", "span_idx", "span_tokens", "span_text", "source"
+                )
+            ).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+        .select("s.*", "n_copies")
+    )
+    from sig_etl_spark.functions.hashing import portable_hash60
+
+    bucket = (
+        portable_hash60(F.concat(F.col("span_text"), F.lit(_SPLIT_SALT))) % 100
+    )
+    spl = surv.select(
+        "doc_id",
+        "span_idx",
+        "span_tokens",
+        "n_copies",
+        "source",
+        F.when(bucket < 10, "test")
+        .when(bucket < 20, "valid")
+        .otherwise("train")
+        .alias("split"),
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("span_idx").cast("string"),
+            )
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("split", "source")
+        .orderBy("h", "doc_id", "span_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = spl.withColumn("cum", F.sum("span_tokens").over(w))
+    return runs.select(
+        "doc_id",
+        "span_idx",
+        "source",
+        "split",
+        F.col("span_tokens").alias("n_tokens"),
+        "n_copies",
+        F.expr(f"(cum - span_tokens) div {_SHARD_CAPACITY}").alias("shard_id"),
     )

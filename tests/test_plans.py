@@ -823,3 +823,19 @@ def test_waterfill_single_corpus_scan(spark, sf_dir):
     assert _count_op(plan, "SortMergeJoin") == 0
     assert _count_op(plan, "TakeOrderedAndProject") == 1
     assert _count_op(plan, "Sort") == 0, "global sort crept in"
+
+
+def test_training_release_capstone_plan_shape(spark, sf_dir):
+    """Round 11 llm_training_release_e2e: the exact-dedup stage must keep
+    its map-side partial (min-struct aggregate, the A6 shape), every
+    join must broadcast or hash on a key (no cartesian), and all windows
+    carry a partition key (doc_id or split+source) — no global sort."""
+    plan = _plan(spark, sf_dir, "llm_training_release_e2e")
+    assert _count_op(plan, "CartesianProduct") == 0
+    # partial + final pair for the exact-dedup groupBy
+    assert plan.count("partial_min") >= 1 or plan.count("partial_count") >= 1
+    for m in re.finditer(r"^\(\d+\) Window\b.*\n((?:.+\n)+?)\n", plan, re.M):
+        body = m.group(1)
+        assert ("doc_id" in body) or ("split" in body and "source" in body), (
+            f"global window in plan:\n{m.group(0)}"
+        )

@@ -545,3 +545,61 @@ def test_waterfill_invariants(spark, sf_dir):
         assert alloc <= budget < alloc + len(unsat)
     else:
         assert alloc <= budget
+
+
+def test_span_decon_output_contains_no_bench_grams(spark, sf_dir):
+    """THE decontamination guarantee: no surviving span contains any
+    benchmark k-gram. Recomputed independently in Python over the real
+    corpus — if the window/clamp arithmetic ever under-removes by one
+    token, this is the test that goes red."""
+    from sig_etl_spark.queries.llm_text import _SPAN_K, llm_decontaminate_span
+    from sig_etl_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    bench_grams = set()
+    for r in docs:
+        if r.doc_id % 97 == 0:
+            t = (r.text or "").split()
+            for i in range(len(t) - _SPAN_K + 1):
+                bench_grams.add(" ".join(t[i : i + _SPAN_K]))
+    assert bench_grams, "fixture has no benchmark grams"
+
+    spans = llm_decontaminate_span(spark, sf_dir).collect()
+    assert spans, "no spans survived"
+    contaminated = []
+    for s in spans:
+        t = s.span_text.split()
+        assert len(t) == s.span_tokens
+        for i in range(len(t) - _SPAN_K + 1):
+            if " ".join(t[i : i + _SPAN_K]) in bench_grams:
+                contaminated.append((s.doc_id, s.span_idx, i))
+    assert not contaminated, contaminated[:5]
+
+
+def test_release_capstone_shard_fill_bound(spark, sf_dir):
+    """Packing invariant: within every (split, source), shard ids are a
+    contiguous 0..N run and every shard's token load stays below
+    capacity + its largest member (the one-span overflow the running-sum
+    rule permits); dedup invariant: no two output rows share span text's
+    md5 (verified via n_copies >= 1 and distinct (doc,span))."""
+    from collections import defaultdict
+
+    from sig_etl_spark.queries.llm_text import (
+        _SHARD_CAPACITY,
+        llm_training_release_e2e,
+    )
+
+    rows = llm_training_release_e2e(spark, sf_dir).collect()
+    assert rows
+    keys = [(r.doc_id, r.span_idx) for r in rows]
+    assert len(keys) == len(set(keys))
+    by_shard = defaultdict(list)
+    shards_per_group = defaultdict(set)
+    for r in rows:
+        assert r.n_copies >= 1
+        by_shard[(r.split, r.source, r.shard_id)].append(r.n_tokens)
+        shards_per_group[(r.split, r.source)].add(r.shard_id)
+    for ids in shards_per_group.values():
+        assert ids == set(range(len(ids))), "shard ids not contiguous"
+    for toks in by_shard.values():
+        assert sum(toks) < _SHARD_CAPACITY + max(toks)

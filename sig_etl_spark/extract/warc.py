@@ -34,6 +34,7 @@ at web-crawl scale (north-star scope, no direct reference analogue).
 from __future__ import annotations
 
 import gzip
+import re
 import zlib
 from collections.abc import Iterator
 
@@ -124,14 +125,14 @@ def parse_record(rec: bytes) -> dict:
         raise ValueError("truncated WARC payload")
     rid = headers.get("warc-record-id", "")
     # standard record IDs are <urn:uuid:...> — non-numeric tails fall
-    # back to -1 instead of raising. try/except, not isdigit(): the
-    # digit-shaped strings int() rejects ('--5', unicode digit-likes
-    # such as '²') must take the fallback too, not kill the task
+    # back to -1 instead of raising. Canonical-form regex, not bare
+    # int(): int() both REJECTS digit-shaped strings ('--5', unicode
+    # digit-likes such as '²' — ValueError would kill the task) and
+    # ACCEPTS non-canonical ones ('+7', '1_000', ' 7 ') that would
+    # silently collide with real ids; only an exact [-]digits tail is an
+    # id, everything else is -1
     tail = rid.rsplit(":", 1)[-1].rstrip(">") if ":" in rid else ""
-    try:
-        doc_id = int(tail)
-    except ValueError:
-        doc_id = -1
+    doc_id = int(tail) if re.fullmatch(r"-?\d+", tail) else -1
     return {
         "doc_id": doc_id,
         "target_uri": headers.get("warc-target-uri", ""),

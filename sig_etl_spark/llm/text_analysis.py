@@ -38,6 +38,21 @@ def tokens(c: Column) -> Column:
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
 
+def token_segments(toks: Column, g: int) -> Column:
+    """Non-overlapping ``g``-token segments of a token array, in order:
+    ``array_join(slice(toks, s+1, g), ' ')`` for s in 0, g, 2g, ...
+
+    THE segmentation arithmetic shared by the batch boilerplate scrub
+    (queries/llm_text.scrub_frame), the static segment miner and the
+    streaming scrub (streaming/pipeline) — one point of change, so the
+    bit-exact batch/stream scrub equality cannot drift (the
+    _BPE_MERGE_CTE lesson applied to column expressions)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(g)),
+        lambda s: F.array_join(F.slice(toks, s + 1, F.lit(g)), " "),
+    )
+
+
 def bind(c: Column, fn) -> Column:
     """Evaluate ``c`` once per row and pass it to ``fn`` as a bound lambda
     variable: ``element_at(transform(array(c), fn), 1)``.

@@ -794,9 +794,14 @@ def _html_escape(col):
     markup cells: & first (never re-escapes the entities it just made),
     then the angle brackets. The inverse is the parse side's stdlib
     ``HTMLParser(convert_charrefs=True)`` entity decoding
-    (extract/html_mini.py:62), so escaped renders round-trip exactly —
+    (extract/html_mini.py:62), which closes the markup-injection class:
     document text containing '</td>', '<' or '&' can no longer corrupt
-    the table-parse recovery."""
+    the table-parse recovery. Scope honesty: the round-trip is exact for
+    SINGLE-SPACED text only — html_mini's Node.text() collapses
+    whitespace runs and strips ends (' '.join/.split), so a tab, double
+    space, or leading/trailing whitespace in a cell would still diverge.
+    The driver fixtures are single-spaced (and the oracle hash would
+    catch a regression of that assumption the round it broke)."""
     out = col
     for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
         out = F.replace(out, F.lit(raw), F.lit(ent))
@@ -836,8 +841,9 @@ def wet_crawl_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HTML page + HTTP envelope rendered JVM-side (codegen'd concat) —
     # the Python step only ever sees opaque payload strings. Embedded
     # cells are entity-escaped; the S3 parse UDF's convert_charrefs
-    # decode is the exact inverse, so the oracle hash still proves a
-    # byte-identical text round-trip.
+    # decode inverts the escapes, so the oracle hash proves an exact
+    # text round-trip for the fixtures' single-spaced text (whitespace
+    # runs would not survive Node.text() — see _html_escape's docstring).
     page = F.concat(
         F.lit("<html><head><title>doc "),
         F.col("doc_id").cast("string"),

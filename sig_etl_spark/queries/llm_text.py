@@ -915,19 +915,18 @@ def scrub_frame(docs: DataFrame) -> DataFrame:
     the registered query and the crawl-curation capstone
     (llm_crawl_curation_e2e). Returns (doc_id, n_segments,
     n_boilerplate, clean_text)."""
-    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
-    base = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    base = docs.select("doc_id", T.tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") > 0
+    )
+    # the SAME segmentation expression the streaming scrub broadcasts
+    # against (llm/text_analysis.token_segments — one point of change);
+    # posexplode's ordinal IS the segment index
     segd = base.select(
         "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_SEG_G))
-        ).alias("s"),
-        "toks",
-    ).select(
-        "doc_id",
-        (F.col("s") / _SEG_G).cast("long").alias("seg_idx"),
-        F.array_join(F.slice("toks", F.col("s") + 1, F.lit(_SEG_G)), " ").alias("seg"),
-    )
+        F.posexplode(T.token_segments(F.col("toks"), _SEG_G)).alias(
+            "seg_idx", "seg"
+        ),
+    ).withColumn("seg_idx", F.col("seg_idx").cast("long"))
     cnt = segd.groupBy("seg").agg(F.countDistinct("doc_id").alias("ndocs"))
     joined = segd.join(cnt, "seg")
     kept = F.filter("ordered", lambda x: x["ndocs"] < _SEG_T)
@@ -2480,25 +2479,16 @@ hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN bench b USING (gram)
 iv AS (SELECT doc_id, greatest(pos - {_SPAN_P}, 0) AS lo,
               pos + {_SPAN_K} - 1 + {_SPAN_P} AS hi
        FROM hits),
-ord AS (
-  SELECT doc_id, lo, hi,
-         CASE WHEN lo > COALESCE(MAX(hi) OVER (PARTITION BY doc_id
-              ORDER BY lo, hi
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
-              THEN 1 ELSE 0 END AS new_island
-  FROM iv
-),
-isl AS (SELECT doc_id, lo, hi,
-               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY lo, hi)
-                 AS island
-        FROM ord),
-merged AS (SELECT doc_id, island, MIN(lo) AS lo, MAX(hi) AS hi
-           FROM isl GROUP BY doc_id, island),
-mclamp AS (SELECT m.doc_id, m.lo, least(m.hi, t.n - 1) AS hi
-           FROM merged m JOIN tokd t USING (doc_id)),
+mclamp AS (SELECT i.doc_id, i.lo, least(i.hi, t.n - 1) AS hi
+           FROM iv i JOIN tokd t USING (doc_id)),
 gaps AS (
+  -- no island-merge pass needed: the windows are FIXED-width, so in
+  -- (lo, hi) order both bounds are monotone in the hit position and
+  -- lag(hi) IS the running max — overlapping intervals just produce
+  -- negative-length gap rows the >= M filter drops
   SELECT doc_id,
-         COALESCE(LAG(hi) OVER (PARTITION BY doc_id ORDER BY lo) + 1, 0) AS s,
+         COALESCE(LAG(hi) OVER (PARTITION BY doc_id ORDER BY lo, hi) + 1, 0)
+           AS s,
          lo - 1 AS e
   FROM mclamp
   UNION ALL
@@ -2552,13 +2542,12 @@ def span_decontaminate_frame(
     e.g. `source` does not pay a second corpus join."""
     from pyspark.sql import Window
 
-    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
     # five downstream branches (grams, clamp, tail, untouched, reassembly)
     # reuse the tokenized frame — checkpoint it once instead of decoding
     # the text column from parquet five times (the llm_decontaminate_bloom
     # fan-out pattern)
     tokd = (
-        docs.select("doc_id", *extra_cols, toks.alias("toks"))
+        docs.select("doc_id", *extra_cols, T.tokens(F.col("text")).alias("toks"))
         .withColumn("n", F.size("toks"))
         .localCheckpoint(eager=False)
     )
@@ -2590,21 +2579,14 @@ def span_decontaminate_frame(
         F.greatest(F.col("pos") - _SPAN_P, F.lit(0)).alias("lo"),
         (F.col("pos") + _SPAN_K - 1 + _SPAN_P).alias("hi"),
     )
-    w = Window.partitionBy("doc_id").orderBy("lo", "hi")
-    run_max = F.max("hi").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    isl = iv.withColumn(
-        "new_island",
-        (F.col("lo") > F.coalesce(run_max, F.lit(-2)) + 1).cast("long"),
-    ).withColumn("island", F.sum("new_island").over(w))
-    merged = isl.groupBy("doc_id", "island").agg(
-        F.min("lo").alias("lo"), F.max("hi").alias("hi")
-    )
-    mclamp = merged.join(tokd.select("doc_id", "n"), "doc_id").select(
+    mclamp = iv.join(tokd.select("doc_id", "n"), "doc_id").select(
         "doc_id", "lo", F.least("hi", F.col("n") - 1).alias("hi")
     )
-    w2 = Window.partitionBy("doc_id").orderBy("lo")
+    # no island-merge pass: the windows are FIXED-width, so in (lo, hi)
+    # order both bounds are monotone in the hit position and lag(hi) IS
+    # the running max — overlapping intervals just produce negative-length
+    # gap rows the >= M filter drops
+    w2 = Window.partitionBy("doc_id").orderBy("lo", "hi")
     gaps_mid = mclamp.select(
         "doc_id",
         F.coalesce(F.lag("hi").over(w2) + 1, F.lit(0)).alias("s"),
@@ -2721,9 +2703,8 @@ def llm_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
     src = (
-        docs.select("source", F.size(toks).alias("n"))
+        docs.select("source", F.size(T.tokens(F.col("text"))).alias("n"))
         .groupBy("source")
         .agg(F.sum("n").cast("bigint").alias("c"))
     )

@@ -1104,18 +1104,14 @@ def collect_boilerplate_segments(
     Bounded collect: boilerplate cardinality — segments repeated across
     >= t docs, a vocabulary-sized set, never row-sized (defaults pinned
     to llm_text._SEG_G/_SEG_T by test)."""
-    toks = F.filter(F.split(F.trim(text_col), r"\s+"), lambda x: x != "")
+    from sig_etl_spark.llm.text_analysis import token_segments, tokens
+
     segd = (
-        docs.select(F.col(id_col).alias("_id"), toks.alias("toks"))
+        docs.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("toks"))
         .where(F.size("toks") > 0)
         .select(
             "_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 1, F.lit(g)),
-                    lambda s: F.array_join(F.slice(F.col("toks"), s + 1, F.lit(g)), " "),
-                )
-            ).alias("seg"),
+            F.explode(token_segments(F.col("toks"), g)).alias("seg"),
         )
     )
     rows = (
@@ -1143,12 +1139,11 @@ def stream_scrub(
     n_boilerplate, clean_text) — bit-identical to scrub_frame when the
     boilerplate set was mined from the same corpus the records belong
     to (pinned by the capstone equality test)."""
+    from sig_etl_spark.llm.text_analysis import token_segments, tokens
+
     boiler = F.array(*[F.lit(s) for s in boilerplate]).cast("array<string>")
-    toks = F.filter(F.split(F.trim(text_col), r"\s+"), lambda x: x != "")
-    segs = F.transform(
-        F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(g)),
-        lambda s: F.array_join(F.slice(F.col("_toks"), s + 1, F.lit(g)), " "),
-    )
+    toks = tokens(F.col(text_col))
+    segs = token_segments(F.col("_toks"), g)
     kept = F.filter("_segs", lambda s: ~F.array_contains(boiler, s))
     return (
         docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))

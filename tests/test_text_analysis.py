@@ -490,17 +490,18 @@ def test_span_decon_two_islands_middle_span_survives(spark):
     assert got == [(1, 2, 0, 6, mid)]
 
 
-def test_span_decon_adjacent_hits_merge_one_island(spark):
-    # overlapping grams "a b c" at pos 2 and 3 ("a b c" inside "a b c c"?
-    # no — craft two bench grams sharing tokens) -> one merged island,
-    # n_hits counts BOTH probe hits while the islands merge
+def test_span_decon_adjacent_hits_one_span_two_hits(spark):
+    # overlapping hits at pos 2 ("a b c") and pos 3 ("b c d"): windows
+    # [0..6] and [1..7] overlap, so the complement is ONE tail span —
+    # and n_hits must still count BOTH probe hits. The surviving span
+    # makes a broken overlap-complement visibly wrong (an implementation
+    # that dropped the second window would keep t2 at position 7).
     rows = [
         (0, "a b c b c d"),  # bench grams include "a b c", "b c d"
-        (1, "h1 h2 a b c d t1 t2 t3 t4 t5"),  # hits at pos 2 and 3
+        (1, "h1 h2 a b c d t1 t2 t3 t4 t5 t6 t7"),
     ]
     got = _span_rows(spark, rows)
-    # windows [0..6] and [1..7] merge -> kept tail [8..10] = 3 < 5 -> gone
-    assert got == []
+    assert got == [(1, 2, 0, 5, "t3 t4 t5 t6 t7")]
 
 
 def test_span_decon_short_fragment_dropped(spark):

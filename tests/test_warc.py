@@ -96,13 +96,23 @@ def test_parse_record_uuid_record_id_falls_back():
 
 @pytest.mark.parametrize(
     "tail",
-    [b"--5", "²".encode(), b"+ 7", b""],
-    ids=["double-dash", "unicode-superscript", "spaced-sign", "empty"],
+    [b"--5", "²".encode(), b"+ 7", b"", b"+7", b"1_000", b" 7 "],
+    ids=[
+        "double-dash",
+        "unicode-superscript",
+        "spaced-sign",
+        "empty",
+        "plus-sign",
+        "underscore-separator",
+        "padded",
+    ],
 )
 def test_parse_record_digit_shaped_tails_fall_back(tail):
-    """Tails isdigit()-style checks admit but int() rejects ('--5',
-    unicode digit-likes such as '²') must take the -1 fallback, not
-    ValueError-kill the whole container task."""
+    """Non-canonical id tails must take the -1 fallback — BOTH classes:
+    digit-shaped strings int() rejects ('--5', unicode digit-likes such
+    as '²' — a bare int() would ValueError-kill the container task) AND
+    strings int() accepts but that are not canonical ids ('+7', '1_000',
+    ' 7 ' — a bare int() would silently collide with real doc ids)."""
     rec = warc.build_record(9, b"x")
     rec = rec.replace(
         b"WARC-Record-ID: <urn:doc:9>", b"WARC-Record-ID: <urn:x:" + tail + b">"

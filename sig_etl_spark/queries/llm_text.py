@@ -2454,6 +2454,11 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # work (left_anti on the hit set short-circuits them), so the expensive
 # path only runs on the contaminated minority.
 # Integer math only (positions, token counts) — no float seam.
+# 100 TB trade, stated: the tokenized-corpus localCheckpoint costs
+# ~corpus-size executor disk in exchange for one parquet decode instead
+# of five. At cluster scale that disk is the same budget shuffle files
+# use; if it ever pinches, drop the checkpoint and pay the extra
+# column-pruned scans — the plan is correct either way.
 # ---------------------------------------------------------------------------
 
 _SPAN_K = 3  # benchmark gram width (13 in GPT-3; 3 fits the test corpus)
@@ -2801,6 +2806,10 @@ def llm_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     (same salt) — engine- and cluster-size-independent;
 #   - packing reuses the llm_shard_packing running-sum window, here
 #     partitioned by (split, source) so parallelism survives the split.
+#     A crawl-DOMINANT source (60-80%% of rows is routine) packs in one
+#     task under this exact variant; at that skew, swap in the
+#     llm_shard_packing_bucketed sub-bucketing (same trade: per-bucket
+#     tail shards run slightly underfilled).
 # Every stage is integer/string-exact; the whole chain is one plan, so
 # Catalyst prunes columns end-to-end and nothing materializes between
 # stages except the shared tokenized checkpoint.

@@ -2705,9 +2705,16 @@ FROM ranked r, pick p
         " dimension-sized",
 )
 def llm_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return waterfill_frame(docs)
+
+
+def waterfill_frame(docs: DataFrame) -> DataFrame:
+    """Waterfilling over any (source, text) frame — the registered query
+    and the randomized property test (pure-Python reference comparison,
+    tests/test_text_analysis.py) share this body."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     src = (
         docs.select("source", F.size(T.tokens(F.col("text"))).alias("n"))
         .groupBy("source")

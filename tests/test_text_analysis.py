@@ -604,3 +604,58 @@ def test_release_capstone_shard_fill_bound(spark, sf_dir):
         assert ids == set(range(len(ids))), "shard ids not contiguous"
     for toks in by_shard.values():
         assert sum(toks) < _SHARD_CAPACITY + max(toks)
+
+
+def test_waterfill_pivot_matches_python_reference(spark):
+    """Randomized pinning of the waterfill pivot math: crafted corpora
+    (seeded token counts, curated/crawl mix, zero-token sources, cap
+    ties) through the REAL Spark frame must match a 15-line pure-Python
+    waterfill on every allocation — the closed-form pivot selection is
+    the trickiest integer math in the round and the oracle only covers
+    one corpus shape."""
+    import random
+
+    from sig_etl_spark.queries.llm_text import _WF_CURATED, waterfill_frame
+
+    def py_waterfill(caps: dict[str, int], budget: int) -> dict[str, int]:
+        # independent reference: raise the level until the budget fills
+        order = sorted(caps, key=lambda s: (caps[s], s))
+        sat: list[str] = []
+        for j in range(len(order) + 1):
+            presum = sum(caps[s] for s in order[:j])
+            rest = order[j:]
+            if not rest:
+                return dict(caps) if budget >= presum else {}
+            lam = (budget - presum) // len(rest) if budget >= presum else -1
+            if (j == 0 or caps[order[j - 1]] <= lam) and caps[rest[0]] > lam:
+                return {s: min(caps[s], lam) for s in caps}
+        raise AssertionError("no pivot found")
+
+    rng = random.Random(11)
+    for trial in range(6):
+        n_sources = rng.randint(3, 12)
+        rows = []
+        counts = {}
+        for i in range(n_sources):
+            name = f"src{i}"
+            # whole documents of single-token words; a few zero-token srcs
+            c = rng.choice([0, rng.randint(1, 40), rng.randint(40, 200)])
+            counts[name] = c
+            rows.append((i, name, " ".join(["w"] * c) if c else ""))
+        docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+        got = {r.source: r for r in waterfill_frame(docs).collect()}
+        caps = {
+            s: 2 * c if s in _WF_CURATED else c // 2 for s, c in counts.items()
+        }
+        budget = sum(counts.values()) * 3 // 5
+        want = py_waterfill(caps, budget)
+        assert want, f"trial {trial}: python reference found no pivot"
+        assert {s: r.alloc_tokens for s, r in got.items()} == want, (
+            trial, counts, budget,
+            {s: (r.cap_tokens, r.alloc_tokens) for s, r in got.items()}, want,
+        )
+        for s, r in got.items():
+            assert r.cap_tokens == caps[s]
+            assert r.saturated == (1 if r.alloc_tokens == r.cap_tokens else 0) or (
+                r.alloc_tokens == r.cap_tokens
+            )

@@ -130,9 +130,11 @@ def parse_record(rec: bytes) -> dict:
     # digit-likes such as '²' — ValueError would kill the task) and
     # ACCEPTS non-canonical ones ('+7', '1_000', ' 7 ') that would
     # silently collide with real ids; only an exact [-]digits tail is an
-    # id, everything else is -1
+    # id, everything else is -1. ASCII class, not \d: Unicode-aware \d
+    # matches non-ASCII decimal digits (e.g. Arabic-Indic '٧') and
+    # int('٧') == 7, which would silently collide with a real doc id.
     tail = rid.rsplit(":", 1)[-1].rstrip(">") if ":" in rid else ""
-    doc_id = int(tail) if re.fullmatch(r"-?\d+", tail) else -1
+    doc_id = int(tail) if re.fullmatch(r"-?[0-9]+", tail) else -1
     return {
         "doc_id": doc_id,
         "target_uri": headers.get("warc-target-uri", ""),

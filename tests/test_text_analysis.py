@@ -656,6 +656,4 @@ def test_waterfill_pivot_matches_python_reference(spark):
         )
         for s, r in got.items():
             assert r.cap_tokens == caps[s]
-            assert r.saturated == (1 if r.alloc_tokens == r.cap_tokens else 0) or (
-                r.alloc_tokens == r.cap_tokens
-            )
+            assert r.saturated == (1 if r.alloc_tokens == r.cap_tokens else 0)

@@ -96,10 +96,11 @@ def test_parse_record_uuid_record_id_falls_back():
 
 @pytest.mark.parametrize(
     "tail",
-    [b"--5", "²".encode(), b"+ 7", b"", b"+7", b"1_000", b" 7 "],
+    [b"--5", "²".encode(), "٧".encode(), b"+ 7", b"", b"+7", b"1_000", b" 7 "],
     ids=[
         "double-dash",
         "unicode-superscript",
+        "arabic-indic-digit",
         "spaced-sign",
         "empty",
         "plus-sign",

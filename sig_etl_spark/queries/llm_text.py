@@ -2882,9 +2882,22 @@ FROM runs
         " declarative plan end to end",
 )
 def llm_training_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return training_release_frame(docs)
+
+
+def training_release_frame(
+    docs: DataFrame, bucket_spans_over: int | None = None
+) -> DataFrame:
+    """The release chain over any (doc_id, source, text) frame — shared
+    by the exact capstone, the bucketed capstone, and the skew fixtures
+    in tests. ``bucket_spans_over=None`` packs per (split, source) —
+    exact but single-task under a dominant source; an integer N packs
+    per (split, source, bucket) where groups larger than N spans
+    pre-split into ceil(rows/N) md5-derived sub-buckets, adding a
+    ``bucket`` output column (shard ids become local to the bucket)."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     spans = span_decontaminate_frame(docs, extra_cols=("source",))
     keyed = spans.select(
         "doc_id",
@@ -2931,8 +2944,35 @@ def llm_training_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
+    part_cols = ["split", "source"]
+    extra_out: list[str] = []
+    if bucket_spans_over is not None:
+        # group sizes must be known BEFORE the packing window, so the
+        # bucketed variant is two-pass over the surviving spans; the
+        # lazy checkpoint keeps the count pass from replaying the whole
+        # decon+dedup chain (spl is span-sized, far below corpus-sized).
+        spl = spl.localCheckpoint(eager=False)
+        counts = spl.groupBy("split", "source").agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        # integer (n + N - 1) div N, exact on both engines at any size
+        n_buckets = F.expr(
+            f"(n_rows + {bucket_spans_over} - 1) div {bucket_spans_over}"
+        )
+        # reuse the pack-order hash: first 15 hex chars of h are the
+        # same 60-bit non-negative value portable_hash60 derives, so
+        # bucket assignment costs zero extra md5 work
+        h60 = F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint")
+        spl = spl.join(F.broadcast(counts), ["split", "source"]).withColumn(
+            "bucket",
+            F.when(F.col("n_rows") > bucket_spans_over, h60 % n_buckets)
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        part_cols = ["split", "source", "bucket"]
+        extra_out = ["bucket"]
     w = (
-        Window.partitionBy("split", "source")
+        Window.partitionBy(*part_cols)
         .orderBy("h", "doc_id", "span_idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -2942,7 +2982,109 @@ def llm_training_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_idx",
         "source",
         "split",
+        *extra_out,
         F.col("span_tokens").alias("n_tokens"),
         "n_copies",
         F.expr(f"(cum - span_tokens) div {_SHARD_CAPACITY}").alias("shard_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed training-release capstone (round 12): the skew-safe twin the
+# exact capstone's docstring specifies. Under a crawl-dominant source
+# (60-80% of rows is routine in real pretraining mixes) the exact
+# variant's (split, source) packing window sorts most of the corpus in
+# ONE task; here any (split, source) group larger than
+# _RELEASE_BUCKET_OVER spans pre-splits into ceil(rows/N) md5 sub-
+# buckets and packs per (split, source, bucket) — parallelism follows
+# data volume, not group cardinality (the llm_shard_packing_bucketed
+# trade applied inside the capstone: each bucket's last shard may run
+# underfilled, ≤ one shard of slack per bucket). At 100 TB this is the
+# ONLY registered release path that survives: the exact twin stays as
+# the zero-slack contrast arm for balanced mixes.
+# ---------------------------------------------------------------------------
+
+_RELEASE_BUCKET_OVER = 10  # split any (split, source) over this many spans
+
+# spl is referenced twice (group counts + bucket join); MATERIALIZED
+# stops DuckDB inlining the whole span chain into both consumers (the
+# llm_bpe_fertility32 2^R re-expansion lesson).
+_RELEASE_BUCKETED_ORACLE = rf"""
+WITH {_SPAN_CTES},
+spans AS (
+  SELECT k.doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY k.doc_id ORDER BY k.s) - 1
+              AS BIGINT) AS span_idx,
+         CAST(k.e - k.s + 1 AS BIGINT) AS span_tokens,
+         array_to_string(list_slice(t.toks, k.s + 1, k.e + 1), ' ')
+           AS span_text
+  FROM kept k JOIN tokd t USING (doc_id)
+),
+keyed AS (
+  SELECT doc_id, span_idx, span_tokens, span_text,
+         md5(span_text) AS exact_key
+  FROM spans
+),
+dd AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY exact_key
+                            ORDER BY doc_id, span_idx) AS rn,
+         COUNT(*) OVER (PARTITION BY exact_key) AS n_copies
+  FROM keyed
+),
+surv AS (SELECT doc_id, span_idx, span_tokens, span_text, n_copies
+         FROM dd WHERE rn = 1),
+spl AS MATERIALIZED (
+  SELECT s.doc_id, s.span_idx, s.span_tokens, s.n_copies, d.source,
+         CASE WHEN CAST(('0x' || substr(md5(s.span_text || '{_SPLIT_SALT}'), 1, 15))
+                   AS UBIGINT) % 100 < 10 THEN 'test'
+              WHEN CAST(('0x' || substr(md5(s.span_text || '{_SPLIT_SALT}'), 1, 15))
+                   AS UBIGINT) % 100 < 20 THEN 'valid'
+              ELSE 'train' END AS split,
+         md5(CAST(s.doc_id AS VARCHAR) || ':' || CAST(s.span_idx AS VARCHAR))
+           AS h
+  FROM surv s JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)
+),
+cnts AS (
+  SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM spl GROUP BY split, source
+),
+bkt AS (
+  SELECT s.*,
+         CASE WHEN c.n_rows > {_RELEASE_BUCKET_OVER}
+              THEN CAST(CAST(('0x' || substr(s.h, 1, 15)) AS UBIGINT)
+                        % CAST((c.n_rows + {_RELEASE_BUCKET_OVER} - 1)
+                               // {_RELEASE_BUCKET_OVER} AS UBIGINT)
+                        AS BIGINT)
+              ELSE CAST(0 AS BIGINT)
+         END AS bucket
+  FROM spl s JOIN cnts c USING (split, source)
+),
+runs AS (
+  SELECT doc_id, span_idx, source, split, bucket, span_tokens, n_copies,
+         SUM(span_tokens) OVER (
+           PARTITION BY split, source, bucket ORDER BY h, doc_id, span_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM bkt
+)
+SELECT doc_id, span_idx, source, split, bucket,
+       CAST(span_tokens AS BIGINT) AS n_tokens,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       CAST((cum - span_tokens) // {_SHARD_CAPACITY} AS BIGINT) AS shard_id
+FROM runs
+"""
+
+
+@register(
+    "llm_training_release_bucketed",
+    oracle=_RELEASE_BUCKETED_ORACLE,
+    doc="skew-safe training-release capstone: same decon -> dedup ->"
+        f" split chain, packing per (split, source, bucket) with groups"
+        f" over {_RELEASE_BUCKET_OVER} spans pre-split into md5"
+        " sub-buckets — no single-task packing stage under a dominant"
+        " source",
+)
+def llm_training_release_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return training_release_frame(docs, bucket_spans_over=_RELEASE_BUCKET_OVER)

@@ -839,3 +839,22 @@ def test_training_release_capstone_plan_shape(spark, sf_dir):
         assert ("doc_id" in body) or ("split" in body and "source" in body), (
             f"global window in plan:\n{m.group(0)}"
         )
+
+
+def test_training_release_bucketed_plan_shape(spark, sf_dir):
+    """Round 12 llm_training_release_bucketed: the packing window must
+    partition on the sub-bucket key (split, source, bucket) — the whole
+    point of the variant — the group-count side must broadcast back
+    (dimension-sized, never a corpus shuffle), and no cartesian."""
+    plan = _plan(spark, sf_dir, "llm_training_release_bucketed")
+    assert _count_op(plan, "CartesianProduct") == 0
+    assert _count_op(plan, "BroadcastHashJoin") >= 1
+    pack_windows = [
+        m.group(0)
+        for m in re.finditer(r"^\(\d+\) Window\b.*\n((?:.+\n)+?)\n", plan, re.M)
+        if "cum" in m.group(1) or "span_tokens" in m.group(1)
+    ]
+    assert pack_windows, "packing window missing from plan"
+    assert any("bucket" in w for w in pack_windows), (
+        f"packing window not bucketed:\n{pack_windows}"
+    )

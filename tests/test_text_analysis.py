@@ -606,6 +606,66 @@ def test_release_capstone_shard_fill_bound(spark, sf_dir):
         assert sum(toks) < _SHARD_CAPACITY + max(toks)
 
 
+def test_release_bucketed_matches_exact_and_splits_dominant_source(spark):
+    """The skew-safe capstone on a crawl-dominant fixture (one source =
+    80% of docs): (a) the span set, split labels, and n_copies agree
+    row-for-row with the exact variant — bucketing may only change
+    shard assignment; (b) the dominant (split, source) group actually
+    lands in >1 bucket (the single-task seam is really split); (c) shard
+    ids are contiguous and capacity-bounded per (split, source, bucket)."""
+    import random
+    from collections import defaultdict
+
+    from sig_etl_spark.queries.llm_text import (
+        _RELEASE_BUCKET_OVER,
+        _SHARD_CAPACITY,
+        training_release_frame,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(60)]
+    rows = []
+    for i in range(200):
+        # doc_id % 97 == 0 rows are the benchmark side inside the frame
+        src = "crawl" if i % 10 < 8 else f"cur{i % 3}"
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 40)))
+        rows.append((i, src, text))
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+    exact = training_release_frame(docs).collect()
+    bucketed = training_release_frame(
+        docs, bucket_spans_over=_RELEASE_BUCKET_OVER
+    ).collect()
+
+    key = lambda r: (r.doc_id, r.span_idx)  # noqa: E731
+    assert {key(r) for r in exact} == {key(r) for r in bucketed}
+    ex = {key(r): (r.split, r.source, r.n_tokens, r.n_copies) for r in exact}
+    for r in bucketed:
+        assert ex[key(r)] == (r.split, r.source, r.n_tokens, r.n_copies)
+
+    buckets_per_group = defaultdict(set)
+    shards_per_pack = defaultdict(set)
+    load_per_shard = defaultdict(list)
+    for r in bucketed:
+        buckets_per_group[(r.split, r.source)].add(r.bucket)
+        shards_per_pack[(r.split, r.source, r.bucket)].add(r.shard_id)
+        load_per_shard[(r.split, r.source, r.bucket, r.shard_id)].append(
+            r.n_tokens
+        )
+    dominant = max(
+        buckets_per_group, key=lambda g: sum(
+            1 for r in bucketed if (r.split, r.source) == g
+        )
+    )
+    assert len(buckets_per_group[dominant]) > 1, (
+        "dominant group did not sub-bucket", dominant, buckets_per_group
+    )
+    for ids in shards_per_pack.values():
+        assert ids == set(range(len(ids))), "shard ids not contiguous in bucket"
+    for toks in load_per_shard.values():
+        assert sum(toks) < _SHARD_CAPACITY + max(toks)
+
+
 def test_waterfill_pivot_matches_python_reference(spark):
     """Randomized pinning of the waterfill pivot math: crafted corpora
     (seeded token counts, curated/crawl mix, zero-token sources, cap

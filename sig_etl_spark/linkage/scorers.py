@@ -78,6 +78,81 @@ def exact_score(a: Column, b: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# JVM prefilter for the pandas WRatio tier (round 12, VERDICT r11 task
+# 2): every WRatio arm is bounded above by a quantity the JVM can
+# compute from banded levenshtein — indel >= lev, so
+# ratio = 100*(1 - indel/total) <= 100*(1 - lev/total) — which lets the
+# plan decide "this pair can never clear the rule gate" WITHOUT crossing
+# the Arrow boundary. Pairs proven sub-gate are masked to ('','') before
+# the UDF: they still ride the Arrow batch, but as empty strings the
+# Python tier drops them before any DP, so the quadratic scoring cost
+# tracks the near-match minority instead of the full pair blow-up.
+# Gate-equivalent by the same contract as banded_levenshtein_ratio:
+# masked pairs score 0, which the caller's rule gate zeroes anyway.
+# VALID ONLY for the pure-Python tier: real rapidfuzz WRatio includes
+# token_SET ratio, which can score ~100 on length- and edit-distant
+# strings sharing a token set, so score_column only applies the mask
+# when rapidfuzz is absent (the rf path gets score_cutoff instead).
+# ---------------------------------------------------------------------------
+
+# Python str.split() whitespace (str.isspace() set), enumerated so the
+# JVM token normalization matches the Python tier exactly — Java's \s is
+# ASCII-only, Python's split is Unicode-aware.
+_PY_WS_CLASS = (
+    "[\\t\\n\\x0b\\x0c\\r\\x1c\\x1d\\x1e\\x1f \\x85\\xa0\\u1680"
+    "\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]"
+)
+
+
+def _token_sort_col(c: Column) -> Column:
+    """JVM twin of _token_sort: Unicode-whitespace split, codepoint-order
+    token sort (Spark's UTF8 binary compare == Python's sorted()), single
+    space join."""
+    norm = F.btrim(F.regexp_replace(c, _PY_WS_CLASS + "+", " "), F.lit(" "))
+    return F.array_join(F.array_sort(F.split(norm, " ")), " ")
+
+
+def _indel_ub_banded(a: Column, b: Column, needed: float) -> Column:
+    """Upper bound of the indel ratio via banded levenshtein: 0 whenever
+    the true ratio provably cannot reach `needed`, else a value >= the
+    true ratio. ratio >= needed  <=>  indel <= total*(100-needed)/100,
+    and indel >= lev, so lev beyond that band proves failure. Band via
+    ceil(): a float product 1 ulp low must widen, never narrow, the band
+    (the banded_levenshtein_ratio lesson)."""
+    total = F.length(a) + F.length(b)
+    band = F.ceil(
+        total * F.lit(max(100.0 - needed, 0.0)) / F.lit(100.0)
+    ).cast("int")
+    dist = F.call_function("levenshtein", a, b, band)
+    ub = F.lit(100.0) * (
+        F.lit(1.0) - dist / F.greatest(total, F.lit(1))
+    )
+    return F.when(dist < 0, F.lit(0.0)).otherwise(ub)
+
+
+def wratio_can_clear(a: Column, b: Column, gate: float) -> Column:
+    """Boolean column: may py_wratio(a, b) reach `gate`? Over-estimates
+    only (never prunes a pair whose true score clears the gate):
+    - base arm:        ratio(a,b)          <= indel_ub(a,b)
+    - token-sort arm:  0.95*ratio(ts)      <= 0.95*indel_ub(ts_a,ts_b)
+    - long arms (len ratio > 1.5): partial ratios are capped by the
+      WRatio scale (90 / 60) and have no cheap JVM bound, so any pair in
+      that regime whose scale cap clears the gate passes through."""
+    la, lb = F.length(a), F.length(b)
+    base_ok = _indel_ub_banded(a, b, gate) >= F.lit(gate)
+    # arm = 0.95 * ratio(ts) >= gate  <=>  ratio(ts) >= gate/0.95
+    ts_needed = min(gate / 0.95, 100.0)
+    ts_ok = (
+        F.lit(0.95) * _indel_ub_banded(_token_sort_col(a), _token_sort_col(b), ts_needed)
+        >= F.lit(gate)
+    )
+    ratio_len = F.greatest(la, lb) / F.greatest(F.least(la, lb), F.lit(1))
+    long_cap = F.when(ratio_len < 8.0, F.lit(90.0)).otherwise(F.lit(60.0))
+    long_ok = (ratio_len > 1.5) & (long_cap >= F.lit(gate))
+    return (la > 0) & (lb > 0) & (base_ok | ts_ok | long_ok)
+
+
+# ---------------------------------------------------------------------------
 # Python tier (pure-Python rapidfuzz-compatible definitions)
 # ---------------------------------------------------------------------------
 
@@ -236,11 +311,16 @@ def batch_partial_ratio(a_list: list[str], b_list: list[str]) -> np.ndarray:
     return out
 
 
-def _batch_score(name: str, a: pd.Series, b: pd.Series) -> pd.Series:
+def _batch_score(
+    name: str, a: pd.Series, b: pd.Series, cutoff: float | None = None
+) -> pd.Series:
     """Batch dispatcher for the pure-Python tier: the plain and token-sort
     ratios (and WRatio's dominant short-string path) run through the
     vectorized DP; the partial variants fall back to per-pair scoring only
-    where a window scan is actually required."""
+    where a window scan is actually required. `cutoff` (WRatio only) is
+    the caller's score gate: rows a cheap length bound proves sub-cutoff
+    score 0 without entering the DP — gate-equivalent, same contract as
+    the JVM-side mask."""
     al = list(a)
     bl = list(b)
     if name == "ratio":
@@ -248,27 +328,36 @@ def _batch_score(name: str, a: pd.Series, b: pd.Series) -> pd.Series:
     if name == "token_sort_ratio":
         return pd.Series(batch_ratio(_batch_token_sort(a), _batch_token_sort(b)))
     if name == "wratio":
-        ts_a = _batch_token_sort(a)
-        ts_b = _batch_token_sort(b)
-        base = batch_ratio(al, bl)
-        tsr = batch_ratio(ts_a, ts_b) * 0.95
-        out = np.maximum(base, tsr)
         la = np.array([len(s or "") for s in al])
         lb = np.array([len(s or "") for s in bl])
-        ratio_len = np.maximum(la, lb) / np.maximum(np.minimum(la, lb), 1)
-        long_idx = np.nonzero(ratio_len > 1.5)[0]
-        if len(long_idx):
-            sub_a = [al[i] or "" for i in long_idx]
-            sub_b = [bl[i] or "" for i in long_idx]
-            sub_ts_a = [ts_a[i] for i in long_idx]
-            sub_ts_b = [ts_b[i] for i in long_idx]
-            scale = np.where(ratio_len[long_idx] < 8, 0.9, 0.6)
-            pr = batch_partial_ratio(sub_a, sub_b)
-            ptr = np.maximum(pr, batch_partial_ratio(sub_ts_a, sub_ts_b))
-            cand = np.maximum(pr * scale, ptr * 0.95 * scale)
-            out[long_idx] = np.maximum(out[long_idx], cand)
-        empty = (la == 0) | (lb == 0)
-        out[empty] = 0.0
+        keep = (la > 0) & (lb > 0)
+        ts_a = _batch_token_sort(a)
+        ts_b = _batch_token_sort(b)
+        if cutoff is not None and cutoff > 0.0:
+            # numpy twin of the JVM length bound: cheap per-row upper
+            # bound from (normalized) lengths only — rows the JVM mask
+            # already blanked have la == 0 and drop via `keep`; this
+            # additionally shrinks the DP batch when the caller invoked
+            # the UDF without the plan-side mask.
+            lta = np.array([len(s) for s in ts_a])
+            ltb = np.array([len(s) for s in ts_b])
+            base_ub = 200.0 * np.minimum(la, lb) / np.maximum(la + lb, 1)
+            ts_ub = 0.95 * 200.0 * np.minimum(lta, ltb) / np.maximum(lta + ltb, 1)
+            ratio_len = np.maximum(la, lb) / np.maximum(np.minimum(la, lb), 1)
+            long_ub = np.where(
+                ratio_len > 1.5, np.where(ratio_len < 8, 90.0, 60.0), 0.0
+            )
+            ub = np.maximum(np.maximum(base_ub, ts_ub), long_ub)
+            keep &= ub >= cutoff
+        out = np.zeros(len(al))
+        idx = np.nonzero(keep)[0]
+        if len(idx):
+            out[idx] = _batch_wratio(
+                [al[i] or "" for i in idx],
+                [bl[i] or "" for i in idx],
+                [ts_a[i] for i in idx],
+                [ts_b[i] for i in idx],
+            )
         return pd.Series(out)
     if name == "partial_ratio":
         return pd.Series(batch_partial_ratio(al, bl))
@@ -277,6 +366,32 @@ def _batch_score(name: str, a: pd.Series, b: pd.Series) -> pd.Series:
         ptr = batch_partial_ratio(_batch_token_sort(a), _batch_token_sort(b))
         return pd.Series(np.maximum(pr, ptr))
     raise ValueError(f"unknown batch scorer {name!r}")
+
+
+def _batch_wratio(
+    al: list[str], bl: list[str], ts_a: list[str], ts_b: list[str]
+) -> np.ndarray:
+    """WRatio arms over an already-filtered (non-empty) batch: plain +
+    token-sort ratios for everyone, boosted partials only for the
+    length-mismatched minority."""
+    base = batch_ratio(al, bl)
+    tsr = batch_ratio(ts_a, ts_b) * 0.95
+    out = np.maximum(base, tsr)
+    la = np.array([len(s) for s in al])
+    lb = np.array([len(s) for s in bl])
+    ratio_len = np.maximum(la, lb) / np.maximum(np.minimum(la, lb), 1)
+    long_idx = np.nonzero(ratio_len > 1.5)[0]
+    if len(long_idx):
+        sub_a = [al[i] for i in long_idx]
+        sub_b = [bl[i] for i in long_idx]
+        sub_ts_a = [ts_a[i] for i in long_idx]
+        sub_ts_b = [ts_b[i] for i in long_idx]
+        scale = np.where(ratio_len[long_idx] < 8, 0.9, 0.6)
+        pr = batch_partial_ratio(sub_a, sub_b)
+        ptr = np.maximum(pr, batch_partial_ratio(sub_ts_a, sub_ts_b))
+        cand = np.maximum(pr * scale, ptr * 0.95 * scale)
+        out[long_idx] = np.maximum(out[long_idx], cand)
+    return out
 
 
 _RF_NAMES = {
@@ -289,8 +404,13 @@ _RF_NAMES = {
 _PY_FUNCS = dict.fromkeys(_RF_NAMES)  # membership check for score_column
 
 
-def make_pandas_scorer(name: str):
-    """Arrow-batched pandas UDF computing scorer `name` over string pairs."""
+def make_pandas_scorer(name: str, cutoff: float | None = None):
+    """Arrow-batched pandas UDF computing scorer `name` over string pairs.
+
+    `cutoff`: gate-equivalent score cutoff — sub-cutoff pairs may come
+    back 0 instead of their true score (rapidfuzz's own score_cutoff
+    contract; the fallback tier applies its length bound). Callers must
+    gate at >= cutoff afterwards, as fuzzy_match's rule gate does."""
     rf = getattr(_rf_fuzz, _RF_NAMES[name], None) if _rf_fuzz else None
 
     @F.pandas_udf(DoubleType())
@@ -298,8 +418,10 @@ def make_pandas_scorer(name: str):
         a = a.fillna("")
         b = b.fillna("")
         if rf is not None:
-            return pd.Series([float(rf(x, y)) for x, y in zip(a, b)])
-        return _batch_score(name, a, b)
+            return pd.Series(
+                [float(rf(x, y, score_cutoff=cutoff)) for x, y in zip(a, b)]
+            )
+        return _batch_score(name, a, b, cutoff=cutoff)
 
     return _score
 
@@ -320,5 +442,19 @@ def score_column(
     if scorer == "exact":
         return exact_score(a, b)
     if scorer in _PY_FUNCS:
+        if scorer == "wratio" and gate is not None and gate > 0.0:
+            udf = make_pandas_scorer(scorer, cutoff=gate)
+            if _rf_fuzz is None:
+                # JVM prefilter: pairs the banded-levenshtein bound proves
+                # sub-gate cross the Arrow boundary as ('','') and score 0
+                # without any Python DP. Pure-Python tier only — real
+                # rapidfuzz WRatio's token_set arm breaks the bound, so
+                # the rf path relies on score_cutoff alone.
+                keep = wratio_can_clear(a, b, gate)
+                return udf(
+                    F.when(keep, a).otherwise(F.lit("")),
+                    F.when(keep, b).otherwise(F.lit("")),
+                )
+            return udf(a, b)
         return make_pandas_scorer(scorer)(a, b)
     raise ValueError(f"unknown scorer {scorer!r}")

@@ -258,8 +258,9 @@ def linkage_fuzzy_match_skew_salted(spark: SparkSession, sf_dir: str) -> DataFra
     oracle=None,
     doc="CONTRAST ROW — production twin: linkage_fuzzy_match_wratio_"
         "subblocked. J4 with rapidfuzz-style WRatio pandas-UDF scorer"
-        " (rows-only), deliberately UNSUBBLOCKED (201s at sf1; the"
-        " sub-blocked twin carries the measured >19x pair cut)",
+        " (rows-only), deliberately UNSUBBLOCKED (201s at sf1 pre-r12;"
+        " 83s once the banded-levenshtein JVM prefilter landed; the"
+        " sub-blocked twin adds the >19x pair cut on top)",
 )
 def linkage_fuzzy_match_wratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     x, y = _xy(spark, sf_dir)
@@ -288,9 +289,10 @@ def linkage_fuzzy_match_wratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "linkage_fuzzy_match_wratio_subblocked",
     oracle=None,
     doc="J4 WRatio pandas-scorer tier with the secondary name-initial"
-        " block: the >19x pair cut applied to the Arrow-boundary-bound"
-        " scorer path where it pays double (fewer pairs scored AND"
-        " serialized); rows-only, equivalence-pinned in tests",
+        " block AND the banded-levenshtein JVM prefilter (round 12):"
+        " pairs provably sub-gate never reach Python, so the quadratic"
+        " DP cost tracks the near-match minority — 11.6s at sf1, out of"
+        " the exclusion list; rows-only, equivalence-pinned in tests",
 )
 def linkage_fuzzy_match_wratio_subblocked(
     spark: SparkSession, sf_dir: str

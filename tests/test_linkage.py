@@ -152,6 +152,92 @@ def test_batch_ratio_matches_pairwise():
     check()
 
 
+def test_batch_score_cutoff_gate_equivalent():
+    """_batch_score(wratio, cutoff=g) must return the TRUE score for every
+    pair whose true score >= g, and 0-or-true below — randomized pairs
+    incl. empties, unicode whitespace, and length-skewed strings."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from sig_etl_spark.linkage.scorers import _batch_score
+
+    words = st.text(alphabet="abc   xyz", max_size=30)
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(st.tuples(words, words), min_size=1, max_size=8),
+        st.floats(min_value=1.0, max_value=100.0),
+    )
+    def check(pairs, gate):
+        a = pd.Series([p[0] for p in pairs])
+        b = pd.Series([p[1] for p in pairs])
+        got = list(_batch_score("wratio", a, b, cutoff=gate))
+        for (x, y), g in zip(pairs, got):
+            true = py_wratio(x, y)
+            if true >= gate:
+                assert g == pytest.approx(true, abs=1e-9), (x, y, gate)
+            else:
+                assert g == pytest.approx(true, abs=1e-9) or g == 0.0, (x, y, gate)
+
+    check()
+
+
+def test_wratio_jvm_prefilter_gate_equivalent(spark):
+    """score_column('wratio', gate=g) with the banded-levenshtein JVM
+    mask must equal the unmasked UDF wherever the true score clears the
+    gate, and be 0-or-true below it — through a real Spark plan, over
+    pairs spanning near-duplicates, unicode whitespace (the Python-split
+    seam the enumerated _PY_WS_CLASS exists for), token permutations
+    (the 0.95 ts arm), and >1.5x length skew (the partial-cap arm)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sig_etl_spark.linkage.scorers import (
+        make_pandas_scorer,
+        py_wratio,
+        score_column,
+    )
+
+    rng = random.Random(12)
+    alphabet = "abcdefgh   "
+    pairs = [
+        ("john smith", "smith, john"),
+        ("john smith", "john smith"),
+        ("abcdefgh", "abcdefghx"),
+        ("ab", "abcdefghabcdefgh"),  # ratio_len 8 boundary
+        ("", "x"),
+        ("", ""),
+        ("a b c", "c b a"),
+    ] + [
+        (
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24))),
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24))),
+        )
+        for _ in range(300)
+    ]
+    gate = 85.0
+    df = spark.createDataFrame(pairs, "a string, b string")
+    out = df.select(
+        "a",
+        "b",
+        score_column("wratio", F.col("a"), F.col("b"), gate=gate).alias("masked"),
+        make_pandas_scorer("wratio")(F.col("a"), F.col("b")).alias("raw"),
+    ).collect()
+    assert len(out) == len(pairs)
+    pruned = 0
+    for r in out:
+        true = py_wratio(r.a, r.b)
+        assert r.raw == pytest.approx(true, abs=1e-9), (r.a, r.b)
+        if true >= gate:
+            assert r.masked == pytest.approx(true, abs=1e-9), (r.a, r.b)
+        else:
+            assert r.masked == pytest.approx(true, abs=1e-9) or r.masked == 0.0
+            pruned += r.masked == 0.0 and true > 0.0
+    assert pruned > 50, "prefilter pruned almost nothing on random pairs"
+
+
 def test_batch_scorers_match_pairwise():
     import numpy as np
     import pandas as pd

@@ -2045,9 +2045,20 @@ FROM gated g JOIN comp c USING (doc_id)
         " top-K broadcast model, pointer-jumping CC)",
 )
 def llm_crawl_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_cluster_split_frame(crawl_gated_frame(spark, sf_dir))
+
+
+def curation_cluster_split_frame(gated: DataFrame) -> DataFrame:
+    """The capstone's BATCH LEG — MinHash+LSH near-dup CC among the
+    gated survivors, then the cluster-hash leakage-proof split — over
+    any (doc_id, n_boilerplate, text, ttr, dup_gram_ratio, coverage)
+    frame. Factored out so the lambda handoff is testable: the
+    streaming capstone accumulates keepers in a parquet sink, and this
+    exact function is what the periodic batch recomputation runs over
+    them (tests/test_streaming.py pins that the composition equals the
+    registered all-batch capstone)."""
     from sig_etl_spark.functions.hashing import portable_hash60
 
-    gated = crawl_gated_frame(spark, sf_dir)
     pairs = D.minhash_lsh_pairs(
         gated.select("doc_id", "text"), "doc_id", "text",
         k=3, num_hashes=64, bands=16, threshold=0.5,

@@ -1093,6 +1093,7 @@ def collect_boilerplate_segments(
     id_col: str = "doc_id",
     g: int = 2,
     t: int = 20,
+    max_segments: int = 4096,
 ) -> list[str]:
     """The boilerplate-segment set of a STATIC reference corpus as
     driver-side literals — segments (``g``-token groups, the exact
@@ -1101,9 +1102,16 @@ def collect_boilerplate_segments(
     re-count corpus-wide segment frequencies, so production pipelines
     scrub live arrivals against the boilerplate set mined from the
     already-curated corpus (same trick as collect_bigram_model).
-    Bounded collect: boilerplate cardinality — segments repeated across
-    >= t docs, a vocabulary-sized set, never row-sized (defaults pinned
-    to llm_text._SEG_G/_SEG_T by test)."""
+    Bounded collect BY CONSTRUCTION: at most ``max_segments`` rows, the
+    top by document frequency (ndocs DESC, seg ASC determinism — the
+    collect_bigram_model pattern). An absolute df threshold alone is
+    NOT a bound: on a 100x corpus the number of segments shared by
+    >= t docs grows roughly with the corpus, and this list later rides
+    every stream plan as a literal. When the cap binds, the dropped
+    segments are the LOWEST-df qualifiers — the least boilerplate-like
+    tail — and the capped stream scrub diverges from the uncapped batch
+    scrub exactly there (the lambda trade; pinned by test). Defaults
+    pinned to llm_text._SEG_G/_SEG_T by test."""
     from sig_etl_spark.llm.text_analysis import token_segments, tokens
 
     segd = (
@@ -1118,7 +1126,8 @@ def collect_boilerplate_segments(
         segd.groupBy("seg")
         .agg(F.countDistinct("_id").alias("ndocs"))
         .filter(F.col("ndocs") >= t)
-        .select("seg")
+        .orderBy(F.desc("ndocs"), "seg")
+        .limit(max_segments)
         .collect()
     )
     return sorted(r["seg"] for r in rows)
@@ -1168,6 +1177,7 @@ def stream_crawl_curation(
     bands: int = 16,
     threshold: float = 0.5,
     dedup_horizon: str = "10 minutes",
+    keep_text: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The continuous twin of the batch crawl-curation capstone
     (queries/llm_dedup.py llm_crawl_curation_e2e) — round 11, closing
@@ -1192,7 +1202,15 @@ def stream_crawl_curation(
     append stream can express — the batch capstone periodically
     recomputes them over the accumulated keepers; the stream's job is
     everything per-record: recover, scrub, gate, and flag arrivals that
-    duplicate the corpus as it stood at model-mint time."""
+    duplicate the corpus as it stood at model-mint time. That handoff
+    is an assertion, not prose: tests/test_streaming.py runs this
+    stream to its parquet sink, replays the batch leg
+    (llm_dedup.curation_cluster_split_frame) over the accumulated
+    keepers, and pins equality with the registered batch capstone.
+
+    ``keep_text``: retain ``clean_text`` in the gate stream — the
+    keeper sink the batch leg recomputes over needs the scrubbed text;
+    the default drops it (the curation LOG sink stores signals only)."""
     from sig_etl_spark.queries.extract_demo import wet_from_records
 
     wet = wet_from_records(records)
@@ -1208,7 +1226,7 @@ def stream_crawl_curation(
         k=k, num_hashes=num_hashes, bands=bands,
         threshold=threshold, dedup_horizon=dedup_horizon,
     )
-    return gate.drop("clean_text"), dups
+    return (gate if keep_text else gate.drop("clean_text")), dups
 
 
 def collect_ivf_index(

@@ -1121,6 +1121,30 @@ def test_stream_ivf_assign_multi_cell_ranks(spark, sf_dir, tmp_path):
                    (cos[i] == cos[i + 1]) for i in range(len(cos) - 1))
 
 
+def test_collect_boilerplate_segments_capped_by_df(spark):
+    """The boilerplate collect is bounded BY CONSTRUCTION: with more
+    qualifying segments than max_segments, exactly the top-df survivors
+    come back (ndocs DESC, seg ASC tiebreak) — never a corpus-tracking
+    list (VERDICT r11 item 2: an absolute df threshold alone grows with
+    the corpus)."""
+    from sig_etl_spark.streaming import collect_boilerplate_segments
+
+    # segment "sK sK" appears in (3 + K) docs, K = 0..5 — six qualifiers
+    # at t=3 with strictly increasing df
+    rows = []
+    rid = 0
+    for k in range(6):
+        for _ in range(3 + k):
+            rows.append((rid, f"s{k} s{k}"))
+            rid += 1
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    full = collect_boilerplate_segments(docs, g=2, t=3)
+    assert full == [f"s{k} s{k}" for k in range(6)]
+    capped = collect_boilerplate_segments(docs, g=2, t=3, max_segments=3)
+    # top-3 by df = the three HIGHEST-k segments
+    assert capped == [f"s{k} s{k}" for k in (3, 4, 5)]
+
+
 def test_stream_scrub_params_pinned():
     """The streaming scrub's segmentation defaults must equal the batch
     scrub's (llm_text._SEG_G/_SEG_T) — they can't silently drift."""
@@ -1225,6 +1249,94 @@ def test_stream_crawl_curation_matches_batch_capstone(spark, sf_dir, tmp_path):
     got_pairs = {(int(r.doc_id), int(r.corpus_id)) for r in dups.itertuples(index=False)}
     assert got_pairs == sym
     assert sym, "fixture corpus must contain near-duplicate survivors"
+
+
+def test_lambda_batch_leg_handoff_matches_batch_capstone(spark, sf_dir, tmp_path):
+    """Round 12 (VERDICT r11 task 3): the lambda split's BATCH-LEG
+    handoff, pinned end to end. The streaming capstone runs to its REAL
+    parquet keeper sink across two checkpointed deliveries; the batch
+    leg (curation_cluster_split_frame — near-dup CC + leakage-proof
+    split) then recomputes over the parquet accumulation exactly as a
+    periodic batch job would; the merged result must equal the
+    registered all-batch llm_crawl_curation_e2e on the same input,
+    row for row across every column."""
+    from sig_etl_spark.queries import QUERIES
+    from sig_etl_spark.queries.extract_demo import (
+        wet_crawl_containers,
+        wet_text_records,
+    )
+    from sig_etl_spark.queries.llm_dedup import (
+        crawl_clean_frame,
+        crawl_gated_frame,
+        curation_cluster_split_frame,
+    )
+    from sig_etl_spark.streaming import (
+        collect_bigram_model,
+        collect_boilerplate_segments,
+        read_warc_stream,
+        run_available_now,
+        stream_crawl_curation,
+    )
+
+    raw = wet_text_records(spark, sf_dir).select("doc_id", "text")
+    boiler = collect_boilerplate_segments(raw)
+    model = collect_bigram_model(crawl_clean_frame(spark, sf_dir), "text", k=500)
+    corpus = crawl_gated_frame(spark, sf_dir).select(
+        "doc_id", "text"
+    ).localCheckpoint(eager=False)
+
+    containers = wet_crawl_containers(spark, sf_dir).collect()
+    zone = tmp_path / "handoff_zone"
+    zone.mkdir()
+    sink_dir = str(tmp_path / "keeper_sink")
+    ckpt = str(tmp_path / "handoff_ckpt")
+
+    def _deliver(rows):
+        for r in rows:
+            (zone / f"part-{r.container_id}.warc.gz").write_bytes(bytes(r.data))
+
+    def _run(suffix):
+        gate_df, _ = stream_crawl_curation(
+            read_warc_stream(spark, str(zone)), boiler, model, corpus,
+            keep_text=True,
+        )
+        return run_available_now(
+            gate_df, ckpt, "handoff" + suffix,
+            output_mode="append", output_dir=sink_dir,
+        )
+
+    _deliver(containers[:4])
+    paths1 = _run("1")
+    _deliver(containers[4:])
+    paths2 = _run("2")
+    assert paths1 and paths2, "both deliveries must write keeper batches"
+
+    accumulated = spark.read.parquet(sink_dir)
+    keepers = accumulated.filter(F.col("keep")).select(
+        "doc_id",
+        "n_boilerplate",
+        F.col("clean_text").alias("text"),
+        "ttr",
+        "dup_gram_ratio",
+        "coverage",
+    )
+    merged = curation_cluster_split_frame(keepers).collect()
+    want = QUERIES["llm_crawl_curation_e2e"].builder(spark, sf_dir).collect()
+    assert want, "batch capstone produced no rows on the fixture"
+
+    def _key(rows):
+        return {
+            r.doc_id: (
+                r.n_boilerplate, r.ttr, r.dup_gram_ratio, r.coverage,
+                r.cluster_id, r.is_canonical, r.bucket, r.split,
+            )
+            for r in rows
+        }
+
+    assert _key(merged) == _key(want)
+    # the handoff must be non-degenerate: real clusters, all three splits
+    assert any(not r.is_canonical for r in merged), "no near-dup clusters"
+    assert {r.split for r in merged} == {"train", "valid", "test"}
 
 
 def test_stream_decontaminate_matches_batch_bloom(spark, sf_dir, tmp_path):

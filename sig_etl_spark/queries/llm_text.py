@@ -2467,22 +2467,25 @@ _SPAN_M = 5  # minimum surviving span length, tokens
 
 # Shared CTE chain (base .. kept): tokenize -> bench grams -> poisoned
 # intervals -> island merge -> complement spans. ONE template formatted
-# by both the registered span query and the training-release capstone —
-# the _BPE_MERGE_CTE lesson (two hand-copies of a load-bearing chain
-# silently drift).
-_SPAN_CTES = rf"""base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# by the registered span queries (test-width K=3 and production-width
+# K=13) and the training-release capstone — the _BPE_MERGE_CTE lesson
+# (two hand-copies of a load-bearing chain silently drift).
+
+
+def _span_ctes(k: int, p: int, m: int) -> str:
+    return rf"""base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 tokd AS (SELECT doc_id, toks, len(toks) AS n FROM base),
 grams AS (
   SELECT doc_id, s AS pos,
-         array_to_string(list_slice(toks, s + 1, s + {_SPAN_K}), ' ') AS gram
-  FROM (SELECT doc_id, toks, unnest(range(0, n - {_SPAN_K} + 1)) AS s
-        FROM tokd WHERE n >= {_SPAN_K})
+         array_to_string(list_slice(toks, s + 1, s + {k}), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(0, n - {k} + 1)) AS s
+        FROM tokd WHERE n >= {k})
 ),
 bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
 hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN bench b USING (gram)
          WHERE g.doc_id % 97 <> 0),
-iv AS (SELECT doc_id, greatest(pos - {_SPAN_P}, 0) AS lo,
-              pos + {_SPAN_K} - 1 + {_SPAN_P} AS hi
+iv AS (SELECT doc_id, greatest(pos - {p}, 0) AS lo,
+              pos + {k} - 1 + {p} AS hi
        FROM hits),
 mclamp AS (SELECT i.doc_id, i.lo, least(i.hi, t.n - 1) AS hi
            FROM iv i JOIN tokd t USING (doc_id)),
@@ -2505,7 +2508,10 @@ gaps AS (
   WHERE t.doc_id % 97 <> 0 AND t.n >= 1
     AND NOT EXISTS (SELECT 1 FROM iv WHERE iv.doc_id = t.doc_id)
 ),
-kept AS (SELECT doc_id, s, e FROM gaps WHERE e - s + 1 >= {_SPAN_M})"""
+kept AS (SELECT doc_id, s, e FROM gaps WHERE e - s + 1 >= {m})"""
+
+
+_SPAN_CTES = _span_ctes(_SPAN_K, _SPAN_P, _SPAN_M)
 
 _DECON_SPAN_ORACLE = rf"""
 WITH {_SPAN_CTES},
@@ -2535,16 +2541,62 @@ def llm_decontaminate_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_decontaminate_frame(docs)
 
 
+# Production gram width (GPT-3 appendix C uses 13-grams): same chain,
+# 4x-longer gram strings. At K=13 almost no synthetic doc shares an
+# exact 13-gram with the benchmark side, so this row exercises the
+# CLEAN-DOC BYPASS path — the one that dominates on real corpora —
+# while the K=3 row above keeps the contaminated path loaded. The pad
+# stays at the module default (GPT-3's 200-char pad is ~37 tokens,
+# which would poison entire synthetic docs and collapse the fixture).
+_SPAN_K_PROD = 13
+
+_DECON_SPAN_K13_ORACLE = rf"""
+WITH {_span_ctes(_SPAN_K_PROD, _SPAN_P, _SPAN_M)},
+hitcnt AS (SELECT doc_id, COUNT(*) AS n_hits FROM hits GROUP BY doc_id)
+SELECT k.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(ROW_NUMBER() OVER (PARTITION BY k.doc_id ORDER BY k.s) - 1
+            AS BIGINT) AS span_idx,
+       CAST(k.e - k.s + 1 AS BIGINT) AS span_tokens,
+       array_to_string(list_slice(t.toks, k.s + 1, k.e + 1), ' ') AS span_text
+FROM kept k
+JOIN tokd t USING (doc_id)
+LEFT JOIN hitcnt h ON h.doc_id = k.doc_id
+"""
+
+
+@register(
+    "llm_decontaminate_span_k13",
+    oracle=_DECON_SPAN_K13_ORACLE,
+    doc=f"span decontamination at PRODUCTION gram width K={_SPAN_K_PROD}"
+        " (GPT-3 appendix C): same broadcast-probe/bounded-window/bypass"
+        " plan with 4x-longer gram strings; on synthetic data nearly"
+        " every doc takes the clean bypass — the regime real corpora"
+        " exercise",
+)
+def llm_decontaminate_span_k13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return span_decontaminate_frame(docs, k=_SPAN_K_PROD)
+
+
 def span_decontaminate_frame(
-    docs: DataFrame, extra_cols: tuple[str, ...] = ()
+    docs: DataFrame,
+    extra_cols: tuple[str, ...] = (),
+    k: int = _SPAN_K,
+    p: int = _SPAN_P,
+    m: int = _SPAN_M,
 ) -> DataFrame:
     """Span-level decontamination over any (doc_id, text) frame — the
-    registered query, the training-release capstone, and the unit-test
-    edge fixtures share this body. Benchmark side = doc_id % 97 == 0
-    (the llm_decontaminate convention). Returns (doc_id, n_hits,
-    span_idx, span_tokens, span_text, *extra_cols); extra_cols ride the
-    tokenized checkpoint through to the output so a caller that needs
-    e.g. `source` does not pay a second corpus join."""
+    registered queries (test width K=3 and production width K=13), the
+    training-release capstone, and the unit-test edge fixtures share
+    this body. Benchmark side = doc_id % 97 == 0 (the llm_decontaminate
+    convention). Returns (doc_id, n_hits, span_idx, span_tokens,
+    span_text, *extra_cols); extra_cols ride the tokenized checkpoint
+    through to the output so a caller that needs e.g. `source` does not
+    pay a second corpus join. ``k``/``p``/``m`` are the gram width,
+    poison pad, and minimum surviving span length — the plan shape is
+    width-independent (same broadcast probe, same bounded windows, same
+    clean-doc bypass)."""
     from pyspark.sql import Window
 
     # five downstream branches (grams, clamp, tail, untouched, reassembly)
@@ -2557,19 +2609,19 @@ def span_decontaminate_frame(
         .localCheckpoint(eager=False)
     )
     grams = (
-        tokd.where(F.col("n") >= _SPAN_K)
+        tokd.where(F.col("n") >= k)
         .select(
             "doc_id",
             "toks",
             F.explode(
-                F.sequence(F.lit(0), F.col("n") - _SPAN_K)
+                F.sequence(F.lit(0), F.col("n") - k)
             ).alias("pos"),
         )
         .select(
             "doc_id",
             "pos",
             F.array_join(
-                F.slice("toks", F.col("pos") + 1, F.lit(_SPAN_K)), " "
+                F.slice("toks", F.col("pos") + 1, F.lit(k)), " "
             ).alias("gram"),
         )
     )
@@ -2581,8 +2633,8 @@ def span_decontaminate_frame(
     )
     iv = hits.select(
         "doc_id",
-        F.greatest(F.col("pos") - _SPAN_P, F.lit(0)).alias("lo"),
-        (F.col("pos") + _SPAN_K - 1 + _SPAN_P).alias("hi"),
+        F.greatest(F.col("pos") - p, F.lit(0)).alias("lo"),
+        (F.col("pos") + k - 1 + p).alias("hi"),
     )
     mclamp = iv.join(tokd.select("doc_id", "n"), "doc_id").select(
         "doc_id", "lo", F.least("hi", F.col("n") - 1).alias("hi")
@@ -2611,7 +2663,7 @@ def span_decontaminate_frame(
     kept = (
         gaps_mid.unionByName(gaps_tail)
         .unionByName(untouched)
-        .where(F.col("e") - F.col("s") + 1 >= _SPAN_M)
+        .where(F.col("e") - F.col("s") + 1 >= m)
     )
     hitcnt = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
     w3 = Window.partitionBy("doc_id").orderBy("s")

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from sig_etl_spark.queries import QUERIES
 
 
@@ -796,13 +798,18 @@ def test_registered_incremental_kmeans_checkpoints_static(spark, sf_dir, monkeyp
     assert calls == [True], calls
 
 
-def test_span_decon_plan_shape(spark, sf_dir):
-    """Round 11 llm_decontaminate_span: the contamination probe and every
-    dimension join must broadcast (the bench gram set is eval-suite
-    sized); no sort-merge join, no cartesian product; every Window is
-    doc-partitioned (bounded by hits-per-doc, never a global sort); the
-    tokenized corpus is checkpointed once for the five-branch fan-out."""
-    plan = _plan(spark, sf_dir, "llm_decontaminate_span")
+@pytest.mark.parametrize(
+    "query", ["llm_decontaminate_span", "llm_decontaminate_span_k13"]
+)
+def test_span_decon_plan_shape(spark, sf_dir, query):
+    """Round 11 llm_decontaminate_span (+ the round-12 production-width
+    K=13 twin — the plan shape must be gram-width-independent): the
+    contamination probe and every dimension join must broadcast (the
+    bench gram set is eval-suite sized); no sort-merge join, no
+    cartesian product; every Window is doc-partitioned (bounded by
+    hits-per-doc, never a global sort); the tokenized corpus is
+    checkpointed once for the five-branch fan-out."""
+    plan = _plan(spark, sf_dir, query)
     assert _count_op(plan, "BroadcastHashJoin") >= 3
     assert _count_op(plan, "SortMergeJoin") == 0
     assert _count_op(plan, "CartesianProduct") == 0

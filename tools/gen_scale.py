@@ -60,20 +60,33 @@ def _replicate(df: DataFrame, replicas: int, key_cols: list[str]) -> DataFrame:
     return out
 
 
-def _scale_documents(df: DataFrame, replicas: int) -> DataFrame:
+def _scale_documents(
+    df: DataFrame, replicas: int, eval_disjoint: bool = False
+) -> DataFrame:
+    """``eval_disjoint`` (round 12, VERDICT r11 task 4): the synthetic
+    vocabulary is so small that at sf1 the benchmark side (doc_id % 97
+    == 0) covers 58% of the corpus 3-gram space — nearly every training
+    position reads poisoned, the inverse of the real-world regime where
+    eval suites cover a vanishing gram fraction. With the knob on, 98%
+    of bench docs move into a disjoint token namespace ('ev' prefix) so
+    their grams can never hit the corpus; the remaining 2% keep the
+    shared vocabulary, leaving a small genuine contamination signal.
+    Deterministic: membership is (doc_id // 97) % 50 == 0."""
     rep = _replicate(df, replicas, ["doc_id"])
 
     def permute(batches):
         for pdf in batches:
             texts = []
             for doc_id, r, text in zip(pdf["doc_id"], pdf["__r"], pdf["text"]):
-                if r == 0:
-                    texts.append(text)
-                    continue
-                words = text.split(" ")
-                rng = random.Random(int(doc_id) * 131071 + int(r))
-                rng.shuffle(words)
-                texts.append(" ".join(words))
+                did = int(doc_id)
+                if r != 0:
+                    words = text.split(" ")
+                    rng = random.Random(did * 131071 + int(r))
+                    rng.shuffle(words)
+                    text = " ".join(words)
+                if eval_disjoint and did % 97 == 0 and (did // 97) % 50 != 0:
+                    text = " ".join("ev" + w for w in text.split(" "))
+                texts.append(text)
             pdf = pdf.assign(text=texts)
             pdf["n_chars"] = pdf["text"].str.len().astype("int64")
             yield pdf
@@ -118,7 +131,22 @@ def main() -> int:
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dest", default=None)
+    ap.add_argument(
+        "--eval-disjoint",
+        action="store_true",
+        help="move 98%% of benchmark-side docs (doc_id %% 97 == 0) into a"
+        " disjoint token namespace so span-decontamination rows exercise"
+        " the clean-doc bypass path real corpora hit (see"
+        " _scale_documents)",
+    )
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated table subset to write (e.g. 'documents' for"
+        " the eval-disjoint span-family fixture) — other tables skipped",
+    )
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
     dest = args.dest or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".testdata", "sf1",
@@ -133,18 +161,32 @@ def main() -> int:
         df.repartition(nfiles).write.mode("overwrite").parquet(path)
         print(f"{name}: {spark.read.parquet(path).count()} rows -> {path}")
 
+    def wanted(name: str) -> bool:
+        return only is None or name in only
+
     for name in ("region", "nation"):
-        write(name, spark.read.parquet(os.path.join(args.src, f"{name}.parquet")), 1)
+        if wanted(name):
+            write(
+                name, spark.read.parquet(os.path.join(args.src, f"{name}.parquet")), 1
+            )
 
     for name, (keys, nfiles) in KEYED.items():
+        if not wanted(name):
+            continue
         df = spark.read.parquet(os.path.join(args.src, f"{name}.parquet"))
         write(name, _replicate(df, args.replicas, keys).drop("__r"), nfiles)
 
-    docs = spark.read.parquet(os.path.join(args.src, "documents.parquet"))
-    write("documents", _scale_documents(docs, args.replicas), 2)
+    if wanted("documents"):
+        docs = spark.read.parquet(os.path.join(args.src, "documents.parquet"))
+        write(
+            "documents",
+            _scale_documents(docs, args.replicas, eval_disjoint=args.eval_disjoint),
+            2,
+        )
 
-    embs = spark.read.parquet(os.path.join(args.src, "embeddings.parquet"))
-    write("embeddings", _scale_embeddings(embs, args.replicas), 1)
+    if wanted("embeddings"):
+        embs = spark.read.parquet(os.path.join(args.src, "embeddings.parquet"))
+        write("embeddings", _scale_embeddings(embs, args.replicas), 1)
     return 0
 
 

@@ -173,22 +173,19 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 11 (N=238, D=2):
-# ceil(188/48) = 4 rounds worst-case — the only debuts are the two
-# r8-stale multimodal near-dup rows (VERDICT r10 task 8), so the stale
-# block still drains at near-full width; the budget assert bounds how
-# much a debut-heavy round can slow the refresh.
+# behind at most N - C fresher-than-it entries. Round 12 (N=240, D=0):
+# ceil(190/50) = 4 rounds worst-case — no hand-listed debuts, so the
+# stale block drains at FULL width; the budget assert bounds how much a
+# debut-heavy round can slow the refresh.
 # Late-round _HOLDBACK entries sort last and only tighten this bound
 # for everyone else.
-# Round-11 drain arithmetic: with D=2 and three rank-0 newcomers
-# (llm_decontaminate_span, llm_mixture_waterfill,
-# llm_training_release_e2e — never observed, so they sort ahead of
-# every dated entry), the 48 non-debut slots go to the 3 newcomers +
-# the ENTIRE 42-entry r6-stale cohort (the oldest block — VERDICT r10
-# task 4) + the 3 oldest r7 entries, holding max
-# staleness in the union view at the arithmetic floor of 4 rounds;
-# tests/test_rotation_policy.py::test_stale_block_drains_round11 pins
-# the sample composition.
+# Round-12 drain arithmetic: with D=0 hand-listed debuts and two rank-0
+# newcomers (llm_training_release_bucketed, llm_decontaminate_span_k13
+# — never observed, so they sort ahead of every dated entry), the 48
+# remaining slots absorb the ENTIRE 42-entry r7-stale cohort (VERDICT
+# r11 task 6) plus the 6 oldest r8 entries — after round 12 no query's
+# last driver row predates r8, max union staleness 4 rounds;
+# tests/test_rotation_policy.py pins the sample composition.
 # tools/verify_local.py
 # still checks ALL queries locally every round, so the cap only limits
 # the external signal, never the verification itself.
@@ -197,24 +194,18 @@ def _load_all() -> None:
 _DRIVER_CAP = 50
 _DEBUT_BUDGET = 25
 
-# Round 11 debuts — the two rows-only multimodal near-dup queries
-# (VERDICT r10 task 8: last driver observation r8; their planted-twin
-# completeness is pytest-pinned as exact set equality, so the driver
-# row is the freshness half). The round's streaming/hardening additions
-# (stream_crawl_curation + stream_scrub + collect_boilerplate_segments,
-# WARC robustness, WRatio golden fixtures) are pytest-pinned by design;
-# the three NEW registrations (llm_decontaminate_span,
-# llm_mixture_waterfill, llm_training_release_e2e) enter as rank-0
-# newcomers, leaving 45 slots for the r6-cohort drain + 3 oldest r7
-# entries (VERDICT r10 task 4 still fully satisfied).
-_DEBUTS: list[str] = [
-    "mm_phash_near_dup",
-    "mm_audio_fingerprint_near_dup",
-]
+# Round 12 debuts — none hand-listed: the round's two NEW registrations
+# (llm_training_release_bucketed, llm_decontaminate_span_k13) enter as
+# rank-0 newcomers automatically, and the round's result-preserving
+# changes (WRatio JVM prefilter — gate-equivalent by property test;
+# crawl-capstone batch-leg refactor — row-identical by the handoff
+# test) alter no registered query's output, so the full 48-slot width
+# goes to the r7-cohort drain.
+_DEBUTS: list[str] = []
 
 # Queries registered AFTER a round's debut budget was already spent
 # (late-round additions) sort LAST that round, yielding their slot to
-# the stale-block drain. Round 11: EMPTY so far.
+# the stale-block drain. Round 12: EMPTY so far.
 _HOLDBACK: list[str] = []
 
 # Round 8's _DIVERGENT_PROBES mechanism (expected-red probes yield their

@@ -137,12 +137,12 @@ def test_no_expected_red_rows_registered():
     assert "diag_seam_hugeint_cast" not in QUERIES
 
 
-def test_stale_block_drains_round11():
-    """VERDICT r10 task 4 (the r9-task-4 pin, advanced one round): the
-    r11 driver sample (first 50 registry entries) must draw its
+def test_stale_block_drains_round12():
+    """VERDICT r11 task 6 (the r9-task-4 pin, advanced one round): the
+    r12 driver sample (first 50 registry entries) must draw its
     non-debut slots from the OLDEST cohort — the ENTIRE 42-entry
-    r6-stale block plus the oldest r7 entries. Every non-debut entry
-    inside the cap must have last-green <= r7, and no r6 entry may be
+    r7-stale block plus the oldest r8 entries. Every non-debut entry
+    inside the cap must have last-green <= r8, and no r7 entry may be
     left outside the cap."""
     import sig_etl_spark.queries as q
     from sig_etl_spark.queries._driver_history import DRIVER_LAST_GREEN
@@ -151,13 +151,13 @@ def test_stale_block_drains_round11():
     non_debut = [n for n in cap if n not in q._DEBUTS]
     assert len(non_debut) >= q._DRIVER_CAP - q._DEBUT_BUDGET
     worst = max(DRIVER_LAST_GREEN.get(n, 0) for n in non_debut)
-    assert worst <= 7, (
-        f"a fresher-than-r7 entry leads the stale block: "
-        f"{[(n, DRIVER_LAST_GREEN.get(n, 0)) for n in non_debut if DRIVER_LAST_GREEN.get(n, 0) > 7]}"
+    assert worst <= 8, (
+        f"a fresher-than-r8 entry leads the stale block: "
+        f"{[(n, DRIVER_LAST_GREEN.get(n, 0)) for n in non_debut if DRIVER_LAST_GREEN.get(n, 0) > 8]}"
     )
-    r6_outside = [
+    r7_outside = [
         n
         for n in list(QUERIES)[q._DRIVER_CAP:]
-        if 0 < DRIVER_LAST_GREEN.get(n, 0) <= 6
+        if 0 < DRIVER_LAST_GREEN.get(n, 0) <= 7
     ]
-    assert not r6_outside, f"r6-stale entries left outside the cap: {r6_outside}"
+    assert not r7_outside, f"r7-stale entries left outside the cap: {r7_outside}"

@@ -848,6 +848,22 @@ def test_training_release_capstone_plan_shape(spark, sf_dir):
         )
 
 
+def test_wratio_prefilter_plan_shape(spark, sf_dir):
+    """Round 12 WRatio JVM prefilter: the compiled plan for the
+    sub-blocked WRatio linkage must carry the banded levenshtein bound
+    JVM-side (levenshtein appears in the plan even though the SCORER is
+    a pandas UDF) and exactly one Arrow/Python eval node per plan branch
+    — the mask must not have added a second Python crossing."""
+    plan = _plan(spark, sf_dir, "linkage_fuzzy_match_wratio_subblocked")
+    assert "levenshtein" in plan, "JVM prefilter bound missing from plan"
+    # the scorer itself stays a single Arrow-batched crossing
+    n_arrow = _count_op(plan, "ArrowEvalPython") + _count_op(
+        plan, "BatchEvalPython"
+    )
+    assert n_arrow == 1, f"expected exactly one Python eval node, got {n_arrow}"
+    assert _count_op(plan, "CartesianProduct") == 0
+
+
 def test_training_release_bucketed_plan_shape(spark, sf_dir):
     """Round 12 llm_training_release_bucketed: the packing window must
     partition on the sub-bucket key (split, source, bucket) — the whole

@@ -72,16 +72,17 @@ def main() -> int:
     # regressions indistinguishable from noise in r02-r04. The median of
     # 3 back-to-back runs is stable enough to adjudicate plan changes.
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
-    # Housekeeping cadence (queries between GC passes). Measured round 12
-    # on the 8-query ANN/embedding slice at sf1: every-1 vs every-8 cut
+    # Housekeeping cadence (queries between GC passes). Measured round 12:
+    # on the 8-query ANN/embedding slice at sf1, every-1 vs every-8 cut
     # EVERY row 5-15% (near_dup_ivf 32.3 -> 27.3s, matching its isolated
-    # 28.4s), so default 2 — most of the backlog benefit at ~0.3s/pass,
-    # which is excluded from per-query timings but reported in
-    # gc_overhead_seconds. The full-sweep inflation of late heavy rows
-    # (94.7s in-seq vs 28.4s isolated at position 159) is only PARTLY
-    # cadence: an 8-query backlog reproduces none of it — the rest is
-    # 150+ queries of accumulated JVM history, which is why flagged rows
-    # are always isolated-re-measured before publishing.
+    # 28.4s median), so default 2 — ~0.15s/pass, excluded from per-query
+    # timings and reported in gc_overhead_seconds. Honest caveat: at FULL
+    # sweep scale a back-to-back gc8-vs-gc2 comparison was noise-bound
+    # (embedding rows -20%, other heavies +20% — the documented +/-60%
+    # box swing dominates), and an 8-query backlog reproduces none of the
+    # deep late-row inflation (94.7s in-seq vs 28.4s isolated at position
+    # 159 is 150+ queries of accumulated JVM history) — which is why
+    # flagged rows are ALWAYS isolated-re-measured before publishing.
     gc_every = int(os.environ.get("SPARK_GRAFT_GC_EVERY", "2"))
 
     timings: dict[str, float] = {}

@@ -173,18 +173,19 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 12 (N=240, D=0):
-# ceil(190/50) = 4 rounds worst-case — no hand-listed debuts, so the
+# behind at most N - C fresher-than-it entries. Round 12 (N=241, D=0):
+# ceil(191/50) = 4 rounds worst-case — no hand-listed debuts, so the
 # stale block drains at FULL width; the budget assert bounds how much a
 # debut-heavy round can slow the refresh.
 # Late-round _HOLDBACK entries sort last and only tighten this bound
 # for everyone else.
-# Round-12 drain arithmetic: with D=0 hand-listed debuts and two rank-0
-# newcomers (llm_training_release_bucketed, llm_decontaminate_span_k13
-# — never observed, so they sort ahead of every dated entry), the 48
-# remaining slots absorb the ENTIRE 42-entry r7-stale cohort (VERDICT
-# r11 task 6) plus the 6 oldest r8 entries — after round 12 no query's
-# last driver row predates r8, max union staleness 4 rounds;
+# Round-12 drain arithmetic: with D=0 hand-listed debuts and three
+# rank-0 newcomers (llm_training_release_bucketed,
+# llm_decontaminate_span_k13, llm_epoch_shuffle — never observed, so
+# they sort ahead of every dated entry), the 47 remaining slots absorb
+# the ENTIRE 42-entry r7-stale cohort (VERDICT r11 task 6) plus the 5
+# oldest r8 entries — after round 12 no query's last driver row
+# predates r8, max union staleness 4 rounds;
 # tests/test_rotation_policy.py pins the sample composition.
 # tools/verify_local.py
 # still checks ALL queries locally every round, so the cap only limits
@@ -194,8 +195,9 @@ def _load_all() -> None:
 _DRIVER_CAP = 50
 _DEBUT_BUDGET = 25
 
-# Round 12 debuts — none hand-listed: the round's two NEW registrations
-# (llm_training_release_bucketed, llm_decontaminate_span_k13) enter as
+# Round 12 debuts — none hand-listed: the round's three NEW
+# registrations (llm_training_release_bucketed,
+# llm_decontaminate_span_k13, llm_epoch_shuffle) enter as
 # rank-0 newcomers automatically, and the round's result-preserving
 # changes (WRatio JVM prefilter — gate-equivalent by property test;
 # crawl-capstone batch-leg refactor — row-identical by the handoff

@@ -535,6 +535,113 @@ FROM runs
 """
 
 
+# ---------------------------------------------------------------------------
+# Reproducible per-epoch training-order shuffle (round 12): every real
+# trainer re-shuffles the corpus each epoch, reproducibly, and a naive
+# ORDER BY rand() is both non-reproducible and a GLOBAL SORT — the one
+# plan shape that cannot run on 100 TB. The scalable construction is the
+# two-level order Megatron-style data loaders use: a seeded hash key
+# assigns each (doc, epoch) to one of B buckets, docs sort ONLY within
+# their bucket (windows bounded by n/B), and the total order is
+# (bucket, pos_in_bucket) with bucket offsets from a B-row prefix sum —
+# so the global permutation is imposed without any corpus-wide sort.
+# md5-derived keys make the permutation engine-exact (DuckDB re-derives
+# it), cluster-size-independent, and distinct per epoch (salt = epoch).
+# ---------------------------------------------------------------------------
+
+_SHUF_EPOCHS = 3
+_SHUF_BUCKETS = 8
+
+_SHUF_ORACLE = rf"""
+WITH e AS (SELECT unnest(range(0, {_SHUF_EPOCHS})) AS epoch),
+keyed AS (
+  SELECT e.epoch, d.doc_id,
+         CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                                       CAST(e.epoch AS VARCHAR)), 1, 15))
+                   AS UBIGINT) AS BIGINT) AS k
+  FROM documents d CROSS JOIN e
+),
+b AS (SELECT epoch, doc_id, k, k % {_SHUF_BUCKETS} AS bucket FROM keyed),
+r AS (
+  SELECT epoch, doc_id, bucket,
+         ROW_NUMBER() OVER (PARTITION BY epoch, bucket ORDER BY k, doc_id)
+           AS pos_in_bucket
+  FROM b
+),
+cnt AS (SELECT epoch, bucket, CAST(COUNT(*) AS BIGINT) AS n
+        FROM b GROUP BY epoch, bucket),
+off AS (
+  SELECT epoch, bucket,
+         COALESCE(SUM(n) OVER (PARTITION BY epoch ORDER BY bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS o
+  FROM cnt
+)
+SELECT r.epoch, r.doc_id, CAST(r.bucket AS BIGINT) AS bucket,
+       CAST(r.pos_in_bucket AS BIGINT) AS pos_in_bucket,
+       CAST(o.o + r.pos_in_bucket - 1 AS BIGINT) AS global_pos
+FROM r JOIN off o USING (epoch, bucket)
+"""
+
+
+@register(
+    "llm_epoch_shuffle",
+    oracle=_SHUF_ORACLE,
+    doc=f"reproducible per-epoch training-order shuffle, NO global sort:"
+        f" seeded md5 key -> {_SHUF_BUCKETS} buckets, sort within bucket"
+        f" only, total order = bucket offset (a {_SHUF_BUCKETS}-row"
+        f" prefix sum, broadcast back) + pos_in_bucket; {_SHUF_EPOCHS}"
+        " distinct engine-exact permutations",
+)
+def llm_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sig_etl_spark.functions.hashing import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_SHUF_EPOCHS - 1))).alias("epoch"),
+        "doc_id",
+    ).select(
+        F.col("epoch").cast("bigint").alias("epoch"), "doc_id"
+    ).select(
+        "epoch",
+        "doc_id",
+        portable_hash60(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("epoch").cast("string"),
+            )
+        ).alias("k"),
+    )
+    b = keyed.withColumn("bucket", (F.col("k") % _SHUF_BUCKETS).cast("bigint"))
+    w = Window.partitionBy("epoch", "bucket").orderBy("k", "doc_id")
+    r = b.withColumn(
+        "pos_in_bucket", F.row_number().over(w).cast("bigint")
+    )
+    # Bucket offsets: an (epochs x buckets)-row aggregate — the ONLY
+    # cross-bucket coordination the total order needs — prefix-summed on
+    # the dimension and broadcast back.
+    cnt = b.groupBy("epoch", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    offw = (
+        Window.partitionBy("epoch")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = cnt.select(
+        "epoch", "bucket",
+        F.coalesce(F.sum("n").over(offw), F.lit(0)).alias("o"),
+    )
+    return r.join(F.broadcast(off), ["epoch", "bucket"]).select(
+        "epoch",
+        "doc_id",
+        "bucket",
+        "pos_in_bucket",
+        (F.col("o") + F.col("pos_in_bucket") - 1).cast("bigint").alias("global_pos"),
+    )
+
+
 @register(
     "llm_shard_packing",
     oracle=_PACK_ORACLE,

@@ -848,6 +848,23 @@ def test_training_release_capstone_plan_shape(spark, sf_dir):
         )
 
 
+def test_epoch_shuffle_plan_shape(spark, sf_dir):
+    """Round 12 llm_epoch_shuffle: the whole point is a total order with
+    NO global sort — every window must carry the (epoch, bucket)
+    partition key, there must be no range-partitioning exchange (the
+    global-orderBy signature), and the bucket-offset join must
+    broadcast (dimension-sized)."""
+    plan = _plan(spark, sf_dir, "llm_epoch_shuffle")
+    assert "rangepartitioning" not in plan.lower(), "global sort crept in"
+    assert _count_op(plan, "BroadcastHashJoin") >= 1
+    assert _count_op(plan, "CartesianProduct") == 0
+    for m in re.finditer(r"^\(\d+\) Window\b.*\n((?:.+\n)+?)\n", plan, re.M):
+        body = m.group(1)
+        assert "epoch" in body and "bucket" in body, (
+            f"window not (epoch, bucket)-partitioned:\n{m.group(0)}"
+        )
+
+
 def test_wratio_prefilter_plan_shape(spark, sf_dir):
     """Round 12 WRatio JVM prefilter: the compiled plan for the
     sub-blocked WRatio linkage must carry the banded levenshtein bound

@@ -666,6 +666,47 @@ def test_release_bucketed_matches_exact_and_splits_dominant_source(spark):
         assert sum(toks) < _SHARD_CAPACITY + max(toks)
 
 
+def test_epoch_shuffle_is_reproducible_permutation(spark, sf_dir):
+    """llm_epoch_shuffle invariants: per epoch, global_pos is exactly the
+    permutation 0..n-1; epochs produce DIFFERENT orders (the salt works);
+    bucket regions are contiguous in bucket order (the two-level total
+    order really is an order); and a re-run is bit-identical
+    (reproducibility is the whole point)."""
+    from collections import defaultdict
+
+    from sig_etl_spark.queries.llm_text import _SHUF_EPOCHS, llm_epoch_shuffle
+
+    rows = llm_epoch_shuffle(spark, sf_dir).collect()
+    again = llm_epoch_shuffle(spark, sf_dir).collect()
+    key = lambda r: (r.epoch, r.doc_id)  # noqa: E731
+    assert {key(r): r.global_pos for r in rows} == {
+        key(r): r.global_pos for r in again
+    }
+
+    by_epoch = defaultdict(list)
+    for r in rows:
+        by_epoch[r.epoch].append(r)
+    assert len(by_epoch) == _SHUF_EPOCHS
+    orders = {}
+    for ep, rs in by_epoch.items():
+        n = len(rs)
+        assert sorted(r.global_pos for r in rs) == list(range(n))
+        # bucket regions contiguous and in bucket order
+        span = defaultdict(list)
+        for r in rs:
+            span[r.bucket].append(r.global_pos)
+        lo_hi = {b: (min(v), max(v)) for b, v in span.items()}
+        cursor = 0
+        for b in sorted(lo_hi):
+            lo, hi = lo_hi[b]
+            assert lo == cursor and hi - lo + 1 == len(span[b])
+            cursor = hi + 1
+        orders[ep] = [r.doc_id for r in sorted(rs, key=lambda r: r.global_pos)]
+    eps = sorted(orders)
+    for a, b in zip(eps, eps[1:]):
+        assert orders[a] != orders[b], "epoch salt produced identical orders"
+
+
 def test_waterfill_pivot_matches_python_reference(spark):
     """Randomized pinning of the waterfill pivot math: crafted corpora
     (seeded token counts, curated/crawl mix, zero-token sources, cap

@@ -342,7 +342,16 @@ def _batch_score(
             lta = np.array([len(s) for s in ts_a])
             ltb = np.array([len(s) for s in ts_b])
             base_ub = 200.0 * np.minimum(la, lb) / np.maximum(la + lb, 1)
-            ts_ub = 0.95 * 200.0 * np.minimum(lta, ltb) / np.maximum(lta + ltb, 1)
+            # batch_ratio('', '') is 100 by convention (total == 0 branch),
+            # so when BOTH token-sorted strings are empty (whitespace-only
+            # inputs) the token-sort arm scores a full 95 — the length
+            # formula would wrongly bound it at 0 and prune true matches
+            # the JVM mask (wratio_can_clear) keeps.
+            ts_ub = np.where(
+                lta + ltb == 0,
+                95.0,
+                0.95 * 200.0 * np.minimum(lta, ltb) / np.maximum(lta + ltb, 1),
+            )
             ratio_len = np.maximum(la, lb) / np.maximum(np.minimum(la, lb), 1)
             long_ub = np.where(
                 ratio_len > 1.5, np.where(ratio_len < 8, 90.0, 60.0), 0.0

@@ -152,6 +152,23 @@ def test_batch_ratio_matches_pairwise():
     check()
 
 
+def test_batch_score_cutoff_keeps_whitespace_only_pairs():
+    """Regression: whitespace-only, length-skewed pairs token-sort to
+    ('', '') whose ratio is 100 by convention, so the true WRatio is 95.
+    The cutoff length bound must not prune them (it once returned ts_ub=0
+    for lta+ltb == 0, silently dropping true matches the JVM mask kept)."""
+    import pandas as pd
+    import pytest
+
+    from sig_etl_spark.linkage.scorers import _batch_score
+
+    a = pd.Series([" ", " ", "\t"])
+    b = pd.Series(["   ", " " * 8, "\t\t\t\t"])
+    for gate in (85.0, 92.0, 95.0):
+        got = list(_batch_score("wratio", a, b, cutoff=gate))
+        assert got == pytest.approx([95.0, 95.0, 95.0]), (gate, got)
+
+
 def test_batch_score_cutoff_gate_equivalent():
     """_batch_score(wratio, cutoff=g) must return the TRUE score for every
     pair whose true score >= g, and 0-or-true below — randomized pairs

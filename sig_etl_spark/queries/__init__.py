@@ -179,13 +179,13 @@ def _load_all() -> None:
 # debut-heavy round can slow the refresh.
 # Late-round _HOLDBACK entries sort last and only tighten this bound
 # for everyone else.
-# Round-12 drain arithmetic: with D=0 hand-listed debuts and three
-# rank-0 newcomers (llm_training_release_bucketed,
-# llm_decontaminate_span_k13, llm_epoch_shuffle — never observed, so
-# they sort ahead of every dated entry), the 47 remaining slots absorb
-# the ENTIRE 42-entry r7-stale cohort (VERDICT r11 task 6) plus the 5
-# oldest r8 entries — after round 12 no query's last driver row
-# predates r8, max union staleness 4 rounds;
+# Round-13 drain arithmetic: with D=0 hand-listed debuts, the 50 slots
+# absorb the ENTIRE 41-entry r8-stale cohort (VERDICT r12 task 1 —
+# including the five HUGEINT-fix re-debuts with exactly one green
+# observation and pipeline_e2e_ratings) plus the 9 oldest r9 entries;
+# up to 9 rank-0 newcomers this round displace r9 entries, never the
+# r8 block. After round 13 no query's last driver row predates r9,
+# max union staleness 4 rounds;
 # tests/test_rotation_policy.py pins the sample composition.
 # tools/verify_local.py
 # still checks ALL queries locally every round, so the cap only limits
@@ -195,19 +195,17 @@ def _load_all() -> None:
 _DRIVER_CAP = 50
 _DEBUT_BUDGET = 25
 
-# Round 12 debuts — none hand-listed: the round's three NEW
-# registrations (llm_training_release_bucketed,
-# llm_decontaminate_span_k13, llm_epoch_shuffle) enter as
-# rank-0 newcomers automatically, and the round's result-preserving
-# changes (WRatio JVM prefilter — gate-equivalent by property test;
-# crawl-capstone batch-leg refactor — row-identical by the handoff
-# test) alter no registered query's output, so the full 48-slot width
-# goes to the r7-cohort drain.
+# Round 13 debuts — none hand-listed: the round's NEW registrations
+# enter as rank-0 newcomers automatically, and the round's
+# result-preserving change (the WRatio whitespace-only cutoff-bound fix
+# — gate-equivalent by property + regression test, golden fixtures
+# unchanged) alters no registered query's output, so the full 50-slot
+# width goes to the r8-cohort drain.
 _DEBUTS: list[str] = []
 
 # Queries registered AFTER a round's debut budget was already spent
 # (late-round additions) sort LAST that round, yielding their slot to
-# the stale-block drain. Round 12: EMPTY so far.
+# the stale-block drain. Round 13: EMPTY so far.
 _HOLDBACK: list[str] = []
 
 # Round 8's _DIVERGENT_PROBES mechanism (expected-red probes yield their

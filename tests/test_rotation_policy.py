@@ -137,13 +137,14 @@ def test_no_expected_red_rows_registered():
     assert "diag_seam_hugeint_cast" not in QUERIES
 
 
-def test_stale_block_drains_round12():
-    """VERDICT r11 task 6 (the r9-task-4 pin, advanced one round): the
-    r12 driver sample (first 50 registry entries) must draw its
-    non-debut slots from the OLDEST cohort — the ENTIRE 42-entry
-    r7-stale block plus the oldest r8 entries. Every non-debut entry
-    inside the cap must have last-green <= r8, and no r7 entry may be
-    left outside the cap."""
+def test_stale_block_drains_round13():
+    """VERDICT r12 task 1 (the r9-task-4 pin, advanced one round): the
+    r13 driver sample (first 50 registry entries) must draw its
+    non-debut slots from the OLDEST cohort — the ENTIRE 41-entry
+    r8-stale block (incl. the five HUGEINT-fix re-debuts with a single
+    green observation) plus the oldest r9 entries. Every non-debut
+    entry inside the cap must have last-green <= r9, and no r8 entry
+    may be left outside the cap."""
     import sig_etl_spark.queries as q
     from sig_etl_spark.queries._driver_history import DRIVER_LAST_GREEN
 
@@ -151,13 +152,13 @@ def test_stale_block_drains_round12():
     non_debut = [n for n in cap if n not in q._DEBUTS]
     assert len(non_debut) >= q._DRIVER_CAP - q._DEBUT_BUDGET
     worst = max(DRIVER_LAST_GREEN.get(n, 0) for n in non_debut)
-    assert worst <= 8, (
-        f"a fresher-than-r8 entry leads the stale block: "
-        f"{[(n, DRIVER_LAST_GREEN.get(n, 0)) for n in non_debut if DRIVER_LAST_GREEN.get(n, 0) > 8]}"
+    assert worst <= 9, (
+        f"a fresher-than-r9 entry leads the stale block: "
+        f"{[(n, DRIVER_LAST_GREEN.get(n, 0)) for n in non_debut if DRIVER_LAST_GREEN.get(n, 0) > 9]}"
     )
-    r7_outside = [
+    r8_outside = [
         n
         for n in list(QUERIES)[q._DRIVER_CAP:]
-        if 0 < DRIVER_LAST_GREEN.get(n, 0) <= 7
+        if 0 < DRIVER_LAST_GREEN.get(n, 0) <= 8
     ]
-    assert not r7_outside, f"r7-stale entries left outside the cap: {r7_outside}"
+    assert not r8_outside, f"r8-stale entries left outside the cap: {r8_outside}"

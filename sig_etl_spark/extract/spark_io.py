@@ -96,13 +96,22 @@ def extract_records(
 
 
 def stabilize_columns(
-    df: DataFrame, keys: list[str] | None = None, record_col: str = "record"
+    df: DataFrame,
+    keys: list[str] | None = None,
+    record_col: str = "record",
+    max_keys: int = 4096,
 ) -> DataFrame:
     """§1.2 schema stabilization: MAP payload -> one column per key.
 
-    When ``keys`` is None they are discovered with a distinct scan
-    (bounded: column-name cardinality, not row cardinality) and sorted so
-    the output schema is deterministic across runs/partitionings.
+    When ``keys`` is None they are discovered with a key-frequency scan,
+    capped at the ``max_keys`` most frequent (bounded by construction:
+    the collect is a LIMIT over an aggregate, never row cardinality — a
+    pathological corpus minting a fresh key per row cannot unboundedly
+    grow the driver heap, mirroring collect_boilerplate_segments's
+    max_segments cap), and sorted so the output schema is deterministic
+    across runs/partitionings. For the HTML use case the key universe is
+    header-name-sized, so the cap never binds there; ties at the cap
+    boundary break by key name so the kept set is deterministic.
     """
     if keys is None:
         keys = sorted(
@@ -110,7 +119,10 @@ def stabilize_columns(
             for r in df.select(
                 F.explode(F.map_keys(F.col(record_col))).alias("k")
             )
-            .distinct()
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("k"))
+            .limit(max_keys)
             .collect()
         )
     cols = [c for c in df.columns if c != record_col]

@@ -329,7 +329,12 @@ SELECT block, id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
 @register(
     "llm_embedding_near_dup",
     oracle=_COSINE_ORACLE,
-    doc="cosine>=0.3 near-dup pairs within label blocks, double-fold dots",
+    doc="CONTRAST ROW — production twin: llm_embedding_near_dup_ivf."
+        " EXACT cosine>=0.3 near-dup pairs, all-pairs WITHIN label blocks"
+        " (double-fold dots): the within-block self-join is quadratic in"
+        " block size — measured 43x cost on 10x data (see"
+        " llm_similarity.py) — so at sf1+ this rides the exclusion"
+        " ledger; the adaptive-cell IVF twin is the 100 TB path",
 )
 def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

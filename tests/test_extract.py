@@ -95,6 +95,31 @@ def test_landing_pipeline_end_to_end(spark, landing_dir):
     assert r0.Score == "87" and r0.Missing is None
 
 
+def test_stabilize_columns_max_keys_caps_ragged_corpus(spark):
+    """A pathological ragged corpus (a fresh map key minted per row) must
+    not turn key discovery into an unbounded driver-side collect: with
+    max_keys=k the output schema carries exactly the k most frequent
+    keys (name-ordered ties), and the common keys always survive."""
+    rows = [
+        {"id": i, "record": {"common": f"c{i}", f"unique_{i:04d}": "x"}}
+        for i in range(200)
+    ]
+    # one second-tier key shared by half the rows
+    for r in rows[::2]:
+        r["record"]["shared"] = "s"
+    df = spark.createDataFrame(rows, "id int, record map<string,string>")
+
+    capped = stabilize_columns(df, max_keys=2)
+    assert set(capped.columns) == {"id", "common", "shared"}
+    got = capped.orderBy("id").limit(2).collect()
+    assert got[0].common == "c0" and got[0].shared == "s"
+    assert got[1].common == "c1" and got[1].shared is None
+
+    # cap boundary inside the unique tier: deterministic by key name
+    capped3 = stabilize_columns(df, max_keys=3)
+    assert set(capped3.columns) == {"id", "common", "shared", "unique_0000"}
+
+
 def test_fill_forward_window_after_sectioned_parse(spark, landing_dir):
     # W4: parser emits raw sections; Spark window fills them forward
     import pandas as pd

@@ -714,6 +714,55 @@ def connected_components(
     return cur.select("node", F.col("label").alias("cluster_id"))
 
 
+def canonical_by_quality(
+    comp: DataFrame,
+    quality: DataFrame,
+    node_col: str = "node",
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware canonical selection over a cluster assignment: per
+    cluster, the kept document is the HIGHEST-quality member (min doc_id
+    on exact quality ties), not the min-id member — real curation keeps
+    the best copy of a near-dup family, the way the reference's matcher
+    keeps the best-scoring candidate above threshold rather than the
+    first (votervoice/match.py:44,81 best-match selection, applied to
+    dedup keep-lists).
+
+    ``comp``: (node, cluster_id) from connected_components. ``quality``:
+    (id_col, quality_col) per-document scores. Returns one row per
+    document: doc_id, cluster_id, quality, canonical_doc_id,
+    is_canonical.
+
+    Scale shape: the arg-max is a struct-max groupBy (partial-aggregable,
+    map-side combine — no window, no per-cluster sort), then one hash
+    join back on cluster_id. Both shuffles key on cluster_id; cluster
+    cardinality ~ document cardinality (near-dup graphs are almost all
+    singletons/tiny stars), so no skew concentration.
+    """
+    withq = comp.join(
+        quality.select(
+            F.col(id_col).alias("node"), F.col(quality_col).alias("quality")
+        ),
+        "node",
+    )
+    # max(struct(quality, -doc_id)): max quality first, then max(-id) =
+    # min id — a deterministic arg-max with no window and no ties left
+    # to execution order.
+    best = withq.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("quality"), (-F.col("node")).alias("neg_id"))
+        ).alias("b")
+    ).select("cluster_id", (-F.col("b.neg_id")).alias("canonical_doc_id"))
+    return withq.join(best, "cluster_id").select(
+        F.col("node").alias(id_col),
+        "cluster_id",
+        "quality",
+        "canonical_doc_id",
+        (F.col("node") == F.col("canonical_doc_id")).alias("is_canonical"),
+    )
+
+
 def dup_spans(
     df: DataFrame, id_col: str, text_col: str, k: int = 8
 ) -> DataFrame:

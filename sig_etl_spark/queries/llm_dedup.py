@@ -847,6 +847,78 @@ def llm_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quality-aware canonical selection (round 13, VERDICT r12 task 5): the
+# CC keep-lists above keep the MIN-id cluster member — a stable but
+# arbitrary choice. Real curation keeps the HIGHEST-QUALITY member of
+# each near-dup family, the way the reference's matcher keeps the
+# best-scoring candidate above threshold rather than the first
+# (votervoice/match.py:44,81), applied to dedup. Same sketch-bounded
+# MinHash+LSH cluster layer; the canonical flag flips to an arg-max over
+# (quality, then min doc_id tiebreak). Oracle: row_number over the same
+# recursive-CTE clusters ordered by quality DESC, doc_id ASC — the
+# quality doubles are the curation queries' formula, already proven
+# bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_BEST_ORACLE = rf"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES},
+mpairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM mpairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM mpairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.u, r.label FROM reach r JOIN sym s ON s.v = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node),
+qual AS (
+  SELECT doc_id, {_Q_EXPR} AS quality
+  FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+),
+best AS (
+  SELECT cluster_id, doc_id AS canonical_doc_id FROM (
+    SELECT c.cluster_id, c.doc_id,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY q.quality DESC, c.doc_id) AS rn
+    FROM comp c JOIN qual q USING (doc_id)
+  ) WHERE rn = 1
+)
+SELECT c.doc_id, c.cluster_id, q.quality, b.canonical_doc_id,
+       (c.doc_id = b.canonical_doc_id) AS is_canonical
+FROM comp c JOIN qual q USING (doc_id) JOIN best b USING (cluster_id)
+"""
+
+
+@register(
+    "llm_dedup_clusters_best",
+    oracle=_CLUSTERS_BEST_ORACLE,
+    doc="quality-aware dedup keep-list: CC over the MinHash+LSH pair"
+        " graph with the canonical member chosen by arg-max quality"
+        " (min doc_id on ties) instead of min-id — struct-max partial"
+        " agg, window-free on the Spark side",
+)
+def llm_dedup_clusters_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.llm import text_analysis as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b")
+    comp = D.connected_components(
+        pairs, "id_a", "id_b", nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    qual = docs.select(
+        "doc_id", T.quality_score(F.col("text"), scale=None).alias("quality")
+    )
+    return D.canonical_by_quality(comp, qual).select(
+        "doc_id", "cluster_id", "quality", "canonical_doc_id", "is_canonical"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup savings report: the corpus-level rollup of the sketch-bounded
 # keep-list — documents, clusters, duplicates dropped, and characters
 # saved, per source. The decision layer (clusters) is sketch-bounded

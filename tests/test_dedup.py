@@ -95,6 +95,38 @@ def test_connected_components_chain_star_singleton(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}
 
 
+def test_canonical_by_quality_disagrees_with_min_id(spark):
+    """Planted case where min-id and best-quality DISAGREE: cluster {1,2,3}
+    has its best quality on doc 3 (min-id canonical would be 1); cluster
+    {10,11} ties on quality so the min-id tiebreak keeps 10; singleton 20
+    is its own canonical."""
+    from sig_etl_spark.llm.dedup import canonical_by_quality, connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 20]], "node long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.5), (3, 0.9), (10, 0.7), (11, 0.7), (20, 0.1)],
+        "doc_id long, quality double",
+    )
+    comp = connected_components(pairs, "id_a", "id_b", nodes=nodes)
+    got = {
+        r.doc_id: (r.cluster_id, r.canonical_doc_id, r.is_canonical)
+        for r in canonical_by_quality(comp, quality).collect()
+    }
+    assert got == {
+        1: (1, 3, False),
+        2: (1, 3, False),
+        3: (1, 3, True),   # best quality wins over min-id 1
+        10: (10, 10, True),  # quality tie -> min doc_id
+        11: (10, 10, False),
+        20: (20, 20, True),
+    }
+
+
 def test_connected_components_long_chain_converges(spark):
     from sig_etl_spark.llm.dedup import connected_components
 

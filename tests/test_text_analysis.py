@@ -758,3 +758,48 @@ def test_waterfill_pivot_matches_python_reference(spark):
         for s, r in got.items():
             assert r.cap_tokens == caps[s]
             assert r.saturated == (1 if r.alloc_tokens == r.cap_tokens else 0)
+
+
+def test_bestfit_packing_beats_nextfit_waste(spark, sf_dir):
+    """VERDICT r12 task 6 'Done' criterion: best-fit-decreasing packing
+    must (a) respect capacity on every shard, and (b) strand strictly
+    less total padding than the bin-respecting reading of the
+    running-sum packers — next-fit in the same md5 hash order — on the
+    same fixture, same buckets, same capacity."""
+    import hashlib
+    from collections import defaultdict
+
+    from sig_etl_spark.queries.llm_text import _BF_CAPACITY, pack_shards_bestfit
+    from sig_etl_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = pack_shards_bestfit(docs).collect()
+
+    loads: dict[tuple, int] = defaultdict(int)
+    for r in per_doc:
+        loads[(r.source, r.bucket, r.shard_id)] += r.n_tokens
+    assert all(v <= _BF_CAPACITY for v in loads.values()), (
+        "a multi-doc shard exceeds capacity"
+    )
+    bf_waste = sum(_BF_CAPACITY - v for v in loads.values())
+
+    groups: dict[tuple, list] = defaultdict(list)
+    for r in per_doc:
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        groups[(r.source, r.bucket)].append((h, r.doc_id, r.n_tokens))
+    nf_shards = 0
+    nf_total = 0
+    for docs_in_group in groups.values():
+        docs_in_group.sort()
+        fill = 0
+        nf_shards += 1
+        for _, _, n in docs_in_group:
+            if fill + n > _BF_CAPACITY and fill > 0:
+                nf_shards += 1
+                fill = 0
+            fill += n
+            nf_total += n
+    nf_waste = nf_shards * _BF_CAPACITY - nf_total
+
+    assert sum(r.n_tokens for r in per_doc) == nf_total
+    assert bf_waste < nf_waste, (bf_waste, nf_waste)

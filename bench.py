@@ -29,6 +29,46 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Checkpoint-heavy families whose in-sequence full-sweep numbers inflate
+# with JVM backlog (r9: llm_embedding_near_dup_ivf 228s in-seq vs 66.6s
+# isolated at sf1; r12: 94.7 vs 28.4 — every such row needed a manual
+# isolated re-measure before publishing). Full-registry sweeps now run
+# these in ONE fresh subprocess at the END of the sweep: a ~20s JVM
+# spin-up buys in-sequence numbers that ARE the adjudicated numbers
+# (a fresh process with a 16-query backlog showed no material inflation
+# when probed at r12). Disable with SPARK_GRAFT_FRESH_ISOLATE=0.
+_FRESH_PROCESS_PREFIXES = ("llm_knn_", "llm_embedding_")
+
+
+def _run_fresh_subset(names: list[str]) -> dict | None:
+    """Run a query subset via `python bench.py NAME...` in a fresh
+    process; return its parsed result JSON (None on failure)."""
+    import subprocess
+
+    me = os.path.abspath(__file__)
+    env = os.environ.copy()
+    # The child must never persist its subset JSON over the parent
+    # sweep's artifact (subset runs persist when BENCH_OUT is set).
+    env.pop("SPARK_GRAFT_BENCH_OUT", None)
+    proc = subprocess.run(
+        [sys.executable, me, *names],
+        stdout=subprocess.PIPE,
+        stderr=sys.stderr,
+        text=True,
+        env=env,
+    )
+    if proc.returncode != 0:
+        return None
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                return None
+    return None
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Parse "sf0.1" -> 0.1 from the directory name if possible.
@@ -51,6 +91,15 @@ def main() -> int:
         if n and n in names
     ]
     names = [n for n in names if n not in excluded]
+
+    # Full-registry sweeps defer the backlog-prone families to a fresh
+    # end-of-sweep subprocess (see _FRESH_PROCESS_PREFIXES).
+    fresh_names: list[str] = []
+    if not sys.argv[1:] and os.environ.get("SPARK_GRAFT_FRESH_ISOLATE", "1") != "0":
+        fresh_names = [
+            n for n in names if n.startswith(_FRESH_PROCESS_PREFIXES)
+        ]
+        names = [n for n in names if n not in fresh_names]
 
     # Warm up the JVM + parquet footers once so per-query numbers measure
     # the query, not first-touch costs.
@@ -121,6 +170,36 @@ def main() -> int:
             spark._jvm.System.gc()
             gc_overhead += time.perf_counter() - g0
 
+    fresh_meta: dict | None = None
+    if fresh_names:
+        child = _run_fresh_subset(fresh_names)
+        if child is None:
+            # Fall back in-process rather than dropping rows silently.
+            print(
+                "# bench: fresh-process subset failed; running in-process",
+                file=sys.stderr,
+            )
+            for name in fresh_names:
+                runs = []
+                for _ in range(repeats):
+                    t0 = time.perf_counter()
+                    run_query(QUERIES[name].builder(spark, sf_dir))
+                    runs.append(time.perf_counter() - t0)
+                dt = round(sorted(runs)[len(runs) // 2], 3)
+                timings[name] = dt
+                total += dt
+        else:
+            for name, dt in child["queries"].items():
+                timings[name] = dt
+                total += dt
+            gc_overhead += child.get("gc_overhead_seconds", 0.0)
+            fresh_meta = {
+                "names": fresh_names,
+                "note": "backlog-prone families timed in one fresh "
+                "end-of-sweep process so in-sequence numbers need no "
+                "isolated re-measure",
+            }
+
     result = {
         "metric": "total_query_wall_seconds",
         "value": round(total, 3),
@@ -133,6 +212,8 @@ def main() -> int:
     }
     if excluded:
         result["excluded"] = excluded
+    if fresh_meta:
+        result["fresh_process"] = fresh_meta
     print(json.dumps(result))
     # ALSO persist the full per-query JSON into the repo (VERDICT r7
     # task 5): the driver records only a 2000-char tail of stdout, which
@@ -140,7 +221,11 @@ def main() -> int:
     # refreshes BENCH_FULL_latest.json (override the path with
     # $SPARK_GRAFT_BENCH_OUT); the end-of-round sweep commits it, giving
     # the judge a complete, diffable row set each round.
-    if not sys.argv[1:]:  # full-registry runs only — never a subset probe
+    # Subset probes persist ONLY when a destination is explicitly set
+    # (e.g. the standing eval-disjoint span-family artifact,
+    # BENCH_SPAN_sf1ed.json) — an ad-hoc probe never clobbers the
+    # full-sweep artifact.
+    if not sys.argv[1:] or os.environ.get("SPARK_GRAFT_BENCH_OUT"):
         out = os.environ.get(
             "SPARK_GRAFT_BENCH_OUT",
             os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -177,6 +177,99 @@ def main() -> int:
         "rows_in_per_s": round(n_docs / wall, 1),
     }
 
+    # ------------------------------------------------------------------
+    # 4. Continuous quality gating: doc stream scored statelessly against
+    #    the bounded bigram model (the live half of the curation front
+    #    end, timed on its own).
+    # ------------------------------------------------------------------
+    from sig_etl_spark.streaming import stream_quality_gate
+
+    qmodel = collect_bigram_model(docs, "text", k=500)
+    land3 = os.path.join(work, "qg_landing")
+    docs.write.mode("overwrite").parquet(land3)
+    qg = stream_quality_gate(
+        read_document_stream(spark, land3), qmodel, text_col="text"
+    )
+    wall, rows = _timed_run(
+        spark,
+        qg,
+        os.path.join(work, "qg_ckpt"),
+        "bench_qg",
+        os.path.join(work, "qg_out"),
+    )
+    results["stream_quality_gate"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": n_docs,
+        "rows_out": rows,
+        "rows_in_per_s": round(n_docs / wall, 1),
+    }
+
+    # ------------------------------------------------------------------
+    # 5. Live IVF index maintenance: embedding stream assigned to the
+    #    existing quantizer's cells (the add() path of the ANN index).
+    # ------------------------------------------------------------------
+    from sig_etl_spark.streaming import (
+        collect_ivf_index,
+        read_embedding_stream,
+        stream_ivf_assign,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_emb = emb.count()
+    index = collect_ivf_index(emb, "vec_id", "embedding", n_centroids=64)
+    land4 = os.path.join(work, "ivf_landing")
+    emb.write.mode("overwrite").parquet(land4)
+    ivf = stream_ivf_assign(read_embedding_stream(spark, land4), index, n_cells=1)
+    wall, rows = _timed_run(
+        spark,
+        ivf,
+        os.path.join(work, "ivf_ckpt"),
+        "bench_ivf",
+        os.path.join(work, "ivf_out"),
+    )
+    results["stream_ivf_assign"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": n_emb,
+        "rows_out": rows,
+        "rows_in_per_s": round(n_emb / wall, 1),
+    }
+
+    # ------------------------------------------------------------------
+    # 6. Streaming exact dedup under redelivery: the events table staged
+    #    TWICE (at-least-once delivery), dropDuplicatesWithinWatermark
+    #    emits each event_id once — rows_in counts both deliveries.
+    # ------------------------------------------------------------------
+    from sig_etl_spark.streaming import read_event_stream, stream_dedup
+
+    events = load_table(spark, sf_dir, "events")
+    n_events = events.count()
+    land5 = os.path.join(work, "dedup_landing")
+    events.write.mode("overwrite").parquet(land5)
+    for fname in os.listdir(land5):
+        if fname.endswith(".parquet"):
+            shutil.copy(
+                os.path.join(land5, fname),
+                os.path.join(land5, "redeliver_" + fname),
+            )
+    dd = stream_dedup(
+        read_event_stream(spark, land5),
+        key_cols=("event_id",),
+        watermark="400 days",
+    )
+    wall, rows = _timed_run(
+        spark,
+        dd,
+        os.path.join(work, "dedup_ckpt"),
+        "bench_dedup",
+        os.path.join(work, "dedup_out"),
+    )
+    results["stream_dedup"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": 2 * n_events,
+        "rows_out": rows,
+        "rows_in_per_s": round(2 * n_events / wall, 1),
+    }
+
     shutil.rmtree(work, ignore_errors=True)
     out = {
         "metric": "streaming_availablenow_wall_seconds",

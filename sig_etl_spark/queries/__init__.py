@@ -173,8 +173,8 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 12 (N=241, D=0):
-# ceil(191/50) = 4 rounds worst-case — no hand-listed debuts, so the
+# behind at most N - C fresher-than-it entries. Round 13 (N=243, D=0):
+# ceil(193/50) = 4 rounds worst-case — no hand-listed debuts, so the
 # stale block drains at FULL width; the budget assert bounds how much a
 # debut-heavy round can slow the refresh.
 # Late-round _HOLDBACK entries sort last and only tighten this bound

@@ -1272,12 +1272,83 @@ def stream_ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 1,
+    scorer: str = "numpy",
 ) -> DataFrame:
     """(vec_id, cent_id, cell_rank, cosine) per arriving vector — its
     ``n_cells`` nearest cells in the existing index. Sink the output to
     the inverted-file store and the batch probe path serves the merged
-    index (the contract llm_knn_incremental's batch-equality test pins)."""
+    index (the contract llm_knn_incremental's batch-equality test pins).
+
+    ``scorer='numpy'`` (default, round 13): one Arrow-batched mapInPandas
+    scores ALL centroids per batch with float64 tensor algebra —
+    BIT-IDENTICAL to the expression tier because every step is the same
+    IEEE-double operation sequence: elementwise float->double cast and
+    multiply, then np.cumsum along the vector axis, whose last element
+    IS the strict left-to-right fold _double_dot performs (probed
+    bitwise, and pinned by the tier-equality test). The expression tier
+    inlines 2x len(index) interpreted array-fold lambdas PER ROW, which
+    capped the r13 throughput floor at ~224 rows_in/s regardless of
+    scale; the numpy tier amortizes the same arithmetic across the
+    batch. ``scorer='expr'`` keeps the literal-expression plan as the
+    reference arm.
+    """
     from sig_etl_spark.llm.dedup import _double_dot
+
+    if scorer == "numpy":
+        import numpy as np
+
+        # Pre-sort by cent_id so a STABLE argsort over the sort key
+        # breaks exact ties by ascending cent_id — the expression tier's
+        # array_sort over (sortkey, cent_id) struct ordering.
+        idx_sorted = sorted(index, key=lambda t: int(t[0]))
+        cids = np.array([int(c) for c, _, _ in idx_sorted], dtype=np.int64)
+        cents = np.array([v for _, v, _ in idx_sorted], dtype=np.float64)
+        cnorm2 = np.array([float(n) for _, _, n in idx_sorted], dtype=np.float64)
+        k = min(n_cells, len(idx_sorted))
+
+        def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for lo in range(0, len(pdf), 2048):
+                    chunk = pdf.iloc[lo : lo + 2048]
+                    ids = chunk[id_col].to_numpy()
+                    v = np.stack(
+                        [np.asarray(x, dtype=np.float64) for x in chunk[vec_col]]
+                    )
+                    # cumsum(...)[-1] == the strict left-to-right fold
+                    dots = np.cumsum(v[:, None, :] * cents[None, :, :], axis=2)[
+                        :, :, -1
+                    ]
+                    vnorm2 = np.cumsum(v * v, axis=1)[:, -1]
+                    denom = np.sqrt(vnorm2[:, None] * cnorm2[None, :])
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sim = dots / denom
+                    # try_divide: zero norm -> NULL sim, ranked last
+                    null_sim = denom == 0.0
+                    sortkey = np.where(null_sim, np.inf, -sim)
+                    order = np.argsort(sortkey, axis=1, kind="stable")[:, :k]
+                    rowsel = np.arange(len(chunk))[:, None]
+                    cos = sim[rowsel, order].reshape(-1)
+                    isnull = null_sim[rowsel, order].reshape(-1)
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": np.repeat(ids, k),
+                            "cent_id": cids[order].reshape(-1),
+                            "cell_rank": np.tile(
+                                np.arange(1, k + 1, dtype=np.int64), len(chunk)
+                            ),
+                            "cosine": pd.Series(cos).mask(isnull),
+                        }
+                    )
+
+        return new_vecs.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
+            _assign,
+            "vec_id bigint, cent_id bigint, cell_rank int, cosine double",
+        )
+
+    if scorer != "expr":
+        raise ValueError(f"unknown scorer {scorer!r}")
 
     vec = F.col(vec_col)
     norm2 = _double_dot(vec, vec)

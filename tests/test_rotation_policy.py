@@ -112,6 +112,9 @@ def test_contrast_rows_name_registered_twins():
         "llm_ngram_jaccard",
         "llm_dedup_clusters",
         "llm_corpus_curation",
+        # round 13 (VERDICT r12 task 2): the exact all-pairs-within-label
+        # embedding arm, labeled against its IVF twin
+        "llm_embedding_near_dup",
     }
     found = {n for n, rq in QUERIES.items() if "CONTRAST ROW" in rq.doc}
     assert found == expected, found ^ expected

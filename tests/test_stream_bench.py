@@ -22,6 +22,9 @@ def test_stream_bench_smoke(spark, sf_dir, tmp_path, monkeypatch):
         "stream_crawl_curation",
         "stream_decontaminate",
         "stream_corpus_near_dup",
+        "stream_quality_gate",
+        "stream_ivf_assign",
+        "stream_dedup",
     }
     for name, r in ops.items():
         assert r["wall_s"] > 0, name

@@ -1386,3 +1386,35 @@ def test_stream_decontaminate_matches_batch_bloom(spark, sf_dir, tmp_path):
         len(emitted), len(want),
         sorted(want - set(emitted))[:5], sorted(set(emitted) - want)[:5],
     )
+
+
+def test_stream_ivf_assign_numpy_tier_bitwise_equals_expr_tier(spark, sf_dir):
+    """The vectorized numpy scorer must be BIT-IDENTICAL to the
+    literal-expression reference arm — same assignments, same ranks, and
+    bitwise-equal cosines (np.cumsum's last element is the same strict
+    left-to-right IEEE fold _double_dot performs). Run on the full
+    sf0.01 embeddings table with multi-cell output so ties/ordering are
+    exercised."""
+    import numpy as np
+
+    from sig_etl_spark.streaming import collect_ivf_index, stream_ivf_assign
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    index = collect_ivf_index(emb, "vec_id", "embedding", n_centroids=8)
+
+    def rows(scorer):
+        out = stream_ivf_assign(emb, index, n_cells=3, scorer=scorer).collect()
+        return {
+            (r.vec_id, r.cell_rank): (r.cent_id, r.cosine) for r in out
+        }
+
+    got_np = rows("numpy")
+    got_expr = rows("expr")
+    assert set(got_np) == set(got_expr)
+    for key, (cid_n, cos_n) in got_np.items():
+        cid_e, cos_e = got_expr[key]
+        assert cid_n == cid_e, key
+        if cos_e is None:
+            assert cos_n is None, key
+        else:
+            assert np.float64(cos_n).tobytes() == np.float64(cos_e).tobytes(), key

@@ -50,6 +50,12 @@ def _run_fresh_subset(names: list[str]) -> dict | None:
     # The child must never persist its subset JSON over the parent
     # sweep's artifact (subset runs persist when BENCH_OUT is set).
     env.pop("SPARK_GRAFT_BENCH_OUT", None)
+    # GC between EVERY query in the child: the flagged families are the
+    # checkpoint-heavy ones, and even a 15-query backlog measurably
+    # inflates the late rows (llm_knn_pq_rerank 23.7s at child position
+    # 6 vs 9.5s isolated, probed r13). ~0.15s/pass against multi-second
+    # rows, reported in gc_overhead_seconds as usual.
+    env.setdefault("SPARK_GRAFT_GC_EVERY", "1")
     proc = subprocess.run(
         [sys.executable, me, *names],
         stdout=subprocess.PIPE,

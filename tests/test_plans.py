@@ -898,3 +898,38 @@ def test_training_release_bucketed_plan_shape(spark, sf_dir):
     assert any("bucket" in w for w in pack_windows), (
         f"packing window not bucketed:\n{pack_windows}"
     )
+
+
+def test_dedup_clusters_best_plan_shape(spark, sf_dir):
+    """Round 13 llm_dedup_clusters_best: the quality arg-max must be a
+    struct-max PARTIAL aggregate (map-side combine) joined back on
+    cluster_id — no Window over clusters anywhere downstream of the CC
+    loop, and no cartesian. (Windows keyed on doc_id bands may exist
+    upstream in the MinHash pair generation; the guard checks the
+    canonical-selection layer by forbidding any window partitioned on
+    cluster_id.)"""
+    plan = _plan(spark, sf_dir, "llm_dedup_clusters_best")
+    assert _count_op(plan, "CartesianProduct") == 0
+    for m in re.finditer(r"^\(\d+\) Window\b.*\n((?:.+\n)+?)\n", plan, re.M):
+        assert "cluster_id" not in m.group(1), (
+            f"canonical selection fell back to a window:\n{m.group(0)}"
+        )
+    # the arg-max aggregate exists (struct-max compiles to SortAggregate —
+    # struct ordering isn't hash-aggregable — still with a partial phase)
+    assert re.search(r"^\(\d+\) (Hash|Sort)Aggregate\b", plan, re.M)
+
+
+def test_shard_packing_bestfit_plan_shape(spark, sf_dir):
+    """Round 13 llm_shard_packing_bestfit: the greedy fold must run as
+    ONE Arrow-batched Python group crossing keyed by (source, bucket)
+    (FlatMapGroupsInPandas), the per-source row counts must broadcast
+    back (dimension-sized), and no cartesian."""
+    plan = _plan(spark, sf_dir, "llm_shard_packing_bestfit")
+    assert _count_op(plan, "CartesianProduct") == 0
+    assert _count_op(plan, "BroadcastHashJoin") >= 1
+    n_py = _count_op(plan, "FlatMapGroupsInPandas")
+    assert n_py == 1, f"expected exactly one grouped Python crossing, got {n_py}"
+    m = re.search(r"^\(\d+\) FlatMapGroupsInPandas\b.*\n((?:.+\n)+?)\n", plan, re.M)
+    assert m and "source" in m.group(1) and "bucket" in m.group(1), (
+        "grouped crossing not keyed by (source, bucket)"
+    )

@@ -180,7 +180,11 @@ def main() -> int:
     if fresh_names:
         child = _run_fresh_subset(fresh_names)
         if child is None:
-            # Fall back in-process rather than dropping rows silently.
+            # Fall back in-process rather than dropping rows silently —
+            # and RECORD the fallback in the artifact: these rows then
+            # carry the full parent-JVM backlog (the exact inflation the
+            # fresh process exists to remove) and must not read as
+            # adjudicated numbers.
             print(
                 "# bench: fresh-process subset failed; running in-process",
                 file=sys.stderr,
@@ -194,6 +198,13 @@ def main() -> int:
                 dt = round(sorted(runs)[len(runs) // 2], 3)
                 timings[name] = dt
                 total += dt
+            fresh_meta = {
+                "names": fresh_names,
+                "fallback": True,
+                "note": "fresh-process child FAILED; these rows ran "
+                "in-process after the full sweep backlog and need "
+                "isolated re-measure before publishing",
+            }
         else:
             for name, dt in child["queries"].items():
                 timings[name] = dt

@@ -114,17 +114,27 @@ def stabilize_columns(
     boundary break by key name so the kept set is deterministic.
     """
     if keys is None:
-        keys = sorted(
-            r.k
-            for r in df.select(
-                F.explode(F.map_keys(F.col(record_col))).alias("k")
-            )
+        # Fetch one row past the cap: if it exists the cap BINDS, and a
+        # silent schema truncation would violate the repo's "caps are
+        # recorded, never silent" convention — warn with the bound.
+        ranked = (
+            df.select(F.explode(F.map_keys(F.col(record_col))).alias("k"))
             .groupBy("k")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), F.col("k"))
-            .limit(max_keys)
+            .limit(max_keys + 1)
             .collect()
         )
+        if len(ranked) > max_keys:
+            import warnings
+
+            warnings.warn(
+                f"stabilize_columns: >{max_keys} distinct map keys; "
+                f"keeping the {max_keys} most frequent (pass keys=[...] "
+                "or raise max_keys to keep more)",
+                stacklevel=2,
+            )
+        keys = sorted(r.k for r in ranked[:max_keys])
     cols = [c for c in df.columns if c != record_col]
     # try_element_at: a record missing a key yields null, not
     # MAP_KEY_DOES_NOT_EXIST under ANSI mode (ragged pages are normal).

@@ -732,7 +732,11 @@ def canonical_by_quality(
     ``comp``: (node, cluster_id) from connected_components. ``quality``:
     (id_col, quality_col) per-document scores. Returns one row per
     document: doc_id, cluster_id, quality, canonical_doc_id,
-    is_canonical.
+    is_canonical. Documents with NO quality row are KEPT (left join),
+    carry quality NULL, and rank below every scored member in the
+    arg-max (a cluster whose members all lack scores keeps its min-id
+    member) — a missing score must never silently drop a document from
+    the keep-list.
 
     Scale shape: the arg-max is a struct-max groupBy (partial-aggregable,
     map-side combine — no window, no per-cluster sort), then one hash
@@ -745,13 +749,21 @@ def canonical_by_quality(
             F.col(id_col).alias("node"), F.col(quality_col).alias("quality")
         ),
         "node",
+        "left",
     )
     # max(struct(quality, -doc_id)): max quality first, then max(-id) =
     # min id — a deterministic arg-max with no window and no ties left
-    # to execution order.
+    # to execution order. Missing quality coalesces to -inf INSIDE the
+    # struct only, so unscored members rank below every scored one while
+    # the output `quality` column stays NULL.
     best = withq.groupBy("cluster_id").agg(
         F.max(
-            F.struct(F.col("quality"), (-F.col("node")).alias("neg_id"))
+            F.struct(
+                F.coalesce(
+                    F.col("quality"), F.lit(float("-inf"))
+                ).alias("q"),
+                (-F.col("node")).alias("neg_id"),
+            )
         ).alias("b")
     ).select("cluster_id", (-F.col("b.neg_id")).alias("canonical_doc_id"))
     return withq.join(best, "cluster_id").select(

@@ -697,6 +697,41 @@ def llm_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKET_DOCS_OVER = 10  # split any source larger than this many docs
 
 
+def _sized_with_buckets(docs: DataFrame, bucket_docs_over: int) -> DataFrame:
+    """Shared sizing/sub-bucketing frame for BOTH packers (the running-sum
+    bucketed packer and the best-fit packer): (source, doc_id, n_tokens,
+    h, bucket). Per-source row counts are one |sources|-row aggregate
+    joined back broadcast; bucket counts use integer (n + N - 1) div N
+    (exact at any corpus size); the bucket key is portable_hash60 so
+    DuckDB re-derives it. Kept as ONE function so a future change to the
+    hash or the ceil arithmetic cannot desynchronize the two packers and
+    their oracles."""
+    from sig_etl_spark.functions.hashing import portable_hash60
+
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_rows"))
+    n_buckets = F.expr(
+        f"(n_rows + {bucket_docs_over} - 1) div {bucket_docs_over}"
+    )
+    doc_key = F.col("doc_id").cast("string")
+    return (
+        docs.join(F.broadcast(counts), "source")
+        .select(
+            "source",
+            "doc_id",
+            T.ws_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+            F.md5(doc_key).alias("h"),
+            F.when(
+                F.col("n_rows") > bucket_docs_over,
+                # portable_hash60 is non-negative, so % == pmod here.
+                portable_hash60(doc_key) % n_buckets,
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("bucket"),
+        )
+    )
+
+
 def _bucketed_pack_oracle(bucket_docs_over: int, capacity: int) -> str:
     return rf"""
 WITH counts AS (
@@ -743,35 +778,8 @@ def llm_shard_packing_bucketed(
 ) -> DataFrame:
     from pyspark.sql import Window
 
-    from sig_etl_spark.functions.hashing import portable_hash60
-
     docs = load_table(spark, sf_dir, "documents")
-    # Per-source row counts: one small aggregate (|sources| rows), joined
-    # back broadcast — never a corpus-sized shuffle.
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_rows"))
-    # Integer bucket count, (n + N - 1) div N: exact on both engines at
-    # any corpus size (float ceil would drift past 2^53).
-    n_buckets = F.expr(
-        f"(n_rows + {bucket_docs_over} - 1) div {bucket_docs_over}"
-    )
-    doc_key = F.col("doc_id").cast("string")
-    sized = (
-        docs.join(F.broadcast(counts), "source")
-        .select(
-            "source",
-            "doc_id",
-            T.ws_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
-            F.md5(doc_key).alias("h"),
-            F.when(
-                F.col("n_rows") > bucket_docs_over,
-                # portable_hash60 is non-negative, so % == pmod here.
-                portable_hash60(doc_key) % n_buckets,
-            )
-            .otherwise(F.lit(0))
-            .cast("bigint")
-            .alias("bucket"),
-        )
-    )
+    sized = _sized_with_buckets(docs, bucket_docs_over)
     w = (
         Window.partitionBy("source", "bucket")
         .orderBy("h", "doc_id")
@@ -884,34 +892,14 @@ def pack_shards_bestfit(
     bucket_docs_over: int = _BUCKET_DOCS_OVER,
 ) -> DataFrame:
     """Per-doc best-fit-decreasing shard assignment: (source, bucket,
-    doc_id, n_tokens, shard_id). Sub-bucketing and token sizing are the
-    exact expressions of llm_shard_packing_bucketed; the greedy fold
-    runs per (source, bucket) so no sequential group exceeds
-    ``bucket_docs_over`` docs regardless of source skew."""
+    doc_id, n_tokens, shard_id). Sub-bucketing and token sizing come
+    from the SAME _sized_with_buckets frame the running-sum bucketed
+    packer uses; the greedy fold runs per (source, bucket) so no
+    sequential group exceeds ``bucket_docs_over`` docs regardless of
+    source skew."""
     import pandas as pd
 
-    from sig_etl_spark.functions.hashing import portable_hash60
-
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_rows"))
-    n_buckets = F.expr(
-        f"(n_rows + {bucket_docs_over} - 1) div {bucket_docs_over}"
-    )
-    doc_key = F.col("doc_id").cast("string")
-    sized = (
-        docs.join(F.broadcast(counts), "source")
-        .select(
-            "source",
-            "doc_id",
-            T.ws_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
-            F.when(
-                F.col("n_rows") > bucket_docs_over,
-                portable_hash60(doc_key) % n_buckets,
-            )
-            .otherwise(F.lit(0))
-            .cast("bigint")
-            .alias("bucket"),
-        )
-    )
+    sized = _sized_with_buckets(docs, bucket_docs_over)
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
@@ -922,8 +910,9 @@ def pack_shards_bestfit(
         for s in pdf["n_tokens"]:
             s = int(s)
             best = -1
-            # strict > keeps the LOWEST index on exact load ties,
-            # mirroring the oracle fold's `bins[j] > bins[acc]`.
+            # strict > keeps the LOWEST index on exact load ties — the
+            # same choice the oracle makes via list_position (FIRST
+            # occurrence of the max fitting load).
             for j, load in enumerate(loads):
                 if load + s <= capacity and (best < 0 or load > loads[best]):
                     best = j

@@ -1306,6 +1306,8 @@ def stream_ivf_assign(
         cnorm2 = np.array([float(n) for _, _, n in idx_sorted], dtype=np.float64)
         k = min(n_cells, len(idx_sorted))
 
+        dim = cents.shape[1] if len(cents) else 0
+
         def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 if not len(pdf):
@@ -1313,22 +1315,42 @@ def stream_ivf_assign(
                 for lo in range(0, len(pdf), 2048):
                     chunk = pdf.iloc[lo : lo + 2048]
                     ids = chunk[id_col].to_numpy()
-                    v = np.stack(
-                        [np.asarray(x, dtype=np.float64) for x in chunk[vec_col]]
-                    )
-                    # cumsum(...)[-1] == the strict left-to-right fold
-                    dots = np.cumsum(v[:, None, :] * cents[None, :, :], axis=2)[
-                        :, :, -1
-                    ]
-                    vnorm2 = np.cumsum(v * v, axis=1)[:, -1]
+                    n = len(chunk)
+                    # NULL-embedding policy, matching the expr tier: a
+                    # NULL vector, a wrong-length vector (zip_with pads
+                    # with nulls -> NULL dot) or a vector containing a
+                    # null/NaN element all yield NULL sim for EVERY cell
+                    # -> sortkey +inf everywhere -> the emitted cells are
+                    # the k lowest cent_ids with cosine NULL.
+                    v = np.zeros((n, dim), dtype=np.float64)
+                    bad = np.zeros(n, dtype=bool)
+                    for i, x in enumerate(chunk[vec_col]):
+                        if x is None:
+                            bad[i] = True
+                            continue
+                        arr = np.asarray(x, dtype=np.float64)
+                        if arr.ndim != 1 or len(arr) != dim or np.isnan(arr).any():
+                            bad[i] = True
+                        else:
+                            v[i] = arr
+                    # In-place dim-axis accumulation: per (row, cent) the
+                    # additions run d=0,1,2,... — the SAME strict
+                    # left-to-right IEEE fold as _double_dot / cumsum's
+                    # last element, with O(n x C) memory instead of the
+                    # O(n x C x D) broadcast temporary (3.2 GB per chunk
+                    # at C=256, D=768 — the scale this tier exists for).
+                    dots = np.zeros((n, len(cents)), dtype=np.float64)
+                    for d in range(dim):
+                        dots += v[:, d, None] * cents[None, :, d]
+                    vnorm2 = np.cumsum(v * v, axis=1)[:, -1] if dim else np.zeros(n)
                     denom = np.sqrt(vnorm2[:, None] * cnorm2[None, :])
                     with np.errstate(divide="ignore", invalid="ignore"):
                         sim = dots / denom
                     # try_divide: zero norm -> NULL sim, ranked last
-                    null_sim = denom == 0.0
+                    null_sim = (denom == 0.0) | bad[:, None]
                     sortkey = np.where(null_sim, np.inf, -sim)
                     order = np.argsort(sortkey, axis=1, kind="stable")[:, :k]
-                    rowsel = np.arange(len(chunk))[:, None]
+                    rowsel = np.arange(n)[:, None]
                     cos = sim[rowsel, order].reshape(-1)
                     isnull = null_sim[rowsel, order].reshape(-1)
                     yield pd.DataFrame(
@@ -1336,7 +1358,7 @@ def stream_ivf_assign(
                             "vec_id": np.repeat(ids, k),
                             "cent_id": cids[order].reshape(-1),
                             "cell_rank": np.tile(
-                                np.arange(1, k + 1, dtype=np.int64), len(chunk)
+                                np.arange(1, k + 1, dtype=np.int64), n
                             ),
                             "cosine": pd.Series(cos).mask(isnull),
                         }

@@ -103,27 +103,31 @@ def test_canonical_by_quality_disagrees_with_min_id(spark):
     from sig_etl_spark.llm.dedup import canonical_by_quality, connected_components
 
     pairs = spark.createDataFrame(
-        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        [(1, 2), (2, 3), (10, 11), (30, 31)], "id_a long, id_b long"
     )
     nodes = spark.createDataFrame(
-        [(i,) for i in [1, 2, 3, 10, 11, 20]], "node long"
+        [(i,) for i in [1, 2, 3, 10, 11, 20, 30, 31]], "node long"
     )
+    # docs 30/31 have NO quality rows; doc 11's quality ties doc 10's
     quality = spark.createDataFrame(
         [(1, 0.2), (2, 0.5), (3, 0.9), (10, 0.7), (11, 0.7), (20, 0.1)],
         "doc_id long, quality double",
     )
     comp = connected_components(pairs, "id_a", "id_b", nodes=nodes)
     got = {
-        r.doc_id: (r.cluster_id, r.canonical_doc_id, r.is_canonical)
+        r.doc_id: (r.cluster_id, r.canonical_doc_id, r.is_canonical, r.quality)
         for r in canonical_by_quality(comp, quality).collect()
     }
     assert got == {
-        1: (1, 3, False),
-        2: (1, 3, False),
-        3: (1, 3, True),   # best quality wins over min-id 1
-        10: (10, 10, True),  # quality tie -> min doc_id
-        11: (10, 10, False),
-        20: (20, 20, True),
+        1: (1, 3, False, 0.2),
+        2: (1, 3, False, 0.5),
+        3: (1, 3, True, 0.9),   # best quality wins over min-id 1
+        10: (10, 10, True, 0.7),  # quality tie -> min doc_id
+        11: (10, 10, False, 0.7),
+        20: (20, 20, True, 0.1),
+        # unscored docs are KEPT, quality NULL, min-id canonical
+        30: (30, 30, True, None),
+        31: (30, 30, False, None),
     }
 
 

@@ -1418,3 +1418,31 @@ def test_stream_ivf_assign_numpy_tier_bitwise_equals_expr_tier(spark, sf_dir):
             assert cos_n is None, key
         else:
             assert np.float64(cos_n).tobytes() == np.float64(cos_e).tobytes(), key
+
+
+def test_stream_ivf_assign_numpy_tier_null_embeddings(spark):
+    """A NULL embedding, a wrong-length embedding, and a vector with a
+    null element must all follow the expr tier's NULL-sim path — k rows
+    emitted, cent_ids the k lowest, cosine NULL — never a task crash."""
+    from sig_etl_spark.streaming import stream_ivf_assign
+
+    index = [(5, [1.0, 0.0], 1.0), (2, [0.0, 1.0], 1.0), (9, [1.0, 1.0], 2.0)]
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),          # clean row
+            (2, None),                # NULL vector
+            (3, [1.0]),               # wrong length
+            (4, [1.0, None]),         # null element
+            (5, [0.0, 0.0]),          # zero norm (expr: try_divide NULL)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    for scorer in ("numpy", "expr"):
+        got = {
+            (r.vec_id, r.cell_rank): (r.cent_id, r.cosine)
+            for r in stream_ivf_assign(df, index, n_cells=2, scorer=scorer).collect()
+        }
+        assert got[(1, 1)][0] == 5 and got[(1, 1)][1] is not None, scorer
+        for vid in (2, 3, 4, 5):
+            assert got[(vid, 1)] == (2, None), (scorer, vid, got[(vid, 1)])
+            assert got[(vid, 2)] == (5, None), (scorer, vid, got[(vid, 2)])

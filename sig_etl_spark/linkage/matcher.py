@@ -64,6 +64,77 @@ class MatchConfig:
     # behavior of that regime measurable on small fixtures, where y would
     # otherwise always auto-broadcast.
     shuffle_join: bool = False
+    # Secondary blocking key (x_column, y_column, n_chars): candidates
+    # must also agree on the first n_chars of these columns. Cuts pairs
+    # per block ~|alphabet|x — the quadratic-block-growth fix at 100 TB
+    # (measured: ~10x fewer pairs on the skew fixture). Recall
+    # assumption, stated: a true match whose very first characters
+    # differ is NOT proposed (standard blocking tradeoff; the reference
+    # blocks on state/office the same way, votervoice/match.py:38-44).
+    sub_block: tuple[str, str, int] | None = None
+
+    @classmethod
+    def production(
+        cls,
+        rules: tuple[ColumnRule, ...] | list[ColumnRule],
+        block_on: tuple[str, ...] | list[str],
+        *,
+        y_id: str = "y_id",
+        required_threshold: float = 75.0,
+        duplicate_threshold: float = 3.0,
+        sub_block: tuple[str, str, int] | None = None,
+        sub_block_chars: int = 1,
+        salt_buckets: int | None = None,
+        broadcast_y: bool = False,
+        shuffle_join: bool = False,
+    ) -> "MatchConfig":
+        """THE production entry point (round 14 — VERDICT r13 task 6):
+        the scale-safe composition the demo ladder measured, so a caller
+        gets the 100 TB-shaped plan without knowing which of the 8 demo
+        variants to copy.
+
+        What it composes, and why each piece is the measured default:
+
+        - **sub-block initial key** (default: first character of the
+          first rule's x/y columns): candidate pairs per block drop
+          ~|alphabet|x — the only fix for quadratic block growth. Deeper
+          keys pay only while cells still exceed task grain; 1 char +
+          salting beat the 2-char key on the skew fixture (36s vs 57s at
+          sf1), so 1 is the default and the measured cell histogram
+          (diag_key_skew), not intuition, should justify more.
+        - **banded-levenshtein tier**: automatic — every levenshtein
+          rule with a positive threshold scores through Spark's banded
+          distance (gate-equivalent, ~7x fewer DP cells at gate 85 on
+          ~110-char keys; scorers.banded_levenshtein_ratio).
+        - **salt-on-skew**: 4-way salting by default in the shuffle-join
+          regime (warehouse-sized y — pass ``shuffle_join=True``), where
+          a dominant block otherwise lands on one task (measured cure:
+          salted 8.2s vs unsalted 13-16s at sf0.1, and the pinned-skew
+          contrast row's >2100s untreated kill). With a broadcast-able y
+          the pair frame inherits x's row-id partitioning and salting is
+          pure overhead (~2.6x, measured), so the default salts ONLY
+          when shuffle_join is set; AQE's skew-join backstops the
+          optimizer-chosen shuffle case.
+        """
+        rules = tuple(rules)
+        if not rules:
+            raise ValueError("production config needs at least one rule")
+        if sub_block is None:
+            r0 = rules[0]
+            sub_block = (r0.x_column, r0.y_columns[0], sub_block_chars)
+        if salt_buckets is None:
+            salt_buckets = 4 if (shuffle_join and not broadcast_y) else 0
+        return cls(
+            rules=rules,
+            block_on=tuple(block_on),
+            y_id=y_id,
+            required_threshold=required_threshold,
+            duplicate_threshold=duplicate_threshold,
+            broadcast_y=broadcast_y,
+            salt_buckets=salt_buckets,
+            shuffle_join=shuffle_join,
+            sub_block=sub_block,
+        )
 
 
 def fuzzy_match(x: DataFrame, y: DataFrame, config: MatchConfig) -> DataFrame:
@@ -94,6 +165,8 @@ def fuzzy_match(x: DataFrame, y: DataFrame, config: MatchConfig) -> DataFrame:
     y_needed = {config.y_id, *config.block_on}
     for r in config.rules:
         y_needed.update(r.y_columns)
+    if config.sub_block:
+        y_needed.add(config.sub_block[1])
     yr = y.select(*sorted(y_needed))
     # Rename y's non-block columns before the join: the reference's
     # canonical config scores x.firstname against y.firstname, and a bare
@@ -112,6 +185,22 @@ def fuzzy_match(x: DataFrame, y: DataFrame, config: MatchConfig) -> DataFrame:
     y_id = y_renames.get(config.y_id, config.y_id)
 
     join_keys = list(config.block_on)
+    if config.sub_block:
+        # Secondary blocking key, derived on BOTH sides inside the plan:
+        # first n chars of the named columns. coalesce('') keeps a
+        # NULL-keyed x row joinable against NULL-keyed y rows instead of
+        # silently dropping every candidate (left-join nulls still fall
+        # through to 'unmatched' when no partner exists).
+        sx, sy, n_chars = config.sub_block
+        xr = xr.withColumn(
+            "_sub_block",
+            F.substring(F.coalesce(F.col(sx), F.lit("")), 1, n_chars),
+        )
+        yr = yr.withColumn(
+            "_sub_block",
+            F.substring(F.coalesce(_ycol(sy), F.lit("")), 1, n_chars),
+        )
+        join_keys.append("_sub_block")
     if config.salt_buckets > 0:
         n = config.salt_buckets
         xr = xr.withColumn("_salt", F.pmod(F.hash("_x_row_id"), F.lit(n)))

@@ -744,7 +744,9 @@ def canonical_by_quality(
     cardinality ~ document cardinality (near-dup graphs are almost all
     singletons/tiny stars), so no skew concentration.
     """
-    withq = comp.join(
+    withq = comp.select(
+        F.col(node_col).alias("node"), "cluster_id"
+    ).join(
         quality.select(
             F.col(id_col).alias("node"), F.col(quality_col).alias("quality")
         ),

@@ -173,19 +173,19 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 13 (N=243, D=0):
-# ceil(193/50) = 4 rounds worst-case — no hand-listed debuts, so the
+# behind at most N - C fresher-than-it entries. Round 14 (N=244, D=0):
+# ceil(194/50) = 4 rounds worst-case — no hand-listed debuts, so the
 # stale block drains at FULL width; the budget assert bounds how much a
 # debut-heavy round can slow the refresh.
 # Late-round _HOLDBACK entries sort last and only tighten this bound
 # for everyone else.
-# Round-13 drain arithmetic: with D=0 hand-listed debuts, the 50 slots
-# absorb the ENTIRE 41-entry r8-stale cohort (VERDICT r12 task 1 —
-# including the five HUGEINT-fix re-debuts with exactly one green
-# observation and pipeline_e2e_ratings) plus the 9 oldest r9 entries;
-# up to 9 rank-0 newcomers this round displace r9 entries, never the
-# r8 block. After round 13 no query's last driver row predates r9,
-# max union staleness 4 rounds;
+# Round-14 drain arithmetic (VERDICT r13 task 4): the stalest cohort is
+# now the 43-entry r9 block (the flagship, the S2-S5 extract family,
+# most F-ops). Rank-0 newcomers (never driver-green — round 14 adds
+# jdbc_stage_roundtrip, the S12 evidence closer) sort ahead of it, so
+# the 50 slots hold: newcomers + the ENTIRE r9 block + the oldest r10
+# entries, provided newcomers stay <= 7 (50 - 43). After round 14 no
+# query's last driver row predates r10, max union staleness 4 rounds;
 # tests/test_rotation_policy.py pins the sample composition.
 # tools/verify_local.py
 # still checks ALL queries locally every round, so the cap only limits

@@ -322,6 +322,91 @@ def csv_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S12: JDBC source round-trip (round 14 — VERDICT r13 task 1). The
+# parquet-only oracle harness cannot see an external database, so —
+# exactly like the WARC queries build their containers in-engine — this
+# query LOADS the candidate dimension into an embedded Derby database
+# (the JDBC driver Spark ships for its Hive metastore: a real network-
+# protocol-free RDBMS, not a mock), then reads it back through
+# spark.read.jdbc with (a) a WHERE predicate baked into the pushed-down
+# query string, so the DATABASE does the filtering the way the
+# reference's `= ANY(%(list)s)` params do, and (b) a 4-way partitioned
+# read on the integer key, the parallel-scan shape a real warehouse
+# extract uses. The oracle applies the same predicate to the parquet
+# directly — any defect in type mapping (BIGINT/INTEGER/DOUBLE/VARCHAR),
+# identifier quoting, predicate rendering, partition-bound generation,
+# or null round-trip breaks the value hash.
+# Reference: votervoice/match.py:22-35 (candidates-from-Postgres
+# dimension query), queries/office_list.sql (the pushed-down SQL).
+# 100 TB story: the JDBC side is a DIMENSION source (the reference's
+# candidate/office tables) — bounded-size by nature; the partitioned
+# read parallelizes extraction and every predicate ships to the DB, so
+# Spark never scans more of the dimension than the query needs.
+# ---------------------------------------------------------------------------
+
+_JDBC_SEGMENTS = ["BUILDING", "AUTOMOBILE"]
+
+_JDBC_ORACLE = f"""
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+WHERE c_mktsegment IN ({", ".join("'" + s + "'" for s in _JDBC_SEGMENTS)})
+"""
+
+
+@register(
+    "jdbc_stage_roundtrip",
+    oracle=_JDBC_ORACLE,
+    doc="S12: load the customer dimension into embedded Derby in-engine,"
+        " read it back via spark.read.jdbc with a pushed-down IN"
+        " predicate + 4-way partitioned read on the integer key"
+        " (votervoice/match.py:22-35, queries/office_list.sql)",
+)
+def jdbc_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sig_etl_spark.sources import jdbc_query, render_any_list
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    # Bounds for the partitioned read: one 1-row agg collect over the
+    # dimension — constant-size driver traffic, the same discovery a
+    # real extract does with SELECT min(k), max(k).
+    lo, hi = dim.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    url = "jdbc:derby:/root/repo/.stage_jdbc/stagedb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    # Spark's DerbyDialect maps StringType to CLOB, which Derby refuses
+    # to compare in WHERE — force VARCHAR so the predicate can push down.
+    (
+        dim.write.mode("overwrite")
+        .option(
+            "createTableColumnTypes",
+            "c_name VARCHAR(64), c_mktsegment VARCHAR(16)",
+        )
+        .jdbc(url, "candidates", properties=props)
+    )
+    # Spark quotes the written identifiers (case-preserved), so the
+    # pushed-down query and the partition column must quote them too.
+    pred = render_any_list('"c_mktsegment"', _JDBC_SEGMENTS)
+    out = jdbc_query(
+        spark,
+        url,
+        f'SELECT "c_custkey", "c_name", "c_nationkey", "c_acctbal",'
+        f' "c_mktsegment" FROM candidates WHERE {pred}',
+        properties=props,
+        partition_column='"c_custkey"',
+        num_partitions=4,
+        lower_bound=int(lo),
+        upper_bound=int(hi) + 1,
+    )
+    return out.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "c_name",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
+# ---------------------------------------------------------------------------
 # O1+P4: newest-batch re-extract with positional slice — the reference
 # sorts the landing dir by ctime, re-extracts only the newest files, and
 # drops the first parsed row of each page positionally (header rows that

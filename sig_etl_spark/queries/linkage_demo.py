@@ -442,20 +442,32 @@ def linkage_fuzzy_match_subblocked(spark: SparkSession, sf_dir: str) -> DataFram
         " custkey fixture's leading-digit initials are themselves skewed"
         " (~40% start with 'b' at sf1), so the two treatments are"
         " complementary, not redundant; identical results to"
-        " linkage_fuzzy_match_subblocked by construction (same oracle)",
+        " linkage_fuzzy_match_subblocked by construction (same oracle)."
+        " Since round 14 this builder IS MatchConfig.production(...) —"
+        " the preset a user reaches without knowing the demo ladder"
+        " (VERDICT r13 task 6)",
 )
 def linkage_fuzzy_match_subblocked_salted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     x, y = _xy_skewed(spark, sf_dir)
+    # x keeps an explicit `ini` column for output parity with the oracle
+    # (all x columns pass through); the preset derives its own internal
+    # sub-block key from the first rule's columns — same first character
+    # by construction, so the candidate pairs are identical.
     x = x.withColumn("ini", F.substring("x_name", 1, 1)).select(
         "x_id", "blk", "ini", "x_name", "x_city"
     )
-    y = y.withColumn("ini", F.substring("y_name", 1, 1))
-    import dataclasses
-
-    cfg = dataclasses.replace(
-        _skew_config(salt_buckets=4), block_on=("blk", "ini")
+    base = _config("levenshtein")
+    cfg = MatchConfig.production(
+        rules=base.rules,
+        block_on=("blk",),
+        y_id=base.y_id,
+        required_threshold=base.required_threshold,
+        duplicate_threshold=base.duplicate_threshold,
+        # pins the warehouse-sized-y regime at test scale (y would
+        # auto-broadcast otherwise); the preset then salts 4-way
+        shuffle_join=True,
     )
     return fuzzy_match(x, y, cfg)
 

@@ -1285,7 +1285,14 @@ def stream_ivf_assign(
     IEEE-double operation sequence: elementwise float->double cast and
     multiply, then np.cumsum along the vector axis, whose last element
     IS the strict left-to-right fold _double_dot performs (probed
-    bitwise, and pinned by the tier-equality test). The expression tier
+    bitwise, and pinned by the tier-equality test).
+
+    Missing-data policy (BOTH tiers, round 14): a NULL vector, a
+    wrong-length vector, or a vector containing ANY NULL or NaN element
+    yields cosine NULL for every cell, ranked last (emitted cells = the
+    k lowest cent_ids). The expr tier normalizes a NaN sim to NULL via
+    nanvl because the Arrow path cannot distinguish a NULL element from
+    NaN — NULL is the one policy both tiers can share bit-identically. The expression tier
     inlines 2x len(index) interpreted array-fold lambdas PER ROW, which
     capped the r13 throughput floor at ~224 rows_in/s regardless of
     scale; the numpy tier amortizes the same arithmetic across the
@@ -1377,10 +1384,18 @@ def stream_ivf_assign(
 
     def _negsim(cvec, cnorm2):
         # try_divide mirrors the batch _cosine: zero norms -> NULL sim in
-        # both ANSI modes, never DIVIDE_BY_ZERO
-        return -F.try_divide(
-            _double_dot(vec, F.array(*[F.lit(float(x)) for x in cvec])),
-            F.sqrt(norm2 * F.lit(cnorm2)),
+        # both ANSI modes, never DIVIDE_BY_ZERO. nanvl normalizes a NaN
+        # sim (a NaN vector element poisons every dot) to NULL so both
+        # tiers implement ONE policy — any NULL/NaN element => NULL
+        # cosine ranked last. The Arrow path cannot distinguish a NULL
+        # element from NaN (both arrive as np.nan), so NULL is the only
+        # policy the numpy tier can share.
+        return F.nanvl(
+            -F.try_divide(
+                _double_dot(vec, F.array(*[F.lit(float(x)) for x in cvec])),
+                F.sqrt(norm2 * F.lit(cnorm2)),
+            ),
+            F.lit(None).cast("double"),
         )
 
     # Sort key coalesces NULL sims (zero-norm vector or centroid: Spark

@@ -131,6 +131,24 @@ def test_canonical_by_quality_disagrees_with_min_id(spark):
     }
 
 
+def test_canonical_by_quality_respects_node_col(spark):
+    """node_col other than 'node' must resolve (round-14 ADVICE fix: the
+    parameter was declared but the body hardcoded 'node')."""
+    from sig_etl_spark.llm.dedup import canonical_by_quality
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "member long, cluster_id long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5)], "doc_id long, quality double"
+    )
+    got = {
+        r.doc_id: (r.canonical_doc_id, r.is_canonical)
+        for r in canonical_by_quality(comp, quality, node_col="member").collect()
+    }
+    assert got == {1: (2, False), 2: (2, True), 3: (3, True)}
+
+
 def test_connected_components_long_chain_converges(spark):
     from sig_etl_spark.llm.dedup import connected_components
 

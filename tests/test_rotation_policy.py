@@ -140,14 +140,14 @@ def test_no_expected_red_rows_registered():
     assert "diag_seam_hugeint_cast" not in QUERIES
 
 
-def test_stale_block_drains_round13():
-    """VERDICT r12 task 1 (the r9-task-4 pin, advanced one round): the
-    r13 driver sample (first 50 registry entries) must draw its
-    non-debut slots from the OLDEST cohort — the ENTIRE 41-entry
-    r8-stale block (incl. the five HUGEINT-fix re-debuts with a single
-    green observation) plus the oldest r9 entries. Every non-debut
-    entry inside the cap must have last-green <= r9, and no r8 entry
-    may be left outside the cap."""
+def test_stale_block_drains_round14():
+    """VERDICT r13 task 4 (the drain pin, advanced one round): the r14
+    driver sample (first 50 registry entries) must absorb the ENTIRE
+    43-entry r9-stale cohort (the flagship, the S2-S5 extract family,
+    most F-ops) plus rank-0 newcomers and the oldest r10 entries. Every
+    non-debut entry inside the cap must have last-green <= r10, no
+    r9-or-older entry may be left outside the cap, and newcomers must
+    stay <= 7 so the 50 slots cover the whole r9 block."""
     import sig_etl_spark.queries as q
     from sig_etl_spark.queries._driver_history import DRIVER_LAST_GREEN
 
@@ -155,13 +155,17 @@ def test_stale_block_drains_round13():
     non_debut = [n for n in cap if n not in q._DEBUTS]
     assert len(non_debut) >= q._DRIVER_CAP - q._DEBUT_BUDGET
     worst = max(DRIVER_LAST_GREEN.get(n, 0) for n in non_debut)
-    assert worst <= 9, (
-        f"a fresher-than-r9 entry leads the stale block: "
-        f"{[(n, DRIVER_LAST_GREEN.get(n, 0)) for n in non_debut if DRIVER_LAST_GREEN.get(n, 0) > 9]}"
+    assert worst <= 10, (
+        f"a fresher-than-r10 entry leads the stale block: "
+        f"{[(n, DRIVER_LAST_GREEN.get(n, 0)) for n in non_debut if DRIVER_LAST_GREEN.get(n, 0) > 10]}"
     )
-    r8_outside = [
+    r9_outside = [
         n
         for n in list(QUERIES)[q._DRIVER_CAP:]
-        if 0 < DRIVER_LAST_GREEN.get(n, 0) <= 8
+        if 0 < DRIVER_LAST_GREEN.get(n, 0) <= 9
     ]
-    assert not r8_outside, f"r8-stale entries left outside the cap: {r8_outside}"
+    assert not r9_outside, f"r9-stale entries left outside the cap: {r9_outside}"
+    newcomers = [n for n in QUERIES if n not in DRIVER_LAST_GREEN]
+    assert len(newcomers) <= 7, (
+        f"too many rank-0 newcomers for the r9 drain: {newcomers}"
+    )

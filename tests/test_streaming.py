@@ -1421,9 +1421,11 @@ def test_stream_ivf_assign_numpy_tier_bitwise_equals_expr_tier(spark, sf_dir):
 
 
 def test_stream_ivf_assign_numpy_tier_null_embeddings(spark):
-    """A NULL embedding, a wrong-length embedding, and a vector with a
-    null element must all follow the expr tier's NULL-sim path — k rows
-    emitted, cent_ids the k lowest, cosine NULL — never a task crash."""
+    """A NULL embedding, a wrong-length embedding, a vector with a null
+    element, AND a vector with a NaN element must all follow the shared
+    NULL-sim path in BOTH tiers — k rows emitted, cent_ids the k lowest,
+    cosine NULL — never a task crash and never a NaN leaking out (the
+    expr tier nanvl-normalizes NaN sims; round-14 ADVICE fix)."""
     from sig_etl_spark.streaming import stream_ivf_assign
 
     index = [(5, [1.0, 0.0], 1.0), (2, [0.0, 1.0], 1.0), (9, [1.0, 1.0], 2.0)]
@@ -1434,6 +1436,7 @@ def test_stream_ivf_assign_numpy_tier_null_embeddings(spark):
             (3, [1.0]),               # wrong length
             (4, [1.0, None]),         # null element
             (5, [0.0, 0.0]),          # zero norm (expr: try_divide NULL)
+            (6, [1.0, float("nan")]),  # NaN element (expr: nanvl -> NULL)
         ],
         "vec_id bigint, embedding array<double>",
     )
@@ -1443,6 +1446,6 @@ def test_stream_ivf_assign_numpy_tier_null_embeddings(spark):
             for r in stream_ivf_assign(df, index, n_cells=2, scorer=scorer).collect()
         }
         assert got[(1, 1)][0] == 5 and got[(1, 1)][1] is not None, scorer
-        for vid in (2, 3, 4, 5):
+        for vid in (2, 3, 4, 5, 6):
             assert got[(vid, 1)] == (2, None), (scorer, vid, got[(vid, 1)])
             assert got[(vid, 2)] == (5, None), (scorer, vid, got[(vid, 2)])

@@ -139,11 +139,27 @@ def main() -> int:
     # 159 is 150+ queries of accumulated JVM history) — which is why
     # flagged rows are ALWAYS isolated-re-measured before publishing.
     gc_every = int(os.environ.get("SPARK_GRAFT_GC_EVERY", "2"))
+    # Warmup runs per query, EXCLUDED from the median and recorded in
+    # the JSON (round 14 — VERDICT r13 task 2). Root cause of the r13
+    # "isolated median drift": an isolated re-measure runs ONE query in
+    # a FRESH JVM, so run 1 carries whole-stage-codegen class
+    # generation + C2 JIT compilation + first-touch page cache and reads
+    # 1.5-2.3x the steady state (measured decay on an idle box:
+    # geo_neighbor_pairs 2.08 -> 0.91s over 9 back-to-back runs,
+    # graph_pagerank_parts 7.70 -> 4.40s, sketch_hll_running_distinct
+    # 2.14 -> ~1.2s) — median-of-3 then still includes that warmup
+    # shoulder, while the full-sweep numbers it is compared against come
+    # from a JVM warmed by 100+ prior queries. Isolated re-measure
+    # protocol: SPARK_GRAFT_WARMUP=2 SPARK_GRAFT_REPEATS=5 — the median
+    # then reads the steady state the in-sequence number samples.
+    warmup = int(os.environ.get("SPARK_GRAFT_WARMUP", "0"))
 
     timings: dict[str, float] = {}
     total = 0.0
     gc_overhead = 0.0
     for i, name in enumerate(names):
+        for _ in range(warmup):
+            run_query(QUERIES[name].builder(spark, sf_dir))
         runs = []
         for _ in range(repeats):
             t0 = time.perf_counter()
@@ -224,6 +240,7 @@ def main() -> int:
         "queries": timings,
         "gc_overhead_seconds": round(gc_overhead, 3),
         "repeats_per_query": repeats,
+        "warmup_per_query": warmup,
         "aggregation": "median",
         "sf": sf,
     }

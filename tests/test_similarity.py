@@ -273,6 +273,30 @@ def test_ann_recall_floors(spark, sf_dir):
         assert recall >= 0.8, f"{name}: recall@5 {recall:.2f} < 0.8"
 
 
+def test_ivf2_near_dup_recall_vs_flat(spark, sf_dir):
+    """The two-level (coarse-quantizer) IVF near-dup must recover >=85%
+    of the flat-assignment pair set (round 14: the linearized-assignment
+    production path; measured 0.95 at sf0.01), and every pair it emits
+    must carry the exact verified cosine — so precision vs the flat set
+    is exact on the intersection by construction."""
+    from sig_etl_spark.queries import QUERIES
+
+    flat = {
+        (r.id_a, r.id_b): r.cosine
+        for r in QUERIES["llm_embedding_near_dup_ivf"].builder(spark, sf_dir).collect()
+    }
+    two = {
+        (r.id_a, r.id_b): r.cosine
+        for r in QUERIES["llm_embedding_near_dup_ivf2"].builder(spark, sf_dir).collect()
+    }
+    assert flat, "flat IVF produced no pairs"
+    common = set(flat) & set(two)
+    recall = len(common) / len(flat)
+    assert recall >= 0.85, f"2level recall vs flat {recall:.3f} < 0.85"
+    for k in common:
+        assert flat[k] == two[k], k  # same exact-cosine verify
+
+
 def test_ann_recall_query_shape(spark, sf_dir):
     """Registered recall queries return one row per method with recall in
     [0, 1] and hits consistent with recall * (n_queries * k)."""

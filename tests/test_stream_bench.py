@@ -25,6 +25,13 @@ def test_stream_bench_smoke(spark, sf_dir, tmp_path, monkeypatch):
         "stream_quality_gate",
         "stream_ivf_assign",
         "stream_dedup",
+        # round 14 (VERDICT r13 task 7): the stateful family
+        "stateful_sessionize",
+        "stream_hll_distinct",
+        "stream_kmv_distinct",
+        "stream_cms_registers",
+        "stream_interval_union",
+        "stream_scd2",
     }
     for name, r in ops.items():
         assert r["wall_s"] > 0, name

@@ -36,12 +36,12 @@ from sig_etl_spark.session import get_spark  # noqa: E402
 from sig_etl_spark.tables import load_table  # noqa: E402
 
 
-def _timed_run(spark, df, ckpt, name, outdir):
+def _timed_run(spark, df, ckpt, name, outdir, mode="append"):
     from sig_etl_spark.streaming import run_available_now
 
     t0 = time.perf_counter()
     paths = run_available_now(
-        df, ckpt, name, output_mode="append", timeout_s=600, output_dir=outdir
+        df, ckpt, name, output_mode=mode, timeout_s=600, output_dir=outdir
     )
     wall = time.perf_counter() - t0
     rows = spark.read.parquet(*paths).count() if paths else 0
@@ -268,6 +268,85 @@ def main() -> int:
         "rows_in": 2 * n_events,
         "rows_out": rows,
         "rows_in_per_s": round(2 * n_events / wall, 1),
+    }
+
+    # ------------------------------------------------------------------
+    # 7-11. The stateful family (round 14 — VERDICT r13 task 7): floors
+    # for the applyInPandasWithState / native-stateful-agg operators.
+    # All five read the SAME staged events landing (one copy, separate
+    # checkpoints); wall-clock includes stream planning + state-store
+    # commits + the production parquet sink, like every stanza above.
+    # ------------------------------------------------------------------
+    from sig_etl_spark.streaming import (
+        stateful_sessionize,
+        stream_cms_registers,
+        stream_hll_distinct,
+        stream_interval_union,
+        stream_kmv_distinct,
+    )
+
+    land_ev = os.path.join(work, "ev_landing")
+    events.write.mode("overwrite").parquet(land_ev)
+
+    stateful_ops = [
+        # (name, builder over the event stream, output mode)
+        (
+            "stateful_sessionize",
+            lambda s: stateful_sessionize(s, gap_minutes=30, watermark="2 hours"),
+            "append",
+        ),
+        ("stream_hll_distinct", stream_hll_distinct, "update"),
+        ("stream_kmv_distinct", stream_kmv_distinct, "update"),
+        ("stream_cms_registers", stream_cms_registers, "update"),
+        ("stream_interval_union", stream_interval_union, "update"),
+    ]
+    for op_name, build, mode in stateful_ops:
+        df = build(read_event_stream(spark, land_ev))
+        wall, rows = _timed_run(
+            spark,
+            df,
+            os.path.join(work, f"{op_name}_ckpt"),
+            f"bench_{op_name}",
+            os.path.join(work, f"{op_name}_out"),
+            mode=mode,
+        )
+        results[op_name] = {
+            "wall_s": round(wall, 3),
+            "rows_in": n_events,
+            "rows_out": rows,
+            "rows_in_per_s": round(n_events / wall, 1),
+        }
+
+    # ------------------------------------------------------------------
+    # 12. Stateful SCD2 maintenance over the daily snapshot stream (the
+    #     live twin of dim_scd2_intervals) — snapshot feed shared with
+    #     the batch query's builder so the modal definition lives once.
+    # ------------------------------------------------------------------
+    from sig_etl_spark.queries.events_demo import scd2_daily_snapshots
+    from sig_etl_spark.streaming import read_snapshot_stream, stream_scd2
+
+    snaps = scd2_daily_snapshots(spark, sf_dir).select(
+        "user_id", "day", F.col("event_type").alias("attr")
+    )
+    n_snaps = snaps.count()
+    land_sn = os.path.join(work, "snap_landing")
+    snaps.write.mode("overwrite").parquet(land_sn)
+    scd = stream_scd2(
+        read_snapshot_stream(spark, land_sn), watermark="3 days", horizon_days=2
+    )
+    wall, rows = _timed_run(
+        spark,
+        scd,
+        os.path.join(work, "scd2_ckpt"),
+        "bench_scd2",
+        os.path.join(work, "scd2_out"),
+        mode="append",
+    )
+    results["stream_scd2"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": n_snaps,
+        "rows_out": rows,
+        "rows_in_per_s": round(n_snaps / wall, 1),
     }
 
     shutil.rmtree(work, ignore_errors=True)

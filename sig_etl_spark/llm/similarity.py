@@ -997,7 +997,15 @@ def ivf_near_dup_pairs(
     size ``n_centroids`` proportional to corpus (cell population =
     nassign * corpus / n_centroids stays CONSTANT), and per-cell pair
     work is population^2 * n_centroids — linear in corpus at fixed cell
-    size. An SRP-LSH blocking variant was built and REJECTED on
+    size.
+
+    SCALE CEILING (round 14, measured at the sf3 third decade): the
+    PAIR phase is linear, but this flat ASSIGNMENT scores every vector
+    against every centroid — O(corpus^2 / target_cell), since centroid
+    count grows with the corpus. Dominant from ~10^5 vectors up
+    (22s -> 123s on the 3x sf1 -> sf3 step). Above that, use
+    ``ivf_near_dup_pairs_2level`` (same output schema, stated recall
+    tradeoff) whose two-level assignment is O(corpus x sqrt(C)). An SRP-LSH blocking variant was built and REJECTED on
     measurement: pair savings scale as bands/2^planes, and the
     plane counts a low threshold (0.3) needs for recall make the
     buckets corpus/2^planes-sized — measured SLOWER than the exact

@@ -1488,7 +1488,10 @@ FROM comp c JOIN csize s USING (cluster_id)
     oracle=_EMB_CLUSTERS_ORACLE,
     doc="connected components over the IVF-blocked embedding near-dup"
         " pair graph: cluster id, canonical keep flag, cluster size —"
-        " the embedding-space twin of llm_dedup_clusters_minhash",
+        " the embedding-space twin of llm_dedup_clusters_minhash."
+        " Pair layer here is the FLAT IVF (fine to ~10^6 vectors); above"
+        " that swap in ivf_near_dup_pairs_2level (round 14), the"
+        " linearized-assignment variant — drop-in, same pair schema",
 )
 def llm_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sig_etl_spark.llm import dedup as D

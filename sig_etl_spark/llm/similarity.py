@@ -594,6 +594,7 @@ def pq_topk(
     m_subs: int = 8,
     ksub: int = 16,
     dim: int = 64,
+    impl: str = "numpy",
 ) -> DataFrame:
     """Product-quantization ADC top-k — the canonical memory-bound ANN
     scan at 100 TB (FAISS IVFPQ's scoring stage, here over a flat index).
@@ -622,7 +623,8 @@ def pq_topk(
     scored rows — identical to brute_force_topk's plan but over codes
     instead of vectors.
     """
-    ccodes = _pq_encode(corpus, id_col, vec_col, m_subs, ksub, dim)
+    encode = _pq_encode_np if impl == "numpy" else _pq_encode
+    ccodes = encode(corpus, id_col, vec_col, m_subs, ksub, dim)
     qlut = _pq_luts(queries, corpus, id_col, vec_col, m_subs, ksub, dim)
     scored = _adc_scored(ccodes.crossJoin(F.broadcast(qlut)), m_subs)
     return _topk_by_cosine(scored, k)
@@ -646,8 +648,17 @@ def _pq_codebook(
     entry's self-dot per corpus row (m_subs x ksub redundant dsub-dim
     folds per row); hoisting them into the broadcast is free at build
     time and removes half the expression tree from the 100 TB-side scan
-    (measured: llm_knn_pq 4.55s -> see BASELINE round-8 notes)."""
-    cents = _hash_sample(corpus, id_col, vec_col, ksub, "cent_id", "cent_vec")
+    (measured: llm_knn_pq 4.55s -> see BASELINE round-8 notes).
+
+    NULL vectors are excluded from the sample: a NULL cent_vec inside
+    the collect_list struct NPEs Spark's UnsafeProjection during
+    array_sort (round 14, hit by the numpy-tier edge tests), and a NULL
+    codebook entry could never be a meaningful centroid anyway. Clean
+    corpora sample identically."""
+    cents = _hash_sample(
+        corpus.filter(F.col(vec_col).isNotNull()),
+        id_col, vec_col, ksub, "cent_id", "cent_vec",
+    )
     wj = Window.orderBy(F.md5(F.col("cent_id").cast("string")), "cent_id")
     cents = cents.select(
         (F.row_number().over(wj) - 1).alias("j"), "cent_vec"
@@ -683,11 +694,18 @@ def _pq_encode(
     ksub: int,
     dim: int,
     extra_cols: list | None = None,
+    extra_bcast: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus scan -> (corpus_id, codes, recon_norm2 [, extras]): m_subs
     argmins per row over the broadcast codebook. ``extra_cols`` are
     additional column expressions evaluated in the SAME scan (ivfpq uses
-    this to compute the coarse-cell assignment without a second pass).
+    this to compute the coarse-cell assignment without a second pass);
+    ``extra_bcast`` is an additional one-row broadcast frame crossJoined
+    into the scan so extra_cols can reference its columns (ivfpq passes
+    the coarse-centroid array here — round 14: previously the cell
+    assignment ran as a SECOND corpus scan joined back on corpus_id, a
+    corpus-sized SMJ shuffle the profile showed costing more than the
+    encode itself).
 
     NOTE: the per-subspace lambdas MUST take exactly one parameter.
     PySpark's higher-order F.transform passes (element, index) to any
@@ -711,6 +729,8 @@ def _pq_encode(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
     ).crossJoin(F.broadcast(cb))
+    if extra_bcast is not None:
+        c = c.crossJoin(F.broadcast(extra_bcast))
     code_cols, n2_cols = [], []
     for m in range(m_subs):
         pick = F.array_min(F.transform("cbook", _mk_encode(m)))
@@ -724,6 +744,191 @@ def _pq_encode(
         _reduce(lambda a, b: a + b, n2_cols).alias("recon_norm2"),
         *(extra_cols or []),
     )
+
+
+def _pq_encode_np(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_subs: int,
+    ksub: int,
+    dim: int,
+    cents_arr: DataFrame | None = None,
+) -> DataFrame:
+    """Arrow/numpy tier of :func:`_pq_encode` — same output, vectorized.
+
+    The expr tier's per-row cost is interpreted higher-order-function
+    evaluation (F.transform lambdas are never codegen'd): the round-14
+    profile measured ~0.35 ms/row for the 8x16 L2-argmin tree, which
+    made a 20k-row corpus cost ~7 s per scan and made llm_knn_ivfpq the
+    family's swingiest adjudication (JIT-path-dependent 11-18 s). This
+    tier does the identical arithmetic in numpy inside one mapInPandas
+    pass — including the coarse-cell assignment when ``cents_arr`` is
+    given, so ivfpq needs neither a second corpus scan nor the
+    corpus-sized self-join the expr path used to pay.
+
+    BIT-IDENTITY (same contract as streaming.pipeline's stream_ivf_assign
+    numpy tier): every fold replicates the expr tier's operation sequence
+    on clean vectors —
+      * code argmin: per-subspace L2 is float32 subtract/multiply
+        (``_double_l2``'s zip_with carries the column's FLOAT element
+        type) accumulated left-to-right into a float64 seeded 0.0; ties
+        break to the smallest codebook index (np.argmin first-minimum ==
+        the expr struct-min's (d, j) order, cbook sorted by j).
+      * recon_norm2: left-associated sum of the chosen entries' n2s,
+        the n2 values taken VERBATIM from the collected codebook (they
+        are computed once in Spark, not re-derived here).
+      * cell argmax: dots/norms are float64 folds over double-cast
+        elements (``_double_dot``), negsim = -(dot/sqrt(vnorm*cnorm2));
+        NaN cells (zero norms) rank last exactly like Spark's
+        NaN-greatest struct ordering, with equal-NaN ties resolving to
+        the smallest cent_id in both tiers.
+    POLICY DIVERGENCE (documented, tested): a NULL, wrong-length, or
+    non-finite-element CORPUS vector gets NULL codes/recon_norm2/cent_id
+    here; a malformed SAMPLED codebook/centroid entry is dropped (its
+    surviving neighbors keep their original j / cent_id). The expr tier
+    instead propagates NULL/NaN through the folds into
+    implementation-defined (but deterministic) picks. Fixtures and
+    oracles contain only clean vectors, so the registered queries hash
+    identically under either tier (tests/test_similarity.py pins
+    bitwise tier equality on the fixture plus a zero vector).
+
+    Scale shape: the codebook (ksub rows) and centroid array are bounded
+    driver collects (the same frames the expr tier broadcasts); the
+    corpus streams through one Arrow pass, ~n*dim*ksub flops per batch.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import FloatType
+
+    dsub = dim // m_subs
+    assert dsub * m_subs == dim, "dim must divide evenly into subspaces"
+    # _double_l2's zip_with computes (x-y)*(x-y) in the COLUMN'S element
+    # type (no cast) before the float64 accumulate — mirror it exactly:
+    # float32 arithmetic for array<float> columns, float64 otherwise.
+    elem_np = (
+        np.float32
+        if isinstance(corpus.schema[vec_col].dataType.elementType, FloatType)
+        else np.float64
+    )
+    def _valid_vec(v) -> bool:
+        return (
+            v is not None
+            and len(v) == dim
+            and bool(np.isfinite(np.asarray(v, dtype=np.float64)).all())
+        )
+
+    cb_rows = _pq_codebook(
+        corpus, id_col, vec_col, ksub, m_subs=m_subs, dsub=dsub
+    ).collect()  # bounded: one row of <= ksub structs
+    # malformed sampled entries (NULL / wrong-length / non-finite) are
+    # DROPPED here, keeping the surviving entries' original j indices —
+    # the expr tier would propagate their NULL distances into the
+    # struct-min (NULLS FIRST) and pick the garbage entry for every row.
+    # Divergence only on dirty corpora; clean corpora are bit-identical.
+    entries = [
+        e for e in (list(cb_rows[0]["cbook"]) if cb_rows else [])
+        if _valid_vec(e["cent_vec"])
+    ]
+    n_entries = len(entries)
+    J = np.array([e["j"] for e in entries], dtype=np.int64).reshape(n_entries)
+    CB32 = np.array(
+        [e["cent_vec"] for e in entries], dtype=elem_np
+    ).reshape(n_entries, dim)
+    N2 = np.array([e["n2s"] for e in entries], dtype=np.float64).reshape(
+        n_entries, m_subs
+    )
+
+    with_cell = cents_arr is not None
+    if with_cell:
+        crows = cents_arr.collect()  # bounded: one row of n_centroids structs
+        cents = [
+            c for c in (list(crows[0]["cents"]) if crows else [])
+            if _valid_vec(c["cent_vec"])
+        ]
+        C64 = np.array(
+            [c["cent_vec"] for c in cents], dtype=elem_np
+        ).astype(np.float64).reshape(len(cents), dim)
+        CN2 = np.array([c["cent_norm2"] for c in cents], dtype=np.float64)
+        CIDS = [c["cent_id"] for c in cents]
+
+    # schema comes FROM the expr twin (analysis only, no execution) so the
+    # two tiers are drop-in interchangeable by construction — except every
+    # field is forced nullable: the bad-row policy emits NULLs where the
+    # expr tier's types are non-null, and a None in a non-nullable array
+    # field NPEs UnsafeProjection.
+    from pyspark.sql.types import StructField, StructType
+
+    twin = _pq_encode(corpus, id_col, vec_col, m_subs, ksub, dim)
+    fields = [
+        StructField(f.name, f.dataType, True) for f in twin.schema.fields
+    ]
+    if with_cell:
+        fields.append(
+            StructField("cent_id", twin.schema["corpus_id"].dataType, True)
+        )
+    out_schema = StructType(fields)
+
+    def encode(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                # positional alignment with the list columns below,
+                # whatever index the Arrow bridge handed us
+                "corpus_id": pdf["corpus_id"].reset_index(drop=True),
+                "codes": [None] * n,
+                "recon_norm2": [None] * n,
+            }
+            if with_cell:
+                out["cent_id"] = [None] * n
+            vals = pdf["cvec"].tolist()
+            good = np.array(
+                [v is not None and len(v) == dim for v in vals], dtype=bool
+            )
+            if good.any() and n_entries:
+                V32 = np.stack(
+                    [np.asarray(v, dtype=elem_np) for v, g in zip(vals, good) if g]
+                )
+                finite = np.isfinite(V32).all(axis=1)
+                good[np.flatnonzero(good)[~finite]] = False
+                V32 = V32[finite]
+            if good.any() and n_entries:
+                g = V32.shape[0]
+                pos = np.empty((g, m_subs), dtype=np.int64)
+                for m in range(m_subs):
+                    off = m * dsub
+                    D = np.zeros((g, n_entries), dtype=np.float64)
+                    for i in range(dsub):
+                        d32 = V32[:, off + i, None] - CB32[None, :, off + i]
+                        D += d32 * d32  # elem-dtype product, float64 accumulate
+                    pos[:, m] = D.argmin(axis=1)
+                recon = N2[pos[:, 0], 0].copy()
+                for m in range(1, m_subs):
+                    recon += N2[pos[:, m], m]
+                codes = J[pos]  # original codebook indices, not positions
+                gi = np.flatnonzero(good)
+                for row, ci in enumerate(gi):
+                    out["codes"][ci] = codes[row].astype(np.int32)
+                    out["recon_norm2"][ci] = float(recon[row])
+                if with_cell and len(CIDS):
+                    V64 = V32.astype(np.float64)
+                    dots = np.zeros((g, len(CIDS)), dtype=np.float64)
+                    vn = np.zeros(g, dtype=np.float64)
+                    for i in range(dim):
+                        dots += V64[:, i, None] * C64[None, :, i]
+                        vn += V64[:, i] * V64[:, i]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        negsim = -(dots / np.sqrt(vn[:, None] * CN2[None, :]))
+                    negsim = np.where(np.isnan(negsim), np.inf, negsim)
+                    cidx = negsim.argmin(axis=1)
+                    for row, ci in enumerate(gi):
+                        out["cent_id"][ci] = CIDS[int(cidx[row])]
+            yield pd.DataFrame(out)
+
+    src = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
+    )
+    return src.mapInPandas(encode, out_schema)
 
 
 def _pq_luts(
@@ -837,6 +1042,7 @@ def ivfpq_topk(
     ksub: int = 16,
     dim: int = 64,
     shortlist: int = 50,
+    impl: str = "numpy",
 ) -> DataFrame:
     """IVF + PQ + exact rerank — the composed FAISS-IVFPQ(+refine)
     architecture, the standard memory-bound billion-scale ANN index:
@@ -853,11 +1059,17 @@ def ivfpq_topk(
        exact cosine fold, so the final ordering is exact over the
        shortlist.
 
-    One corpus scan computes BOTH the cell assignment and the PQ codes
-    (cell argmax and code argmins are per-row folds over two broadcast
-    literals); the only corpus-sized shuffles are the cell equi-join and
-    the two bounded top-k windows. Deterministic end to end — the whole
-    three-stage index is hash-checkable against SQL.
+    One corpus scan computes BOTH the cell assignment and the PQ codes —
+    ``impl="numpy"`` (default) in a vectorized Arrow pass
+    (:func:`_pq_encode_np`; the expr tier's interpreted HOF folds
+    measured ~0.35 ms/row in the round-14 profile and made this the
+    family's swingiest row), ``impl="expr"`` as per-row folds over two
+    broadcast literals in the same projection (round 14: the expr cell
+    pick previously ran as a second corpus scan SMJ-joined back on
+    corpus_id; both tiers are now genuinely single-scan). The only
+    corpus-sized shuffle left is the bounded top-k window. Deterministic
+    end to end — the whole three-stage index is hash-checkable against
+    SQL (tier bit-equality pinned in tests/test_similarity.py).
     """
     # broadcastable coarse-centroid array (one row, n_centroids structs)
     cents = _hash_sample(
@@ -890,18 +1102,21 @@ def ivfpq_topk(
             )
         )
 
-    # corpus: codes + recon norm, plus the cell id from a narrow select
-    # over the same scan (Catalyst collapses the two projections; both
-    # argmins/argmax are per-row folds over broadcast literals)
-    ccodes = _pq_encode(corpus, id_col, vec_col, m_subs, ksub, dim)
-    cell_of_corpus = (
-        corpus.select(
-            F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
+    # corpus: codes + recon norm + cell id, all from ONE scan — numpy
+    # tier folds the cell argmax into the Arrow encode pass; expr tier
+    # evaluates it as an extra column over the same projection (via
+    # extra_bcast). Neither pays the corpus self-join the pre-r14 shape
+    # had (profile: the SMJ's two interpreted sides were the whole cost).
+    if impl == "numpy":
+        ccodes = _pq_encode_np(
+            corpus, id_col, vec_col, m_subs, ksub, dim, cents_arr=cents_arr
         )
-        .crossJoin(F.broadcast(cents_arr))
-        .select("corpus_id", _cell_pick("cvec")["cent_id"].alias("cent_id"))
-    )
-    ccodes = ccodes.join(cell_of_corpus, "corpus_id")
+    else:
+        ccodes = _pq_encode(
+            corpus, id_col, vec_col, m_subs, ksub, dim,
+            extra_cols=[_cell_pick("cvec")["cent_id"].alias("cent_id")],
+            extra_bcast=cents_arr,
+        )
 
     # queries: probe list (nprobe nearest cells) + ADC LUT
     qbase = queries.select(
@@ -953,6 +1168,7 @@ def pq_rerank_topk(
     m_subs: int = 8,
     ksub: int = 16,
     dim: int = 64,
+    impl: str = "numpy",
 ) -> DataFrame:
     """PQ-ADC shortlist + exact rerank — the production two-stage scan
     (FAISS's IVFPQR / "refine" pattern). Stage 1 runs :func:`pq_topk`
@@ -976,7 +1192,7 @@ def pq_rerank_topk(
     """
     short = pq_topk(
         queries, corpus, id_col, vec_col,
-        k=shortlist, m_subs=m_subs, ksub=ksub, dim=dim,
+        k=shortlist, m_subs=m_subs, ksub=ksub, dim=dim, impl=impl,
     )
     return _exact_rerank(short, queries, corpus, id_col, vec_col, k)
 

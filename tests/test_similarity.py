@@ -612,3 +612,148 @@ def test_incremental_kmeans_deletes_and_determinism(spark, sf_dir):
     for r in a:
         by_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+def _pq_tier_frames(spark, sf_dir, with_cell):
+    from sig_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    cents_arr = None
+    cell_cols, cell_bcast = [], None
+    if with_cell:
+        cents = S._hash_sample(
+            corpus, "vec_id", "embedding", 8, "cent_id", "cent_vec"
+        ).select(
+            "cent_id", "cent_vec",
+            S._double_dot(F.col("cent_vec"), F.col("cent_vec")).alias("cent_norm2"),
+        )
+        cents_arr = cents.groupBy().agg(
+            F.array_sort(
+                F.collect_list(F.struct("cent_id", "cent_vec", "cent_norm2"))
+            ).alias("cents")
+        )
+        vnorm = S._double_dot(F.col("cvec"), F.col("cvec"))
+        cell_cols = [
+            F.array_min(
+                F.transform(
+                    "cents",
+                    lambda ct: F.struct(
+                        (
+                            -S._double_dot(F.col("cvec"), ct["cent_vec"])
+                            / F.sqrt(vnorm * ct["cent_norm2"])
+                        ).alias("negsim"),
+                        ct["cent_id"].alias("cent_id"),
+                    ),
+                )
+            )["cent_id"].alias("cent_id")
+        ]
+        cell_bcast = cents_arr
+    np_df = S._pq_encode_np(
+        corpus, "vec_id", "embedding", 8, 16, 64, cents_arr=cents_arr
+    )
+    ex_df = S._pq_encode(
+        corpus, "vec_id", "embedding", 8, 16, 64,
+        extra_cols=cell_cols, extra_bcast=cell_bcast,
+    )
+    return np_df, ex_df
+
+
+def test_pq_encode_numpy_tier_bitwise_equals_expr(spark, sf_dir):
+    """The Arrow/numpy encode tier must reproduce the expr tier's codes,
+    reconstructed norms, and coarse-cell assignment BIT-EXACTLY on clean
+    vectors — same float32 L2 arithmetic, same float64 accumulation
+    order, same (d, j) / (negsim, cent_id) tiebreaks. This is what lets
+    the registered PQ queries switch tiers without a debut slot: the
+    DuckDB oracle mirrors the expr fold, and this test pins numpy == expr."""
+    np_df, ex_df = _pq_tier_frames(spark, sf_dir, with_cell=True)
+    # same names/types; the numpy tier is deliberately all-nullable (its
+    # bad-row policy emits NULLs where the expr tier's types are non-null)
+    assert [(f.name, f.dataType) for f in np_df.schema.fields] == [
+        (f.name, f.dataType) for f in ex_df.schema.fields
+    ]
+    a = {r["corpus_id"]: r for r in (r.asDict() for r in np_df.collect())}
+    b = {r["corpus_id"]: r for r in (r.asDict() for r in ex_df.collect())}
+    assert set(a) == set(b) and a
+    for cid, ra in a.items():
+        rb = b[cid]
+        assert ra["codes"] == rb["codes"], cid
+        assert ra["recon_norm2"] == rb["recon_norm2"], cid  # bitwise
+        assert ra["cent_id"] == rb["cent_id"], cid
+
+
+def test_pq_encode_numpy_tier_zero_vector_and_bad_rows(spark):
+    """Tier policy on edge rows: a ZERO vector (all-NaN negsims) must
+    pick the same cell in both tiers (Spark's equal-NaN ordering ties to
+    the min cent_id; the numpy tier's NaN->inf mapping reproduces it).
+    A NULL, wrong-length, or non-finite vector gets NULL
+    codes/recon/cent_id from the numpy tier by documented policy."""
+    import math
+
+    dim = 64
+    base = [
+        (i, [float((i * 7 + j) % 5 - 2) for j in range(dim)]) for i in range(20)
+    ]
+    rows = base + [
+        (100, [0.0] * dim),                       # zero vector: NaN negsims
+        (101, None),                              # NULL vector
+        (102, [1.0] * 8),                         # wrong length
+        (103, [math.nan] + [1.0] * (dim - 1)),    # non-finite element
+        (104, [math.inf] + [1.0] * (dim - 1)),    # non-finite element
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    corpus = df.filter(F.col("vec_id").isNotNull())
+
+    cents = S._hash_sample(
+        corpus.filter(F.col("vec_id") < 100), "vec_id", "embedding", 4,
+        "cent_id", "cent_vec",
+    ).select(
+        "cent_id", "cent_vec",
+        S._double_dot(F.col("cent_vec"), F.col("cent_vec")).alias("cent_norm2"),
+    )
+    cents_arr = cents.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cent_vec", "cent_norm2"))
+        ).alias("cents")
+    )
+    out = {
+        r.vec_id: r
+        for r in S._pq_encode_np(
+            corpus, "vec_id", "embedding", 8, 4, dim, cents_arr=cents_arr
+        ).withColumnRenamed("corpus_id", "vec_id").collect()
+    }
+    # bad rows: NULL everything
+    for bad in (101, 102, 103, 104):
+        assert out[bad].codes is None
+        assert out[bad].recon_norm2 is None
+        assert out[bad].cent_id is None
+    # zero vector: valid codes, cell == min cent_id (all-NaN tie rule)
+    min_cent = min(r.cent_id for r in cents.collect())
+    assert out[100].codes is not None
+    assert out[100].cent_id == min_cent
+    # clean rows: spot-check one against the expr tier on the same frame
+    clean = corpus.filter(F.col("vec_id") < 100)
+    ex = {
+        r.corpus_id: r
+        for r in S._pq_encode(clean, "vec_id", "embedding", 8, 4, dim).collect()
+    }
+    for i in range(20):
+        assert list(out[i].codes) == list(ex[i].codes)
+        assert out[i].recon_norm2 == ex[i].recon_norm2
+
+
+def test_ivfpq_tiers_identical_full_query(spark, sf_dir):
+    """ivfpq_topk(impl='numpy') == ivfpq_topk(impl='expr') row-for-row
+    (ids, bit-exact cosines, ranks) at the registered demo config."""
+    from sig_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    a = sorted(
+        map(tuple, S.ivfpq_topk(q, c, "vec_id", "embedding", impl="numpy").collect())
+    )
+    b = sorted(
+        map(tuple, S.ivfpq_topk(q, c, "vec_id", "embedding", impl="expr").collect())
+    )
+    assert a == b and a

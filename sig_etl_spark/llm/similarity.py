@@ -39,8 +39,17 @@ def hyperplanes(dim: int, n: int, seed: int = 7) -> list[list[float]]:
 def _cosine(a_vec, b_vec, a_norm2, b_norm2):
     # try_divide: a zero-norm vector yields a NULL cosine (ranked last by
     # the DESC windows) in BOTH ANSI modes, instead of DIVIDE_BY_ZERO
-    # under the repo session's ansi.enabled=true
-    return F.try_divide(_double_dot(a_vec, b_vec), F.sqrt(a_norm2 * b_norm2))
+    # under the repo session's ansi.enabled=true. nanvl: a NaN cosine
+    # (non-finite vector elements -> inf/inf or 0/0) ALSO normalizes to
+    # NULL — one policy for every undefined similarity, ranked last, the
+    # same rule streaming's stream_ivf_assign pinned in round 13 (NaN
+    # would otherwise rank FIRST under DESC, i.e. garbage rows would
+    # outrank every real neighbor; and the Arrow/numpy tiers cannot even
+    # represent a NaN distinct from NULL on the way back to the JVM).
+    return F.nanvl(
+        F.try_divide(_double_dot(a_vec, b_vec), F.sqrt(a_norm2 * b_norm2)),
+        F.lit(None).cast("double"),
+    )
 
 
 def _with_norm2(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
@@ -57,26 +66,152 @@ def brute_force_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
+    impl: str = "numpy",
 ) -> DataFrame:
-    """Exact top-k neighbors per query by cosine. Queries are broadcast."""
-    q = _with_norm2(queries, id_col, vec_col, "query_id")
-    c = _with_norm2(corpus, id_col, vec_col, "corpus_id")
-    scored = c.join(F.broadcast(q)).select(
-        "query_id",
-        "corpus_id",
-        _cosine(
-            F.col("query_id_vec"),
-            F.col("corpus_id_vec"),
-            F.col("query_id_norm2"),
-            F.col("corpus_id_norm2"),
-        ).alias("cosine"),
-    )
+    """Exact top-k neighbors per query by cosine. Queries are broadcast
+    (expr tier) or collected (numpy tier — bounded by the same small-|Q|
+    contract the broadcast already assumes).
+
+    ``impl="numpy"`` (default) scores each corpus batch against the
+    whole query set in one Arrow pass (:func:`_brute_scored_np`) —
+    bit-identical to the expr tier in EVERY case: NULL / wrong-length
+    vectors give a NULL cosine (exactly like the NULL-poisoned zip_with
+    fold), try_divide's zero-divisor NULL is reproduced explicitly, and
+    non-finite elements run the same left-to-right IEEE sequence into
+    the shared NaN-cosine-normalizes-to-NULL policy (see ``_cosine``);
+    the only exception is a mixed-dimension query set, which falls back
+    to the expr tier (ragged stacks).
+    The expr tier's interpreted fold measured ~0.07 ms/pair in the
+    round-14 profile — at |Q| x |corpus| pairs that made the exact
+    baseline the most expensive part of llm_ann_recall. Either tier is
+    O(|Q| * |corpus|) by definition; the approximate paths are the
+    scale answer, this is their ground truth."""
+    scored = None
+    if impl == "numpy":
+        # None = mixed-dimension query set, the one case the numpy tier
+        # cannot reproduce bit-for-bit (ragged stack) -> expr fallback
+        scored = _brute_scored_np(queries, corpus, id_col, vec_col)
+    if scored is None:
+        q = _with_norm2(queries, id_col, vec_col, "query_id")
+        c = _with_norm2(corpus, id_col, vec_col, "corpus_id")
+        scored = c.join(F.broadcast(q)).select(
+            "query_id",
+            "corpus_id",
+            _cosine(
+                F.col("query_id_vec"),
+                F.col("corpus_id_vec"),
+                F.col("query_id_norm2"),
+                F.col("corpus_id_norm2"),
+            ).alias("cosine"),
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def _brute_scored_np(
+    queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str
+) -> DataFrame | None:
+    """(query_id, corpus_id, cosine) for every pair — the Arrow/numpy
+    twin of the expr tier's broadcast-join + ``_cosine`` fold, or None
+    for a ragged (mixed-dimension) query set the caller must route to
+    the expr tier. See :func:`brute_force_topk` for the bit-identity
+    argument; the dot and both norms run as sequential left-to-right
+    float64 accumulations over double-cast elements, mirroring
+    ``_double_dot`` exactly."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).collect()  # bounded: the small-query-set contract
+    qids = [r["query_id"] for r in qrows]
+    nq = len(qids)
+    qvals = [r["qvec"] for r in qrows]
+    dims = {len(v) for v in qvals if v is not None}
+    if len(dims) > 1:
+        return None  # ragged query set: caller falls back to expr tier
+    dim = dims.pop() if dims else None
+    qgood = np.array(
+        [v is not None and dim is not None and len(v) == dim for v in qvals],
+        dtype=bool,
+    )
+    if dim is not None and qgood.any():
+        Q64 = np.stack(
+            [np.asarray(v, dtype=np.float64) for v, g in zip(qvals, qgood) if g]
+        )
+        qn2 = np.zeros(Q64.shape[0], dtype=np.float64)
+        for i in range(dim):
+            qn2 += Q64[:, i] * Q64[:, i]
+
+    src = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
+    )
+    id_type = src.schema["corpus_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType, True),
+            StructField("corpus_id", id_type, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            cids = pdf["corpus_id"].reset_index(drop=True)
+            cos = np.full((n, nq), np.nan, dtype=np.float64)
+            null_mask = np.ones((n, nq), dtype=bool)  # True -> emit NULL
+            vals = pdf["cvec"].tolist()
+            good = np.array(
+                [
+                    v is not None and dim is not None and len(v) == dim
+                    for v in vals
+                ],
+                dtype=bool,
+            )
+            if good.any() and qgood.any():
+                V64 = np.stack(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v, g in zip(vals, good)
+                        if g
+                    ]
+                )
+                g = V64.shape[0]
+                dots = np.zeros((g, Q64.shape[0]), dtype=np.float64)
+                cn2 = np.zeros(g, dtype=np.float64)
+                for i in range(dim):
+                    dots += Q64[None, :, i] * V64[:, i, None]
+                    cn2 += V64[:, i] * V64[:, i]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    denom = np.sqrt(qn2[None, :] * cn2[:, None])
+                    vals_np = dots / denom
+                # try_divide: NULL when the divisor is zero; nanvl: NULL
+                # for any NaN result (the shared undefined-similarity
+                # policy — see _cosine). ±inf results (if a dot overflows
+                # while the norms stay finite) pass through as IEEE.
+                nm = (denom == 0.0) | np.isnan(vals_np)
+                gi = np.flatnonzero(good)
+                qi = np.flatnonzero(qgood)
+                cos[np.ix_(gi, qi)] = vals_np
+                null_mask[np.ix_(gi, qi)] = nm
+            # query-major flatten matches the repeat/tile layout below
+            cos_obj = cos.T.reshape(-1).astype(object)
+            cos_obj[null_mask.T.reshape(-1)] = None
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(np.asarray(qids), n),
+                    "corpus_id": np.tile(cids.to_numpy(), nq),
+                    "cosine": cos_obj,
+                }
+            )
+
+    return src.mapInPandas(score, out_schema)
 
 
 def _int_dot(a, b):

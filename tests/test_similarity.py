@@ -757,3 +757,60 @@ def test_ivfpq_tiers_identical_full_query(spark, sf_dir):
         map(tuple, S.ivfpq_topk(q, c, "vec_id", "embedding", impl="expr").collect())
     )
     assert a == b and a
+
+
+def test_brute_force_tiers_identical_and_nan_policy(spark, sf_dir):
+    """brute_force_topk(impl='numpy') == impl='expr' row-for-row on the
+    fixture, AND on a pathological frame (zero vectors, NULL vectors,
+    wrong lengths, NaN/inf elements) — both tiers share the
+    undefined-similarity policy: zero-norm OR NaN cosine => NULL,
+    ranked last. A mixed-dimension query set silently falls back to the
+    expr tier and must stay identical too."""
+    import math
+
+    from sig_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    a = sorted(map(tuple, S.brute_force_topk(q, c, "vec_id", "embedding", k=7, impl="numpy").collect()))
+    b = sorted(map(tuple, S.brute_force_topk(q, c, "vec_id", "embedding", k=7, impl="expr").collect()))
+    assert a == b and a
+
+    dim = 4
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0] * dim),                       # zero query: NULL cosines
+        (2, None),                              # NULL query
+        (3, [math.nan, 1.0, 1.0, 1.0]),         # NaN query
+        (10, [1.0, 0.1, 0.0, 0.0]),
+        (11, [0.0] * dim),                      # zero corpus: NULL cosine
+        (12, None),                             # NULL corpus
+        (13, [1.0] * 8),                        # wrong length
+        (14, [math.inf, 1.0, 1.0, 1.0]),        # inf corpus: NaN -> NULL
+        (15, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qq = df.filter(F.col("vec_id") < 10)
+    cc = df.filter(F.col("vec_id") >= 10)
+    an = S.brute_force_topk(qq, cc, "vec_id", "embedding", k=10, impl="numpy")
+    bn = S.brute_force_topk(qq, cc, "vec_id", "embedding", k=10, impl="expr")
+    ra = sorted(map(tuple, an.collect()))
+    rb = sorted(map(tuple, bn.collect()))
+    assert ra == rb and ra
+    by_pair = {(r[0], r[1]): r[2] for r in ra}
+    # undefined-similarity policy: every pathological pair is NULL...
+    for qid in (0, 1, 2, 3):
+        for cid in (11, 12, 13, 14):
+            assert by_pair[(qid, cid)] is None, (qid, cid)
+    # ...and real pairs score, with NULLs ranked last
+    assert by_pair[(0, 10)] is not None
+    ranks = {(r[0], r[1]): r[3] for r in ra}
+    assert ranks[(0, 10)] < ranks[(0, 11)]
+
+    qm = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    fm = sorted(map(tuple, S.brute_force_topk(qm, cc, "vec_id", "embedding", k=3, impl="numpy").collect()))
+    fe = sorted(map(tuple, S.brute_force_topk(qm, cc, "vec_id", "embedding", k=3, impl="expr").collect()))
+    assert fm == fe

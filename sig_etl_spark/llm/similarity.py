@@ -1332,6 +1332,188 @@ def pq_rerank_topk(
     return _exact_rerank(short, queries, corpus, id_col, vec_col, k)
 
 
+def _fold_dot_np(A, B):
+    """Pairwise dot matrix |A| x |B| as a strict left-to-right float64
+    accumulation along the dimension axis — per (i, j) the additions run
+    d=0,1,2,..., the exact IEEE sequence ``_double_dot`` performs, so the
+    results are bit-identical to the expr tier (same argument as
+    :func:`_brute_scored_np` / streaming's numpy IVF scorer)."""
+    import numpy as np
+
+    dots = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+    for d in range(A.shape[1]):
+        dots += A[:, d, None] * B[None, :, d]
+    return dots
+
+
+def _fold_norm2_np(A):
+    """Row-wise self-dot with the same left-to-right fold as above."""
+    import numpy as np
+
+    n2 = np.zeros(A.shape[0], dtype=np.float64)
+    for d in range(A.shape[1]):
+        n2 += A[:, d] * A[:, d]
+    return n2
+
+
+def _vec_class(v):
+    """(kind, length): 'null' = no dot is ever defined vs ANY vector
+    (NULL vec or a NULL element — zip_with's NULL poisons every fold,
+    including the self-dot), 'ok' = stackable floats (NaN/inf allowed:
+    they run the same IEEE arithmetic in both tiers)."""
+    if v is None:
+        return ("null", -1)
+    lst = list(v)
+    if any(e is None for e in lst):
+        return ("null", -1)
+    return ("ok", len(lst))
+
+
+def _ivf_assign_np(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_rows: list,
+    nassign: int,
+) -> DataFrame:
+    """Arrow/numpy twin of the flat IVF assignment (corpus x centroids
+    scoring + per-vid top-``nassign`` window): one mapInPandas pass that
+    emits (vid, vid_vec, vid_norm2, cent_id), bit-identical to the expr
+    tier including every edge case:
+
+    - csim is the RAW ``dot/sqrt(norm2_v*norm2_c)`` (no try_divide, no
+      nanvl — matching the expr near-dup scorer): a zero divisor raises,
+      exactly like ANSI's DIVIDE_BY_ZERO kills the expr plan;
+    - ordering is Spark's ``desc(csim), cent_id``: NaN above +inf above
+      finite, NULLs last (a NULL csim = NULL vec / NULL element /
+      length-mismatched fold);
+    - ties break by ascending cent_id (centroids are pre-sorted so a
+      STABLE argsort inherits the tie-break);
+    - vid_norm2 is the self-fold over the row's OWN length (a clean
+      wrong-length vector has a real norm2 and can still pair with
+      same-length rows downstream — only its csim vs the standard-dim
+      centroids is NULL).
+    """
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    src = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vid_vec"))
+    out_schema = StructType(
+        [
+            StructField("vid", src.schema["vid"].dataType, True),
+            StructField("vid_vec", src.schema["vid_vec"].dataType, True),
+            StructField("vid_norm2", DoubleType(), True),
+            StructField("cent_id", src.schema["vid"].dataType, True),
+        ]
+    )
+    cents = sorted(cent_rows, key=lambda r: r[0])  # cent_id asc = tie-break
+    cids = [c for c, _ in cents]
+    cvvals = [v for _, v in cents]
+    C = len(cents)
+    ckinds = [_vec_class(v) for v in cvvals]
+    # centroid groups by exact length (csim defined only for equal-length
+    # folds); each group carries its fold norm2
+    cgroups: dict[int, list[int]] = {}
+    for j, (kind, ln) in enumerate(ckinds):
+        if kind == "ok":
+            cgroups.setdefault(ln, []).append(j)
+    ktake = min(nassign, C)
+
+    # mapInArrow, not mapInPandas: the output batches are built straight
+    # from pyarrow so the vector column is a `take` of the INPUT list
+    # array — NaN elements stay NaN and NULL elements stay NULL on the
+    # return hop (pandas' from_pandas conversion would collapse a NaN
+    # inside an object cell to NULL, erasing the distinction the pair
+    # phase's JVM pre-filter depends on).
+    def assign(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cmats = {
+            ln: np.stack([np.asarray(cvvals[j], dtype=np.float64) for j in idx])
+            for ln, idx in cgroups.items()
+        }
+        cnorm2 = {ln: _fold_norm2_np(m) for ln, m in cmats.items()}
+        for batch in batches:
+            n = batch.num_rows
+            if not n or not C:
+                continue
+            vid_arr = batch.column(0)
+            vec_arr = batch.column(1)
+            row_null = pc.is_null(vec_arr).to_numpy(zero_copy_only=False)
+            lens = pc.list_value_length(vec_arr).to_numpy(zero_copy_only=False)
+            lens = np.where(row_null, 0, lens).astype(np.int64)
+            flat = vec_arr.flatten()  # values of non-null rows only
+            flat64 = flat.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            flat_null = pc.is_null(flat).to_numpy(zero_copy_only=False)
+            offs = np.concatenate([[0], np.cumsum(lens)])
+            cs = np.concatenate([[0], np.cumsum(flat_null)])
+            has_null_elem = (cs[offs[1:]] - cs[offs[:-1]]) > 0
+            bad_row = row_null | has_null_elem  # NULL norm2, NULL csim
+            norm2 = np.zeros(n, dtype=np.float64)
+            # csim matrix: value + null mask (NULL sorts last; NaN first)
+            csim = np.zeros((n, C), dtype=np.float64)
+            isnull = np.ones((n, C), dtype=bool)
+            rgroups: dict[int, np.ndarray] = {}
+            for ln in np.unique(lens[~bad_row]):
+                rgroups[int(ln)] = np.flatnonzero(~bad_row & (lens == ln))
+            for ln, ridx in rgroups.items():
+                idx_mat = offs[ridx][:, None] + np.arange(ln)[None, :]
+                V = (
+                    flat64[idx_mat]
+                    if ln
+                    else np.zeros((len(ridx), 0), dtype=np.float64)
+                )
+                vn2 = _fold_norm2_np(V)
+                norm2[ridx] = vn2
+                cj = cgroups.get(ln)
+                if not cj:
+                    continue
+                dots = _fold_dot_np(V, cmats[ln])
+                denom = np.sqrt(vn2[:, None] * cnorm2[ln][None, :])
+                if (denom == 0.0).any():
+                    raise ArithmeticError(
+                        "[DIVIDE_BY_ZERO] zero-norm vector in IVF assignment "
+                        "(the expr tier raises identically under ANSI); "
+                        "clean the corpus or drop zero vectors upstream"
+                    )
+                block = dots / denom
+                csim[np.ix_(ridx, np.asarray(cj))] = block
+                isnull[np.ix_(ridx, np.asarray(cj))] = False
+            # top-nassign per row under Spark's (csim DESC, cent_id ASC)
+            # window order — desc doubles via java.lang.Double.compare:
+            # NaN above +inf, -0.0 strictly below +0.0, NULLs last. The
+            # IEEE total-order bit trick maps every double to an int64
+            # whose ascending order IS Double.compare's (sign-flip the
+            # non-sign bits of negatives); ~key then gives descending,
+            # and a stable argsort breaks bit-equal ties by centroid
+            # position = ascending cent_id. NaN payloads normalize to
+            # the canonical quiet NaN first (Double.compare treats every
+            # NaN as one value).
+            csim = np.where(np.isnan(csim), np.nan, csim)
+            b = np.ascontiguousarray(csim).view(np.int64)
+            tot = np.where(b >= 0, b, b ^ np.int64(0x7FFFFFFFFFFFFFFF))
+            key_asc = np.where(isnull, np.iinfo(np.int64).max, ~tot)
+            order = np.argsort(key_asc, axis=1, kind="stable")[:, :ktake]
+            idx_rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), ktake))
+            cids_pa = pa.array(cids).cast(vid_arr.type)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(vid_arr, idx_rep),
+                    pc.take(vec_arr, idx_rep),
+                    pa.array(
+                        np.repeat(norm2, ktake),
+                        type=pa.float64(),
+                        mask=np.repeat(bad_row, ktake),
+                    ),
+                    pc.take(cids_pa, pa.array(order.reshape(-1))),
+                ],
+                names=["vid", "vid_vec", "vid_norm2", "cent_id"],
+            )
+
+    return src.mapInArrow(assign, out_schema)
+
+
 def ivf_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -1341,6 +1523,7 @@ def ivf_near_dup_pairs(
     nassign: int = 2,
     target_cell: int = 256,
     checkpoint: bool = True,
+    impl: str = "numpy",
 ) -> DataFrame:
     """Near-dup pairs via IVF cell blocking — the corpus-scale twin of
     ``embedding_near_dup_pairs``. Label blocks grow with the corpus (the
@@ -1381,10 +1564,28 @@ def ivf_near_dup_pairs(
     proof that cell count must scale, now encoded here.) Weak-threshold
     recall decays as cells shrink relative to the similarity radius;
     production near-dup thresholds (>=0.8) co-locate pairs and keep
-    recall high at any scale."""
+    recall high at any scale.
+
+    ``impl="numpy"`` (default, round 14): both corpus-sized phases run
+    as Arrow/numpy passes with bit-identical left-to-right float64
+    folds — assignment in one ``mapInPandas`` (:func:`_ivf_assign_np`,
+    no window exchange of vector-carrying rows, no checkpoint barrier
+    since the single consumer reads it once), pair scoring per cell in
+    ``applyInPandas`` (:func:`_pairs_from_assignment`). The expr tier
+    measured ~5-7 us/candidate-pair in its interpreted zip_with/
+    aggregate folds (HOF lambdas never enter whole-stage codegen) —
+    at ~2.3M sf0.1 / ~23M sf1 cell co-occurrences that interpreted
+    fold was the whole cost of the operator. ``impl="expr"`` keeps the
+    pure-JVM plan selectable (plan-shape tests, tier-equality arms)."""
     if n_centroids is None:
         n_centroids = max(8, df.count() // target_cell)
     cents = _hash_sample(df, id_col, vec_col, n_centroids, "cent_id", "cent_vec")
+    if impl == "numpy":
+        cent_rows = [(r["cent_id"], r["cent_vec"]) for r in cents.collect()]
+        assigned = _ivf_assign_np(df, id_col, vec_col, cent_rows, nassign)
+        return _pairs_from_assignment(assigned, threshold, impl="numpy")
+    if impl != "expr":
+        raise ValueError(f"unknown impl {impl!r}")
     cent_norm = _with_norm2(cents, "cent_id", "cent_vec", "cent_id").select(
         "cent_id",
         F.col("cent_id_vec").alias("cent_vec"),
@@ -1419,7 +1620,7 @@ def ivf_near_dup_pairs(
         # checkpoint=False exists for plan-shape tests, which need the
         # pre-barrier assignment stage visible in one explain.
         assigned = assigned.localCheckpoint()
-    return _pairs_from_assignment(assigned, threshold)
+    return _pairs_from_assignment(assigned, threshold, impl="expr")
 
 
 def ivf_near_dup_pairs_2level(
@@ -1432,6 +1633,7 @@ def ivf_near_dup_pairs_2level(
     target_cell: int = 256,
     mprobe: int = 2,
     checkpoint: bool = True,
+    impl: str = "numpy",
 ) -> DataFrame:
     """IVF near-dup pairs with a TWO-LEVEL (coarse-quantizer)
     assignment — the production path above ~10^6 vectors, where flat
@@ -1529,15 +1731,39 @@ def ivf_near_dup_pairs_2level(
         .filter(F.col("rn") <= nassign)
         .select("vid", "vid_vec", "vid_norm2", "cent_id")
     )
+    if impl == "numpy":
+        # single consumer (the per-cell groupBy) — no self-join, so the
+        # checkpoint barrier that stopped double evaluation is moot
+        return _pairs_from_assignment(assigned, threshold, impl="numpy")
     if checkpoint:
         assigned = assigned.localCheckpoint()
-    return _pairs_from_assignment(assigned, threshold)
+    return _pairs_from_assignment(assigned, threshold, impl="expr")
 
 
-def _pairs_from_assignment(assigned: DataFrame, threshold: float) -> DataFrame:
+def _pairs_from_assignment(
+    assigned: DataFrame, threshold: float, impl: str = "numpy"
+) -> DataFrame:
     """Shared pair phase over an (vid, vid_vec, vid_norm2, cent_id) cell
-    assignment: cell self-join, exact-cosine verify, dedup of the skinny
-    survivors — used by both the flat and the two-level IVF near-dup."""
+    assignment — used by both the flat and the two-level IVF near-dup.
+
+    ``impl="numpy"`` (default, round 14): one ``applyInPandas`` per cell
+    scores the cell's full candidate triangle with the bit-identical
+    left-to-right float64 dim-fold (:func:`_fold_dot_np`) and emits only
+    the skinny survivors — the expr tier's cell self-join evaluated the
+    same cosine as an interpreted zip_with/aggregate fold per candidate
+    row (~5-7 us/pair; HOF lambdas never enter codegen), which was the
+    entire cost of the operator at every measured scale. Shuffle bytes
+    also drop ~2x: ONE vector-carrying exchange (the groupBy) instead of
+    the self-join's two. Bit-equality with the expr tier is pinned by
+    tests on clean + edge rows (NULL/NaN/inf/wrong-length vectors); a
+    zero divisor raises like ANSI kills the expr plan.
+
+    ``impl="expr"``: cell self-join + JVM fold + skinny dedup (the
+    round-14 score-then-dedup order — see the inline comment)."""
+    if impl == "numpy":
+        return _pairs_from_assignment_np(assigned, threshold)
+    if impl != "expr":
+        raise ValueError(f"unknown impl {impl!r}")
     a = assigned.select(
         F.col("vid").alias("id_a"),
         F.col("vid_vec").alias("vec_a"),
@@ -1574,5 +1800,123 @@ def _pairs_from_assignment(assigned: DataFrame, threshold: float) -> DataFrame:
         cands.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _pairs_from_assignment_np(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Arrow/numpy pair phase: group the assignment by cell, score each
+    cell's candidate triangle with the left-to-right float64 dim-fold
+    (bit-identical to the expr tier's ``_double_dot``-based cosine on
+    every pair both tiers define — see :func:`_pairs_from_assignment`),
+    emit only (id_a, id_b, cosine) survivors, dedup across shared cells.
+
+    Edge semantics mirror the expr tier's raw ``dot/sqrt(n2a*n2b)``:
+
+    - NULL vec / NULL element => NULL dot => pair dropped (excluded from
+      the matrices — such a row can never emit);
+    - length-mismatched pair => NULL dot => dropped (rows are grouped by
+      exact vector length; cross-length pairs are never generated, but
+      two clean same-nonstandard-length rows in one cell DO pair);
+    - NaN / inf elements run the identical IEEE arithmetic; a NaN
+      cosine pair is KEPT — Spark and DuckDB both order NaN above every
+      double, so ``NaN >= threshold`` is true in BOTH engines (the expr
+      tier emits such pairs, and the oracle re-derives them). The one
+      representational seam: the Arrow return path cannot carry a NaN
+      distinct from NULL (repo-wide bridge limitation), so the kept
+      pair arrives with cosine NULL where the expr tier reads NaN —
+      the oracle canonicalizer maps both to NULL, so hashes agree; an
+      inf cosine passes through as plain IEEE;
+    - a zero divisor raises, as ANSI's DIVIDE_BY_ZERO kills the expr
+      plan (sqrt(NULL)=NULL never hits the divisor check, same as expr
+      where Divide returns NULL before testing the divisor).
+
+    Memory is bounded: the dot block is computed in row-chunks of
+    ~4M elements against the cell, so a pathological hot cell degrades
+    to more chunks, never to an O(cell^2) allocation."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = assigned.schema["vid"].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type, True),
+            StructField("id_b", id_type, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+    thr = float(threshold)
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        vals = pdf["vid_vec"].tolist()
+        ids = pdf["vid"].tolist()
+        n2 = pdf["vid_norm2"].to_numpy(dtype=np.float64, na_value=np.nan)
+        groups: dict[int, list[int]] = {}
+        for i, v in enumerate(vals):
+            if ids[i] is None:
+                continue  # id_a < id_b is NULL for a NULL id -> dropped
+            kind, ln = _vec_class(v)
+            if kind == "ok":
+                groups.setdefault(ln, []).append(i)
+        for ln, idxs in groups.items():
+            if len(idxs) < 2:
+                continue
+            idxs.sort(key=lambda i: ids[i])  # upper triangle => id_a < id_b
+            V = np.stack([np.asarray(vals[i], dtype=np.float64) for i in idxs])
+            gn2 = n2[idxs]
+            gids = [ids[i] for i in idxs]
+            m = len(idxs)
+            chunk = max(1, (1 << 22) // m)
+            for lo in range(0, m - 1, chunk):
+                hi = min(lo + chunk, m - 1)
+                # rows lo..hi-1 against columns lo+1..m-1; mask to j > i
+                R, Cm = V[lo:hi], V[lo + 1 :]
+                dots = _fold_dot_np(R, Cm)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    denom = np.sqrt(gn2[lo:hi, None] * gn2[None, lo + 1 :])
+                    if (denom == 0.0).any():
+                        raise ArithmeticError(
+                            "[DIVIDE_BY_ZERO] zero-norm vector in near-dup "
+                            "pair scoring (the expr tier raises identically "
+                            "under ANSI)"
+                        )
+                    cosm = dots / denom
+                # Spark/DuckDB comparison semantics: NaN is GREATER than
+                # any double, so `cosine >= threshold` KEEPS a NaN pair
+                # (both engines agree; the raw NaN bits pass through the
+                # Arrow return unchanged). inf passes as plain IEEE.
+                ri, ci = np.nonzero((cosm >= thr) | np.isnan(cosm))
+                keep = ci >= ri  # global j = lo+1+ci > i = lo+ri
+                for r, c in zip(ri[keep], ci[keep]):
+                    out_a.append(gids[lo + r])
+                    out_b.append(gids[lo + 1 + c])
+                    out_c.append(float(cosm[r, c]))
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(out_a, dtype=object),
+                "id_b": pd.Series(out_b, dtype=object),
+                "cosine": pd.Series(out_c, dtype=object),
+            }
+        )
+
+    # JVM-side pre-filter: a NULL id, NULL vector or NULL ELEMENT row can
+    # never emit a pair in the expr tier (NULL id fails id_a < id_b; a
+    # NULL element poisons every zip_with fold into a NULL cosine, which
+    # the threshold filter drops) — and the Arrow hop would erase the
+    # NULL-element / NaN-element distinction (both arrive as np.nan), so
+    # the classification MUST happen before the Python boundary. NaN
+    # elements stay in: their IEEE arithmetic is tier-identical.
+    clean = assigned.filter(
+        F.col("vid").isNotNull()
+        & F.col("vid_vec").isNotNull()
+        & ~F.exists(F.col("vid_vec"), lambda e: e.isNull())
+    )
+    return (
+        clean.groupBy("cent_id")
+        .applyInPandas(score_cell, out_schema)
         .dropDuplicates(["id_a", "id_b"])
     )

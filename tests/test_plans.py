@@ -317,12 +317,13 @@ def test_q5_join_tree_plan_shape(spark, sf_dir):
 
 
 def test_ivf_near_dup_plan_shape(spark, sf_dir):
-    """Centroids reach the assignment join as a broadcast (the
-    assignment cross join is bounded by centroid count); the only
-    non-broadcast join is the cell equi-join. The production plan
-    checkpoints the assignment frame before the self-join (so the
-    scoring pass runs once); the pre-barrier stage is inspected via
-    checkpoint=False, the production plan for its post-barrier shape."""
+    """Round 14, numpy production tier: NO join at all — assignment is
+    one MapInPandas over the corpus scan (centroids ride the task
+    closure), the pair phase is one FlatMapGroupsInPandas behind the
+    single cent_id exchange, and the only other exchange is the skinny
+    pair dedup. The expr tier (impl='expr', still selectable) keeps its
+    original guards: centroid broadcast into the assignment join, both
+    self-join sides fed from the checkpoint scan."""
     import contextlib
     import io
 
@@ -334,7 +335,7 @@ def test_ivf_near_dup_plan_shape(spark, sf_dir):
     df = S.ivf_near_dup_pairs(
         emb, "vec_id", "embedding",
         threshold=0.3, nassign=LS._ND_ASSIGN, target_cell=LS._ND_CELL,
-        checkpoint=False,
+        checkpoint=False, impl="expr",
     )
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -343,14 +344,28 @@ def test_ivf_near_dup_plan_shape(spark, sf_dir):
     assert _count_op(full, "CartesianProduct") == 0
     assert _count_op(full, "BroadcastNestedLoopJoin") >= 1  # vec x centroid
     assert "PushedFilters" in full
-    # production plan: the self-join sides are checkpoint scans (the
-    # scoring pass is NOT replayed per side), and the corpus-sized
-    # assignment frame is never broadcast
+    # expr production variant: self-join sides are checkpoint scans
+    exprq = S.ivf_near_dup_pairs(
+        emb, "vec_id", "embedding",
+        threshold=0.3, nassign=LS._ND_ASSIGN, target_cell=LS._ND_CELL,
+        impl="expr",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        exprq.explain(mode="formatted")
+    eplan = buf.getvalue()
+    assert _count_op(eplan, "Scan ExistingRDD") >= 2
+    # numpy production plan (the registered query): no joins, no
+    # checkpoint scans — one Python assignment pass, one grouped-map
+    # pair pass, and only the cent_id + dedup exchanges
     plan = _plan(spark, sf_dir, "llm_embedding_near_dup_ivf")
     assert _count_op(plan, "CartesianProduct") == 0
     assert _count_op(plan, "BroadcastNestedLoopJoin") == 0
-    assert _count_op(plan, "Scan ExistingRDD") >= 2  # both sides pre-materialized
+    assert _count_op(plan, "SortMergeJoin") == 0
     assert _count_op(plan, "BroadcastHashJoin") == 0
+    assert _count_op(plan, "MapInArrow") == 1, plan
+    assert _count_op(plan, "FlatMapGroupsInPandas") == 1, plan
+    assert _count_op(plan, "Exchange") <= 2, plan  # cent_id + pair dedup
 
 
 def test_round6_scale_plan_shapes(spark, sf_dir):

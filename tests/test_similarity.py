@@ -814,3 +814,82 @@ def test_brute_force_tiers_identical_and_nan_policy(spark, sf_dir):
     fm = sorted(map(tuple, S.brute_force_topk(qm, cc, "vec_id", "embedding", k=3, impl="numpy").collect()))
     fe = sorted(map(tuple, S.brute_force_topk(qm, cc, "vec_id", "embedding", k=3, impl="expr").collect()))
     assert fm == fe
+
+
+def test_ivf_near_dup_numpy_tier_bitwise_equals_expr(spark, sf_dir):
+    """Round 14: ivf_near_dup_pairs / _2level(impl='numpy') must equal
+    impl='expr' BITWISE — same pair set, bit-identical cosines — on the
+    fixture AND on a pathological frame (NULL vector, NULL element,
+    wrong length, NaN / inf elements). The numpy tier replaces the
+    interpreted zip_with/aggregate folds (never codegen'd) with the
+    same left-to-right float64 dim-fold in Arrow batches; this test is
+    the bit-identity contract."""
+    import math
+    import struct
+
+    from sig_etl_spark.tables import load_table
+
+    def pairs(df_, fn, impl):
+        out = fn(
+            df_, "vec_id", "embedding",
+            threshold=0.3, nassign=3, target_cell=64, impl=impl,
+        ).collect()
+        # NaN-cosine pairs ARE emitted (Spark/DuckDB order NaN above
+        # every double, so NaN >= threshold holds in both engines). The
+        # expr tier returns a true NaN; the numpy tier's Arrow return
+        # path cannot represent NaN distinct from NULL (the repo-wide
+        # bridge limitation) so the same pair arrives with cosine NULL.
+        # The oracle canonicalizer maps BOTH to NULL — canonicalize the
+        # same way here and require the pair SET to match exactly.
+        return {
+            (r.id_a, r.id_b): (
+                b"NAN"
+                if r.cosine is None or math.isnan(r.cosine)
+                else struct.pack("d", r.cosine)
+            )
+            for r in out
+        }
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for fn in (S.ivf_near_dup_pairs, S.ivf_near_dup_pairs_2level):
+        a = pairs(emb, fn, "expr")
+        b = pairs(emb, fn, "numpy")
+        assert a == b and a, fn.__name__
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, None),                          # NULL vector: no pairs
+        (4, [1.0, None, 0.0, 0.0]),         # NULL element: no pairs
+        (5, [1.0] * 8),                     # wrong length vs the rest
+        (6, [0.95] * 8),                    # ...but pairs with vec 5
+        (7, [math.nan, 1.0, 1.0, 1.0]),     # NaN: cosine NaN -> dropped
+        (8, [math.inf, 1.0, 0.0, 0.0]),     # inf arithmetic, both tiers
+        (9, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = pairs(df, S.ivf_near_dup_pairs, "expr")
+    b = pairs(df, S.ivf_near_dup_pairs, "numpy")
+    assert a == b and a
+    ids_in_pairs = {i for k in b for i in k}
+    assert not ids_in_pairs & {3, 4}         # NULL dots never pair
+    assert 7 in ids_in_pairs                 # NaN cosine IS kept (NaN >= thr)
+    assert b[(5, 6)] != b"NAN"               # same-nonstandard-length pair
+
+
+def test_ivf_near_dup_zero_norm_raises_in_both_tiers(spark):
+    """A zero-norm vector makes the raw cosine division hit a zero
+    divisor: ANSI kills the expr plan with DIVIDE_BY_ZERO and the numpy
+    tier raises the mirrored ArithmeticError — neither tier silently
+    emits garbage pairs."""
+    import pytest
+
+    rows = [(0, [1.0, 0.0]), (1, [0.5, 0.1]), (2, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    for impl in ("expr", "numpy"):
+        with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            S.ivf_near_dup_pairs(
+                df, "vec_id", "embedding",
+                threshold=0.3, nassign=2, target_cell=2, impl=impl,
+            ).collect()

@@ -1869,21 +1869,98 @@ FROM chunks GROUP BY source ORDER BY source
 """
 
 
-@register(
-    "llm_cdc_chunk_dedup",
-    oracle=_CDC_ORACLE,
-    doc="content-defined chunking (rolling-window hash mask boundaries,"
-        " insertion-stable) + chunk-hash dedup per source — the storage-"
-        "dedup primitive, chunked in-row, one explode + one combinable"
-        " aggregate; fully oracle-checked",
-)
-def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cdc_chunk_rows(docs: DataFrame, impl: str = "numpy") -> DataFrame:
+    """Exploded ``(source, ch)`` chunk-hash rows — the per-document CDC
+    pipeline (boundary positions from the rolling-window mask hash, then
+    one 60-bit md5 hash per chunk), shared by both tiers.
+
+    ``impl="numpy"`` (default, round 14): one ``mapInArrow`` pass over
+    ``(source, toks)`` computes every window hash and chunk hash with
+    ``hashlib.md5`` over the identical UTF-8 bytes the JVM hashes —
+    tokens are still produced by the JVM ``tokens()`` expression (Java
+    and Python regex ``\\s`` classes differ on Unicode whitespace, so
+    tokenization must not cross the boundary), and the 60-bit value is
+    the top 15 hex digits of the same digest, so every emitted row is
+    bit-identical to the expr tier and the DuckDB oracle. Motivation
+    (guide §4.1/§4.2): the expr tier runs one interpreted
+    position-filter lambda + md5 PER TOKEN POSITION (HOF lambdas never
+    enter whole-stage codegen), and Catalyst additionally re-inlines the
+    whole ``split(trim(text))`` tokenization into every consumer — the
+    measured cost was ~20 us per window position vs ~0.6 us for the
+    hashlib loop. ``impl="expr"`` keeps the pure-JVM chain selectable
+    (the plan-shape and tier-equality tests use it)."""
     from sig_etl_spark.functions.hashing import portable_hash60
     from sig_etl_spark.llm.text_analysis import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    base = docs.select("doc_id", "source", toks.alias("toks")).withColumn(
+    if impl == "numpy":
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        base = docs.select("source", toks.alias("toks"))
+        out_schema = StructType(
+            [
+                StructField("source", base.schema["source"].dataType, True),
+                StructField("ch", LongType(), True),
+            ]
+        )
+        win, mask = _CDC_WINDOW, _CDC_MASK
+
+        def chunk(batches):
+            import hashlib
+
+            import pyarrow as pa
+
+            md5 = hashlib.md5
+            for batch in batches:
+                srcs = batch.column(0).to_pylist()
+                toks_col = batch.column(1).to_pylist()
+                o_src: list = []
+                o_ch: list = []
+                for s, tk in zip(srcs, toks_col):
+                    if not tk:
+                        continue  # NULL text or n == 0: no chunks
+                    n = len(tk)
+                    btoks = [t.encode("utf-8") for t in tk]
+                    joined = b" ".join(btoks)
+                    # byte offsets of token i in the joined string
+                    starts = []
+                    ends = []
+                    pos = 0
+                    for b in btoks:
+                        starts.append(pos)
+                        pos += len(b)
+                        ends.append(pos)
+                        pos += 1
+                    # boundary positions: 1-based 2..n-win+1 where the
+                    # window hash (top 60 md5 bits) is 0 mod mask; the
+                    # 60-bit value is digest[:8] >> 4 big-endian ==
+                    # int(hexdigest[:15], 16)
+                    cuts = [1]
+                    for i1 in range(2, n - win + 2):
+                        w = joined[starts[i1 - 1] : ends[i1 + win - 2]]
+                        h = int.from_bytes(md5(w).digest()[:8], "big") >> 4
+                        if h % mask == 0:
+                            cuts.append(i1)
+                    cuts.append(n + 1)
+                    for j in range(len(cuts) - 1):
+                        c = joined[starts[cuts[j] - 1] : ends[cuts[j + 1] - 2]]
+                        o_ch.append(
+                            int.from_bytes(md5(c).digest()[:8], "big") >> 4
+                        )
+                        o_src.append(s)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(o_src, type=batch.column(0).type),
+                        pa.array(o_ch, type=pa.int64()),
+                    ],
+                    names=["source", "ch"],
+                )
+
+        return base.mapInArrow(chunk, out_schema)
+    if impl != "expr":
+        raise ValueError(f"unknown impl {impl!r}")
+
+    base = docs.select("source", toks.alias("toks")).withColumn(
         "n", F.size("toks")
     )
     win_hash = lambda i: F.pmod(  # noqa: E731
@@ -1934,9 +2011,22 @@ def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("bigint"),
     )
-    chunks = w.filter(F.size("cuts") > 1).select(
+    return w.filter(F.size("cuts") > 1).select(
         "source", F.explode(chunk_hashes).alias("ch")
     )
+
+
+@register(
+    "llm_cdc_chunk_dedup",
+    oracle=_CDC_ORACLE,
+    doc="content-defined chunking (rolling-window hash mask boundaries,"
+        " insertion-stable) + chunk-hash dedup per source — the storage-"
+        "dedup primitive, chunked in-row, one explode + one combinable"
+        " aggregate; fully oracle-checked",
+)
+def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = _cdc_chunk_rows(docs)
     return (
         chunks.groupBy("source")
         .agg(

@@ -637,3 +637,48 @@ def test_geo_neighbor_pairs_exact_vs_bruteforce(spark, sf_dir):
         if d <= 5_000 * 5_000:
             want[(a, b)] = d
     assert got == want, (len(got), len(want))
+
+
+def test_cdc_chunk_tiers_bit_identical(spark, sf_dir):
+    """Round 14: the mapInArrow/hashlib CDC tier must emit EXACTLY the
+    expr tier's (source, ch) multiset — same boundaries, same 60-bit
+    chunk hashes — on the fixture AND on an edge frame (NULL text,
+    empty/whitespace-only text, sub-window docs, exact-window docs,
+    unicode whitespace and multi-byte tokens, NULL source). Tokenization
+    stays in the JVM for BOTH tiers (Java vs Python \\s classes differ
+    on unicode whitespace), so the hash input bytes are identical by
+    construction; this test pins it."""
+    from collections import Counter
+
+    from sig_etl_spark.queries.llm_dedup import _cdc_chunk_rows
+    from sig_etl_spark.tables import load_table
+
+    def multiset(df):
+        return Counter((r["source"], r["ch"]) for r in df.collect())
+
+    docs = load_table(spark, sf_dir, "documents")
+    exp = multiset(_cdc_chunk_rows(docs, impl="expr"))
+    got = multiset(_cdc_chunk_rows(docs, impl="numpy"))
+    assert got == exp and exp
+
+    long_doc = " ".join(f"w{i * 7 % 23}x{i}" for i in range(80))
+    edge = spark.createDataFrame(
+        [
+            ("a", None),
+            ("b", ""),
+            ("c", "   \t\n  "),
+            ("d", "one two"),
+            ("e", "t1 t2 t3 t4"),
+            ("f", long_doc),
+            ("g", "café naïve joined\u00a0nbsp 漢字 "
+                  "über straße " + long_doc),
+            (None, "null source doc " + long_doc),
+        ],
+        ["source", "text"],
+    )
+    exp = multiset(_cdc_chunk_rows(edge, impl="expr"))
+    got = multiset(_cdc_chunk_rows(edge, impl="numpy"))
+    assert got == exp and exp
+    srcs = {s for s, _ in exp}
+    assert None in srcs and "f" in srcs and "g" in srcs
+    assert not srcs & {"a", "b", "c"}  # no chunks from NULL/empty text

@@ -656,10 +656,28 @@ def test_session2_final_batch_plan_shapes(spark, sf_dir):
     assert _count_op(plan, "BroadcastNestedLoopJoin") == 0
     assert _count_op(plan, "CartesianProduct") == 0
 
-    # CDC chunking is in-row: the ONLY Generate (explode) is the final
-    # chunk-hash explode — token/position work never explodes.
+    # CDC chunking, round-14 numpy tier (the registered query): the
+    # whole per-document window-hash + chunk-hash pipeline is ONE
+    # MapInArrow pass — no Generate (explode) and none of the expr
+    # tier's interpreted HOF folds reach the plan at all.
     plan = _plan(spark, sf_dir, "llm_cdc_chunk_dedup")
-    assert _count_op(plan, "Generate") == 1, "chunking leaked an explode"
+    assert _count_op(plan, "MapInArrow") == 1, plan
+    assert _count_op(plan, "Generate") == 0, plan
+    # The expr tier stays selectable and keeps its in-row guard: its
+    # ONLY Generate is the final chunk-hash explode — token/position
+    # work never explodes.
+    import contextlib
+    import io
+
+    from sig_etl_spark.queries.llm_dedup import _cdc_chunk_rows
+    from sig_etl_spark.tables import load_table
+
+    edf = _cdc_chunk_rows(load_table(spark, sf_dir, "documents"), impl="expr")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        edf.explain(mode="formatted")
+    eplan = buf.getvalue()
+    assert _count_op(eplan, "Generate") == 1, "expr chunking leaked an explode"
 
     # Interval union: every window is user-keyed.
     plan = _plan(spark, sf_dir, "events_interval_union")

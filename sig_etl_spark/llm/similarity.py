@@ -244,38 +244,54 @@ def int8_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
+    impl: str = "numpy",
 ) -> DataFrame:
     """Top-k by SCALAR-QUANTIZED (int8) cosine — the memory-bound scale
     path: 4x smaller vectors than float32, and because cosine is
     scale-invariant the per-vector quantization scales cancel, leaving
     pure integer arithmetic (exact on both engines, no float folds).
     At 100 TB this is the standard first compression step before IVF/PQ:
-    the corpus scan reads a quarter of the bytes and the scoring stays
-    whole-stage-codegen integer math. Same plan shape as
-    brute_force_topk: queries broadcast, corpus streams, one top-k
-    window. Approximation error is the quantization itself — recall vs
-    the float scan is measured by ``llm_ann_recall_int8``."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), int8_quantize(F.col(vec_col)).alias("qv")
-    )
-    q = q.withColumn("qn", _int_dot(F.col("qv"), F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"), int8_quantize(F.col(vec_col)).alias("cv")
-    )
-    c = c.withColumn("cn", _int_dot(F.col("cv"), F.col("cv")))
-    dot = _int_dot(F.col("qv"), F.col("cv"))
-    scored = c.join(F.broadcast(q)).select(
-        "query_id",
-        "corpus_id",
-        # integer dot / sqrt(integer norms): deterministic double; zero
-        # norms (all-zero vectors) score 0 rather than dividing by zero.
-        F.when(
-            (F.col("qn") > 0) & (F.col("cn") > 0),
-            dot / F.sqrt((F.col("qn") * F.col("cn")).cast("double")),
+    the corpus scan reads a quarter of the bytes. Approximation error is
+    the quantization itself — recall vs the float scan is measured by
+    ``llm_ann_recall``'s int8 arm.
+
+    ``impl="numpy"`` (default, round 14): quantization + integer dots in
+    one Arrow pass (:func:`_int8_scored_np`) — the expr tier's
+    higher-order-function folds are interpreted (never whole-stage
+    codegen), and Catalyst additionally re-inlines the ``array_max``
+    scale INSIDE the per-element quantize lambda, so the expr cost is
+    O(dim) per element, not per vector (see
+    plans/r14/llm_knn_int8_before.txt (3)). Integer arithmetic makes
+    bit-identity trivial: int64 dots are exact, and the only float ops
+    (the elementwise quantize ladder and the final dot/sqrt(qn*cn)
+    division) run the identical IEEE sequence. ``impl="expr"`` keeps the
+    pure-JVM chain selectable."""
+    if impl == "numpy":
+        scored = _int8_scored_np(queries, corpus, id_col, vec_col)
+    elif impl == "expr":
+        q = queries.select(
+            F.col(id_col).alias("query_id"), int8_quantize(F.col(vec_col)).alias("qv")
         )
-        .otherwise(F.lit(0.0))
-        .alias("cosine"),
-    )
+        q = q.withColumn("qn", _int_dot(F.col("qv"), F.col("qv")))
+        c = corpus.select(
+            F.col(id_col).alias("corpus_id"), int8_quantize(F.col(vec_col)).alias("cv")
+        )
+        c = c.withColumn("cn", _int_dot(F.col("cv"), F.col("cv")))
+        dot = _int_dot(F.col("qv"), F.col("cv"))
+        scored = c.join(F.broadcast(q)).select(
+            "query_id",
+            "corpus_id",
+            # integer dot / sqrt(integer norms): deterministic double; zero
+            # norms (all-zero vectors) score 0 rather than dividing by zero.
+            F.when(
+                (F.col("qn") > 0) & (F.col("cn") > 0),
+                dot / F.sqrt((F.col("qn") * F.col("cn")).cast("double")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cosine"),
+        )
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id")
     )
@@ -286,12 +302,147 @@ def int8_topk(
     )
 
 
+def _int8_scored_np(
+    queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(query_id, corpus_id, cosine) for every pair — the Arrow/numpy
+    twin of the int8 expr tier's broadcast join. Bit-identity argument:
+
+    - quantize: ``floor(x*127/maxabs + 0.5)`` runs the identical
+      elementwise IEEE double sequence (float32 inputs widen exactly);
+      ``max(abs(v))`` propagates NaN over inf exactly like
+      ``array_max`` (NaN greatest); ``floor(NaN)`` -> 0 and
+      ``floor(±inf)`` -> long saturation reproduce the JVM
+      (long)(double) cast (probed round 14). A saturated (>127) code
+      means the expr tier's ANSI self-dot fold throws
+      ARITHMETIC_OVERFLOW — this tier raises instead of wrapping.
+    - dots/norms: int64 matmul is exact integer arithmetic, identical
+      to the BIGINT zip_with/aggregate folds (codes <= 127 so a dot
+      fits with astronomic headroom; qn*cn fits BIGINT for any
+      dim < ~7e5, beyond which the expr tier's ANSI multiply throws
+      too).
+    - edge policy (matches the expr tier's when/otherwise, probed):
+      NULL / empty / all-zero / NaN-scaled vectors have qn or cn not
+      > 0 -> cosine 0.0; both norms positive but dimensions unequal ->
+      the zip_with fold NULL-pads -> NULL cosine (ranked last).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    def codes_of(v):
+        # None -> None: qn stays NULL, the norm condition is NULL,
+        # cosine 0.0 via the otherwise branch
+        if v is None:
+            return None
+        a = np.asarray(v, dtype=np.float64)
+        if a.size == 0:
+            return a.astype(np.int64)
+        m = np.abs(a).max()
+        if m == 0.0:
+            return np.zeros(a.size, dtype=np.int64)
+        with np.errstate(invalid="ignore", over="ignore", divide="ignore"):
+            f = np.floor(a * 127.0 / m + 0.5)
+        f = np.where(np.isnan(f), 0.0, f)
+        if np.any(np.abs(f) > 127.0):
+            # only an x*127 double overflow saturates past 127; its
+            # ANSI BIGINT self-dot then overflows in the expr tier —
+            # same input, same failure, honest error instead of a wrap
+            raise ArithmeticError(
+                "[ARITHMETIC_OVERFLOW] long overflow in int8 cosine"
+            )
+        return f.astype(np.int64)
+
+    def norm_of(c):
+        return int(c @ c) if c is not None else None
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).collect()  # bounded: the small-query-set contract of the broadcast
+    qids = [r["query_id"] for r in qrows]
+    nq = len(qids)
+    qcodes = [codes_of(r["qvec"]) for r in qrows]
+    qn = [norm_of(c) for c in qcodes]
+    qpos = [i for i in range(nq) if qn[i] is not None and qn[i] > 0]
+    qpos_arr = np.array(qpos, dtype=np.int64)
+    qbuckets: dict[int, tuple] = {}
+    for length in {qcodes[i].size for i in qpos}:
+        idx = np.array([i for i in qpos if qcodes[i].size == length])
+        qbuckets[length] = (
+            idx,
+            np.stack([qcodes[i] for i in idx]),
+            np.array([qn[i] for i in idx], dtype=np.int64),
+        )
+
+    src = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
+    )
+    out_schema = StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType, True),
+            StructField("corpus_id", src.schema["corpus_id"].dataType, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            cids = pdf["corpus_id"].reset_index(drop=True)
+            ccodes = [codes_of(v) for v in pdf["cvec"].tolist()]
+            cn = [norm_of(c) for c in ccodes]
+            cos = np.zeros((n, nq), dtype=np.float64)  # otherwise-0.0
+            null_mask = np.zeros((n, nq), dtype=bool)
+            cpos = [j for j in range(n) if cn[j] is not None and cn[j] > 0]
+            if cpos and qpos:
+                # both norms positive: NULL (poisoned fold) unless the
+                # dimensions match, in which case the exact dot fills in
+                null_mask[np.ix_(cpos, qpos_arr)] = True
+                by_len: dict[int, list[int]] = {}
+                for j in cpos:
+                    by_len.setdefault(ccodes[j].size, []).append(j)
+                for length, js in by_len.items():
+                    if length not in qbuckets:
+                        continue
+                    qidx, qmat, qn_arr = qbuckets[length]
+                    cmat = np.stack([ccodes[j] for j in js])
+                    cn_arr = np.array([cn[j] for j in js], dtype=np.int64)
+                    dots = (cmat @ qmat.T).astype(np.float64)
+                    denom = np.sqrt(
+                        (cn_arr[:, None] * qn_arr[None, :]).astype(np.float64)
+                    )
+                    ji = np.array(js)
+                    cos[np.ix_(ji, qidx)] = dots / denom
+                    null_mask[np.ix_(ji, qidx)] = False
+            # query-major flatten matches the repeat/tile layout below
+            cos_obj = cos.T.reshape(-1).astype(object)
+            cos_obj[null_mask.T.reshape(-1)] = None
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(np.asarray(qids), n),
+                    "corpus_id": np.tile(cids.to_numpy(), nq),
+                    "cosine": cos_obj,
+                }
+            )
+
+    return src.mapInPandas(score, out_schema)
+
+
 def bucket_signature(vec, planes: list[list[float]]):
     """Sign-pattern bucket string for one band of hyperplanes (the double
-    fold is order-fixed, so the sign is engine-independent)."""
+    fold is order-fixed, so the sign is engine-independent).
+
+    Each plane is ONE array literal (``F.lit(plane)``), not an
+    element-wise ``F.array(*map(F.lit, ...))``: the old form cost one
+    py4j round-trip PER COORDINATE — 64 per plane, ~3k per LSH build at
+    the 8-band config, which made DataFrame CONSTRUCTION (not execution)
+    the dominant cost of llm_ann_recall's LSH arms (measured 56s cold /
+    4.8s warm for the b8p3 build alone; guide §1.2 "time what you think
+    you're timing"). The literal value — and therefore every bucket and
+    every result row — is identical."""
     bits = []
     for plane in planes:
-        lit = F.array(*[F.lit(v) for v in plane])
+        lit = F.lit(plane)
         bits.append(
             F.when(_double_dot(vec, lit) >= 0, F.lit("1")).otherwise(F.lit("0"))
         )

@@ -816,6 +816,57 @@ def test_brute_force_tiers_identical_and_nan_policy(spark, sf_dir):
     assert fm == fe
 
 
+def test_int8_tiers_identical_and_edge_policy(spark, sf_dir):
+    """int8_topk(impl='numpy') == impl='expr' row-for-row (bit-exact
+    cosines) on the fixture, AND on a pathological frame. Edge policy
+    (probed round 14, shared by both tiers): NULL / empty / all-zero /
+    NaN-scaled vectors have a non-positive norm -> cosine 0.0 for every
+    partner; dimension-mismatched pairs with BOTH norms positive hit the
+    NULL-padded integer fold -> NULL cosine, ranked last. A vector
+    containing -inf quantizes to all-zero codes (x*127/inf -> 0 or NaN,
+    floor(NaN) -> 0) -> 0.0, same as the expr tier."""
+    import math
+
+    from sig_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    a = sorted(map(tuple, S.int8_topk(q, c, "vec_id", "embedding", k=7, impl="numpy").collect()))
+    b = sorted(map(tuple, S.int8_topk(q, c, "vec_id", "embedding", k=7, impl="expr").collect()))
+    assert a == b and a
+
+    rows = [
+        (1, [1.0, 2.0, -3.0, 0.5]),
+        (2, None),                          # NULL query: 0.0 everywhere
+        (3, []),                            # empty: qn=0 -> 0.0
+        (5, [1.0, 2.0]),                    # 2-dim query
+        (6, [math.nan, 1.0, 1.0, 1.0]),     # NaN scale -> zero codes
+        (4, [0.0, 0.0, 0.0, 0.0]),          # zero corpus: 0.0
+        (7, [-math.inf, 1.0, 1.0, 1.0]),    # -inf -> zero codes -> 0.0
+        (9, [2.0, -1.0, 0.25, 4.0]),
+        (10, [-0.5, 3.0]),                  # 2-dim corpus
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qq = df.filter(F.col("vec_id").isin(1, 2, 3, 5, 6))
+    cc = df.filter(~F.col("vec_id").isin(1, 2, 3, 5, 6))
+    ra = sorted(map(tuple, S.int8_topk(qq, cc, "vec_id", "embedding", k=10, impl="numpy").collect()))
+    rb = sorted(map(tuple, S.int8_topk(qq, cc, "vec_id", "embedding", k=10, impl="expr").collect()))
+    assert ra == rb and ra
+    by_pair = {(r[0], r[1]): r[2] for r in ra}
+    assert by_pair[(1, 9)] is not None and by_pair[(1, 9)] != 0.0
+    assert by_pair[(5, 10)] is not None      # matching 2-dim pair scores
+    assert by_pair[(1, 10)] is None          # 4-dim q x 2-dim c: NULL
+    assert by_pair[(5, 9)] is None           # 2-dim q x 4-dim c: NULL
+    for cid in (4, 7, 9, 10):
+        assert by_pair[(2, cid)] == 0.0      # NULL query
+        assert by_pair[(3, cid)] == 0.0      # empty query
+        assert by_pair[(6, cid)] == 0.0      # NaN-scaled query
+    for qid in (1, 5):
+        assert by_pair[(qid, 4)] == 0.0      # zero corpus
+        assert by_pair[(qid, 7)] == 0.0      # -inf corpus
+
+
 def test_ivf_near_dup_numpy_tier_bitwise_equals_expr(spark, sf_dir):
     """Round 14: ivf_near_dup_pairs / _2level(impl='numpy') must equal
     impl='expr' BITWISE — same pair set, bit-identical cosines — on the

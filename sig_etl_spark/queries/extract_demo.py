@@ -371,7 +371,18 @@ def jdbc_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dimension — constant-size driver traffic, the same discovery a
     # real extract does with SELECT min(k), max(k).
     lo, hi = dim.agg(F.min("c_custkey"), F.max("c_custkey")).first()
-    url = "jdbc:derby:/root/repo/.stage_jdbc/stagedb;create=true"
+    # Embedded Derby allows exactly one JVM per database directory
+    # (db.lck): a fixed path makes two concurrent harness processes
+    # (bench + verify + pytest smoke) collide on boot. The staging
+    # database is incidental — only the round-tripped rows matter — so
+    # key the directory by pid: stable within a process (overwrite mode
+    # reuses it across invocations), disjoint across processes.
+    import tempfile
+
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"sig_etl_stage_jdbc_{os.getpid()}"
+    )
+    url = f"jdbc:derby:{stage_dir}/stagedb;create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     # Spark's DerbyDialect maps StringType to CLOB, which Derby refuses
     # to compare in WHERE — force VARCHAR so the predicate can push down.

@@ -71,7 +71,7 @@ def main():
     for label, mk in arms.items():
         t(spark, label, mk())
 
-    t(spark, "FULL llm_ann_recall", QUERIES["llm_ann_recall"].fn(spark, sf_dir), runs=3)
+    t(spark, "FULL llm_ann_recall", QUERIES["llm_ann_recall"].builder(spark, sf_dir), runs=3)
     spark.stop()
 
 

@@ -464,6 +464,136 @@ def _with_buckets(
     )
 
 
+def _with_buckets_np(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    bands: list[list[list[float]]],
+) -> DataFrame:
+    """Arrow/numpy twin of ``_with_norm2 -> _with_buckets``: one
+    mapInArrow pass emitting (out_id, {out_id}_vec, {out_id}_norm2,
+    band, bucket), bit-identical to the expr ladder. The expr tier ran
+    bands x planes interpreted ``_double_dot`` folds per row (HOF
+    lambdas never codegen) — the dominant cost of every LSH build.
+
+    Bit-identity: each bucket bit is ``fold(vec . plane) >= 0`` — the
+    numpy fold runs the identical left-to-right float64 sequence, so the
+    sign matches bit-for-bit. Edge rules reproduced from the expr tier:
+    a NULL vector, NULL element, or length mismatch vs the plane yields
+    a NULL comparison -> bit "0" (when/otherwise); a NaN fold compares
+    ``>= 0`` as TRUE under Spark's NaN-greatest rule -> bit "1" (numpy
+    needs an explicit isnan OR); +inf -> "1". norm2 is the row's own-length
+    self-fold: NULL for NULL vec/element, 0.0 for empty, NaN/inf kept.
+
+    Requires uniform band width (both callers use one planes_per_band);
+    the expr tier remains for anything else."""
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    widths = {len(b) for b in bands}
+    if len(widths) != 1:
+        raise ValueError("numpy bucket tier requires uniform band width")
+    w = widths.pop()
+    nbands = len(bands)
+    P = np.asarray([p for band in bands for p in band], dtype=np.float64)
+    nplanes, pdim = P.shape
+
+    src = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vid_vec"))
+    out_schema = StructType(
+        [
+            StructField("vid", src.schema["vid"].dataType, True),
+            StructField("vid_vec", src.schema["vid_vec"].dataType, True),
+            StructField("vid_norm2", DoubleType(), True),
+            StructField("band", IntegerType(), False),
+            StructField("bucket", StringType(), False),
+        ]
+    )
+
+    def buck(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            vid_arr = batch.column(0)
+            vec_arr = batch.column(1)
+            row_null = pc.is_null(vec_arr).to_numpy(zero_copy_only=False)
+            lens = pc.list_value_length(vec_arr).to_numpy(zero_copy_only=False)
+            lens = np.where(row_null, 0, lens).astype(np.int64)
+            flat = vec_arr.flatten()
+            flat64 = flat.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            flat_null = pc.is_null(flat).to_numpy(zero_copy_only=False)
+            offs = np.concatenate([[0], np.cumsum(lens)])
+            cs = np.concatenate([[0], np.cumsum(flat_null)])
+            has_null_elem = (cs[offs[1:]] - cs[offs[:-1]]) > 0
+            bad_row = row_null | has_null_elem
+            norm2 = np.zeros(n, dtype=np.float64)
+            bits = np.zeros((n, nplanes), dtype=bool)  # default bit "0"
+            for ln in np.unique(lens[~bad_row]):
+                ridx = np.flatnonzero(~bad_row & (lens == ln))
+                idx_mat = offs[ridx][:, None] + np.arange(ln)[None, :]
+                V = (
+                    flat64[idx_mat]
+                    if ln
+                    else np.zeros((len(ridx), 0), dtype=np.float64)
+                )
+                norm2[ridx] = _fold_norm2_np(V)
+                if ln == pdim and len(ridx):
+                    dots = _fold_dot_np(V, P)
+                    with np.errstate(invalid="ignore"):
+                        # Spark's >= ranks NaN ABOVE every numeric
+                        # (java.lang.Double.compare semantics), so a NaN
+                        # fold takes the "1" branch — numpy's IEEE >= is
+                        # False for NaN and needs the explicit OR.
+                        bits[ridx] = (dots >= 0.0) | np.isnan(dots)
+            # (n, nbands, w) '0'/'1' bytes, row-major -> one zero-copy
+            # StringArray of n*nbands w-char buckets (row0 band0, row0
+            # band1, ... — the expr explode's row-major order).
+            chars = np.where(bits, np.uint8(49), np.uint8(48)).reshape(-1)
+            total = n * nbands
+            offsets = np.arange(0, (total + 1) * w, w, dtype=np.int32)
+            bucket_col = pa.StringArray.from_buffers(
+                total,
+                pa.py_buffer(offsets.tobytes()),
+                pa.py_buffer(chars.tobytes()),
+            )
+            idx_rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), nbands))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(vid_arr, idx_rep),
+                    pc.take(vec_arr, idx_rep),
+                    pa.array(
+                        np.repeat(norm2, nbands),
+                        type=pa.float64(),
+                        mask=np.repeat(bad_row, nbands),
+                    ),
+                    pa.array(
+                        np.tile(np.arange(nbands, dtype=np.int32), n),
+                        type=pa.int32(),
+                    ),
+                    bucket_col,
+                ],
+                names=["vid", "vid_vec", "vid_norm2", "band", "bucket"],
+            )
+
+    return src.mapInArrow(buck, out_schema).select(
+        F.col("vid").alias(out_id),
+        F.col("vid_vec").alias(f"{out_id}_vec"),
+        F.col("vid_norm2").alias(f"{out_id}_norm2"),
+        "band",
+        "bucket",
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -474,16 +604,29 @@ def lsh_topk(
     bands: int = 2,
     planes_per_band: int = 4,
     seed: int = 7,
+    impl: str = "numpy",
 ) -> DataFrame:
     """Approximate top-k: candidates share a hyperplane-sign bucket in at
-    least one band; only candidates are scored."""
+    least one band; only candidates are scored.
+
+    ``impl="numpy"`` (default, round 14): bucket signatures + norm2 run
+    in one :func:`_with_buckets_np` Arrow pass per side (the corpus-sized
+    interpreted plane folds were the dominant cost); candidate scoring
+    stays in the JVM — it is bucket-sized, not corpus x planes.
+    ``impl="expr"`` keeps the pure-JVM ladder selectable."""
     all_planes = hyperplanes(dim, bands * planes_per_band, seed)
     band_planes = [
         all_planes[i * planes_per_band : (i + 1) * planes_per_band]
         for i in range(bands)
     ]
-    q = _with_buckets(_with_norm2(queries, id_col, vec_col, "query_id"), "query_id_vec", band_planes)
-    c = _with_buckets(_with_norm2(corpus, id_col, vec_col, "corpus_id"), "corpus_id_vec", band_planes)
+    if impl == "numpy":
+        q = _with_buckets_np(queries, id_col, vec_col, "query_id", band_planes)
+        c = _with_buckets_np(corpus, id_col, vec_col, "corpus_id", band_planes)
+    elif impl == "expr":
+        q = _with_buckets(_with_norm2(queries, id_col, vec_col, "query_id"), "query_id_vec", band_planes)
+        c = _with_buckets(_with_norm2(corpus, id_col, vec_col, "corpus_id"), "corpus_id_vec", band_planes)
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
     cands = (
         c.join(F.broadcast(q), ["band", "bucket"])
         .dropDuplicates(["query_id", "corpus_id"])
@@ -514,6 +657,7 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 3,
+    impl: str = "numpy",
 ) -> DataFrame:
     """IVF-flat approximate top-k: inverted-file cells from sampled
     centroids, queries probe the ``nprobe`` nearest cells.
@@ -544,7 +688,9 @@ def ivf_topk(
     contract, expressed as DataFrame ops.
     """
     cents = _hash_sample(corpus, id_col, vec_col, n_centroids, "cent_id", "cent_vec")
-    return _ivf_with_centroids(queries, corpus, cents, id_col, vec_col, k, nprobe)
+    return _ivf_with_centroids(
+        queries, corpus, cents, id_col, vec_col, k, nprobe, impl=impl
+    )
 
 
 def _hash_sample(
@@ -602,6 +748,37 @@ def _nearest_cells(
     )
 
 
+def _collect_cent_rows(cents: DataFrame) -> list:
+    """Centroid frame -> driver-side [(cent_id, cent_vec)] for the numpy
+    assignment tier. Bounded by construction: every caller's ``cents``
+    is centroid-count-sized (a takeOrdered sample or trained means) —
+    the same frames the expr tier collects implicitly via broadcast."""
+    return [(r["cent_id"], r["cent_vec"]) for r in cents.collect()]
+
+
+def _nearest_cells_np(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    n: int,
+    cent_rows: list,
+) -> DataFrame:
+    """Arrow/numpy twin of ``_with_norm2 -> _nearest_cells``: one
+    mapInArrow pass replacing the broadcast join + interpreted
+    ``_cosine`` folds + per-row window (``policy="cosine_null"``
+    reproduces ``_cosine``'s NULL-for-undefined rule bit-for-bit)."""
+    assigned = _ivf_assign_np(
+        df, id_col, vec_col, cent_rows, n, policy="cosine_null"
+    )
+    return assigned.select(
+        F.col("vid").alias(out_id),
+        F.col("vid_vec").alias(f"{out_id}_vec"),
+        F.col("vid_norm2").alias(f"{out_id}_norm2"),
+        "cent_id",
+    )
+
+
 def _ivf_with_centroids(
     queries: DataFrame,
     corpus: DataFrame,
@@ -610,11 +787,31 @@ def _ivf_with_centroids(
     vec_col: str,
     k: int,
     nprobe: int,
+    impl: str = "numpy",
 ) -> DataFrame:
     """Shared IVF cell machinery: assign corpus rows to their nearest
     centroid, probe the ``nprobe`` nearest cells per query, exact-score
     only same-cell candidates. ``cents`` must be (cent_id, cent_vec) and
-    centroid-count-sized (it is broadcast twice)."""
+    centroid-count-sized (it is broadcast twice in the expr tier, or
+    collected once for the numpy tier — same bounded frame either way).
+
+    ``impl="numpy"`` (default, round 14): corpus and query cell
+    assignment run through :func:`_nearest_cells_np` — the corpus-sized
+    interpreted ``_cosine`` folds (|corpus| x |centroids| zip_with/
+    aggregate lambdas, never codegen'd) were the dominant cost of every
+    IVF-flat top-k query. The candidate re-rank stays in the JVM: it is
+    |probed cells| x cell-sized, not corpus x centroids. ``impl="expr"``
+    keeps the pure-JVM ladder selectable (plan-shape tests, tier
+    equality)."""
+    if impl == "numpy":
+        cent_rows = _collect_cent_rows(cents)
+        c = _nearest_cells_np(corpus, id_col, vec_col, "corpus_id", 1, cent_rows)
+        q = _nearest_cells_np(
+            queries, id_col, vec_col, "query_id", nprobe, cent_rows
+        )
+        return _ivf_topk_tail(c, q, k)
+    if impl != "expr":
+        raise ValueError(f"unknown impl {impl!r}")
     cent_norm = _cent_norm_frame(cents)
     c = _nearest_cells(
         _with_norm2(corpus, id_col, vec_col, "corpus_id"), "corpus_id", 1, cent_norm
@@ -663,6 +860,7 @@ def ivf_incremental_topk(
     checkpoint_static: bool = True,
     deletes: DataFrame | None = None,
     cents: DataFrame | None = None,
+    impl: str = "numpy",
 ) -> DataFrame:
     """Top-k ANN maintenance under updates (round 9 — VERDICT r8 task 5):
     serve queries over ``corpus ∪ delta`` WITHOUT re-clustering or
@@ -707,6 +905,30 @@ def ivf_incremental_topk(
         cents = _hash_sample(
             corpus, id_col, vec_col, n_centroids, "cent_id", "cent_vec"
         )
+    if impl == "numpy":
+        # The collected centroid rows ARE the persisted quantizer: one
+        # bounded collect replaces the expr tier's cent_norm
+        # localCheckpoint + three broadcasts (same takeOrdered plan,
+        # executed once at build).
+        cent_rows = _collect_cent_rows(cents)
+        static_assign = _nearest_cells_np(
+            corpus, id_col, vec_col, "corpus_id", 1, cent_rows
+        )
+        if checkpoint_static:
+            static_assign = static_assign.localCheckpoint()
+        delta_assign = _nearest_cells_np(
+            delta, id_col, vec_col, "corpus_id", 1, cent_rows
+        )
+        merged = static_assign.unionByName(delta_assign)
+        if deletes is not None:
+            tomb = deletes.select(F.col(id_col).alias("corpus_id")).distinct()
+            merged = merged.join(F.broadcast(tomb), "corpus_id", "left_anti")
+        q = _nearest_cells_np(
+            queries, id_col, vec_col, "query_id", nprobe, cent_rows
+        )
+        return _ivf_topk_tail(merged, q, k)
+    if impl != "expr":
+        raise ValueError(f"unknown impl {impl!r}")
     cent_norm = _cent_norm_frame(cents)
     if checkpoint_static:
         # the persisted index is centroids + inverted file: materialize
@@ -781,6 +1003,7 @@ def ivf_kmeans_topk(
     nprobe: int = 3,
     sample_size: int = 2048,
     iters: int = 8,
+    impl: str = "numpy",
 ) -> DataFrame:
     """IVF-flat with a trained k-means quantizer — the production variant
     of :func:`ivf_topk` (tighter cells -> better recall per probe). Same
@@ -795,13 +1018,15 @@ def ivf_kmeans_topk(
         return _ivf_with_centroids(
             queries, corpus,
             spark.createDataFrame([], "cent_id long, cent_vec array<double>"),
-            id_col, vec_col, k, nprobe,
+            id_col, vec_col, k, nprobe, impl=impl,
         )
     cents = spark.createDataFrame(
         [(i, v) for i, v in enumerate(cents_local)],
         "cent_id long, cent_vec array<double>",
     )
-    return _ivf_with_centroids(queries, corpus, cents, id_col, vec_col, k, nprobe)
+    return _ivf_with_centroids(
+        queries, corpus, cents, id_col, vec_col, k, nprobe, impl=impl
+    )
 
 
 def kmeans_cents_frame(
@@ -837,6 +1062,7 @@ def ivf_incremental_kmeans_topk(
     iters: int = 8,
     checkpoint_static: bool = True,
     deletes: DataFrame | None = None,
+    impl: str = "numpy",
 ) -> DataFrame:
     """The production ANN maintenance composition (round 10 — VERDICT r9
     task 1): a TRAINED k-means coarse quantizer (:func:`kmeans_centroids`,
@@ -858,6 +1084,7 @@ def ivf_incremental_kmeans_topk(
         queries, corpus, delta, id_col, vec_col,
         k=k, n_centroids=n_centroids, nprobe=nprobe,
         checkpoint_static=checkpoint_static, deletes=deletes, cents=cents,
+        impl=impl,
     )
 
 
@@ -909,9 +1136,24 @@ def pq_topk(
     scored rows — identical to brute_force_topk's plan but over codes
     instead of vectors.
     """
-    encode = _pq_encode_np if impl == "numpy" else _pq_encode
-    ccodes = encode(corpus, id_col, vec_col, m_subs, ksub, dim)
-    qlut = _pq_luts(queries, corpus, id_col, vec_col, m_subs, ksub, dim)
+    if impl == "numpy":
+        # ONE codebook expression build + ONE bounded collect shared by
+        # the encode pass and the LUT pass (round 14: the first numpy
+        # cut built the codebook tree three times — encode, LUT, and the
+        # schema twin — at ~0.5 s of py4j HOF construction each; build
+        # time, not execution, dominated every pq-family adjudication).
+        dsub = dim // m_subs
+        cb_rows = _pq_codebook(
+            corpus, id_col, vec_col, ksub, m_subs=m_subs, dsub=dsub
+        ).collect()
+        cb_entries = list(cb_rows[0]["cbook"]) if cb_rows else []
+        ccodes = _pq_encode_np(
+            corpus, id_col, vec_col, m_subs, ksub, dim, cb_entries=cb_entries
+        )
+        qlut = _pq_luts_np(queries, id_col, vec_col, cb_entries, m_subs, dsub)
+    else:
+        ccodes = _pq_encode(corpus, id_col, vec_col, m_subs, ksub, dim)
+        qlut = _pq_luts(queries, corpus, id_col, vec_col, m_subs, ksub, dim)
     scored = _adc_scored(ccodes.crossJoin(F.broadcast(qlut)), m_subs)
     return _topk_by_cosine(scored, k)
 
@@ -1040,6 +1282,7 @@ def _pq_encode_np(
     ksub: int,
     dim: int,
     cents_arr: DataFrame | None = None,
+    cb_entries: list | None = None,
 ) -> DataFrame:
     """Arrow/numpy tier of :func:`_pq_encode` — same output, vectorized.
 
@@ -1104,18 +1347,17 @@ def _pq_encode_np(
             and bool(np.isfinite(np.asarray(v, dtype=np.float64)).all())
         )
 
-    cb_rows = _pq_codebook(
-        corpus, id_col, vec_col, ksub, m_subs=m_subs, dsub=dsub
-    ).collect()  # bounded: one row of <= ksub structs
+    if cb_entries is None:
+        cb_rows = _pq_codebook(
+            corpus, id_col, vec_col, ksub, m_subs=m_subs, dsub=dsub
+        ).collect()  # bounded: one row of <= ksub structs
+        cb_entries = list(cb_rows[0]["cbook"]) if cb_rows else []
     # malformed sampled entries (NULL / wrong-length / non-finite) are
     # DROPPED here, keeping the surviving entries' original j indices —
     # the expr tier would propagate their NULL distances into the
     # struct-min (NULLS FIRST) and pick the garbage entry for every row.
     # Divergence only on dirty corpora; clean corpora are bit-identical.
-    entries = [
-        e for e in (list(cb_rows[0]["cbook"]) if cb_rows else [])
-        if _valid_vec(e["cent_vec"])
-    ]
+    entries = [e for e in cb_entries if _valid_vec(e["cent_vec"])]
     n_entries = len(entries)
     J = np.array([e["j"] for e in entries], dtype=np.int64).reshape(n_entries)
     CB32 = np.array(
@@ -1138,21 +1380,32 @@ def _pq_encode_np(
         CN2 = np.array([c["cent_norm2"] for c in cents], dtype=np.float64)
         CIDS = [c["cent_id"] for c in cents]
 
-    # schema comes FROM the expr twin (analysis only, no execution) so the
-    # two tiers are drop-in interchangeable by construction — except every
-    # field is forced nullable: the bad-row policy emits NULLs where the
-    # expr tier's types are non-null, and a None in a non-nullable array
-    # field NPEs UnsafeProjection.
-    from pyspark.sql.types import StructField, StructType
+    # Static schema matching the expr twin's (codes elements are the
+    # IntegerType row_number-derived j; recon_norm2 a double sum) with
+    # every field forced nullable: the bad-row policy emits NULLs where
+    # the expr tier's types are non-null, and a None in a non-nullable
+    # array field NPEs UnsafeProjection. Round-14 build-cost fix: the
+    # first cut BUILT the whole expr twin just to read its schema —
+    # ~1.7 s of py4j HOF-lambda construction per call, pure driver
+    # overhead (the profile showed pq/ivfpq builds dominated by exactly
+    # this). The twin-equality invariant is pinned by a schema test
+    # instead of being re-derived per build.
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
 
-    twin = _pq_encode(corpus, id_col, vec_col, m_subs, ksub, dim)
+    id_type = corpus.schema[id_col].dataType
     fields = [
-        StructField(f.name, f.dataType, True) for f in twin.schema.fields
+        StructField("corpus_id", id_type, True),
+        StructField("codes", ArrayType(IntegerType(), True), True),
+        StructField("recon_norm2", DoubleType(), True),
     ]
     if with_cell:
-        fields.append(
-            StructField("cent_id", twin.schema["corpus_id"].dataType, True)
-        )
+        fields.append(StructField("cent_id", id_type, True))
     out_schema = StructType(fields)
 
     def encode(batches):
@@ -1245,6 +1498,102 @@ def _pq_luts(
         lut.alias("lut"),
         _double_dot(F.col("qvec"), F.col("qvec")).alias("qnorm2"),
     )
+
+
+def _pq_luts_np(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cb_entries: list,
+    m_subs: int,
+    dsub: int,
+) -> DataFrame:
+    """Arrow/numpy twin of :func:`_pq_luts` over a pre-collected codebook
+    (round 14 build-cost fix): the expr tier's 8 ``F.transform`` LUT
+    trees cost ~1.2 s of py4j lambda construction PER BUILD while the
+    execution itself is query-count-sized — the opposite of where the
+    time should go. One mapInPandas pass computes the identical LUTs.
+
+    Bit-identity with the expr ladder, edge rules included:
+    ``lut[m][j] = fold(slice(qvec, m*dsub+1, dsub) .
+    slice(cbook[j].cent_vec, ...))`` where the fold is the strict
+    left-to-right float64 zip_with/aggregate sequence. zip_with pads the
+    shorter side with NULL, so slices of UNEQUAL length yield NULL;
+    slices of equal length fold over that length (two slices past both
+    vectors' ends are empty -> 0.0, Spark's aggregate seed); a NULL
+    vector or NULL element poisons to NULL; NaN/inf run the same IEEE
+    arithmetic. ``qnorm2`` is the query's own-length self-fold. The
+    codebook entries are used IN ARRAY ORDER (array_sort by j), exactly
+    as the expr transform sees them — malformed entries produce the same
+    NULL/garbage elements positionally, so ADC's positional element_at
+    stays aligned between tiers.
+
+    POLICY DIVERGENCE (documented, tested — same class as the encode
+    tier's bad-row rule): a NaN fold (NaN-element query vector) is NaN
+    in the expr lut but NULL here — the Arrow return bridge cannot carry
+    a NaN distinct from NULL. Downstream that NULL ranks the garbage
+    pair LAST (the unified undefined-similarity policy) where the expr
+    NaN would rank it first. Clean vectors are bit-identical."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    ents = [
+        None if e["cent_vec"] is None else list(e["cent_vec"])
+        for e in cb_entries
+    ]
+
+    def _sl(v, m):
+        return None if v is None else v[m * dsub : (m + 1) * dsub]
+
+    def _fold(a, b):
+        # zip_with pads to max length with NULL -> NULL product -> NULL
+        # fold; equal lengths fold left-to-right in float64.
+        if a is None or b is None or len(a) != len(b):
+            return None
+        acc = 0.0
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                return None
+            acc = acc + float(x) * float(y)
+        return acc
+
+    out_schema = StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType, True),
+            StructField("lut", ArrayType(ArrayType(DoubleType(), True), True), True),
+            StructField("qnorm2", DoubleType(), True),
+        ]
+    )
+    src = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+
+    def luts(batches):
+        for pdf in batches:
+            lut_col, qn_col = [], []
+            for qv in pdf["qvec"]:
+                q = None if qv is None else list(qv)
+                lut_col.append(
+                    [
+                        [_fold(_sl(q, m), _sl(e, m)) for e in ents]
+                        for m in range(m_subs)
+                    ]
+                )
+                qn_col.append(_fold(q, q))
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].reset_index(drop=True),
+                    "lut": lut_col,
+                    "qnorm2": qn_col,
+                }
+            )
+
+    return src.mapInPandas(luts, out_schema)
 
 
 def _adc_scored(pairs: DataFrame, m_subs: int) -> DataFrame:
@@ -1393,9 +1742,16 @@ def ivfpq_topk(
     # evaluates it as an extra column over the same projection (via
     # extra_bcast). Neither pays the corpus self-join the pre-r14 shape
     # had (profile: the SMJ's two interpreted sides were the whole cost).
+    cb_entries: list | None = None
     if impl == "numpy":
+        # shared single codebook build + collect (see pq_topk note)
+        cb_rows = _pq_codebook(
+            corpus, id_col, vec_col, ksub, m_subs=m_subs, dsub=dim // m_subs
+        ).collect()
+        cb_entries = list(cb_rows[0]["cbook"]) if cb_rows else []
         ccodes = _pq_encode_np(
-            corpus, id_col, vec_col, m_subs, ksub, dim, cents_arr=cents_arr
+            corpus, id_col, vec_col, m_subs, ksub, dim,
+            cents_arr=cents_arr, cb_entries=cb_entries,
         )
     else:
         ccodes = _pq_encode(
@@ -1435,7 +1791,12 @@ def ivfpq_topk(
             )
         ).alias("cent_id"),
     )
-    qlut = _pq_luts(queries, corpus, id_col, vec_col, m_subs, ksub, dim)
+    if impl == "numpy":
+        qlut = _pq_luts_np(
+            queries, id_col, vec_col, cb_entries, m_subs, dim // m_subs
+        )
+    else:
+        qlut = _pq_luts(queries, corpus, id_col, vec_col, m_subs, ksub, dim)
     qside = probes.join(F.broadcast(qlut), "query_id")
 
     # candidates = same-cell pairs, scored by ADC, top-L shortlist
@@ -1526,15 +1887,23 @@ def _ivf_assign_np(
     vec_col: str,
     cent_rows: list,
     nassign: int,
+    policy: str = "raw",
 ) -> DataFrame:
     """Arrow/numpy twin of the flat IVF assignment (corpus x centroids
     scoring + per-vid top-``nassign`` window): one mapInPandas pass that
     emits (vid, vid_vec, vid_norm2, cent_id), bit-identical to the expr
     tier including every edge case:
 
-    - csim is the RAW ``dot/sqrt(norm2_v*norm2_c)`` (no try_divide, no
-      nanvl — matching the expr near-dup scorer): a zero divisor raises,
-      exactly like ANSI's DIVIDE_BY_ZERO kills the expr plan;
+    - ``policy="raw"`` (the near-dup scorer): csim is the RAW
+      ``dot/sqrt(norm2_v*norm2_c)`` (no try_divide, no nanvl): a zero
+      divisor raises, exactly like ANSI's DIVIDE_BY_ZERO kills the expr
+      plan; NaN csims sort FIRST under the desc window (Double.compare).
+    - ``policy="cosine_null"`` (the top-k ladder, round 14): csim is
+      ``_cosine`` = ``nanvl(try_divide(dot, sqrt(...)), NULL)`` — a zero
+      divisor OR a NaN result yields NULL (one rule for every undefined
+      similarity, ranked last), reproducing ``_nearest_cells``'s expr
+      scoring bit-for-bit: the division runs the identical IEEE sequence
+      and only its NULL-replacement policy differs from "raw".
     - ordering is Spark's ``desc(csim), cent_id``: NaN above +inf above
       finite, NULLs last (a NULL csim = NULL vec / NULL element /
       length-mismatched fold);
@@ -1548,6 +1917,8 @@ def _ivf_assign_np(
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    if policy not in ("raw", "cosine_null"):
+        raise ValueError(f"unknown policy {policy!r}")
     src = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vid_vec"))
     out_schema = StructType(
         [
@@ -1622,15 +1993,26 @@ def _ivf_assign_np(
                     continue
                 dots = _fold_dot_np(V, cmats[ln])
                 denom = np.sqrt(vn2[:, None] * cnorm2[ln][None, :])
-                if (denom == 0.0).any():
-                    raise ArithmeticError(
-                        "[DIVIDE_BY_ZERO] zero-norm vector in IVF assignment "
-                        "(the expr tier raises identically under ANSI); "
-                        "clean the corpus or drop zero vectors upstream"
+                if policy == "raw":
+                    if (denom == 0.0).any():
+                        raise ArithmeticError(
+                            "[DIVIDE_BY_ZERO] zero-norm vector in IVF "
+                            "assignment (the expr tier raises identically "
+                            "under ANSI); clean the corpus or drop zero "
+                            "vectors upstream"
+                        )
+                    block = dots / denom
+                    csim[np.ix_(ridx, np.asarray(cj))] = block
+                    isnull[np.ix_(ridx, np.asarray(cj))] = False
+                else:  # cosine_null: _cosine's nanvl(try_divide(...), NULL)
+                    dz = denom == 0.0
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        block = dots / np.where(dz, 1.0, denom)
+                    blk_null = dz | np.isnan(block)
+                    csim[np.ix_(ridx, np.asarray(cj))] = np.where(
+                        blk_null, 0.0, block
                     )
-                block = dots / denom
-                csim[np.ix_(ridx, np.asarray(cj))] = block
-                isnull[np.ix_(ridx, np.asarray(cj))] = False
+                    isnull[np.ix_(ridx, np.asarray(cj))] = blk_null
             # top-nassign per row under Spark's (csim DESC, cent_id ASC)
             # window order — desc doubles via java.lang.Double.compare:
             # NaN above +inf, -0.0 strictly below +0.0, NULLs last. The

@@ -117,7 +117,13 @@ def test_ivf_centroids_take_ordered_not_global_sort(spark, sf_dir):
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        ivf_topk(q, c, "vec_id", "embedding").explain(mode="formatted")
+        # expr tier: the numpy tier (default) COLLECTS the same
+        # takeOrdered sample eagerly at build time, so its plan is not
+        # part of the returned DataFrame's explain — the guard pins the
+        # ladder both tiers share.
+        ivf_topk(q, c, "vec_id", "embedding", impl="expr").explain(
+            mode="formatted"
+        )
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan, "centroid sample lost takeOrdered"
 

@@ -944,3 +944,193 @@ def test_ivf_near_dup_zero_norm_raises_in_both_tiers(spark):
                 df, "vec_id", "embedding",
                 threshold=0.3, nassign=2, target_cell=2, impl=impl,
             ).collect()
+
+
+def test_ivf_topk_tiers_identical_and_null_policy(spark, sf_dir):
+    """ivf_topk(impl='numpy') == impl='expr' row-for-row (ids, bit-exact
+    cosines, ranks) at both registered nprobe configs, AND on a
+    pathological frame (zero / NULL / NaN / inf / wrong-length / empty
+    vectors). Both tiers share _cosine's undefined-similarity policy:
+    zero-norm OR NaN cosine => NULL, ranked last — the numpy assignment
+    runs policy='cosine_null', NOT the near-dup scorer's raw-raise rule."""
+    import math
+
+    from sig_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    for np_ in (3, 12):
+        a = sorted(map(tuple, S.ivf_topk(
+            q, c, "vec_id", "embedding", k=5, n_centroids=16, nprobe=np_,
+            impl="numpy").collect()))
+        b = sorted(map(tuple, S.ivf_topk(
+            q, c, "vec_id", "embedding", k=5, n_centroids=16, nprobe=np_,
+            impl="expr").collect()))
+        assert a == b and a
+
+    dim = 4
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0] * dim),                    # zero query: NULL csim everywhere
+        (2, None),                           # NULL query
+        (3, [math.nan, 1.0, 1.0, 1.0]),      # NaN query -> NULL csim
+        (10, [1.0, 0.1, 0.0, 0.0]),
+        (11, [0.0] * dim),                   # zero corpus vector
+        (12, None),                          # NULL corpus vector
+        (13, [1.0] * 8),                     # wrong length
+        (14, [math.inf, 1.0, 1.0, 1.0]),     # inf -> inf/inf = NaN -> NULL
+        (15, []),                            # empty vector
+        (16, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qq = df.filter(F.col("vec_id") < 10)
+    cc = df.filter(F.col("vec_id") >= 10)
+    ra = sorted(map(tuple, S.ivf_topk(
+        qq, cc, "vec_id", "embedding", k=10, n_centroids=4, nprobe=4,
+        impl="numpy").collect()))
+    rb = sorted(map(tuple, S.ivf_topk(
+        qq, cc, "vec_id", "embedding", k=10, n_centroids=4, nprobe=4,
+        impl="expr").collect()))
+    assert ra == rb and ra
+
+
+def test_ivf_incremental_and_kmeans_tiers_identical(spark, sf_dir):
+    """The numpy assignment tier is tier-equal through the maintenance
+    compositions too: ivf_incremental_topk (with deletes) and
+    ivf_kmeans_topk produce identical rows under impl='numpy' and
+    impl='expr'."""
+    from sig_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    static = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 7 != 0))
+    delta = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 7 == 0))
+    deletes = emb.filter(F.col("vec_id") % 11 == 0).select("vec_id")
+    a = sorted(map(tuple, S.ivf_incremental_topk(
+        q, static, delta, "vec_id", "embedding", k=5, n_centroids=8,
+        nprobe=3, deletes=deletes, impl="numpy").collect()))
+    b = sorted(map(tuple, S.ivf_incremental_topk(
+        q, static, delta, "vec_id", "embedding", k=5, n_centroids=8,
+        nprobe=3, deletes=deletes, impl="expr").collect()))
+    assert a == b and a
+
+    ak = sorted(map(tuple, S.ivf_kmeans_topk(
+        q, emb.filter(F.col("vec_id") >= 10), "vec_id", "embedding",
+        k=5, n_centroids=8, nprobe=3, impl="numpy").collect()))
+    bk = sorted(map(tuple, S.ivf_kmeans_topk(
+        q, emb.filter(F.col("vec_id") >= 10), "vec_id", "embedding",
+        k=5, n_centroids=8, nprobe=3, impl="expr").collect()))
+    assert ak == bk and ak
+
+
+def test_lsh_tiers_identical_and_edge_rows(spark, sf_dir):
+    """lsh_topk(impl='numpy') == impl='expr' row-for-row (ids, bit-exact
+    cosines, ranks) at both registered band configs, AND on a
+    pathological frame. Bucket-bit rule shared by both tiers: NULL vec /
+    NULL element / length mismatch -> bit '0' (a NULL comparison takes
+    the otherwise branch); NaN fold -> '1' (Spark's >= ranks NaN above
+    every numeric — probed: the first numpy cut used IEEE >= and
+    diverged on NaN queries); +inf fold -> '1'."""
+    import math
+
+    from sig_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    for b, p in ((2, 4), (8, 3)):
+        a = sorted(map(tuple, S.lsh_topk(
+            q, c, "vec_id", "embedding", k=5, dim=64, bands=b,
+            planes_per_band=p, impl="numpy").collect()))
+        e = sorted(map(tuple, S.lsh_topk(
+            q, c, "vec_id", "embedding", k=5, dim=64, bands=b,
+            planes_per_band=p, impl="expr").collect()))
+        assert a == e and a
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),           # zero vector: real buckets, NULL cosine
+        (2, None),                           # NULL vec -> all-'0' buckets
+        (3, [math.nan, 1.0, 1.0, 1.0]),      # NaN fold -> '1' bits (NaN-greatest)
+        (10, [1.0, 0.1, 0.0, 0.0]),
+        (11, None),
+        (12, [1.0] * 8),                     # wrong length -> '0' bits
+        (13, [math.inf, 1.0, 1.0, 1.0]),     # inf fold -> '1' where sign(+)
+        (14, []),                            # empty -> '0' bits, norm2 0.0
+        (15, [-1.0, 0.2, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qq = df.filter(F.col("vec_id") < 10)
+    cc = df.filter(F.col("vec_id") >= 10)
+    ra = sorted(map(tuple, S.lsh_topk(
+        qq, cc, "vec_id", "embedding", k=10, dim=4, bands=2,
+        planes_per_band=3, impl="numpy").collect()))
+    rb = sorted(map(tuple, S.lsh_topk(
+        qq, cc, "vec_id", "embedding", k=10, dim=4, bands=2,
+        planes_per_band=3, impl="expr").collect()))
+    assert ra == rb and ra
+
+
+def test_pq_encode_np_schema_matches_expr_twin(spark, sf_dir):
+    """The numpy encoder's statically-constructed output schema must equal
+    the expr twin's schema with every field forced nullable — the
+    drop-in-interchangeable invariant that used to be guaranteed by
+    BUILDING the twin per call (round 14 removed that ~1.7 s/build py4j
+    cost; this test pins the invariant instead)."""
+    from pyspark.sql.types import StructField, StructType
+
+    from sig_etl_spark.llm.similarity import _pq_encode, _pq_encode_np
+    from sig_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.filter(F.col("vec_id") >= 10)
+    twin = _pq_encode(c, "vec_id", "embedding", 8, 16, 64)
+    want = StructType(
+        [StructField(f.name, f.dataType, True) for f in twin.schema.fields]
+    )
+    got = _pq_encode_np(c, "vec_id", "embedding", 8, 16, 64).schema
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
+
+
+def test_pq_luts_tiers_identical_and_edge_rows(spark, sf_dir):
+    """_pq_luts_np == _pq_luts row-for-row (bit-exact LUT entries and
+    qnorm2) on the fixture queries AND on pathological query vectors
+    (NULL vec, NULL element, NaN/inf, short/long/empty) — the slice +
+    zip_with padding rules are reproduced exactly: unequal-length slices
+    -> NULL, equal-length slices fold over that length, two empty
+    slices -> 0.0."""
+    import math
+
+    from sig_etl_spark.llm.similarity import _pq_codebook, _pq_luts, _pq_luts_np
+    from sig_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    cb_rows = _pq_codebook(c, "vec_id", "embedding", 16, m_subs=8, dsub=8).collect()
+    cb_entries = list(cb_rows[0]["cbook"])
+    a = sorted(map(tuple, _pq_luts_np(q, "vec_id", "embedding", cb_entries, 8, 8).collect()))
+    b = sorted(map(tuple, _pq_luts(q, c, "vec_id", "embedding", 8, 16, 64).collect()))
+    assert a == b and a
+
+    # NOTE: a NaN-element query is EXCLUDED here — its expr lut entries
+    # are NaN, which the Arrow return bridge cannot represent distinct
+    # from NULL (the same documented policy divergence as the encode
+    # tier's bad-row rule): the numpy tier emits NULL, ranking such
+    # garbage LAST per the unified undefined-similarity policy, while
+    # the expr tier's NaN would rank first. Clean corpora/queries are
+    # bit-identical.
+    rows = [
+        (0, [1.0] * 64),
+        (1, None),                               # NULL vec -> NULL luts + qnorm2
+        (2, [1.0] * 63 + [None]),                # NULL element
+        (4, [math.inf] + [1.0] * 63),            # inf folds survive the bridge
+        (5, [1.0] * 8),                          # short: m=0 folds (equal 8-slices), m>=1 NULL
+        (6, [1.0] * 70),                         # long: full slices everywhere, real folds
+        (7, []),                                 # empty vs 8-long entry slices -> NULL
+    ]
+    qq = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ra = sorted(map(tuple, _pq_luts_np(qq, "vec_id", "embedding", cb_entries, 8, 8).collect()), key=str)
+    rb = sorted(map(tuple, _pq_luts(qq, c, "vec_id", "embedding", 8, 16, 64).collect()), key=str)
+    assert ra == rb and ra

@@ -29,6 +29,22 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(user, steal) jiffies from /proc/stat — round 14: the long-open
+    'box state' bench mystery was finally NAMED when an end-of-round
+    sweep read 1.6x with code untouched and per-minute sampling showed
+    hypervisor CPU STEAL at 74% of user jiffies for the whole window
+    (/proc/stat col 9; a low-steal window reproduced the usual totals).
+    Every envelope now certifies its own window so a reader can tell a
+    regression from a noisy neighbor."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[1]), int(parts[8])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 # Checkpoint-heavy families whose in-sequence full-sweep numbers inflate
 # with JVM backlog (r9: llm_embedding_near_dup_ivf 228s in-seq vs 66.6s
 # isolated at sf1; r12: 94.7 vs 28.4 — every such row needed a manual
@@ -86,6 +102,7 @@ def main() -> int:
 
     spark = get_spark("sig_etl_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
+    jiff0 = _cpu_jiffies()
 
     names = sys.argv[1:] or list(QUERIES)
     # Scale sweeps may exclude the labeled CONTRAST ROW demos' untreated
@@ -248,6 +265,12 @@ def main() -> int:
         result["excluded"] = excluded
     if fresh_meta:
         result["fresh_process"] = fresh_meta
+    jiff1 = _cpu_jiffies()
+    if jiff0 and jiff1 and jiff1[0] > jiff0[0]:
+        du, ds = jiff1[0] - jiff0[0], jiff1[1] - jiff0[1]
+        # >10% steal/user marks the window untrustworthy for absolute
+        # adjudication (the 74%-steal sweep read 1.6x across the board).
+        result["cpu_steal_over_user"] = round(ds / du, 4)
     # The driver records only a ~2000-char TAIL of stdout; at 240+
     # registered queries the full envelope is ~9 KB, so the driver's
     # BENCH_r*.json carried "parsed": null (VERDICT r13 task 8). The

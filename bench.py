@@ -177,11 +177,21 @@ def main() -> int:
     for i, name in enumerate(names):
         for _ in range(warmup):
             run_query(QUERIES[name].builder(spark, sf_dir))
+            spark.catalog.clearCache()
         runs = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             run_query(QUERIES[name].builder(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
+            # Clear the CacheManager BETWEEN repeats (round 15): a query
+            # that persists a mid-plan frame (llm_dsir_importance) would
+            # otherwise serve repeats 2..N from repeat 1's cache via
+            # canonical-plan matching, so the median read a partially
+            # cached run. Outside the timed region; counted in
+            # gc_overhead_seconds.
+            g0 = time.perf_counter()
+            spark.catalog.clearCache()
+            gc_overhead += time.perf_counter() - g0
         dt = round(sorted(runs)[len(runs) // 2], 3)
         timings[name] = dt
         total += dt
@@ -228,6 +238,7 @@ def main() -> int:
                     t0 = time.perf_counter()
                     run_query(QUERIES[name].builder(spark, sf_dir))
                     runs.append(time.perf_counter() - t0)
+                    spark.catalog.clearCache()
                 dt = round(sorted(runs)[len(runs) // 2], 3)
                 timings[name] = dt
                 total += dt
@@ -250,6 +261,16 @@ def main() -> int:
                 "isolated re-measure",
             }
 
+    # The driver's low-core scaling leg used to OVERWRITE the 32-core
+    # BENCH_FULL_latest.json (round-14 verdict); the FULL artifact is now
+    # keyed by the core count so each leg keeps its own record.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     f"BENCH_FULL_latest_c{cpus}.json"),
+    )
+    full_name = os.path.basename(out)
     result = {
         "metric": "total_query_wall_seconds",
         "value": round(total, 3),
@@ -259,6 +280,7 @@ def main() -> int:
         "repeats_per_query": repeats,
         "warmup_per_query": warmup,
         "aggregation": "median",
+        "cpus": int(cpus) if cpus.isdigit() else cpus,
         "sf": sf,
     }
     if excluded:
@@ -281,7 +303,7 @@ def main() -> int:
     line = json.dumps(result)
     if len(line) > 1900:
         compact = dict(result)
-        compact["queries_full"] = "BENCH_FULL_latest.json"
+        compact["queries_full"] = full_name
         kept: dict[str, float] = {}
         compact["queries"] = kept
         compact["queries_truncated"] = len(timings)
@@ -297,7 +319,7 @@ def main() -> int:
     # ALSO persist the full per-query JSON into the repo (VERDICT r7
     # task 5): the driver records only a 2000-char tail of stdout, which
     # made r6->r7 per-query regression diffs impossible. Every bench run
-    # refreshes BENCH_FULL_latest.json (override the path with
+    # refreshes BENCH_FULL_latest_c<cpus>.json (override the path with
     # $SPARK_GRAFT_BENCH_OUT); the end-of-round sweep commits it, giving
     # the judge a complete, diffable row set each round.
     # Subset probes persist ONLY when a destination is explicitly set
@@ -305,11 +327,6 @@ def main() -> int:
     # BENCH_SPAN_sf1ed.json) — an ad-hoc probe never clobbers the
     # full-sweep artifact.
     if not sys.argv[1:] or os.environ.get("SPARK_GRAFT_BENCH_OUT"):
-        out = os.environ.get(
-            "SPARK_GRAFT_BENCH_OUT",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_FULL_latest.json"),
-        )
         try:
             with open(out, "w") as f:
                 json.dump(result, f, indent=1, sort_keys=True)

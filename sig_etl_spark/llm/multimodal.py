@@ -319,6 +319,7 @@ _ZIGZAG = [
 ]
 # _ZIGZAG[k] = (row, col) of the k-th coefficient in zigzag order; the
 # comprehension walks each anti-diagonal alternating direction (T.81 Fig 5).
+_ZZFLAT = [r * 8 + c for (r, c) in _ZIGZAG]  # k -> flat 8x8 index
 
 # Annex K.3 "typical" luminance Huffman tables (the libjpeg defaults —
 # using them means real-world baseline files entropy-decode too).
@@ -350,13 +351,20 @@ _AC_VALS = [
 ]
 
 
+_DCT_T: np.ndarray | None = None
+
+
 def _dct_matrix() -> np.ndarray:
     """Orthonormal 8-point DCT-II matrix T: forward F = T @ B @ T.T,
-    inverse B = T.T @ F @ T — the basis T.81's FDCT/IDCT define."""
-    x = np.arange(8)
-    T = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
-    T[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
-    return T
+    inverse B = T.T @ F @ T — the basis T.81's FDCT/IDCT define.
+    Computed once per process (round 15)."""
+    global _DCT_T
+    if _DCT_T is None:
+        x = np.arange(8)
+        T = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+        T[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+        _DCT_T = T
+    return _DCT_T
 
 
 def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -460,6 +468,77 @@ def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid Huffman code in JPEG entropy data")
 
 
+# ---------------------------------------------------------------------------
+# Fast entropy decode (round 15): the per-BIT Python reader above costs
+# length+size method calls per coefficient; the scan below replaces it
+# with (a) one numpy-built peek-16 lookup table per Huffman table
+# (prefix-expanded canonical codes: lut[16-bit window] = length<<8|sym),
+# (b) an int accumulator refilled a byte at a time over the destuffed
+# entropy segment, ~3 Python ops per symbol, and (c) batch de-zigzag /
+# dequantization with one fancy-index assignment per component instead
+# of a 64-step Python loop per block. Bit-exactness is pinned by the
+# round-trip/corruption tests; error semantics mirror the per-bit
+# reader: reading past the segment raises ValueError (end of data) or
+# _BitReader.Marker (a real marker interrupted the stream).
+# ---------------------------------------------------------------------------
+
+# Decode tables are cached by the raw DHT segment bytes (fixtures share
+# the Annex K tables, so canonical-code expansion and the 65536-entry
+# LUT build run once per worker, not once per image).
+_DHT_CACHE: dict[bytes, tuple[dict[tuple[int, int], int], list[int]]] = {}
+
+
+def _dht_tables(raw: bytes, bits: list[int], vals: list[int]):
+    """(decode_dict, peek16_lut) for one DHT table, cached by its raw
+    segment bytes."""
+    entry = _DHT_CACHE.get(raw)
+    if entry is None:
+        if len(_DHT_CACHE) > 64:
+            _DHT_CACHE.clear()
+        dec = {
+            (length, code): sym
+            for sym, (code, length) in _huff_codes(bits, vals).items()
+        }
+        arr = np.zeros(1 << 16, dtype=np.int32)
+        for (length, code), sym in dec.items():
+            start = code << (16 - length)
+            arr[start : start + (1 << (16 - length))] = (length << 8) | sym
+        entry = (dec, arr.tolist())
+        _DHT_CACHE[raw] = entry
+    return entry
+
+
+def _entropy_segments(content: bytes, start: int) -> list[tuple[bytes, int | None]]:
+    """Destuff the entropy-coded stream into restart-delimited segments:
+    [(destuffed_bytes, terminating_marker_or_None)]. 0xFF00 -> literal
+    0xFF; RSTn markers split segments; any other marker (or end of
+    input) terminates the scan. A trailing lone 0xFF is excluded from
+    the data (the per-bit reader errored only when it tried to READ it,
+    which the cursor arithmetic reproduces)."""
+    segs: list[tuple[bytes, int | None]] = []
+    parts: list[bytes] = []
+    i, n = start, len(content)
+    while True:
+        j = content.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            parts.append(content[i : j if j >= 0 else n])
+            segs.append((b"".join(parts), None))
+            return segs
+        m = content[j + 1]
+        if m == 0x00:  # stuffed data byte
+            parts.append(content[i : j + 1])
+            i = j + 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            parts.append(content[i:j])
+            segs.append((b"".join(parts), m))
+            parts = []
+            i = j + 2
+        else:  # real marker ends the entropy stream
+            parts.append(content[i:j])
+            segs.append((b"".join(parts), m))
+            return segs
+
+
 def _extend(v: int, size: int) -> int:
     """T.81 F.12: map a `size`-bit magnitude to its signed value."""
     if size == 0:
@@ -482,7 +561,7 @@ def _parse_jpeg(content: bytes):
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    htables: dict[tuple[int, int], tuple[dict, list]] = {}
     frame = None  # (w, h, [(comp_id, tq)])
     restart_interval = 0
     while pos + 4 <= len(content):
@@ -521,11 +600,9 @@ def _parse_jpeg(content: bytes):
                 vals = list(body[p + 17 : p + 17 + nvals])
                 if len(vals) != nvals:
                     raise ValueError("truncated DHT table")
-                dec = {
-                    (length, code): sym
-                    for sym, (code, length) in _huff_codes(bits, vals).items()
-                }
-                htables[(tc, th)] = dec
+                htables[(tc, th)] = _dht_tables(
+                    bytes(body[p : p + 17 + nvals]), bits, vals
+                )
                 p += 17 + nvals
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, ncomp = body[0], *struct.unpack(">HH", body[1:5]), body[5]
@@ -565,46 +642,167 @@ def _parse_jpeg(content: bytes):
                     raise ValueError("SOS references missing Huffman table")
                 scan_tabs.append((htables[(0, td)], htables[(1, ta)]))
             bx, by = (w + 7) // 8, (h + 7) // 8
-            coeffs = [
-                np.zeros((by, bx, 8, 8), dtype=np.int32) for _ in comps
-            ]
             for _, tq in comps:
                 if tq not in qtables:
                     raise ValueError(f"missing quantization table {tq}")
-            reader = _BitReader(content, pos + seglen)
-            preds = [0] * len(comps)
+            luts = [
+                (dc_tab[1], ac_tab[1]) for dc_tab, ac_tab in scan_tabs
+            ]
+            segs = _entropy_segments(content, pos + seglen)
+            seg_i = 0
+            data, term = segs[0]
+            dlen = len(data)
+            limit = dlen * 8
+            bytepos = acc = nacc = used = 0
+            ncomp_scan = len(comps)
+            preds = [0] * ncomp_scan
+            blocks: list[list[list[int]]] = [[] for _ in comps]
             mcu = 0
-            for yb in range(by):
-                for xb in range(bx):
+            for _yb in range(by):
+                for _xb in range(bx):
                     if restart_interval and mcu and mcu % restart_interval == 0:
-                        reader.expect_rst(mcu // restart_interval - 1)
-                        preds = [0] * len(comps)
-                    for ci, (dc_tab, ac_tab) in enumerate(scan_tabs):
-                        q = qtables[comps[ci][1]]
-                        block = np.zeros(64, dtype=np.int32)
-                        t = _huff_decode(reader, dc_tab)
-                        diff = _extend(reader.bits(t), t)
-                        preds[ci] += diff
-                        block[0] = preds[ci]
+                        # inline expect_rst over the segment model: align,
+                        # then the segment must be exactly exhausted and
+                        # terminated by the right RSTn
+                        idx = mcu // restart_interval - 1
+                        drop = (bytepos * 8 - used) % 8
+                        used += drop
+                        nacc -= drop
+                        acc &= (1 << nacc) - 1
+                        if limit - used >= 8:
+                            m = 0x00 if data[used // 8] == 0xFF else None
+                            if m is None:
+                                raise ValueError("missing restart marker")
+                            raise ValueError(
+                                f"bad restart marker: want RST{idx & 7}, "
+                                f"got 0x{m:02X}"
+                            )
+                        if term is None:
+                            raise ValueError("missing restart marker")
+                        if term != 0xD0 + (idx & 7):
+                            raise ValueError(
+                                f"bad restart marker: want RST{idx & 7}, "
+                                f"got 0x{term:02X}"
+                            )
+                        seg_i += 1
+                        data, term = segs[seg_i]
+                        dlen = len(data)
+                        limit = dlen * 8
+                        bytepos = acc = nacc = used = 0
+                        preds = [0] * ncomp_scan
+                    for ci in range(ncomp_scan):
+                        dc_lut, ac_lut = luts[ci]
+                        blk = [0] * 64
+                        # --- DC: one LUT symbol + category bits
+                        while nacc < 16:
+                            if bytepos < dlen:
+                                acc = (acc << 8) | data[bytepos]
+                                bytepos += 1
+                            else:
+                                acc <<= 8
+                            nacc += 8
+                        e = dc_lut[(acc >> (nacc - 16)) & 0xFFFF]
+                        if e and used + (e >> 8) <= limit:
+                            t = e & 0xFF
+                            nacc -= e >> 8
+                            used += e >> 8
+                            acc &= (1 << nacc) - 1
+                        else:
+                            if e == 0 and limit - used >= 16:
+                                raise ValueError(
+                                    "invalid Huffman code in JPEG entropy data"
+                                )
+                            if term is not None:
+                                raise _BitReader.Marker(term)
+                            raise ValueError("truncated JPEG entropy data")
+                        if t:
+                            while nacc < t:
+                                if bytepos < dlen:
+                                    acc = (acc << 8) | data[bytepos]
+                                    bytepos += 1
+                                else:
+                                    acc <<= 8
+                                nacc += 8
+                            if used + t > limit:
+                                if term is not None:
+                                    raise _BitReader.Marker(term)
+                                raise ValueError("truncated JPEG entropy data")
+                            v = (acc >> (nacc - t)) & ((1 << t) - 1)
+                            nacc -= t
+                            used += t
+                            acc &= (1 << nacc) - 1
+                            preds[ci] += (
+                                v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                            )
+                        blk[0] = preds[ci]
+                        # --- AC: run-length loop, one LUT symbol each
                         k = 1
                         while k < 64:
-                            rs = _huff_decode(reader, ac_tab)
-                            r, s = rs >> 4, rs & 0x0F
+                            while nacc < 16:
+                                if bytepos < dlen:
+                                    acc = (acc << 8) | data[bytepos]
+                                    bytepos += 1
+                                else:
+                                    acc <<= 8
+                                nacc += 8
+                            e = ac_lut[(acc >> (nacc - 16)) & 0xFFFF]
+                            if e and used + (e >> 8) <= limit:
+                                rs = e & 0xFF
+                                nacc -= e >> 8
+                                used += e >> 8
+                                acc &= (1 << nacc) - 1
+                            else:
+                                if e == 0 and limit - used >= 16:
+                                    raise ValueError(
+                                        "invalid Huffman code in JPEG entropy data"
+                                    )
+                                if term is not None:
+                                    raise _BitReader.Marker(term)
+                                raise ValueError("truncated JPEG entropy data")
+                            s = rs & 0x0F
                             if s == 0:
-                                if r == 15:  # ZRL: 16 zeros
+                                if rs == 0xF0:  # ZRL: 16 zeros
                                     k += 16
                                     continue
                                 break  # EOB
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 raise ValueError("AC run past block end")
-                            block[k] = _extend(reader.bits(s), s)
+                            while nacc < s:
+                                if bytepos < dlen:
+                                    acc = (acc << 8) | data[bytepos]
+                                    bytepos += 1
+                                else:
+                                    acc <<= 8
+                                nacc += 8
+                            if used + s > limit:
+                                if term is not None:
+                                    raise _BitReader.Marker(term)
+                                raise ValueError("truncated JPEG entropy data")
+                            v = (acc >> (nacc - s)) & ((1 << s) - 1)
+                            nacc -= s
+                            used += s
+                            acc &= (1 << nacc) - 1
+                            blk[k] = (
+                                v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                            )
                             k += 1
-                        b8 = np.zeros((8, 8), dtype=np.int32)
-                        for kk, (rr, cc) in enumerate(_ZIGZAG):
-                            b8[rr, cc] = block[kk]
-                        coeffs[ci][yb, xb] = b8 * q
+                        blocks[ci].append(blk)
                     mcu += 1
+            # batch de-zigzag + dequantize: one fancy-index assignment and
+            # one broadcast multiply per component
+            coeffs = []
+            for ci, (_, tq) in enumerate(comps):
+                q = qtables[tq]
+                nblk = len(blocks[ci])
+                arr = (
+                    np.asarray(blocks[ci], dtype=np.int32)
+                    if nblk
+                    else np.zeros((0, 64), dtype=np.int32)
+                )
+                dez = np.zeros((nblk, 64), dtype=np.int32)
+                dez[:, _ZZFLAT] = arr
+                coeffs.append(dez.reshape(by, bx, 8, 8) * q)
             return w, h, comps, coeffs
         pos += seglen
     raise ValueError("JPEG ended without an SOS scan")
@@ -644,6 +842,10 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+_DC_CODES: dict[int, tuple[int, int]] | None = None
+_AC_CODES: dict[int, tuple[int, int]] | None = None
+
+
 def _encode_entropy(
     planes: list[np.ndarray],
     qtables: list[np.ndarray],
@@ -656,8 +858,13 @@ def _encode_entropy(
     import struct
 
     ncomp = len(planes)
-    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    # the Annex K tables are constants — build their code maps once per
+    # process (round 15), not once per image
+    global _DC_CODES, _AC_CODES
+    if _DC_CODES is None:
+        _DC_CODES = _huff_codes(_DC_BITS, _DC_VALS)
+        _AC_CODES = _huff_codes(_AC_BITS, _AC_VALS)
+    dc_codes, ac_codes = _DC_CODES, _AC_CODES
 
     out = bytearray(b"\xff\xd8")  # SOI
 
@@ -666,7 +873,7 @@ def _encode_entropy(
         out.extend(body)
 
     for ti, q in enumerate(qtables):
-        zz = bytes(int(q[r, c]) for (r, c) in _ZIGZAG)
+        zz = bytes(q.reshape(64)[_ZZFLAT].astype(np.uint8).tolist())
         seg(0xDB, bytes([ti]) + zz)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
@@ -683,50 +890,112 @@ def _encode_entropy(
     seg(0xDA, sos)
 
     by, bx = planes[0].shape[:2]
-    writer = _BitWriter()
+    # Round 15: the per-BIT _BitWriter cost length+size appends per
+    # symbol, and the per-block 64-step zigzag gather cost 64 numpy
+    # scalar reads. Zigzag runs as ONE fancy-index pass per component
+    # (with .tolist() so the scan loop touches Python ints), last
+    # nonzero index is vectorized, and bits go through an int
+    # accumulator flushed a byte at a time with inline 0xFF stuffing —
+    # byte-identical output to the per-bit writer by construction
+    # (pinned by the roundtrip tests and the decoder's exactness).
+    zzs = []
+    lastnzs = []
+    for ci in range(ncomp):
+        flat = planes[ci].reshape(-1, 64)[:, _ZZFLAT]
+        zzs.append(flat.tolist())
+        nz = flat[:, 1:] != 0
+        lastnzs.append(
+            np.where(nz.any(axis=1), 63 - np.argmax(nz[:, ::-1], axis=1), 0)
+            .tolist()
+        )
+    ebuf = bytearray()
+    acc = 0
+    nbits = 0
     preds = [0] * ncomp
     mcu = 0
-    for yb in range(by):
-        for xb in range(bx):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                writer.pad()
-                out.extend(writer.buf)
-                writer = _BitWriter()
-                n = mcu // restart_interval - 1
-                out.extend(b"\xff" + bytes([0xD0 + (n & 7)]))
-                preds = [0] * ncomp
-            for ci in range(ncomp):
-                b8 = planes[ci][yb, xb]
-                zz = [int(b8[r, c]) for (r, c) in _ZIGZAG]
-                diff = zz[0] - preds[ci]
-                preds[ci] = zz[0]
-                t = _category(diff)
-                code, length = dc_codes[t]
-                writer.put(code, length)
-                if t:
-                    writer.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+    zrl_code, zrl_len = ac_codes[0xF0]
+    eob_code, eob_len = ac_codes[0x00]
+    for b in range(by * bx):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            if nbits:  # pad to byte boundary with 1-bits
+                pad = 8 - nbits
+                acc = (acc << pad) | ((1 << pad) - 1)
+                byte = acc & 0xFF
+                ebuf.append(byte)
+                if byte == 0xFF:
+                    ebuf.append(0)
+                acc = nbits = 0
+            out.extend(ebuf)
+            ebuf = bytearray()
+            n = mcu // restart_interval - 1
+            out.extend(b"\xff" + bytes([0xD0 + (n & 7)]))
+            preds = [0] * ncomp
+        for ci in range(ncomp):
+            zz = zzs[ci][b]
+            dc = zz[0]
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            t = diff.bit_length() if diff > 0 else (-diff).bit_length()
+            code, length = dc_codes[t]
+            if t:
+                acc = (
+                    (acc << length) | code
+                ) << t | (diff if diff > 0 else diff + (1 << t) - 1)
+                nbits += length + t
+            else:
+                acc = (acc << length) | code
+                nbits += length
+            while nbits >= 8:
+                nbits -= 8
+                byte = (acc >> nbits) & 0xFF
+                ebuf.append(byte)
+                if byte == 0xFF:
+                    ebuf.append(0)
+            acc &= (1 << nbits) - 1
+            run = 0
+            last_nz = lastnzs[ci][b]
+            for k in range(1, last_nz + 1):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    acc = (acc << zrl_len) | zrl_code
+                    nbits += zrl_len
+                    run -= 16
+                s = v.bit_length() if v > 0 else (-v).bit_length()
+                code, length = ac_codes[(run << 4) | s]
+                acc = ((acc << length) | code) << s | (
+                    v if v > 0 else v + (1 << s) - 1
+                )
+                nbits += length + s
+                while nbits >= 8:
+                    nbits -= 8
+                    byte = (acc >> nbits) & 0xFF
+                    ebuf.append(byte)
+                    if byte == 0xFF:
+                        ebuf.append(0)
+                acc &= (1 << nbits) - 1
                 run = 0
-                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-                for k in range(1, last_nz + 1):
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_codes[0xF0]  # ZRL
-                        writer.put(code, length)
-                        run -= 16
-                    s = _category(zz[k])
-                    code, length = ac_codes[(run << 4) | s]
-                    writer.put(code, length)
-                    v = zz[k]
-                    writer.put(v if v > 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if last_nz < 63:
-                    code, length = ac_codes[0x00]  # EOB
-                    writer.put(code, length)
-            mcu += 1
-    writer.pad()
-    out.extend(writer.buf)
+            if last_nz < 63:
+                acc = (acc << eob_len) | eob_code
+                nbits += eob_len
+                while nbits >= 8:
+                    nbits -= 8
+                    byte = (acc >> nbits) & 0xFF
+                    ebuf.append(byte)
+                    if byte == 0xFF:
+                        ebuf.append(0)
+                acc &= (1 << nbits) - 1
+        mcu += 1
+    if nbits:
+        pad = 8 - nbits
+        acc = (acc << pad) | ((1 << pad) - 1)
+        byte = acc & 0xFF
+        ebuf.append(byte)
+        if byte == 0xFF:
+            ebuf.append(0)
+    out.extend(ebuf)
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)
 
@@ -755,19 +1024,25 @@ def encode_jpeg(
     if quant is None:
         quant = np.ones((8, 8), dtype=np.int32)
     by, bx = (h + 7) // 8, (w + 7) // 8
-    planes = []
-    for plane in comps:
-        padded = np.pad(
-            plane, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge"
-        ) - 128.0
-        blocks = (
-            padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-        )
-        fdct = np.einsum("ur,nrc,vc->nuv", T, blocks, T)
-        scaled = fdct / quant.astype(np.float64)
-        # round half away from zero (libjpeg's convention), exactly
-        qz = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
-        planes.append(qz.astype(np.int32).reshape(by, bx, 8, 8))
+    # one padded stack + one einsum for ALL components (round 15): the
+    # per-component einsum/pad overhead dominated tiny images; the
+    # per-block arithmetic (and hence the emitted bytes) is unchanged
+    nc = len(comps)
+    stack = np.stack(comps)
+    padded = np.pad(
+        stack, ((0, 0), (0, by * 8 - h), (0, bx * 8 - w)), mode="edge"
+    ) - 128.0
+    blocks = (
+        padded.reshape(nc, by, 8, bx, 8)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(-1, 8, 8)
+    )
+    fdct = np.einsum("ur,nrc,vc->nuv", T, blocks, T)
+    scaled = fdct / quant.astype(np.float64)
+    # round half away from zero (libjpeg's convention), exactly
+    qz = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+    qzp = qz.astype(np.int32).reshape(nc, by, bx, 8, 8)
+    planes = [qzp[ci] for ci in range(nc)]
     return _encode_entropy(planes, [quant.astype(np.int32)], w, h,
                            restart_interval)
 

@@ -35,7 +35,9 @@ _KINDS = ["image", "audio", "video"]
 def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> MEDIA_SCHEMA frame: content is the UTF-8 text bytes,
     kind cycles image/audio/video by doc_id, duration is 500*(1+id%7) ms."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        32, F.col("doc_id")
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.try_element_at(
@@ -85,7 +87,7 @@ FROM documents
         " integer bucket counts",
 )
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = partition_media(_media_from_documents(spark, sf_dir), 32)
+    media = _media_from_documents(spark, sf_dir)
     feats = extract_features(media)
     return feats.select(
         "media_id",
@@ -139,7 +141,7 @@ WHERE j < n_frames
         " oracle checks frame counts, timestamps and slice lengths",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = partition_media(_media_from_documents(spark, sf_dir), 32)
+    media = _media_from_documents(spark, sf_dir)
     frames = sample_frames(media, every_ms=_EVERY_MS)
     return frames.select(
         "media_id",
@@ -203,7 +205,9 @@ FROM px GROUP BY media_id, width, height
 
 
 def _ppm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        32, F.col("doc_id")
+    )
     w = (F.lit(4) + F.col("doc_id") % 5).cast("int")
     h = (F.lit(3) + F.col("doc_id") % 4).cast("int")
     raster = F.array_join(
@@ -230,7 +234,7 @@ def _ppm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         " header fields and per-channel pixel sums arithmetically",
 )
 def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = partition_media(_ppm_media(spark, sf_dir), 32)
+    media = _ppm_media(spark, sf_dir)
     return decode_image_stats(media)
 
 
@@ -280,8 +284,11 @@ def _png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sig_etl_spark.llm.multimodal import encode_png
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
+    docs = partition_media(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("media_id")
+        ),
+        32,
     )
     schema = StructType(
         [StructField("media_id", LongType()), StructField("content", BinaryType())]
@@ -309,7 +316,7 @@ def _png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         " inside mapInPandas; oracle re-derives pixel sums arithmetically",
 )
 def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = partition_media(_png_media(spark, sf_dir), 32)
+    media = _png_media(spark, sf_dir)
     return decode_image_stats(media)
 
 
@@ -359,8 +366,11 @@ def _wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sig_etl_spark.llm.multimodal import encode_wav
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
+    docs = partition_media(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("media_id")
+        ),
+        32,
     )
     schema = StructType(
         [StructField("media_id", LongType()), StructField("content", BinaryType())]
@@ -393,7 +403,7 @@ def _wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sig_etl_spark.llm.multimodal import decode_audio_stats
 
-    media = partition_media(_wav_media(spark, sf_dir), 32)
+    media = _wav_media(spark, sf_dir)
     return decode_audio_stats(media)
 
 
@@ -452,8 +462,11 @@ def _jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sig_etl_spark.llm.multimodal import encode_jpeg
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
+    docs = partition_media(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("media_id")
+        ),
+        32,
     )
     schema = StructType(
         [StructField("media_id", LongType()), StructField("content", BinaryType())]
@@ -488,7 +501,7 @@ def _jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         " decode_jpeg) inside mapInPandas; oracle re-derives pixel sums",
 )
 def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = partition_media(_jpeg_media(spark, sf_dir), 32)
+    media = _jpeg_media(spark, sf_dir)
     return decode_image_stats(media)
 
 
@@ -538,8 +551,11 @@ def _jpeg_coeff_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sig_etl_spark.llm.multimodal import _ZIGZAG, encode_jpeg_from_coeffs
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
+    docs = partition_media(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("media_id")
+        ),
+        32,
     )
     schema = StructType(
         [StructField("media_id", LongType()), StructField("content", BinaryType())]
@@ -585,7 +601,7 @@ def _jpeg_coeff_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_decode_jpeg_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sig_etl_spark.llm.multimodal import decode_jpeg_coeff_stats
 
-    media = partition_media(_jpeg_coeff_media(spark, sf_dir), 32)
+    media = _jpeg_coeff_media(spark, sf_dir)
     return decode_jpeg_coeff_stats(media)
 
 
@@ -596,7 +612,7 @@ def mm_decode_jpeg_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
         " bytes inside mapInPandas; oracle re-derives the exact payload",
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = partition_media(_media_from_documents(spark, sf_dir), 32)
+    media = _media_from_documents(spark, sf_dir)
     resized = resize_images(media, width=_RW, height=_RH)
     return resized.select(
         "media_id",
@@ -652,7 +668,7 @@ FROM lagged GROUP BY media_id, n_frames
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sig_etl_spark.llm.multimodal import decode_audio_features
 
-    media = partition_media(_wav_media(spark, sf_dir), 32)
+    media = _wav_media(spark, sf_dir)
     return decode_audio_features(media)
 
 
@@ -710,7 +726,7 @@ def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin = docs.select(
         (F.col("doc_id") + 1000000).alias("media_id"), F.col("doc_id").alias("k")
     )
-    d = base.unionByName(twin)
+    d = partition_media(base.unionByName(twin), 32)
     w = (F.lit(4) + F.col("k") % 5).cast("int")
     h = (F.lit(3) + F.col("k") % 4).cast("int")
     raster = F.array_join(
@@ -723,9 +739,8 @@ def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     header = F.concat(
         F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
     )
-    media = partition_media(
-        d.select("media_id", F.encode(F.concat(header, raster), "UTF-8").alias("content")),
-        32,
+    media = d.select(
+        "media_id", F.encode(F.concat(header, raster), "UTF-8").alias("content")
     )
 
     schema = StructType(
@@ -830,7 +845,7 @@ def _video_frame_hists(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    media = partition_media(_media_from_documents(spark, sf_dir), 32)
+    media = _media_from_documents(spark, sf_dir)
     video = media.filter(F.col("kind") == "video")
 
     schema = StructType(
@@ -1061,7 +1076,7 @@ def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sig_etl_spark.llm.multimodal import decode_wav
 
-    media = partition_media(_wav_media(spark, sf_dir), 32)
+    media = _wav_media(spark, sf_dir)
 
     schema = StructType(
         [
@@ -1154,7 +1169,7 @@ def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("seed"),
         F.lit(_PHASH_NOISE).alias("noise"),
     )
-    spec = base.unionByName(twin)
+    spec = partition_media(base.unionByName(twin), 32)
 
     schema = StructType(
         [StructField("media_id", LongType()), StructField("content", BinaryType())]
@@ -1194,7 +1209,7 @@ def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_ppm(px))
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
-    return partition_media(spec.mapInPandas(_gen, schema), 32)
+    return spec.mapInPandas(_gen, schema)
 
 
 @register(
@@ -1262,7 +1277,7 @@ def _afp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("seed"),
         F.lit(_AFP_NOISE).alias("noise"),
     )
-    spec = base.unionByName(twin)
+    spec = partition_media(base.unionByName(twin), 32)
     schema = StructType(
         [StructField("media_id", LongType()), StructField("content", BinaryType())]
     )
@@ -1312,7 +1327,7 @@ def _afp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_wav(samples, _AFP_RATE))
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
-    return partition_media(spec.mapInPandas(_gen, schema), 32)
+    return spec.mapInPandas(_gen, schema)
 
 
 @register(

@@ -563,6 +563,25 @@ def _double_dot(a, b):
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """The :func:`_double_dot` fold as SQL text — same zip_with/aggregate
+    ladder, same cast points, same 0.0 double zero. Exists because the
+    Column-DSL build of one fold costs ~170 py4j round-trips while
+    ``F.expr`` parses the whole thing in one (round 15: the ANN family's
+    build term was py4j, not planning); runtime semantics are identical
+    and every consumer is oracle-hash-checked."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _double_dot_expr(a: str, b: str):
+    """:func:`_double_dot` over plain column names, built in one py4j
+    round-trip (see :func:`_dot_sql`)."""
+    return F.expr(_dot_sql(a, b))
+
+
 def array_dot(a, b, exact: bool = False):
     """Dot product over two ARRAY columns. ``exact=True`` selects the
     DECIMAL(38,18) accumulator (order-independent under re-partitioned

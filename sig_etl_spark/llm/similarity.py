@@ -28,7 +28,7 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sig_etl_spark.llm.dedup import _double_dot
+from sig_etl_spark.llm.dedup import _dot_sql, _double_dot, _double_dot_expr
 
 
 def hyperplanes(dim: int, n: int, seed: int = 7) -> list[list[float]]:
@@ -52,11 +52,21 @@ def _cosine(a_vec, b_vec, a_norm2, b_norm2):
     )
 
 
+def _cosine_expr(a: str, b: str, a_norm2: str, b_norm2: str):
+    """:func:`_cosine` over plain column names in ONE parsed expression —
+    same try_divide / nanvl NULL policy, one py4j round-trip instead of
+    ~200 (round 15; see dedup._dot_sql)."""
+    return F.expr(
+        f"nanvl(try_divide({_dot_sql(a, b)}, sqrt({a_norm2} * {b_norm2})), "
+        f"CAST(NULL AS DOUBLE))"
+    )
+
+
 def _with_norm2(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias(out_id),
         F.col(vec_col).alias(f"{out_id}_vec"),
-        _double_dot(F.col(vec_col), F.col(vec_col)).alias(f"{out_id}_norm2"),
+        _double_dot_expr(vec_col, vec_col).alias(f"{out_id}_norm2"),
     )
 
 
@@ -97,11 +107,9 @@ def brute_force_topk(
         scored = c.join(F.broadcast(q)).select(
             "query_id",
             "corpus_id",
-            _cosine(
-                F.col("query_id_vec"),
-                F.col("corpus_id_vec"),
-                F.col("query_id_norm2"),
-                F.col("corpus_id_norm2"),
+            _cosine_expr(
+                "query_id_vec", "corpus_id_vec",
+                "query_id_norm2", "corpus_id_norm2",
             ).alias("cosine"),
         )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
@@ -633,11 +641,9 @@ def lsh_topk(
         .select(
             "query_id",
             "corpus_id",
-            _cosine(
-                F.col("query_id_vec"),
-                F.col("corpus_id_vec"),
-                F.col("query_id_norm2"),
-                F.col("corpus_id_norm2"),
+            _cosine_expr(
+                "query_id_vec", "corpus_id_vec",
+                "query_id_norm2", "corpus_id_norm2",
             ).alias("cosine"),
         )
     )
@@ -658,6 +664,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 3,
     impl: str = "numpy",
+    cent_rows: list | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: inverted-file cells from sampled
     centroids, queries probe the ``nprobe`` nearest cells.
@@ -681,12 +688,24 @@ def ivf_topk(
     id space (dense, sparse, offset), so the empty-join failure mode of a
     modulus-based sample cannot occur either.
 
+    ``cent_rows`` (round 15): a pre-collected [(cent_id, cent_vec)]
+    quantizer, the exact list :func:`_collect_cent_rows` returns — lets
+    a caller that builds several IVF arms over the same corpus
+    (llm_ann_recall: nprobe=3 and nprobe=12) pay the takeOrdered sample
+    job ONCE instead of once per arm. Results are identical by
+    construction (same sample definition). numpy tier only; the eager
+    collect otherwise runs at DataFrame-construction time per call.
+
     Scale shape: centroids are broadcast twice (cell assignment for the
     corpus scan; probe list for the query set); the only shuffle of
     corpus-sized data is the equi-join on cell id — candidates per query
     are |probed cells| * cell size, never |corpus|. Exactly the FAISS IVF
     contract, expressed as DataFrame ops.
     """
+    if cent_rows is not None and impl == "numpy":
+        return _ivf_with_cent_rows(
+            queries, corpus, cent_rows, id_col, vec_col, k, nprobe
+        )
     cents = _hash_sample(corpus, id_col, vec_col, n_centroids, "cent_id", "cent_vec")
     return _ivf_with_centroids(
         queries, corpus, cents, id_col, vec_col, k, nprobe, impl=impl
@@ -733,9 +752,9 @@ def _nearest_cells(
         f"{out_id}_vec",
         f"{out_id}_norm2",
         "cent_id",
-        _cosine(
-            F.col(f"{out_id}_vec"), F.col("cent_vec"),
-            F.col(f"{out_id}_norm2"), F.col("cent_norm2"),
+        _cosine_expr(
+            f"{out_id}_vec", "cent_vec",
+            f"{out_id}_norm2", "cent_norm2",
         ).alias("_csim"),
     )
     w = Window.partitionBy(out_id).orderBy(
@@ -804,12 +823,9 @@ def _ivf_with_centroids(
     keeps the pure-JVM ladder selectable (plan-shape tests, tier
     equality)."""
     if impl == "numpy":
-        cent_rows = _collect_cent_rows(cents)
-        c = _nearest_cells_np(corpus, id_col, vec_col, "corpus_id", 1, cent_rows)
-        q = _nearest_cells_np(
-            queries, id_col, vec_col, "query_id", nprobe, cent_rows
+        return _ivf_with_cent_rows(
+            queries, corpus, _collect_cent_rows(cents), id_col, vec_col, k, nprobe
         )
-        return _ivf_topk_tail(c, q, k)
     if impl != "expr":
         raise ValueError(f"unknown impl {impl!r}")
     cent_norm = _cent_norm_frame(cents)
@@ -822,6 +838,23 @@ def _ivf_with_centroids(
     return _ivf_topk_tail(c, q, k)
 
 
+def _ivf_with_cent_rows(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cent_rows: list,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """The numpy-tier IVF serve path over an already-collected quantizer
+    list — the shared tail of :func:`_ivf_with_centroids` and the
+    ``cent_rows`` fast path of :func:`ivf_topk`."""
+    c = _nearest_cells_np(corpus, id_col, vec_col, "corpus_id", 1, cent_rows)
+    q = _nearest_cells_np(queries, id_col, vec_col, "query_id", nprobe, cent_rows)
+    return _ivf_topk_tail(c, q, k)
+
+
 def _ivf_topk_tail(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
     """Candidate join on cell id + exact cosine re-rank (the IVF tail
     shared by the static and incremental index shapes)."""
@@ -830,9 +863,9 @@ def _ivf_topk_tail(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
         .select(
             "query_id",
             "corpus_id",
-            _cosine(
-                F.col("query_id_vec"), F.col("corpus_id_vec"),
-                F.col("query_id_norm2"), F.col("corpus_id_norm2"),
+            _cosine_expr(
+                "query_id_vec", "corpus_id_vec",
+                "query_id_norm2", "corpus_id_norm2",
             ).alias("cosine"),
         )
     )
@@ -900,6 +933,10 @@ def ivf_incremental_topk(
     k-means-trained quantizer + add()/remove_ids). Must derive from the
     static corpus only, or the assign(static) ∪ assign(delta) ≡
     assign(static ∪ delta) equality breaks.
+
+    NOTE (numpy tier): builds eagerly — the centroid frame is collected
+    at DataFrame-construction time, once per call, not lazily at action
+    time (the expr tier localCheckpoints the same frame instead).
     """
     if cents is None:
         cents = _hash_sample(
@@ -973,6 +1010,20 @@ def kmeans_centroids(
     train sketches on bounded samples. Lloyd iterations run in numpy with
     spherical (cosine) assignment; empty clusters keep their previous
     centroid so the count never collapses.
+
+    FOLD DISCIPLINE (round 15): every accumulation — norms, assignment
+    dots, cluster means — runs as a strict LEFT-TO-RIGHT float64 fold
+    (dims in index order, members in sample order), NOT BLAS matmul /
+    numpy pairwise summation. That makes the whole trained fixpoint the
+    same order-fixed IEEE sequence DuckDB's ``list_reduce`` performs, so
+    the k-means queries became oracle-checkable (the unrolled Lloyd CTE
+    chain in queries/llm_similarity.py re-derives bit-identical
+    centroids). Probed before switching: on every fixture SF the fold
+    ordering produces assignments AND final centroids bit-identical to
+    the previous BLAS/pairwise arithmetic (min argmax decision gap
+    >= 1.8e-6, ten orders above ulp noise), so registered outputs are
+    unchanged; the sequential fold costs microseconds at the bounded
+    sample size.
     """
     import numpy as np
 
@@ -980,16 +1031,23 @@ def kmeans_centroids(
     if not rows:
         return []
     X = np.asarray([list(r.v) for r in rows], dtype=np.float64)
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    xnorm = np.sqrt(_fold_norm2_np(X))
+    Xn = X / np.maximum(xnorm[:, None], 1e-12)
     k = min(n_centroids, len(X))
     C = X[:k].copy()  # deterministic init: first k in hash order
     for _ in range(iters):
-        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-        assign = np.argmax(Xn @ Cn.T, axis=1)
+        cnorm = np.sqrt(_fold_norm2_np(C))
+        Cn = C / np.maximum(cnorm[:, None], 1e-12)
+        assign = np.argmax(_fold_dot_np(Xn, Cn), axis=1)
         for j in range(k):
-            members = X[assign == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
+            idx = np.flatnonzero(assign == j)
+            if len(idx):
+                # left fold over members in sample order (== the oracle's
+                # list(x[d] ORDER BY i) fold), then one division
+                acc = np.zeros(X.shape[1], dtype=np.float64)
+                for r in idx:
+                    acc = acc + X[r]
+                C[j] = acc / len(idx)
     return [c.tolist() for c in C]
 
 
@@ -1004,16 +1062,26 @@ def ivf_kmeans_topk(
     sample_size: int = 2048,
     iters: int = 8,
     impl: str = "numpy",
+    cents_local: list | None = None,
 ) -> DataFrame:
     """IVF-flat with a trained k-means quantizer — the production variant
     of :func:`ivf_topk` (tighter cells -> better recall per probe). Same
-    cell machinery, same O(n_centroids * |corpus|) assignment bound; the
-    trained centroids are means, not SQL-re-derivable, so this operator
-    is pinned by property tests instead of the DuckDB oracle."""
+    cell machinery, same O(n_centroids * |corpus|) assignment bound. The
+    trained centroids are order-fixed folds (see
+    :func:`kmeans_centroids`), so since round 15 the registered query is
+    hash-checked against an unrolled-Lloyd DuckDB oracle on top of the
+    standing property tests. NOTE: builds eagerly — the bounded training
+    sample is collected at DataFrame-construction time (re-executed per
+    call), not lazily at action time. ``cents_local`` (round 15): a
+    pre-trained centroid list (exactly :func:`kmeans_centroids`'s
+    return) so multi-arm callers (llm_ann_recall_kmeans: nprobe=3 and
+    12) train once instead of once per arm — identical results by
+    construction."""
     spark = corpus.sparkSession
-    cents_local = kmeans_centroids(
-        corpus, id_col, vec_col, n_centroids, sample_size, iters
-    )
+    if cents_local is None:
+        cents_local = kmeans_centroids(
+            corpus, id_col, vec_col, n_centroids, sample_size, iters
+        )
     if not cents_local:
         return _ivf_with_centroids(
             queries, corpus,
@@ -1073,10 +1141,12 @@ def ivf_incremental_kmeans_topk(
     assign(static ∪ delta) holds under the trained cells exactly as it
     does under the sampled ones; delta maintenance stays
     O(|delta| · n_centroids) with no re-train, no re-assignment, no
-    rebuild. Trained means are not SQL-re-derivable, so the registered
-    query is rows-only; batch equality vs the full trained scan, a
-    recall floor, and the static-not-rescanned plan guard pin it in
-    tests (the same evidence set as llm_knn_ivf_kmeans)."""
+    rebuild. Trained means are order-fixed folds (see
+    :func:`kmeans_centroids`), so since round 15 the registered query is
+    hash-checked against an unrolled-Lloyd DuckDB oracle; batch equality
+    vs the full trained scan, a recall floor, and the
+    static-not-rescanned plan guard pin it in tests (the same evidence
+    set as llm_knn_ivf_kmeans)."""
     cents = kmeans_cents_frame(
         corpus, id_col, vec_col, n_centroids, sample_size, iters
     )
@@ -1108,9 +1178,16 @@ def pq_topk(
     ksub: int = 16,
     dim: int = 64,
     impl: str = "numpy",
+    cb_entries: list | None = None,
 ) -> DataFrame:
     """Product-quantization ADC top-k — the canonical memory-bound ANN
     scan at 100 TB (FAISS IVFPQ's scoring stage, here over a flat index).
+
+    ``cb_entries`` (round 15): a pre-collected codebook entry list (the
+    ``cbook`` structs of :func:`_pq_codebook`) — lets a caller sharing
+    one corpus across several PQ arms (llm_ann_recall: pq + ivfpq) pay
+    the codebook build/collect job once. numpy tier only; identical
+    results by construction.
 
     The vector space is split into ``m_subs`` subspaces of dim/m_subs
     dims. Each subspace has a ``ksub``-entry codebook; a corpus vector is
@@ -1143,10 +1220,11 @@ def pq_topk(
         # schema twin — at ~0.5 s of py4j HOF construction each; build
         # time, not execution, dominated every pq-family adjudication).
         dsub = dim // m_subs
-        cb_rows = _pq_codebook(
-            corpus, id_col, vec_col, ksub, m_subs=m_subs, dsub=dsub
-        ).collect()
-        cb_entries = list(cb_rows[0]["cbook"]) if cb_rows else []
+        if cb_entries is None:
+            cb_rows = _pq_codebook(
+                corpus, id_col, vec_col, ksub, m_subs=m_subs, dsub=dsub
+            ).collect()
+            cb_entries = list(cb_rows[0]["cbook"]) if cb_rows else []
         ccodes = _pq_encode_np(
             corpus, id_col, vec_col, m_subs, ksub, dim, cb_entries=cb_entries
         )
@@ -1194,17 +1272,16 @@ def _pq_codebook(
     entry_cols = [F.col("j"), F.col("cent_vec")]
     if m_subs is not None:
         assert dsub is not None
-        entry_cols.append(
-            F.array(
-                *[
-                    _double_dot(
-                        _pq_sub(F.col("cent_vec"), m, dsub),
-                        _pq_sub(F.col("cent_vec"), m, dsub),
-                    )
-                    for m in range(m_subs)
-                ]
-            ).alias("n2s")
+        # one parsed expression for the m_subs self-dot folds (round 15:
+        # the DSL build of this array cost ~1300 py4j round-trips)
+        subs = ", ".join(
+            _dot_sql(
+                f"slice(cent_vec, {m * dsub + 1}, {dsub})",
+                f"slice(cent_vec, {m * dsub + 1}, {dsub})",
+            )
+            for m in range(m_subs)
         )
+        entry_cols.append(F.expr(f"array({subs})").alias("n2s"))
     return cents.groupBy().agg(
         F.array_sort(F.collect_list(F.struct(*entry_cols))).alias("cbook")
     )
@@ -1599,27 +1676,21 @@ def _pq_luts_np(
 def _adc_scored(pairs: DataFrame, m_subs: int) -> DataFrame:
     """(codes, recon_norm2, lut, qnorm2) pairs -> ADC cosine: m_subs table
     lookups + adds, normalized by the reconstructed corpus norm."""
-    from functools import reduce as _reduce
-
-    adc = _reduce(
-        lambda a, b: a + b,
-        [
-            F.element_at(
-                F.element_at("lut", m + 1),
-                F.element_at("codes", m + 1).cast("int") + 1,
-            )
-            for m in range(m_subs)
-        ],
+    # one parsed expression for the whole lookup-add chain (round 15):
+    # the Column-DSL build cost ~760 py4j round-trips per call
+    adc = " + ".join(
+        f"element_at(element_at(lut, {m + 1}), "
+        f"CAST(element_at(codes, {m + 1}) AS INT) + 1)"
+        for m in range(m_subs)
     )
     return pairs.select(
         "query_id",
         "corpus_id",
-        F.when(
-            (F.col("qnorm2") > 0) & (F.col("recon_norm2") > 0),
-            adc / F.sqrt(F.col("qnorm2") * F.col("recon_norm2")),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("cosine"),
+        F.expr(
+            f"CASE WHEN qnorm2 > 0 AND recon_norm2 > 0 "
+            f"THEN ({adc}) / sqrt(qnorm2 * recon_norm2) "
+            f"ELSE CAST(0.0 AS DOUBLE) END"
+        ).alias("cosine"),
     )
 
 
@@ -1654,11 +1725,9 @@ def _exact_rerank(
         .select(
             "query_id",
             "corpus_id",
-            _cosine(
-                F.col("query_id_vec"),
-                F.col("corpus_id_vec"),
-                F.col("query_id_norm2"),
-                F.col("corpus_id_norm2"),
+            _cosine_expr(
+                "query_id_vec", "corpus_id_vec",
+                "query_id_norm2", "corpus_id_norm2",
             ).alias("cosine"),
         )
     )
@@ -1678,6 +1747,7 @@ def ivfpq_topk(
     dim: int = 64,
     shortlist: int = 50,
     impl: str = "numpy",
+    cb_entries: list | None = None,
 ) -> DataFrame:
     """IVF + PQ + exact rerank — the composed FAISS-IVFPQ(+refine)
     architecture, the standard memory-bound billion-scale ANN index:
@@ -1712,7 +1782,7 @@ def ivfpq_topk(
     ).select(
         "cent_id",
         "cent_vec",
-        _double_dot(F.col("cent_vec"), F.col("cent_vec")).alias("cent_norm2"),
+        _double_dot_expr("cent_vec", "cent_vec").alias("cent_norm2"),
     )
     cents_arr = cents.groupBy().agg(
         F.array_sort(
@@ -1742,13 +1812,15 @@ def ivfpq_topk(
     # evaluates it as an extra column over the same projection (via
     # extra_bcast). Neither pays the corpus self-join the pre-r14 shape
     # had (profile: the SMJ's two interpreted sides were the whole cost).
-    cb_entries: list | None = None
     if impl == "numpy":
-        # shared single codebook build + collect (see pq_topk note)
-        cb_rows = _pq_codebook(
-            corpus, id_col, vec_col, ksub, m_subs=m_subs, dsub=dim // m_subs
-        ).collect()
-        cb_entries = list(cb_rows[0]["cbook"]) if cb_rows else []
+        # shared single codebook build + collect (see pq_topk note);
+        # a caller-supplied cb_entries (round 15 — llm_ann_recall shares
+        # it with the pq arm) skips even that one job
+        if cb_entries is None:
+            cb_rows = _pq_codebook(
+                corpus, id_col, vec_col, ksub, m_subs=m_subs, dsub=dim // m_subs
+            ).collect()
+            cb_entries = list(cb_rows[0]["cbook"]) if cb_rows else []
         ccodes = _pq_encode_np(
             corpus, id_col, vec_col, m_subs, ksub, dim,
             cents_arr=cents_arr, cb_entries=cb_entries,
@@ -1760,35 +1832,30 @@ def ivfpq_topk(
             extra_bcast=cents_arr,
         )
 
-    # queries: probe list (nprobe nearest cells) + ADC LUT
+    # queries: probe list (nprobe nearest cells) + ADC LUT. The probe
+    # tree is ONE parsed SQL expression (round 15): the Column-DSL HOF
+    # build cost ~800 py4j round-trips PER CALL (~0.3 s of the arm's
+    # build term measured in the llm_ann_recall profile); F.expr parses
+    # the identical aggregate/zip_with/array_sort ladder in one trip.
+    # Equivalence is pinned by the DuckDB oracle hash and the
+    # numpy/expr tier-equality tests.
     qbase = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     ).crossJoin(F.broadcast(cents_arr))
+    _dot_sql = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, "
+        "(acc, x) -> acc + x)"
+    )
+    qq = _dot_sql.format(a="qvec", b="qvec")
+    qc = _dot_sql.format(a="qvec", b="ct.cent_vec")
     probes = qbase.select(
         "query_id",
-        F.explode(
-            F.transform(
-                F.slice(
-                    F.array_sort(
-                        F.transform(
-                            "cents",
-                            lambda ct: F.struct(
-                                (
-                                    -_double_dot(F.col("qvec"), ct["cent_vec"])
-                                    / F.sqrt(
-                                        _double_dot(F.col("qvec"), F.col("qvec"))
-                                        * ct["cent_norm2"]
-                                    )
-                                ).alias("negsim"),
-                                ct["cent_id"].alias("cent_id"),
-                            ),
-                        )
-                    ),
-                    1,
-                    nprobe,
-                ),
-                lambda s: s["cent_id"],
-            )
+        F.expr(
+            f"""explode(transform(slice(array_sort(transform(cents,
+            ct -> named_struct(
+              'negsim', -({qc}) / sqrt(({qq}) * ct.cent_norm2),
+              'cent_id', ct.cent_id))), 1, {int(nprobe)}),
+            s -> s.cent_id))"""
         ).alias("cent_id"),
     )
     if impl == "numpy":
@@ -2114,11 +2181,56 @@ def ivf_near_dup_pairs(
         n_centroids = max(8, df.count() // target_cell)
     cents = _hash_sample(df, id_col, vec_col, n_centroids, "cent_id", "cent_vec")
     if impl == "numpy":
+        if n_centroids > _ASSIGN_COLLECT_CEILING:
+            # Driver-memory guard (round 15 — VERDICT r14 item 3): the
+            # numpy tier ships the collected centroid list in the Arrow
+            # closure, which is fine at the adaptive-switch knee
+            # (<= ~4k centroids = ~2 MB) but a driver/closure ceiling
+            # beyond. Above the ceiling, assign via the broadcast-
+            # DataFrame expr ladder (bit-identical to _ivf_assign_np —
+            # pinned by the tier-equality tests) and keep the numpy pair
+            # phase, which is cell-sized either way. No registered
+            # bench-scale query reaches this arm; it exists so the flat
+            # path cannot OOM the driver when called directly at scale.
+            assigned = _ivf_assign_expr(df, id_col, vec_col, cents, nassign)
+            return _pairs_from_assignment(assigned, threshold, impl="numpy")
         cent_rows = [(r["cent_id"], r["cent_vec"]) for r in cents.collect()]
         assigned = _ivf_assign_np(df, id_col, vec_col, cent_rows, nassign)
         return _pairs_from_assignment(assigned, threshold, impl="numpy")
     if impl != "expr":
         raise ValueError(f"unknown impl {impl!r}")
+    # Checkpoint BEFORE the cell self-join: Spark reuses no common
+    # subplan across self-join sides (ReusedExchange never fires here —
+    # verified on the formatted plan), so without the barrier both
+    # sides re-run the corpus x centroids scoring pass — the dominant
+    # cost of the whole operator. Materializing |corpus| * nassign
+    # assignment rows once is strictly cheaper than recomputing that
+    # pass at any scale (measured: llm_embedding_near_dup_ivf
+    # 15.6s -> 6.5s at sf0.1, median-of-3).
+    assigned = _ivf_assign_expr(df, id_col, vec_col, cents, nassign)
+    if checkpoint:
+        # checkpoint=False exists for plan-shape tests, which need the
+        # pre-barrier assignment stage visible in one explain.
+        assigned = assigned.localCheckpoint()
+    return _pairs_from_assignment(assigned, threshold, impl="expr")
+
+
+# The numpy assignment tier ships the collected centroids in its Arrow
+# closure; above this count the flat path assigns via the broadcast-
+# DataFrame ladder instead (a correctness/robustness guard — the
+# adaptive near-dup switch routes to the 2-level assignment well below
+# it). 2^16 centroids x 64 dims x 8 B = 32 MB of closure, the most a
+# per-task pickle should ever carry.
+_ASSIGN_COLLECT_CEILING = 1 << 16
+
+
+def _ivf_assign_expr(
+    df: DataFrame, id_col: str, vec_col: str, cents: DataFrame, nassign: int
+) -> DataFrame:
+    """The expr-tier flat assignment (broadcast centroid join + raw-csim
+    window), shared by the expr pair path and the numpy path's
+    above-ceiling fallback. Bit-identical to :func:`_ivf_assign_np` with
+    policy="raw" (pinned by the tier-equality tests)."""
     cent_norm = _with_norm2(cents, "cent_id", "cent_vec", "cent_id").select(
         "cent_id",
         F.col("cent_id_vec").alias("cent_vec"),
@@ -2136,24 +2248,61 @@ def ivf_near_dup_pairs(
         ).alias("csim"),
     )
     w = Window.partitionBy("vid").orderBy(F.desc("csim"), "cent_id")
-    # Checkpoint BEFORE the cell self-join: Spark reuses no common
-    # subplan across self-join sides (ReusedExchange never fires here —
-    # verified on the formatted plan), so without the barrier both
-    # sides re-run the corpus x centroids scoring pass — the dominant
-    # cost of the whole operator. Materializing |corpus| * nassign
-    # assignment rows once is strictly cheaper than recomputing that
-    # pass at any scale (measured: llm_embedding_near_dup_ivf
-    # 15.6s -> 6.5s at sf0.1, median-of-3).
-    assigned = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nassign)
         .select("vid", "vid_vec", "vid_norm2", "cent_id")
     )
-    if checkpoint:
-        # checkpoint=False exists for plan-shape tests, which need the
-        # pre-barrier assignment stage visible in one explain.
-        assigned = assigned.localCheckpoint()
-    return _pairs_from_assignment(assigned, threshold, impl="expr")
+
+
+def ivf_near_dup_pairs_adaptive(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    nassign: int = 2,
+    target_cell: int = 256,
+    mprobe: int = 2,
+    knee: int = 1_000_000,
+    impl: str = "numpy",
+) -> DataFrame:
+    """Scale-adaptive IVF near-dup pairs (round 15 — VERDICT r14 item 4):
+    ONE reachable entry point that routes the pair layer by corpus size.
+
+    - ``corpus <= knee``: the flat :func:`ivf_near_dup_pairs` — one
+      corpus-x-centroids assignment pass, the cheapest correct plan while
+      centroid count (corpus/target_cell) stays collect-/broadcast-sized.
+    - ``corpus > knee``: :func:`ivf_near_dup_pairs_2level` — the flat
+      assignment is O(corpus^2/target_cell) because centroid count grows
+      with the corpus (measured: 22s -> 123s on the 3x sf1 -> sf3 step);
+      the two-level coarse quantizer linearizes it to
+      O(corpus x sqrt(C)) and never collects a corpus-proportional
+      centroid list to the driver.
+
+    The knee sits at ~10^6 vectors — the measured point where the flat
+    arm's assignment term starts dominating AND its centroid collect
+    (corpus/256 rows) stops being trivially driver-sized. Every fixture
+    scale (sf0.001 .. sf3 = 5e2 .. 6e4 vectors) routes flat, so
+    registered outputs are unchanged at any verifiable scale; the DuckDB
+    oracle of the routed query expresses the same count-guarded switch,
+    so the contract stays honest above the knee too. Both arms emit the
+    same (id_a, id_b, cosine) schema with every pair exact-cosine
+    verified; the corpus count is computed ONCE here and pinned as each
+    arm's explicit n_centroids (the same count the arms would otherwise
+    derive themselves)."""
+    n = df.count()
+    n_centroids = max(8, n // target_cell)
+    if n <= knee:
+        return ivf_near_dup_pairs(
+            df, id_col, vec_col,
+            threshold=threshold, n_centroids=n_centroids, nassign=nassign,
+            target_cell=target_cell, impl=impl,
+        )
+    return ivf_near_dup_pairs_2level(
+        df, id_col, vec_col,
+        threshold=threshold, n_centroids=n_centroids, nassign=nassign,
+        target_cell=target_cell, mprobe=mprobe, impl=impl,
+    )
 
 
 def ivf_near_dup_pairs_2level(

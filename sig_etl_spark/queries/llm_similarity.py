@@ -379,22 +379,215 @@ def llm_knn_incremental_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # static corpus, add() for the delta, remove_ids for the tombstones —
 # in one registered plan. Same static/delta/tombstone slices as the
 # sampled-quantizer twins so the two quantizer families are directly
-# comparable in the bench table. Trained means are not
-# SQL-re-derivable: rows-only, pinned by batch-equality vs the full
-# trained scan, a recall floor, and the extended static-not-rescanned
-# plan guard (tests/test_similarity.py, tests/test_plans.py).
+# comparable in the bench table.
+#
+# ORACLE (round 15 — retiring the rows-only correctness debt): the
+# trained means ARE SQL-re-derivable once the trainer's arithmetic is
+# order-fixed. kmeans_centroids now accumulates every norm / assignment
+# dot / cluster mean as a strict left-to-right float64 fold (dims in
+# index order, members in sample order — see its docstring; probed
+# bit-identical to the previous BLAS arithmetic on every fixture SF), so
+# an UNROLLED 8-iteration Lloyd CTE chain over the same md5-ordered
+# sample reproduces the trained centroids bit-for-bit in DuckDB
+# (verified: max |C_sql - C_np| = 0.0 at sf0.001/0.01/0.1). Everything
+# downstream is the proven IVF serving ladder. MATERIALIZED CTEs are
+# load-bearing: DuckDB inlines chained CTEs by default, and each Lloyd
+# round references the previous one 2-3x — inlining makes the 8-round
+# chain exponential (probed: minutes vs ~1 s materialized).
 # ---------------------------------------------------------------------------
+
+_KM_ITERS = 8
+_KM_SAMPLE = 2048
+
+
+def _kmeans_cents_ctes(
+    src: str,
+    id_col: str,
+    n_centroids: int = _N_CENTROIDS,
+    iters: int = _KM_ITERS,
+    sample: int = _KM_SAMPLE,
+) -> str:
+    """Unrolled Lloyd CTE chain: trains on the md5-ordered sample of
+    ``src`` exactly like similarity.kmeans_centroids (same init, same
+    spherical assignment, same member-order means, same empty-cluster
+    carryover) and ends with ``kcentn`` = (cent_id, cent_vec,
+    cent_norm2), the trained quantizer the serving ladder consumes."""
+    ctes = [
+        f"""ksamp AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) - 1 AS i,
+         list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
+  FROM (SELECT * FROM {src}
+        ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {sample})
+)""",
+        f"""ksampn AS MATERIALIZED (
+  SELECT i, list_transform(x, e -> e / GREATEST(sqrt({_dot_expr("x", "x")}), 1e-12)) AS v
+  FROM ksamp
+)""",
+        f"kc0 AS MATERIALIZED (SELECT i AS j, x AS cv FROM ksamp WHERE i < {n_centroids})",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(
+            f"""kn{p} AS MATERIALIZED (
+  SELECT j, list_transform(cv, e -> e / GREATEST(sqrt({_dot_expr("cv", "cv")}), 1e-12)) AS nv
+  FROM kc{p}
+)"""
+        )
+        ctes.append(
+            f"""ka{t} AS MATERIALIZED (
+  SELECT i, j FROM (
+    SELECT s.i, n.j,
+           row_number() OVER (PARTITION BY s.i
+                              ORDER BY {_dot_expr("s.v", "n.nv")} DESC, n.j) AS rn
+    FROM ksampn s CROSS JOIN kn{p} n
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""km{t} AS MATERIALIZED (
+  SELECT a.j, d.d,
+         list_reduce(list(s.x[d.d] ORDER BY s.i), (acc, e) -> acc + e) / COUNT(*) AS mu
+  FROM ka{t} a JOIN ksamp s USING (i) CROSS JOIN generate_series(1, {_DIM}) d(d)
+  GROUP BY a.j, d.d
+)"""
+        )
+        ctes.append(
+            f"""kc{t} AS MATERIALIZED (
+  SELECT prev.j, COALESCE(mv.cv, prev.cv) AS cv
+  FROM kc{p} prev
+  LEFT JOIN (SELECT j, list(mu ORDER BY d) AS cv FROM km{t} GROUP BY j) mv
+    ON mv.j = prev.j
+)"""
+        )
+    ctes.append(
+        f"""kcentn AS MATERIALIZED (
+  SELECT j AS cent_id, cv AS cent_vec, {_dot_expr("cv", "cv")} AS cent_norm2
+  FROM kc{iters}
+)"""
+    )
+    return ",\n".join(ctes)
+
+
+def _ivf_kmeans_oracle(nprobe: int = _NPROBE) -> str:
+    """llm_knn_ivf_kmeans: the _ivf_oracle serving ladder under the
+    TRAINED quantizer (kcentn) instead of the hash-sampled centn."""
+    dot_qc = _dot_expr("x.embedding", "ct.cent_vec")
+    dot_pair = _dot_expr("qv.embedding", "cv.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id, embedding FROM embeddings WHERE vec_id >= 10),
+qn AS ({_norm_cte("q", "query_id")}),
+cn AS ({_norm_cte("c", "corpus_id")}),
+{_kmeans_cents_ctes("c", "corpus_id")},
+cassign AS (
+  SELECT corpus_id, cent_id FROM (
+    SELECT x.corpus_id, ct.cent_id,
+           row_number() OVER (
+             PARTITION BY x.corpus_id
+             ORDER BY ({dot_qc} / sqrt(n.norm2 * ct.cent_norm2)) DESC, ct.cent_id
+           ) AS rn
+    FROM c x JOIN cn n USING (corpus_id) CROSS JOIN kcentn ct
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT query_id, cent_id FROM (
+    SELECT x.query_id, ct.cent_id,
+           row_number() OVER (
+             PARTITION BY x.query_id
+             ORDER BY ({dot_qc} / sqrt(n.norm2 * ct.cent_norm2)) DESC, ct.cent_id
+           ) AS rn
+    FROM q x JOIN qn n USING (query_id) CROSS JOIN kcentn ct
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.corpus_id,
+         {dot_pair} / sqrt(qn.norm2 * cn.norm2) AS cosine
+  FROM qprobe p
+  JOIN cassign a USING (cent_id)
+  JOIN q qv ON qv.query_id = p.query_id
+  JOIN c cv ON cv.corpus_id = a.corpus_id
+  JOIN qn ON qn.query_id = p.query_id
+  JOIN cn ON cn.corpus_id = a.corpus_id
+)
+SELECT query_id, corpus_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, corpus_id) AS rank
+      FROM scored) t
+WHERE rank <= {_K}
+"""
+
+
+def _ivf_kmeans_incremental_oracle(nprobe: int = _NPROBE) -> str:
+    """llm_knn_incremental_kmeans: centroids trained on the STATIC slice
+    only; static + delta assigned to the trained cells; tombstones
+    filtered at serve time (exactly the sampled-quantizer deletes oracle
+    with kcentn in place of centn)."""
+    dot_qc = _dot_expr("x.embedding", "ct.cent_vec")
+    dot_pair = _dot_expr("qv.embedding", "cv.embedding")
+
+    def assign(src: str) -> str:
+        return f"""
+  SELECT corpus_id, cent_id FROM (
+    SELECT x.corpus_id, ct.cent_id,
+           row_number() OVER (
+             PARTITION BY x.corpus_id
+             ORDER BY ({dot_qc} / sqrt(n.norm2 * ct.cent_norm2)) DESC, ct.cent_id
+           ) AS rn
+    FROM {src} x JOIN cn n USING (corpus_id) CROSS JOIN kcentn ct
+  ) WHERE rn = 1"""
+
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+s AS (SELECT vec_id AS corpus_id, embedding FROM embeddings WHERE {_STATIC_PRED}),
+d AS (SELECT vec_id AS corpus_id, embedding FROM embeddings WHERE {_DELTA_PRED}),
+c AS (SELECT * FROM s UNION ALL SELECT * FROM d),
+qn AS ({_norm_cte("q", "query_id")}),
+cn AS ({_norm_cte("c", "corpus_id")}),
+{_kmeans_cents_ctes("s", "corpus_id")},
+tomb AS (SELECT vec_id AS corpus_id FROM embeddings WHERE {_TOMB_PRED}),
+cassign_all AS ({assign("s")} UNION ALL {assign("d")}),
+cassign AS (
+  SELECT * FROM cassign_all
+  WHERE corpus_id NOT IN (SELECT corpus_id FROM tomb)
+),
+qprobe AS (
+  SELECT query_id, cent_id FROM (
+    SELECT x.query_id, ct.cent_id,
+           row_number() OVER (
+             PARTITION BY x.query_id
+             ORDER BY ({dot_qc} / sqrt(n.norm2 * ct.cent_norm2)) DESC, ct.cent_id
+           ) AS rn
+    FROM q x JOIN qn n USING (query_id) CROSS JOIN kcentn ct
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.corpus_id,
+         {dot_pair} / sqrt(qn.norm2 * cn.norm2) AS cosine
+  FROM qprobe p
+  JOIN cassign a USING (cent_id)
+  JOIN q qv ON qv.query_id = p.query_id
+  JOIN c cv ON cv.corpus_id = a.corpus_id
+  JOIN qn ON qn.query_id = p.query_id
+  JOIN cn ON cn.corpus_id = a.corpus_id
+)
+SELECT query_id, corpus_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, corpus_id) AS rank
+      FROM scored) t
+WHERE rank <= {_K}
+"""
 
 
 @register(
     "llm_knn_incremental_kmeans",
-    oracle=None,
+    oracle=_ivf_kmeans_incremental_oracle(),
     doc="incremental IVF under a TRAINED k-means quantizer (FAISS"
         " train() + add() + remove_ids composed): centroids trained on"
         " the static corpus only, delta assigned to existing trained"
-        " cells, tombstones left-anti'd at serve time — rows-only"
-        " (trained means are not SQL-re-derivable), pinned by"
-        " batch-equality/recall-floor/plan-guard tests",
+        " cells, tombstones left-anti'd at serve time — hash-checked"
+        " against an unrolled-Lloyd DuckDB oracle (round 15; the trainer"
+        " is an order-fixed fold, so the fixpoint is engine-exact),"
+        " plus batch-equality/recall-floor/plan-guard tests",
 )
 def llm_knn_incremental_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -840,6 +1033,23 @@ def _union_all(dfs: list[DataFrame]) -> DataFrame:
     return out
 
 
+# NEGATIVE RESULT (round 15 — VERDICT r14 item 5's "batch the per-arm
+# recall joins into one union-grouped pass"): probed and REVERTED on
+# measurement. A _recall_batched shape (tag each arm's pairs with its
+# method, union, ONE broadcast-brute join, groupBy(method), left-join a
+# method list so zero-hit arms keep their row) is result-identical but
+# EXECUTES SLOWER than the per-arm join+agg union at bench scale:
+# build/exec split on warm repeats (sf0.1, steal <= 0.002) measured
+# llm_ann_recall exec 1.6 s -> 2.3 s (+0.7) and llm_ann_recall_kmeans
+# exec 0.6 s -> 1.1 s (+0.5). The per-arm aggs are 1-row subtrees the
+# scheduler overlaps freely; the batched shape adds two sequential AQE
+# stage waves (the union->groupBy(method) exchange, then the counts
+# BroadcastExchange feeding the method-list join) on ~350 rows of data.
+# The half of item 5 that DID measure faster is kept below: the arms
+# share one takeOrdered centroid sample, one PQ codebook build+collect,
+# and one trained-k-means Lloyd (build 3.7 s -> 3.1 s).
+
+
 @register(
     "llm_ann_recall",
     oracle=_recall_union(
@@ -861,19 +1071,35 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
-    # 50-row exact truth, materialized once for all four intersections.
+    # 50-row exact truth, materialized once for every intersection.
     brute = (
         S.brute_force_topk(queries, corpus, "vec_id", "embedding", k=_K)
         .select("query_id", "corpus_id")
         .localCheckpoint()
     )
+    # Shared per-family build state (round 15 — VERDICT r14 item 5):
+    # the two IVF arms share ONE takeOrdered centroid sample, the two PQ
+    # arms share ONE codebook build+collect — results identical by
+    # construction (same deterministic sample), the per-arm eager build
+    # jobs halve. (The intersections stay per-arm: see the negative
+    # result above — the union-grouped pass measured slower.)
+    cent_rows = S._collect_cent_rows(
+        S._hash_sample(
+            corpus, "vec_id", "embedding", _N_CENTROIDS, "cent_id", "cent_vec"
+        )
+    )
+    cb_rows = S._pq_codebook(
+        corpus, "vec_id", "embedding", _PQ_KSUB,
+        m_subs=_PQ_M, dsub=_DIM // _PQ_M,
+    ).collect()
+    cb_entries = list(cb_rows[0]["cbook"]) if cb_rows else []
     lsh = lambda b, p: S.lsh_topk(  # noqa: E731
         queries, corpus, "vec_id", "embedding",
         k=_K, dim=_DIM, bands=b, planes_per_band=p, seed=_SEED,
     )
     ivf = lambda np_: S.ivf_topk(  # noqa: E731
         queries, corpus, "vec_id", "embedding",
-        k=_K, n_centroids=_N_CENTROIDS, nprobe=np_,
+        k=_K, n_centroids=_N_CENTROIDS, nprobe=np_, cent_rows=cent_rows,
     )
     return _union_all(
         [
@@ -890,6 +1116,7 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 S.pq_topk(
                     queries, corpus, "vec_id", "embedding",
                     k=_K, m_subs=_PQ_M, ksub=_PQ_KSUB, dim=_DIM,
+                    cb_entries=cb_entries,
                 ),
             ),
             _recall_df(
@@ -899,7 +1126,7 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     queries, corpus, "vec_id", "embedding",
                     k=_K, n_centroids=_N_CENTROIDS, nprobe=_IVFPQ_NPROBE,
                     m_subs=_PQ_M, ksub=_PQ_KSUB, dim=_DIM,
-                    shortlist=_IVFPQ_SHORTLIST,
+                    shortlist=_IVFPQ_SHORTLIST, cb_entries=cb_entries,
                 ),
             ),
         ]
@@ -908,10 +1135,17 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_ann_recall_kmeans",
-    oracle=None,
-    doc="recall@5 of the TRAINED k-means IVF path vs exact brute force"
-        " (rows-only: trained means are not SQL-re-derivable; the >=0.8"
-        " floor at nprobe=12 is asserted in tests/test_similarity.py)",
+    oracle=_recall_union(
+        {
+            "ivf_kmeans_np3": _ivf_kmeans_oracle(_NPROBE),
+            "ivf_kmeans_np12": _ivf_kmeans_oracle(_HI_NPROBE),
+        }
+    ),
+    doc="recall@5 of the TRAINED k-means IVF path vs exact brute force —"
+        " hash-checked since round 15 (the order-fixed Lloyd trainer is"
+        " re-derived by an unrolled CTE chain, so both arms' cell ladders"
+        " are engine-exact); the >=0.8 floor at nprobe=12 stays asserted"
+        " in tests/test_similarity.py",
 )
 def llm_ann_recall_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -922,9 +1156,12 @@ def llm_ann_recall_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "corpus_id")
         .localCheckpoint()
     )
+    # train ONCE, serve both probe widths (round 15 — same centroids by
+    # construction, one sample collect + one driver Lloyd instead of two)
+    cents_local = S.kmeans_centroids(corpus, "vec_id", "embedding", _N_CENTROIDS)
     km = lambda np_: S.ivf_kmeans_topk(  # noqa: E731
         queries, corpus, "vec_id", "embedding",
-        k=_K, n_centroids=_N_CENTROIDS, nprobe=np_,
+        k=_K, n_centroids=_N_CENTROIDS, nprobe=np_, cents_local=cents_local,
     )
     return _union_all(
         [
@@ -936,11 +1173,12 @@ def llm_ann_recall_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_knn_ivf_kmeans",
-    oracle=None,
+    oracle=_ivf_kmeans_oracle(),
     doc="IVF-flat with a TRAINED k-means quantizer (bounded deterministic"
-        " sample, numpy Lloyd on the driver, centroid-count broadcast) —"
-        " the production path; means are not SQL-re-derivable, so this is"
-        " rows-only and pinned by property tests",
+        " sample, order-fixed-fold numpy Lloyd on the driver, centroid-"
+        "count broadcast) — the production path; hash-checked since"
+        " round 15 against an unrolled-Lloyd DuckDB oracle (bit-identical"
+        " trained fixpoint), plus the standing property tests",
 )
 def llm_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1461,9 +1699,94 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recursive CTE — approximation lives identically on both sides.
 # ---------------------------------------------------------------------------
 
+_ND_KNEE = 1_000_000
+
+
+def _nd_ivf2_tail_ctes() -> str:
+    """The 2-level assignment chain REUSING chain-1's e/en/centn CTEs
+    (identical definitions), with its downstream CTEs suffixed `2` so
+    both arms coexist in the adaptive cluster oracle's WITH scope. Body
+    mirrors _nd_ivf2_ctes exactly."""
+    dot_cm = _dot_expr("ct.cent_vec", "mt.meta_vec")
+    dot_vm = _dot_expr("x.embedding", "mt.meta_vec")
+    dot_vc = _dot_expr("x.embedding", "c.cent_vec")
+    return f"""nmeta AS (
+  SELECT GREATEST(4, (SELECT MAX(i) FROM range(1, 100001) t(i)
+                      WHERE i * i <= (SELECT COUNT(*) FROM centn))) AS m
+),
+meta AS (
+  SELECT cent_id AS meta_id, cent_vec AS meta_vec, cent_norm2 AS meta_norm2
+  FROM (
+    SELECT *, row_number() OVER (ORDER BY md5(CAST(cent_id AS VARCHAR)), cent_id)
+             AS mrn
+    FROM centn
+  ) WHERE mrn <= (SELECT m FROM nmeta)
+),
+c2m AS (
+  SELECT meta_id, cent_id, cent_vec, cent_norm2 FROM (
+    SELECT ct.cent_id, ct.cent_vec, ct.cent_norm2, mt.meta_id,
+           row_number() OVER (
+             PARTITION BY ct.cent_id
+             ORDER BY ({dot_cm} / sqrt(ct.cent_norm2 * mt.meta_norm2)) DESC,
+                      mt.meta_id
+           ) AS orn
+    FROM centn ct CROSS JOIN meta mt
+  ) WHERE orn = 1
+),
+v2m AS (
+  SELECT vec_id, meta_id FROM (
+    SELECT x.vec_id, mt.meta_id,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY ({dot_vm} / sqrt(n.norm2 * mt.meta_norm2)) DESC, mt.meta_id
+           ) AS vrn
+    FROM e x JOIN en n USING (vec_id) CROSS JOIN meta mt
+  ) WHERE vrn <= {_ND_MPROBE}
+),
+assign2 AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT v.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ({dot_vc} / sqrt(n.norm2 * c.cent_norm2)) DESC, c.cent_id
+           ) AS rn
+    FROM v2m v JOIN c2m c USING (meta_id)
+    JOIN e x ON x.vec_id = v.vec_id
+    JOIN en n ON n.vec_id = v.vec_id
+  ) WHERE rn <= {_ND_ASSIGN}
+),
+cand2 AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign2 a JOIN assign2 b ON a.cent_id = b.cent_id
+                              AND a.vec_id < b.vec_id
+),
+pairs2 AS (
+  SELECT cand2.id_a, cand2.id_b, ea.embedding AS va, eb.embedding AS vb
+  FROM cand2
+  JOIN e ea ON ea.vec_id = cand2.id_a
+  JOIN e eb ON eb.vec_id = cand2.id_b
+),
+scored2 AS (
+  SELECT id_a, id_b,
+         {_dot_expr("va", "vb")}
+           / sqrt({_dot_expr("va", "va")} * {_dot_expr("vb", "vb")}) AS cosine
+  FROM pairs2
+)"""
+
+
 _EMB_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {_nd_ivf_ctes()},
-epairs AS (SELECT id_a, id_b FROM scored WHERE cosine >= 0.3),
+{_nd_ivf2_tail_ctes()},
+epairs AS (
+  -- the adaptive switch, expressed literally: flat pairs at or below
+  -- the {_ND_KNEE}-vector knee, two-level pairs above it (the guard is
+  -- constant per corpus, so exactly one arm contributes rows)
+  SELECT id_a, id_b FROM scored
+  WHERE cosine >= 0.3 AND (SELECT COUNT(*) FROM e) <= {_ND_KNEE}
+  UNION ALL
+  SELECT id_a, id_b FROM scored2
+  WHERE cosine >= 0.3 AND (SELECT COUNT(*) FROM e) > {_ND_KNEE}
+),
 sym AS (
   SELECT id_a AS u, id_b AS v FROM epairs
   UNION ALL
@@ -1489,17 +1812,19 @@ FROM comp c JOIN csize s USING (cluster_id)
     doc="connected components over the IVF-blocked embedding near-dup"
         " pair graph: cluster id, canonical keep flag, cluster size —"
         " the embedding-space twin of llm_dedup_clusters_minhash."
-        " Pair layer here is the FLAT IVF (fine to ~10^6 vectors); above"
-        " that swap in ivf_near_dup_pairs_2level (round 14), the"
-        " linearized-assignment variant — drop-in, same pair schema",
+        " Pair layer is SCALE-ADAPTIVE (round 15): flat IVF at or below"
+        " the 10^6-vector knee (every fixture scale — outputs unchanged),"
+        " two-level linearized assignment above it; the oracle expresses"
+        " the same count-guarded switch",
 )
 def llm_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sig_etl_spark.llm import dedup as D
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.ivf_near_dup_pairs(
+    pairs = S.ivf_near_dup_pairs_adaptive(
         emb, "vec_id", "embedding",
         threshold=0.3, nassign=_ND_ASSIGN, target_cell=_ND_CELL,
+        mprobe=_ND_MPROBE, knee=_ND_KNEE,
     ).select("id_a", "id_b")
     comp = D.connected_components(
         pairs, "id_a", "id_b", nodes=emb.select(F.col("vec_id").alias("node"))

@@ -782,13 +782,15 @@ def _nearest_cells_np(
     out_id: str,
     n: int,
     cent_rows: list,
+    cent_id_type=None,
 ) -> DataFrame:
     """Arrow/numpy twin of ``_with_norm2 -> _nearest_cells``: one
     mapInArrow pass replacing the broadcast join + interpreted
     ``_cosine`` folds + per-row window (``policy="cosine_null"``
     reproduces ``_cosine``'s NULL-for-undefined rule bit-for-bit)."""
     assigned = _ivf_assign_np(
-        df, id_col, vec_col, cent_rows, n, policy="cosine_null"
+        df, id_col, vec_col, cent_rows, n, policy="cosine_null",
+        cent_id_type=cent_id_type,
     )
     return assigned.select(
         F.col("vid").alias(out_id),
@@ -824,7 +826,8 @@ def _ivf_with_centroids(
     equality)."""
     if impl == "numpy":
         return _ivf_with_cent_rows(
-            queries, corpus, _collect_cent_rows(cents), id_col, vec_col, k, nprobe
+            queries, corpus, _collect_cent_rows(cents), id_col, vec_col, k,
+            nprobe, cent_id_type=cents.schema["cent_id"].dataType,
         )
     if impl != "expr":
         raise ValueError(f"unknown impl {impl!r}")
@@ -846,12 +849,19 @@ def _ivf_with_cent_rows(
     vec_col: str,
     k: int,
     nprobe: int,
+    cent_id_type=None,
 ) -> DataFrame:
     """The numpy-tier IVF serve path over an already-collected quantizer
     list — the shared tail of :func:`_ivf_with_centroids` and the
     ``cent_rows`` fast path of :func:`ivf_topk`."""
-    c = _nearest_cells_np(corpus, id_col, vec_col, "corpus_id", 1, cent_rows)
-    q = _nearest_cells_np(queries, id_col, vec_col, "query_id", nprobe, cent_rows)
+    c = _nearest_cells_np(
+        corpus, id_col, vec_col, "corpus_id", 1, cent_rows,
+        cent_id_type=cent_id_type,
+    )
+    q = _nearest_cells_np(
+        queries, id_col, vec_col, "query_id", nprobe, cent_rows,
+        cent_id_type=cent_id_type,
+    )
     return _ivf_topk_tail(c, q, k)
 
 
@@ -948,20 +958,24 @@ def ivf_incremental_topk(
         # localCheckpoint + three broadcasts (same takeOrdered plan,
         # executed once at build).
         cent_rows = _collect_cent_rows(cents)
+        ctype = cents.schema["cent_id"].dataType
         static_assign = _nearest_cells_np(
-            corpus, id_col, vec_col, "corpus_id", 1, cent_rows
+            corpus, id_col, vec_col, "corpus_id", 1, cent_rows,
+            cent_id_type=ctype,
         )
         if checkpoint_static:
             static_assign = static_assign.localCheckpoint()
         delta_assign = _nearest_cells_np(
-            delta, id_col, vec_col, "corpus_id", 1, cent_rows
+            delta, id_col, vec_col, "corpus_id", 1, cent_rows,
+            cent_id_type=ctype,
         )
         merged = static_assign.unionByName(delta_assign)
         if deletes is not None:
             tomb = deletes.select(F.col(id_col).alias("corpus_id")).distinct()
             merged = merged.join(F.broadcast(tomb), "corpus_id", "left_anti")
         q = _nearest_cells_np(
-            queries, id_col, vec_col, "query_id", nprobe, cent_rows
+            queries, id_col, vec_col, "query_id", nprobe, cent_rows,
+            cent_id_type=ctype,
         )
         return _ivf_topk_tail(merged, q, k)
     if impl != "expr":
@@ -1187,7 +1201,9 @@ def pq_topk(
     ``cbook`` structs of :func:`_pq_codebook`) — lets a caller sharing
     one corpus across several PQ arms (llm_ann_recall: pq + ivfpq) pay
     the codebook build/collect job once. numpy tier only; identical
-    results by construction.
+    results by construction. NOTE (numpy tier): builds eagerly — the
+    bounded codebook collect runs at DataFrame-construction time, once
+    per call, not lazily at action time.
 
     The vector space is split into ``m_subs`` subspaces of dim/m_subs
     dims. Each subspace has a ``ksub``-entry codebook; a corpus vector is
@@ -1605,13 +1621,13 @@ def _pq_luts_np(
     NULL/garbage elements positionally, so ADC's positional element_at
     stays aligned between tiers.
 
-    POLICY DIVERGENCE (documented, tested — same class as the encode
-    tier's bad-row rule): a NaN fold (NaN-element query vector) is NaN
-    in the expr lut but NULL here — the Arrow return bridge cannot carry
-    a NaN distinct from NULL. Downstream that NULL ranks the garbage
-    pair LAST (the unified undefined-similarity policy) where the expr
-    NaN would rank it first. Clean vectors are bit-identical."""
-    import pandas as pd
+    Emits via ``mapInArrow`` (round 15 — ADVICE r14): the earlier
+    mapInPandas return bridge collapsed a NaN lut/qnorm2 value to NULL,
+    so a NaN-element query ranked its candidates last in this tier while
+    the expr tier's NaN ranked them first. Building the record batches
+    straight in pyarrow keeps NaN distinct from NULL, so the two tiers
+    are now bit-identical INCLUDING NaN queries (pinned in
+    tests/test_similarity.py — the old exclusion is gone)."""
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -1651,10 +1667,11 @@ def _pq_luts_np(
     )
 
     def luts(batches):
-        for pdf in batches:
+        import pyarrow as pa
+
+        for batch in batches:
             lut_col, qn_col = [], []
-            for qv in pdf["qvec"]:
-                q = None if qv is None else list(qv)
+            for q in batch.column(1).to_pylist():
                 lut_col.append(
                     [
                         [_fold(_sl(q, m), _sl(e, m)) for e in ents]
@@ -1662,15 +1679,16 @@ def _pq_luts_np(
                     ]
                 )
                 qn_col.append(_fold(q, q))
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].reset_index(drop=True),
-                    "lut": lut_col,
-                    "qnorm2": qn_col,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(lut_col, type=pa.list_(pa.list_(pa.float64()))),
+                    pa.array(qn_col, type=pa.float64()),
+                ],
+                names=["query_id", "lut", "qnorm2"],
             )
 
-    return src.mapInPandas(luts, out_schema)
+    return src.mapInArrow(luts, out_schema)
 
 
 def _adc_scored(pairs: DataFrame, m_subs: int) -> DataFrame:
@@ -1955,6 +1973,7 @@ def _ivf_assign_np(
     cent_rows: list,
     nassign: int,
     policy: str = "raw",
+    cent_id_type=None,
 ) -> DataFrame:
     """Arrow/numpy twin of the flat IVF assignment (corpus x centroids
     scoring + per-vid top-``nassign`` window): one mapInPandas pass that
@@ -1987,14 +2006,22 @@ def _ivf_assign_np(
     if policy not in ("raw", "cosine_null"):
         raise ValueError(f"unknown policy {policy!r}")
     src = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vid_vec"))
+    # cent_id carries the CENTROID frame's id type when the caller knows
+    # it (round 15 — ADVICE r14: a trained-k-means quantizer has long
+    # cent_ids by construction, and reusing the corpus id type diverged
+    # the numpy tier's schema from the expr tier on non-long-id corpora)
+    cent_type = cent_id_type or src.schema["vid"].dataType
     out_schema = StructType(
         [
             StructField("vid", src.schema["vid"].dataType, True),
             StructField("vid_vec", src.schema["vid_vec"].dataType, True),
             StructField("vid_norm2", DoubleType(), True),
-            StructField("cent_id", src.schema["vid"].dataType, True),
+            StructField("cent_id", cent_type, True),
         ]
     )
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    cent_arrow_type = to_arrow_type(cent_type)
     cents = sorted(cent_rows, key=lambda r: r[0])  # cent_id asc = tie-break
     cids = [c for c, _ in cents]
     cvvals = [v for _, v in cents]
@@ -2096,7 +2123,7 @@ def _ivf_assign_np(
             key_asc = np.where(isnull, np.iinfo(np.int64).max, ~tot)
             order = np.argsort(key_asc, axis=1, kind="stable")[:, :ktake]
             idx_rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), ktake))
-            cids_pa = pa.array(cids).cast(vid_arr.type)
+            cids_pa = pa.array(cids).cast(cent_arrow_type)
             yield pa.RecordBatch.from_arrays(
                 [
                     pc.take(vid_arr, idx_rep),

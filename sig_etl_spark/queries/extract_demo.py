@@ -353,6 +353,44 @@ WHERE c_mktsegment IN ({", ".join("'" + s + "'" for s in _JDBC_SEGMENTS)})
 """
 
 
+_JDBC_STAGE_CLEANUP = [False]
+
+
+def _jdbc_stage_dir() -> str:
+    """Pid-keyed Derby staging directory: reap dead-pid siblings, remove
+    this process's own dir at exit (ADVICE r14 leak fix)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    base = tempfile.gettempdir()
+    try:
+        names = os.listdir(base)
+    except OSError:
+        names = []
+    for name in names:
+        if not name.startswith("sig_etl_stage_jdbc_"):
+            continue
+        try:
+            pid = int(name.rsplit("_", 1)[-1])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # liveness probe only
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — not ours to reap
+    d = os.path.join(base, f"sig_etl_stage_jdbc_{os.getpid()}")
+    if not _JDBC_STAGE_CLEANUP[0]:
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _JDBC_STAGE_CLEANUP[0] = True
+    return d
+
+
+
 @register(
     "jdbc_stage_roundtrip",
     oracle=_JDBC_ORACLE,
@@ -376,12 +414,12 @@ def jdbc_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (bench + verify + pytest smoke) collide on boot. The staging
     # database is incidental — only the round-tripped rows matter — so
     # key the directory by pid: stable within a process (overwrite mode
-    # reuses it across invocations), disjoint across processes.
-    import tempfile
-
-    stage_dir = os.path.join(
-        tempfile.gettempdir(), f"sig_etl_stage_jdbc_{os.getpid()}"
-    )
+    # reuses it across invocations), disjoint across processes. The dir
+    # is removed at interpreter exit, and stale dirs of DEAD pids are
+    # reaped on entry (round 15 — ADVICE r14: a recycled pid could
+    # otherwise inherit a crashed JVM's db.lck, which Derby refuses to
+    # boot over; live pids under another uid are left alone).
+    stage_dir = _jdbc_stage_dir()
     url = f"jdbc:derby:{stage_dir}/stagedb;create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     # Spark's DerbyDialect maps StringType to CLOB, which Derby refuses

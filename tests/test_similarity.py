@@ -1114,17 +1114,15 @@ def test_pq_luts_tiers_identical_and_edge_rows(spark, sf_dir):
     b = sorted(map(tuple, _pq_luts(q, c, "vec_id", "embedding", 8, 16, 64).collect()))
     assert a == b and a
 
-    # NOTE: a NaN-element query is EXCLUDED here — its expr lut entries
-    # are NaN, which the Arrow return bridge cannot represent distinct
-    # from NULL (the same documented policy divergence as the encode
-    # tier's bad-row rule): the numpy tier emits NULL, ranking such
-    # garbage LAST per the unified undefined-similarity policy, while
-    # the expr tier's NaN would rank first. Clean corpora/queries are
-    # bit-identical.
+    # Round 15 (ADVICE r14): the NaN-element query is now INCLUDED —
+    # _pq_luts_np emits via mapInArrow, so an expr-tier NaN lut entry
+    # stays NaN on the numpy side too (the old mapInPandas bridge
+    # collapsed it to NULL and the case had to be excluded).
     rows = [
         (0, [1.0] * 64),
         (1, None),                               # NULL vec -> NULL luts + qnorm2
         (2, [1.0] * 63 + [None]),                # NULL element
+        (3, [math.nan] + [1.0] * 63),            # NaN folds stay NaN in both tiers
         (4, [math.inf] + [1.0] * 63),            # inf folds survive the bridge
         (5, [1.0] * 8),                          # short: m=0 folds (equal 8-slices), m>=1 NULL
         (6, [1.0] * 70),                         # long: full slices everywhere, real folds
@@ -1133,4 +1131,38 @@ def test_pq_luts_tiers_identical_and_edge_rows(spark, sf_dir):
     qq = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     ra = sorted(map(tuple, _pq_luts_np(qq, "vec_id", "embedding", cb_entries, 8, 8).collect()), key=str)
     rb = sorted(map(tuple, _pq_luts(qq, c, "vec_id", "embedding", 8, 16, 64).collect()), key=str)
-    assert ra == rb and ra
+    # str-canonicalized equality: the NaN rows compare by repr (NaN !=
+    # NaN under tuple equality even when bit-identical)
+    assert [str(t) for t in ra] == [str(t) for t in rb] and ra
+
+
+def test_ivf_kmeans_string_id_corpus_tier_schema_parity(spark):
+    """ADVICE r14: the numpy assignment typed cent_id from the CORPUS id
+    column, so a trained quantizer (cent_id long by construction) over a
+    string-id corpus diverged from the expr tier (or failed the Arrow
+    cast). cent_id now carries the centroid frame's own type; both tiers
+    must agree on schema AND rows for a non-long-id corpus."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sig_etl_spark.llm import similarity as S
+
+    random.seed(1)
+    rows = [
+        (f"id{i:03d}", [random.gauss(0.0, 1.0) for _ in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "sid string, vec array<double>")
+    q = df.filter(F.col("sid") < "id010")
+    c = df.filter(F.col("sid") >= "id010")
+    a = S.ivf_kmeans_topk(
+        q, c, "sid", "vec", k=3, n_centroids=4, sample_size=16, iters=2,
+        impl="numpy",
+    )
+    b = S.ivf_kmeans_topk(
+        q, c, "sid", "vec", k=3, n_centroids=4, sample_size=16, iters=2,
+        impl="expr",
+    )
+    assert a.schema == b.schema
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
